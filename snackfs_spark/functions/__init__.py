@@ -1,0 +1,42 @@
+"""Shared column-expression helpers.
+
+Everything here returns JVM-side Column expressions (whole-stage-codegen
+friendly); no Python UDFs. The decimal helpers exist for oracle parity:
+double summation is order-dependent, so any aggregate the DuckDB oracle
+hash-checks is computed over exact decimals and only cast back to double
+at the end — bit-identical regardless of partitioning/parallelism, which
+also makes results stable across cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Scale chosen so the 2-decimal synthetic money columns round-trip exactly:
+# a double like 12.31 is within 5e-15 of the decimal, so rounding to 2
+# fractional digits is unambiguous in both Spark and DuckDB.
+MONEY = "decimal(18,2)"
+RATE = "decimal(18,2)"
+
+
+def money(col: str | Column) -> Column:
+    """Exact-decimal view of a 2-decimal money column stored as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(MONEY)
+
+
+def rate(col: str | Column) -> Column:
+    """Exact-decimal view of a 2-decimal rate column (discount/tax)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(RATE)
+
+
+def dsum(col: Column, alias: str) -> Column:
+    """Deterministic sum: exact decimal accumulation, double result."""
+    return F.sum(col).cast("double").alias(alias)
+
+
+def davg(col: Column, alias: str) -> Column:
+    """Deterministic average: exact decimal sum / count, double division."""
+    return (F.sum(col).cast("double") / F.count(col)).alias(alias)
