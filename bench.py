@@ -1,0 +1,80 @@
+"""Benchmark runner: executes the headline queries at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect of the final
+small result). A warmup query absorbs session/JIT startup so timings
+reflect steady-state operator cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from snackfs_spark.registry import load_all  # noqa: E402
+from snackfs_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family (SURVEY.md §2.B/§2.C).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "q6_revenue_forecast",
+    "fs_du",
+    "fs_lsr",
+    "fs_content",
+    "fs_block_locations",
+    "fs_lock_arbitration",
+    "win_running_order_total",
+    "topk_orders",
+    "sessionize_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry = load_all()
+    spark = get_spark("snackfs_spark_bench")
+
+    # Warmup: touch the fact table so JVM/codegen startup isn't billed
+    # to the first query.
+    registry["q6_revenue_forecast"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
+        n = df.count() if name in () else len(df.collect())
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,115 @@
-"""Placeholder — populated in later milestones."""
+"""Content-plane operators (SURVEY.md §2.B Q-CONTENT/Q-RANGE/Q-TAIL/
+Q-MERGE/Q-LEN): the reference's chunked read pipeline
+(FileSystemInputStream / BlockInputStream) re-expressed as set-oriented
+reassembly over the `content` relation.
+
+The oracle for these is the ORIGINAL `documents.text` — a fully
+independent computation path — so any chunking/ordering/trim bug shows up
+as a hash mismatch rather than being mirrored in the oracle.
+
+Reassembly pattern: collect_list(struct(order_key, payload)) →
+sort_array → array_join. The sort happens per group inside the
+aggregate (no global orderBy), so a 100 TB content table reassembles
+each file within its own hash partition — shuffle is one row per
+(file, chunk), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snackfs_spark.catalog import SnackCatalog
+from snackfs_spark.registry import register
+from snackfs_spark.sources.fsmodel import content_df, fs_sql
+
+RANGE_START = 100   # Q-RANGE window [100, 250)
+RANGE_LEN = 150
+TAIL_CHARS = 100    # Q-TAIL (reference uses 1 KB; scaled to the 64-char chunks)
+
+_DOC_PATH_SQL = "'/data/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt'"
+
+
+@register(
+    "fs_content",
+    oracle=f"SELECT {_DOC_PATH_SQL} AS path, text FROM documents",
+)
+def fs_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-file reassembly (FileSystemInputStream.scala:78-144; golden
+    byte-equality FileSystemStreamSpec.scala:134-202): every file rebuilt
+    from its sub-block chunks must equal the source text."""
+    return SnackCatalog(spark, sf_dir).read()
+
+
+@register(
+    "fs_range_read",
+    oracle=(
+        f"SELECT {_DOC_PATH_SQL} AS path, "
+        f"substr(text, {RANGE_START + 1}, {RANGE_LEN}) AS data "
+        f"FROM documents WHERE n_chars > {RANGE_START}"
+    ),
+)
+def fs_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random read [start, start+len): seek semantics
+    (FileSystemInputStream.scala:45-76, BlockInputStream.scala:42-59).
+    Only overlapping chunks are touched — the offset predicate prunes the
+    rest, exactly how a seek avoids reading the whole file."""
+    return SnackCatalog(spark, sf_dir).read_range(RANGE_START, RANGE_LEN).select(
+        "path", "data"
+    )
+
+
+@register(
+    "fs_tail",
+    oracle=(
+        f"SELECT {_DOC_PATH_SQL} AS path, "
+        f"substr(text, greatest(n_chars - {TAIL_CHARS} + 1, 1)) AS tail_text "
+        f"FROM documents"
+    ),
+)
+def fs_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tail: last-K read (SnackFSShell.scala:508-534). The per-file start
+    offset comes from a max-over-partition window (no second scan, no
+    driver round-trip), then the Q-RANGE trim applies."""
+    return SnackCatalog(spark, sf_dir).tail(TAIL_CHARS)
+
+
+@register(
+    "fs_getmerge",
+    oracle=(
+        "SELECT '/data/' || source AS dir, "
+        f"string_agg(text, '' ORDER BY {_DOC_PATH_SQL}) AS merged "
+        "FROM documents GROUP BY source"
+    ),
+)
+def fs_getmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getmerge: concatenate a directory's files sorted by name
+    (SnackFSShell.scala:608-613). One aggregate per directory; ordering is
+    (path, sub_offset) inside the group — no global sort."""
+    return SnackCatalog(spark, sf_dir).getmerge()
+
+
+@register(
+    "fs_len_from_blocks",
+    oracle=f"SELECT {_DOC_PATH_SQL} AS path, CAST(n_chars AS BIGINT) AS computed_size FROM documents",
+)
+def fs_len_from_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File length from nested block metadata (SnackFileStatus.scala:37-43:
+    size = sum of block lengths). Builds the INode-shaped nested
+    Array(Struct(block, Array(Struct(sub)))) column, then folds it with a
+    nested higher-order aggregate — the Spark-native replacement for the
+    reference's hand-rolled INode codec (INode.scala:41-141)."""
+    c = content_df(spark, sf_dir)
+    blocks = c.groupBy("path", "block_idx").agg(
+        F.sort_array(F.collect_list(F.struct("sub_idx", "length"))).alias("subs")
+    )
+    nested = blocks.groupBy("path").agg(
+        F.sort_array(F.collect_list(F.struct("block_idx", "subs"))).alias("blocks")
+    )
+    return nested.select(
+        "path",
+        F.expr(
+            "aggregate(blocks, 0L, (acc, b) -> acc + "
+            "aggregate(b.subs, 0L, (a, s) -> a + s.length))"
+        ).alias("computed_size"),
+    )

@@ -1,1 +1,328 @@
-"""Placeholder — populated in later milestones."""
+"""Deduplication operators (SURVEY.md §2.C / BASELINE.md extension
+mandate): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
+near-dup — the standard large-scale training-data pipeline battery.
+
+Design for 100 TB:
+  - exact dedup is a content-hash groupBy (map-side partial agg);
+  - MinHash/LSH replaces the O(n²) pairwise join with band-bucket
+    equi-joins — candidates only where a band collides;
+  - the full-Jaccard verifier runs only per candidate pair or within an
+    explicitly bounded scope;
+  - everything is deterministic (md5-keyed "permutations", left-fold
+    double arithmetic), so the DuckDB oracle hash-checks even the LSH
+    pipeline, not just the exact one.
+
+Patterns follow the LSH similarity-join literature referenced in
+PAPERS.md (EDBT 2022 LSH joins; ICDE 2021 distributed top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snackfs_spark.registry import register
+from snackfs_spark.sources.tables import load_table
+
+N_PERMS = 16          # minhash signature length
+BAND_SIZE = 4         # 4 bands of 4 rows -> LSH threshold ~ (1/4)^(1/4) ≈ 0.71
+N_BANDS = N_PERMS // BAND_SIZE
+
+# Word 3-gram shingles as a DuckDB CTE over documents.
+SHINGLES_CTE = """shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' ') AS shingle
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(0, greatest(len(string_split(text, ' ')) - 2, 0))) AS i
+    FROM documents
+  )
+)"""
+
+
+def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word 3-gram shingles per document. The explode happens in
+    the scan projection — no shuffle until the downstream aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(-1)))
+            ).alias("i"),
+            toks.alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.slice(F.col("toks"), F.col("i") + 1, 3), " ").alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content (md5), keep the smallest
+    doc_id per hash. One shuffle keyed by a uniformly distributed hash —
+    no skew by construction; duplicate groups collapse map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+# Deterministic "permutation" p of a shingle: md5 of the salted shingle.
+# min() over the hex strings is the minhash; both engines agree exactly.
+_MINHASH_CTE = (
+    SHINGLES_CTE
+    + f""",
+minhash AS (
+  SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS mh
+  FROM shingles, (SELECT unnest(range(0, {N_PERMS})) AS p)
+  GROUP BY doc_id, p
+),
+bands AS (
+  SELECT doc_id, p // {BAND_SIZE} AS band,
+         md5(string_agg(mh, '|' ORDER BY p)) AS band_sig
+  FROM minhash GROUP BY doc_id, p // {BAND_SIZE}
+)"""
+)
+
+
+def minhash_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_sig): LSH band signatures from a 16-hash
+    MinHash signature, 4 rows per band."""
+    sh = shingles_df(spark, sf_dir)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(N_PERMS - 1))).alias("p")
+    mh = (
+        sh.select("doc_id", "shingle", perms)
+        .select(
+            "doc_id",
+            "p",
+            F.md5(F.concat(F.col("p").cast("string"), F.lit(":"), F.col("shingle"))).alias(
+                "h"
+            ),
+        )
+        .groupBy("doc_id", "p")
+        .agg(F.min("h").alias("mh"))
+    )
+    return (
+        mh.groupBy("doc_id", (F.col("p") / BAND_SIZE).cast("int").alias("band"))
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("p", "mh"))),
+                        lambda s: s.getField("mh"),
+                    ),
+                    "|",
+                )
+            ).alias("band_sig")
+        )
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=(
+        "WITH "
+        + _MINHASH_CTE
+        + """
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """
+    ),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → 16 minhashes → 4 bands →
+    band-bucket self-join. The join is an equi-join on (band, band_sig) —
+    at 100 TB this is the standard replacement for the O(n²) similarity
+    join; only colliding buckets produce work."""
+    bands = minhash_bands_df(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=(
+        "WITH "
+        + SHINGLES_CTE
+        + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE a.doc_id < 50 AND b.doc_id < 50
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.2
+    """
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity over a bounded scope (doc_id < 50):
+    the verifier that LSH candidates would feed at scale. Intersections
+    come from a shingle equi-join + count, never a cross join; the
+    doc_id bound stands in for 'candidate pairs only'."""
+    sh = shingles_df(spark, sf_dir).filter(F.col("doc_id") < 50)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+    )
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (('0x' || substr(md5(tok), 1, 8))::BIGINT >> b) & 1 = 1
+                      THEN 1 ELSE -1 END) AS vote
+      FROM toks, (SELECT unnest(range(0, 32)) AS b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: per-token 32-bit hash (md5 prefix), ±1 vote per bit
+    position, sign of the vote sum becomes the fingerprint bit. Near-dups
+    at scale = hamming-close fingerprints, indexable by bit-block
+    equi-joins (same LSH banding idea as minhash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    hashed = toks.select(
+        "doc_id", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h")
+    )
+    bits = (
+        hashed.select(
+            "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+        )
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(1L, b)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+# Left-fold double arithmetic: both engines fold element-by-element in
+# index order, so the doubles are bit-identical.
+_DOT_SQL_DUCK = (
+    "list_reduce(list_transform(range(1, 65), i -> "
+    "CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+_NORM_SQL_DUCK = (
+    "sqrt(list_reduce(list_transform(range(1, 65), i -> "
+    "CAST({v}.embedding[i] AS DOUBLE) * CAST({v}.embedding[i] AS DOUBLE)), "
+    "(x, y) -> x + y))"
+)
+
+DOT_SPARK = (
+    "aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({b} AS ARRAY<DOUBLE>), "
+    "(x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_DOT_SQL_DUCK} / ({_NORM_SQL_DUCK.format(v='a')} * {_NORM_SQL_DUCK.format(v='b')})
+             AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE a.vec_id < 100 AND b.vec_id < 100
+      AND {_DOT_SQL_DUCK} / ({_NORM_SQL_DUCK.format(v='a')} * {_NORM_SQL_DUCK.format(v='b')}) > 0.8
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs above 0.8 cosine within the same
+    label, bounded scope (vec_id < 100). The label equi-key plays the
+    role an LSH bucket plays at scale — the join is never all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.expr(DOT_SPARK.format(a="a.embedding", b="b.embedding"))
+    na = F.sqrt(F.expr(DOT_SPARK.format(a="a.embedding", b="a.embedding")))
+    nb = F.sqrt(F.expr(DOT_SPARK.format(a="b.embedding", b="b.embedding")))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (dot / (na * nb)).alias("cosine"),
+        )
+        .filter(F.col("cosine") > 0.8)
+    )

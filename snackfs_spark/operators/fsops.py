@@ -1,1 +1,213 @@
-"""Placeholder — populated in later milestones."""
+"""Filesystem metadata operators (SURVEY.md §2.B, Q-STAT..Q-MKDIR).
+
+Each reproduces a reference capability as one declarative plan over the
+derived `files` relation (sources/fsmodel.py). Where the reference does
+N+1 point gets or client-side recursion, these are single scans with
+pushed-down predicates — the shapes that survive a 100 TB metadata table
+partitioned by path prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snackfs_spark.catalog import SnackCatalog
+from snackfs_spark.registry import register
+from snackfs_spark.sources.fsmodel import files_df, fs_sql
+
+STAT_PATH = "/data/src0/doc_42.txt"
+LS_DIR = "/data/src0"
+SUBTREE = "/data/src1"
+RENAME_SRC = "/data/src2"
+RENAME_DST = "/data/archive/src2"
+DELETE_TARGET = "/data/src3"
+
+
+@register(
+    "fs_stat",
+    oracle=fs_sql(
+        f"""SELECT path, is_dir, size, owner, grp, permission, mtime
+            FROM files WHERE path = '{STAT_PATH}'""",
+        "files",
+    ),
+)
+def fs_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getFileStatus: point metadata lookup (FileStatusCommand.scala:34-48).
+    A single pushed-down equality predicate; with the files table
+    partitioned/bucketed by path prefix this touches one partition."""
+    return SnackCatalog(spark, sf_dir).stat(STAT_PATH)
+
+
+@register(
+    "fs_ls",
+    oracle=fs_sql(
+        f"""SELECT path, name, is_dir, size FROM files
+            WHERE parent_path = '{LS_DIR}'""",
+        "files",
+    ),
+)
+def fs_ls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listStatus: shallow listing via the parent_path equality predicate
+    (ListCommand.scala:50-51; secondary index ThriftStore.scala:487) —
+    one equi-filter instead of the reference's N+1 per-child gets."""
+    return SnackCatalog(spark, sf_dir).ls(LS_DIR)
+
+
+@register(
+    "fs_lsr",
+    oracle=fs_sql(
+        f"""SELECT path, is_dir, size FROM files
+            WHERE path LIKE '{SUBTREE}/%' OR path = '{SUBTREE}'""",
+        "files",
+    ),
+)
+def fs_lsr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lsr / deep listing: the reference's prefix range scan
+    (path > p AND path < p-plus, ThriftStore.scala:482,534-540).
+    startswith compiles to a range predicate Catalyst pushes to parquet."""
+    return SnackCatalog(spark, sf_dir).lsr(SUBTREE)
+
+
+@register(
+    "fs_du",
+    oracle=fs_sql(
+        """SELECT split_part(path, '/', 3) AS child, CAST(SUM(size) AS BIGINT) AS bytes
+           FROM files WHERE path LIKE '/data/%/%' AND NOT is_dir
+           GROUP BY split_part(path, '/', 3)""",
+        "files",
+    ),
+)
+def fs_du(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """du: per-child subtree totals (SnackFSShell.scala:365-367; asserted
+    totals SnackFSShellSpec.scala:160-173). Group-by with map-side partial
+    aggregation — cardinality = #children, not #files."""
+    return SnackCatalog(spark, sf_dir).du("/data")
+
+
+@register(
+    "fs_dus",
+    oracle=fs_sql(
+        f"""SELECT CAST(SUM(size) AS BIGINT) AS bytes, COUNT(*) AS files
+            FROM files WHERE (path LIKE '{SUBTREE}/%' OR path = '{SUBTREE}')
+            AND NOT is_dir""",
+        "files",
+    ),
+)
+def fs_dus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dus: single subtree total (SnackFSShell.scala:368-370)."""
+    return SnackCatalog(spark, sf_dir).dus(SUBTREE)
+
+
+@register(
+    "fs_count",
+    oracle=fs_sql(
+        """SELECT CAST(SUM(CASE WHEN is_dir THEN 1 ELSE 0 END) AS BIGINT) AS dir_count,
+                  CAST(SUM(CASE WHEN is_dir THEN 0 ELSE 1 END) AS BIGINT) AS file_count,
+                  CAST(SUM(CASE WHEN is_dir THEN 0 ELSE size END) AS BIGINT) AS content_size
+           FROM files WHERE path LIKE '/data/%' OR path = '/data'""",
+        "files",
+    ),
+)
+def fs_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count: #dirs, #files, total bytes under a path
+    (SnackFSShell.scala:536-548) — one multi-aggregate scan."""
+    return SnackCatalog(spark, sf_dir).count("/data")
+
+
+@register(
+    "fs_rename",
+    oracle=fs_sql(
+        f"""SELECT path AS old_path,
+                   '{RENAME_DST}' || substr(path, {len(RENAME_SRC) + 1}) AS new_path,
+                   is_dir, size
+            FROM files WHERE path LIKE '{RENAME_SRC}/%' OR path = '{RENAME_SRC}'""",
+        "files",
+    ),
+)
+def fs_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rename: subtree path rewrite (RenameCommand.scala:42-59). Anchored
+    prefix replacement via substring arithmetic — deliberately NOT
+    replaceFirst, avoiding the reference's mid-path collision hazard
+    (RenameCommand.scala:52) for paths with repeated components."""
+    return SnackCatalog(spark, sf_dir).rename_plan(RENAME_SRC, RENAME_DST)
+
+
+@register(
+    "fs_delete",
+    oracle=fs_sql(
+        f"""SELECT COUNT(*) AS survivors, CAST(SUM(size) AS BIGINT) AS surviving_bytes
+            FROM files
+            WHERE NOT (path LIKE '{DELETE_TARGET}/%' OR path = '{DELETE_TARGET}')""",
+        "files",
+    ),
+)
+def fs_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delete -r: recursive subtree delete (DeleteCommand.scala:34-75) as a
+    single prefix-predicate rewrite — the surviving set — instead of the
+    reference's depth-first per-node recursion. On a transactional table
+    this is one DELETE WHERE prefix-match."""
+    return SnackCatalog(spark, sf_dir).delete_survivors(DELETE_TARGET).agg(
+        F.count(F.lit(1)).alias("survivors"),
+        F.sum("size").alias("surviving_bytes"),
+    )
+
+
+@register(
+    "fs_mkdirs",
+    oracle=fs_sql(
+        """SELECT DISTINCT
+             CASE WHEN d = 2 THEN '/'
+                  ELSE array_to_string(list_slice(string_split(path, '/'), 1, d - 1), '/')
+             END AS dir_path
+           FROM (
+             SELECT path, unnest(range(2, len(string_split(path, '/')) + 1)) AS d
+             FROM files WHERE NOT is_dir
+           )""",
+        "files",
+    ),
+)
+def fs_mkdirs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mkdirs: ancestor-chain generation (MakeDirectoryCommand.scala:59-76).
+    The reference walks the parent chain per call; here all ancestor dirs
+    of all files materialize in one pass: explode depth, slice, distinct."""
+    return SnackCatalog(spark, sf_dir).mkdirs_closure()
+
+
+@register(
+    "fs_test_predicates",
+    oracle=fs_sql(
+        f"""SELECT
+             CAST(COUNT(*) > 0 AS BOOLEAN) AS exists_flag,
+             CAST(COALESCE(MAX(CASE WHEN size = 0 THEN 1 ELSE 0 END), 0) = 1 AS BOOLEAN) AS is_zero,
+             CAST(COALESCE(MAX(CASE WHEN is_dir THEN 1 ELSE 0 END), 0) = 1 AS BOOLEAN) AS is_directory
+           FROM files WHERE path = '{STAT_PATH}'""",
+        "files",
+    ),
+)
+def fs_test_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """test -e/-z/-d: boolean predicates over one path
+    (SnackFSShell.scala:679-681)."""
+    return SnackCatalog(spark, sf_dir).test_predicates(STAT_PATH)
+
+
+@register(
+    "fs_stat_format",
+    oracle=fs_sql(
+        """SELECT path, name,
+                  CAST(ceil(size / 256.0) AS BIGINT) AS size_in_blocks,
+                  strftime(mtime, '%Y-%m-%d %H:%M:%S') AS mtime_str
+           FROM files WHERE NOT is_dir AND parent_path = '/data/src4'""",
+        "files",
+    ),
+)
+def fs_stat_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stat with format fields %b %n %y (SnackFSShell.scala:682-688):
+    projection + date formatting, no scan beyond the listing predicate."""
+    f = files_df(spark, sf_dir)
+    return f.filter(~F.col("is_dir") & (F.col("parent_path") == "/data/src4")).select(
+        "path",
+        "name",
+        F.ceil(F.col("size") / 256.0).cast("long").alias("size_in_blocks"),
+        F.date_format("mtime", "yyyy-MM-dd HH:mm:ss").alias("mtime_str"),
+    )

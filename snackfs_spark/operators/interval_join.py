@@ -1,1 +1,69 @@
-"""Placeholder — populated in later milestones."""
+"""Non-equi / interval joins (SURVEY.md §2.B Q-BLOCKLOC): the reference's
+token-ring locality match (ThriftStore.scala:543-605) — block token ∈
+(range_start, range_end] over ring ranges including the wraparound range —
+plus the same join family on the star schema.
+
+The ring/band side is tiny at any data scale, so both joins broadcast the
+small side: a BroadcastNestedLoopJoin whose cost is rows × |ring|, with no
+shuffle of the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snackfs_spark.catalog import SnackCatalog
+from snackfs_spark.registry import register
+from snackfs_spark.sources.fsmodel import fs_sql
+from snackfs_spark.sources.tables import load_table
+
+
+@register(
+    "fs_block_locations",
+    oracle=fs_sql(
+        """SELECT b.path, b.block_idx, r.host
+           FROM blocks b JOIN ring r
+             ON (r.tok_start < r.tok_end AND b.token > r.tok_start AND b.token <= r.tok_end)
+             OR (r.tok_start >= r.tok_end AND (b.token > r.tok_start OR b.token <= r.tok_end))""",
+        "blocks",
+        "ring",
+    ),
+)
+def fs_block_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getFileBlockLocations: interval-match each block token into the ring
+    (ThriftStore.scala:567-585), wraparound range included. Ring is
+    broadcast — the reference fetches describe_ring to every client for
+    the same reason."""
+    return SnackCatalog(spark, sf_dir).block_locations()
+
+
+@register(
+    "rel_price_band_join",
+    oracle="""
+    SELECT band.n_nationkey AS band_id, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_total
+    FROM orders o
+    JOIN nation band
+      ON o.o_totalprice >= CAST(band.n_nationkey AS DOUBLE) * 25000.0
+     AND o.o_totalprice <  (CAST(band.n_nationkey AS DOUBLE) + 1) * 25000.0
+    GROUP BY band.n_nationkey
+    """,
+)
+def rel_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same interval-join family on the star schema: orders binned
+    into 25 price bands via a non-equi broadcast join + aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    band = F.broadcast(load_table(spark, sf_dir, "nation"))
+    lo = band["n_nationkey"].cast("double") * 25000.0
+    hi = (band["n_nationkey"].cast("double") + 1) * 25000.0
+    from snackfs_spark.functions import dsum, money
+
+    return (
+        o.join(band, (o["o_totalprice"] >= lo) & (o["o_totalprice"] < hi))
+        .groupBy(band["n_nationkey"].alias("band_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(money("o_totalprice"), "band_total"),
+        )
+    )

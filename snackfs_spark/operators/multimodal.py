@@ -1,1 +1,163 @@
-"""Placeholder — populated in later milestones."""
+"""Multimodal-column operators (SURVEY.md §2.C / BASELINE.md): treat
+image/audio/video payloads as opaque binary columns with typed metadata;
+decode/feature-extract runs as Arrow-batched Pandas UDFs over
+mapInPandas.
+
+The container has no image/audio libraries, so the decode step is a
+clearly marked stub (deterministic fake features keyed on byte length) —
+the Spark-side plumbing (binary schema, batch iteration, output schema,
+partition preservation) is real and tested. Payload bytes derive from
+document text (utf-8), so metadata queries stay oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from snackfs_spark.registry import register
+from snackfs_spark.sources.tables import load_table
+
+_DOC_PATH_SQL = "'/data/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt'"
+
+
+def binary_assets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal table shape: opaque binary payload + typed metadata
+    struct. At scale this is what `spark.read.format("binaryFile")` or a
+    parquet table with a binary column yields."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("n_chars").cast("long").alias("n_bytes"),
+            F.lit("text/plain").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "multimodal_metadata",
+    oracle=f"""
+    SELECT doc_id AS asset_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           hex(encode(substr(text, 1, 4))) AS magic,
+           source AS origin
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads: byte length and a
+    magic-prefix probe — the scan-only operations that never decode.
+    Column-pruned: at 100 TB the payload column is untouched unless the
+    magic probe needs its first bytes."""
+    assets = binary_assets_df(spark, sf_dir)
+    return assets.select(
+        "asset_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.hex(F.expr("substring(payload, 1, 4)")).alias("magic"),
+        F.col("meta.origin").alias("origin"),
+    )
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        # double, not float: the oracle reproduces these values in float64
+        # arithmetic, and a float32 round-trip would perturb them.
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def _decode_and_featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decode: a real deployment would decode image/audio bytes here
+    (PIL/librosa are not in this container). The deterministic fake keys
+    features on payload bytes so tests pin the plumbing: Arrow batches
+    in, vectorized transform, Arrow batches out."""
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len)
+        feats = [
+            [float((nb * (d + 1)) % 256) / 255.0 for d in range(FEATURE_DIM)]
+            for nb in n_bytes
+        ]
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "n_bytes": n_bytes.astype("int64"),
+                "feature": feats,
+            }
+        )
+
+
+def decode_features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode pipeline: per-partition Arrow batches, no
+    shuffle — decode parallelism equals scan parallelism."""
+    assets = binary_assets_df(spark, sf_dir)
+    return assets.select("asset_id", "payload").mapInPandas(
+        _decode_and_featurize, schema=_FEATURE_SCHEMA
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=f"""
+    SELECT doc_id AS asset_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(((octet_length(encode(text)) * 1) % 256) AS DOUBLE) / 255.0 AS f0,
+           CAST(((octet_length(encode(text)) * {FEATURE_DIM}) % 256) AS DOUBLE) / 255.0
+             AS f{FEATURE_DIM - 1}
+    FROM documents
+    """,
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract through the Pandas-UDF path, projected to
+    scalar columns so the oracle can check the batch plumbing end-to-end
+    (first and last feature components)."""
+    feats = decode_features_df(spark, sf_dir)
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        F.element_at("feature", 1).cast("double").alias("f0"),
+        F.element_at("feature", FEATURE_DIM).cast("double").alias(f"f{FEATURE_DIM - 1}"),
+    )
+
+
+@register("multimodal_frame_sample", oracle=None)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: slice each binary
+    payload into fixed-stride 'frames' (posexplode over computed offsets)
+    and emit (asset_id, frame_idx, frame_bytes). The real decoder is the
+    stub above; the partitioning/explode shape is what matters at scale.
+    Rows-only check (binary output is not SQL-hashable portably)."""
+    assets = binary_assets_df(spark, sf_dir)
+    stride = 64
+    return (
+        assets.select(
+            "asset_id",
+            "payload",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        (F.octet_length("payload") - 1) / stride, F.lit(0)
+                    ).cast("int"),
+                )
+            ).alias("frame_idx"),
+        )
+        .select(
+            "asset_id",
+            "frame_idx",
+            F.expr(f"substring(payload, frame_idx * {stride} + 1, {stride})").alias(
+                "frame_bytes"
+            ),
+        )
+    )

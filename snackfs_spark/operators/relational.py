@@ -66,3 +66,304 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+@register(
+    "q6_revenue_forecast",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + scalar aggregate. All four predicates
+    push to the parquet scan (verified in tests/test_plans.py); at 100 TB
+    this reads only the 3 referenced columns' pages that survive
+    row-group stats pruning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(money("l_extendedprice") * rate("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two equi-joins → group-agg →
+    top-10. customer (filtered) broadcasts; the orders⋈lineitem join
+    shuffles on orderkey, which AQE can skew-split. Tie-break on orderkey
+    keeps the LIMIT deterministic."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(money("l_extendedprice") * (1 - rate("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "q5_regional_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join through region→nation→supplier into the
+    fact table. All three dims broadcast (they stay KB-MB at any SF), so
+    the fact table is scanned once with zero shuffles before the final
+    6-group aggregate."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
+        .groupBy("n_name")
+        .agg(dsum(money("l_extendedprice") * (1 - rate("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort + limit: global top-25 orders by price. Spark executes as
+    TakeOrderedAndProject — per-partition top-K then a K-row merge on the
+    driver, never a global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@register(
+    "setops_customer_years",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1993
+    """,
+)
+def setops_customer_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers active in both 1994 and 1995 but not
+    1993 (intersect/except over distinct keys)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_keys(y: int) -> DataFrame:
+        return o.filter(F.year("o_orderdate") == y).select("o_custkey")
+
+    return year_keys(1994).intersect(year_keys(1995)).exceptAll(
+        year_keys(1993).distinct()
+    ).distinct()
+
+
+@register(
+    "rollup_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup: per-(flag,status), per-flag, and grand totals in one pass
+    (grouping-sets family, §2.D — free via Catalyst)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum(money("l_extendedprice"), "sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "pivot_event_type_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'view') AS view,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'error') AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts. Explicit value list keeps the
+    plan a single pass (no distinct-values pre-job)."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("click", "view", "purchase", "error")],
+    )
+
+
+@register(
+    "scalar_function_battery",
+    oracle="""
+    SELECT o_orderkey,
+           substr(o_orderpriority, 1, 1) AS prio_code,
+           upper(o_orderstatus) || '-' || o_orderpriority AS status_tag,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           year(o_orderdate) * 100 + month(o_orderdate) AS order_month,
+           abs(round(o_totalprice, 0)) AS rounded_price,
+           length(o_orderpriority) AS prio_len
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/date/math functions (§2.B final paragraph): the
+    function surface the reference touches (replaceFirst path surgery,
+    date formatting) and the standard library around it."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.concat(
+            F.upper("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")
+        ).alias("status_tag"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("order_month"),
+        F.abs(F.round("o_totalprice", 0)).alias("rounded_price"),
+        F.length("o_orderpriority").alias("prio_len"),
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the event stream, batch form —
+    the same plan Structured Streaming runs incrementally
+    (snackfs_spark/streaming)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value").cast("decimal(18,2)"), "total_value"),
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (§2.D: comes free with Catalyst): parse the props
+    JSON column and aggregate by the extracted key."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.get_json_object("props", "$.k").cast("long").alias("k_value")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("approx_aggregates", oracle=None)
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates for the 100 TB posture (§2.C): HLL distinct
+    and approximate quantiles. Sketch internals differ between engines,
+    so this takes the driver's rows-only check; the exact counterparts
+    are oracle-checked elsewhere (q_distinct_parts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+    )
+
+
+@register(
+    "q_distinct_parts",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def q_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts — the oracle-checked counterpart of
+    approx_aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )

@@ -1,1 +1,169 @@
-"""Placeholder — populated in later milestones."""
+"""Similarity search over the embeddings table (SURVEY.md §2.C):
+brute-force cosine top-k as the correctness baseline, and a sign-bit LSH
+bucketed variant as the scale path (candidates from colliding buckets
+only). Patterns per the distributed top-k / LSH-join papers in PAPERS.md.
+
+Dot products are left-fold double arithmetic (see operators/dedup.py) so
+the DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from snackfs_spark.operators.dedup import DOT_SPARK, _DOT_SQL_DUCK, _NORM_SQL_DUCK
+from snackfs_spark.registry import register
+from snackfs_spark.sources.tables import load_table
+
+N_QUERIES = 5   # vec_id < 5 are the query vectors
+TOP_K = 10
+# Sign bits of these dimensions form the LSH bucket key (1-based dims).
+LSH_DIMS = (1, 9, 17, 25, 33, 41, 49, 57)
+
+_COSINE_DUCK = (
+    f"{_DOT_SQL_DUCK} / ({_NORM_SQL_DUCK.format(v='a')} * {_NORM_SQL_DUCK.format(v='b')})"
+)
+
+
+def _cosine_spark() -> F.Column:
+    dot = F.expr(DOT_SPARK.format(a="a.embedding", b="b.embedding"))
+    na = F.sqrt(F.expr(DOT_SPARK.format(a="a.embedding", b="a.embedding")))
+    nb = F.sqrt(F.expr(DOT_SPARK.format(a="b.embedding", b="b.embedding")))
+    return dot / (na * nb)
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    SELECT query_id, vec_id, cosine FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             {_COSINE_DUCK} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_COSINE_DUCK} DESC, b.vec_id) AS rn
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exact baseline. The tiny query set
+    broadcasts against the full corpus scan, then per-query top-k via a
+    ranking window — one corpus pass regardless of k. At 100 TB the same
+    plan holds: broadcast queries, scan corpus once, partial top-k per
+    partition (WindowGroupLimit) before the final merge."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = F.broadcast(emb.filter(F.col("vec_id") < N_QUERIES).alias("a"))
+    corpus = emb.alias("b")
+    scored = (
+        queries.join(corpus, F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("vec_id"),
+            _cosine_spark().alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+_BUCKET_DUCK = " || ".join(
+    f"(CASE WHEN {{v}}.embedding[{d}] >= 0 THEN '1' ELSE '0' END)" for d in LSH_DIMS
+)
+
+
+def _bucket_spark(col: str) -> F.Column:
+    return F.concat(
+        *[
+            F.when(F.element_at(F.col(col), d) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for d in LSH_DIMS
+        ]
+    )
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    SELECT query_id, vec_id, cosine FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             {_COSINE_DUCK} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_COSINE_DUCK} DESC, b.vec_id) AS rn
+      FROM embeddings a JOIN embeddings b
+        ON b.vec_id <> a.vec_id
+       AND {_BUCKET_DUCK.format(v='a')} = {_BUCKET_DUCK.format(v='b')}
+      WHERE a.vec_id < {N_QUERIES}
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: sign-bit random-hyperplane buckets (8 bits →
+    256 buckets); candidates come from an equi-join on the bucket key, so
+    the scored set is ~1/256 of the corpus per query. This is the scale
+    path — the bucket key is a shuffle-friendly equi-join key, and recall
+    trades off against bits/probes, not correctness of the plumbing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_bucket = emb.withColumn("bucket", _bucket_spark("embedding"))
+    queries = F.broadcast(with_bucket.filter(F.col("vec_id") < N_QUERIES).alias("a"))
+    corpus = with_bucket.alias("b")
+    scored = (
+        queries.join(
+            corpus,
+            (F.col("b.vec_id") != F.col("a.vec_id"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("vec_id"),
+            _cosine_spark().alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, n_vectors, dim, centroid_component FROM (
+      SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label
+    ) JOIN (
+      SELECT label AS l2, i AS dim,
+             CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE)
+               AS centroid_component
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+      GROUP BY label, i
+    ) ON label = l2 AND dim <= 4
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF building block: per-label component sums (the centroid
+    numerator) for the first 4 dims. Posexplode + groupBy — the same
+    shape computes full centroids for an IVF coarse quantizer at scale.
+    Decimal accumulation keeps the component sums deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    comps = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .filter(F.col("pos") < 4)
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        # float → double first: Spark's float→decimal cast rounds via the
+        # float's 7-digit string repr, DuckDB via the exact binary value;
+        # the double hop makes both engines round identically.
+        .agg(
+            F.sum(F.col("x").cast("double").cast("decimal(20,8)"))
+            .cast("double")
+            .alias("centroid_component")
+        )
+    )
+    return comps.join(F.broadcast(counts), "label").select(
+        "label", "n_vectors", "dim", "centroid_component"
+    )

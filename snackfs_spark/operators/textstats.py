@@ -1,1 +1,156 @@
-"""Placeholder — populated in later milestones."""
+"""Text-analysis operators (SURVEY.md §2.C / BASELINE.md): language-ID
+heuristic, quality scoring, token counting, document fingerprinting —
+the per-document scoring battery of a training-data pipeline.
+
+Everything is built-in column expressions (JVM-side, codegen) — a
+per-document map with no shuffle at all; at 100 TB these run at scan
+speed. The one Pandas-UDF variant lives in operators/multimodal.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snackfs_spark.registry import register
+from snackfs_spark.sources.tables import load_table
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+LANG_MARKERS = {
+    "en": ("the", "a", "with", "and"),
+    "es": ("el", "la", "con", "los"),
+    "fr": ("le", "la", "avec", "les"),
+    "de": ("der", "die", "mit", "und"),
+    "zh": ("的", "和", "与", "在"),
+}
+
+
+def _marker_count_sql(lang: str) -> str:
+    toks = ", ".join(f"'{t}'" for t in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), t -> t IN ({toks})))"
+    )
+
+
+def _marker_count_spark(lang: str) -> F.Column:
+    toks = [F.lit(t) for t in LANG_MARKERS[lang]]
+    return F.size(
+        F.filter(
+            F.split(F.col("text"), " "),
+            lambda t: t.isin(*LANG_MARKERS[lang]),
+        )
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=(
+        "SELECT doc_id, lang, CASE "
+        + " ".join(
+            f"WHEN {_marker_count_sql(lang)} >= greatest("
+            + ", ".join(_marker_count_sql(o) for o in LANG_MARKERS)
+            + f") THEN '{lang}'"
+            for lang in LANG_MARKERS
+        )
+        + " ELSE 'und' END AS predicted_lang FROM documents"
+    ),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax over per-language stopword-marker
+    counts (first language in priority order wins ties)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {lang: _marker_count_spark(lang) for lang in LANG_MARKERS}
+    best = F.greatest(*counts.values())
+    pred = F.lit("und")
+    # Build the CASE in reverse so earlier languages win ties, matching
+    # the SQL's first-match-wins WHEN ordering.
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(counts[lang] >= best, F.lit(lang)).otherwise(pred)
+    return docs.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the', 'a', 'and', 'with', 'of', 'in'))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio,
+           CASE WHEN n_chars BETWEEN 100 AND 500
+                     AND len(string_split(text, ' ')) >= 20
+                THEN 1 ELSE 0 END AS quality_pass
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, token count, average token length,
+    stopword ratio, and a pass/fail gate — the C4/Gopher-style filter
+    battery as pure column arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "and", "with", "of", "in"))
+    )
+    n_tokens = F.size(toks)
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        (F.col("n_chars").cast("double") / n_tokens).alias("avg_token_len"),
+        (stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        F.when(
+            F.col("n_chars").between(100, 500) & (n_tokens >= 20), 1
+        ).otherwise(0).alias("quality_pass"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+')) AS word_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS number_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish regex split into
+    word/number runs (regexp_count is codegen'd JVM-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+")).cast("long").alias("word_tokens"),
+        F.regexp_count("text", F.lit("[0-9]+")).cast("long").alias("number_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CAST(SUM((i + 1) * ascii(substr(text, CAST(i + 1 AS INT), 1))) % 2147483647
+                AS BIGINT) AS fingerprint
+    FROM (SELECT doc_id, text, unnest(range(0, n_chars)) AS i FROM documents)
+    GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: position-weighted character hash (the
+    order-sensitive rolling-hash family, but expressible as a plain sum
+    so it aggregates map-side and stays deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", "(?!^)")).alias("i", "ch"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            (F.sum((F.col("i") + 1) * F.ascii("ch")) % 2147483647).alias("fingerprint")
+        )
+    )

@@ -1,1 +1,198 @@
-"""Placeholder — populated in later milestones."""
+"""Window-function operators (SURVEY.md §2.B Q-SUBOFF/Q-LOCK + the
+star-schema window family): ranking, running totals, sessionization.
+
+Every window partitions by a key (path / customer / order / user) — no
+global windows, so state per partition stays bounded at 100 TB and the
+only shuffle is the hash exchange on the partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from snackfs_spark.functions import money
+from snackfs_spark.catalog import SnackCatalog
+from snackfs_spark.registry import register
+from snackfs_spark.sources.fsmodel import content_df, fs_sql
+from snackfs_spark.sources.tables import load_table
+
+
+@register(
+    "fs_suboff_prefix_sum",
+    oracle=fs_sql(
+        """SELECT path, block_idx, sub_idx,
+                  CAST(COALESCE(SUM(length) OVER (
+                    PARTITION BY path, block_idx ORDER BY sub_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS sub_start
+           FROM content""",
+        "content",
+    ),
+)
+def fs_suboff_prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-block start offsets as an exclusive running sum — the
+    reference's scanLeft prefix-sum (BlockInputStream.scala:42-59) as an
+    analytic window."""
+    c = content_df(spark, sf_dir)
+    w = (
+        Window.partitionBy("path", "block_idx")
+        .orderBy("sub_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return c.select(
+        "path",
+        "block_idx",
+        "sub_idx",
+        F.coalesce(F.sum("length").over(w), F.lit(0)).alias("sub_start"),
+    )
+
+
+@register(
+    "fs_lock_arbitration",
+    oracle=fs_sql(
+        """SELECT path, holder, ts FROM (
+             SELECT path, holder, ts,
+                    ROW_NUMBER() OVER (PARTITION BY path ORDER BY ts, event_id) AS rn
+             FROM locks
+           ) WHERE rn = 1""",
+        "locks",
+    ),
+)
+def fs_lock_arbitration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lock winner per path = first attempt in time order — the
+    createlock min-timeUUID arbitration (ThriftStore.scala:655-671) as a
+    ranking window. event_id breaks ts ties deterministically."""
+    return SnackCatalog(spark, sf_dir).lock_holders()
+
+
+@register(
+    "win_first_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def win_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-LOCK's shape on the star schema: earliest order per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").alias("first_orderdate"),
+        )
+    )
+
+
+@register(
+    "win_running_order_total",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_orderkey
+                      ORDER BY l_linenumber, l_extendedprice, l_partkey,
+                               l_suppkey, l_quantity, l_discount
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_price
+    FROM lineitem
+    """,
+)
+def win_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-SUBOFF's shape on the star schema: cumulative extended price per
+    order by line number (decimal accumulation for determinism).
+    (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+    the window order includes every column that varies among duplicates —
+    otherwise the running sum is nondeterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy(
+            "l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey",
+            "l_quantity", "l_discount",
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(money("l_extendedprice")).over(w).cast("double").alias("running_price"),
+    )
+
+
+@register(
+    "win_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group: 3 largest orders per customer. Rank-based, so at
+    scale AQE + partial top-k (WindowGroupLimit) keep state small."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    SELECT user_id,
+           COUNT(DISTINCT session_id) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT user_id, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    )
+    GROUP BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap + running sum assigns session ids with a
+    30-minute inactivity gap, then per-user session counts. The batch
+    equivalent of streaming session windows (§2.D gap semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wsum))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -58,5 +58,6 @@ def load_all() -> dict[str, Query]:
         textstats,
         windows,
     )
+    from snackfs_spark.streaming import ingest  # noqa: F401
 
     return REGISTRY

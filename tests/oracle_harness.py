@@ -45,8 +45,8 @@ def _canon_cell(v: Any) -> str:
 
 def canonical_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
     cols = sorted(df.columns)
-    out = [tuple(_canon_cell(row[c]) for c in cols) for _, row in df[cols].iterrows()]
-    return sorted(out)
+    canon = {c: df[c].map(_canon_cell) for c in cols}
+    return sorted(zip(*[canon[c] for c in cols])) if cols else []
 
 
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:

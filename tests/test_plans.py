@@ -1,0 +1,74 @@
+"""Physical-plan shape assertions: pushdown, broadcast, no cartesian —
+the properties that keep these plans viable at 100 TB."""
+
+from __future__ import annotations
+
+from snackfs_spark.plans import (
+    assert_broadcast,
+    assert_no_cartesian,
+    assert_pushed_filter,
+    formatted_plan,
+)
+from snackfs_spark.registry import load_all
+from tests.conftest import SF_ORACLE
+
+REG = load_all()
+
+
+def test_q6_filters_push_to_scan(spark):
+    df = REG["q6_revenue_forecast"].fn(spark, SF_ORACLE)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_pushed_filter(df, "l_discount")
+
+
+def test_q6_prunes_columns(spark):
+    df = REG["q6_revenue_forecast"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas, plan
+    for line in read_schemas:
+        for col in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+            assert col not in line, f"unpruned column {col}: {line}"
+
+
+def test_q3_broadcasts_customer(spark):
+    df = REG["q3_shipping_priority"].fn(spark, SF_ORACLE)
+    assert_broadcast(df)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q5_broadcasts_all_dims_no_shuffle_join(spark):
+    df = REG["q5_regional_revenue"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_blockloc_broadcasts_ring(spark):
+    df = REG["fs_block_locations"].fn(spark, SF_ORACLE)
+    assert_broadcast(df)
+
+
+def test_stat_point_lookup_pushes_path_filter(spark):
+    df = REG["fs_stat"].fn(spark, SF_ORACLE)
+    # The derived files view is cached; the predicate must still prune
+    # (InMemoryTableScan keeps partition-level filters) — assert the
+    # filter at least survives into the plan rather than being lost.
+    plan = formatted_plan(df)
+    assert "/data/src0/doc_42.txt" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    df = REG["topk_orders"].fn(spark, SF_ORACLE)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_lsh_join_no_cartesian(spark):
+    df = REG["dedup_minhash_lsh"].fn(spark, SF_ORACLE)
+    assert_no_cartesian(df)
+
+
+def test_ann_bruteforce_broadcasts_queries(spark):
+    df = REG["ann_bruteforce_topk"].fn(spark, SF_ORACLE)
+    assert_broadcast(df)
