@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from snackfs_spark.registry import register
-from snackfs_spark.sources.tables import load_table
+from snackfs_spark.sources.tables import fan_out, load_table
 
 N_PERMS = 16          # minhash signature length
 BAND_SIZE = 4         # 4 bands of 4 rows -> LSH threshold ~ (1/4)^(1/4) ≈ 0.71
@@ -40,12 +40,16 @@ SHINGLES_CTE = """shingles AS (
 )"""
 
 
-def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word 3-gram shingles per document. The explode happens in
-    the scan projection — no shuffle until the downstream aggregate."""
-    docs = load_table(spark, sf_dir, "documents")
+def shingles_df(
+    spark: SparkSession, sf_dir: str, distinct: bool = True
+) -> DataFrame:
+    """Word 3-gram shingles per document (distinct unless the consumer is
+    duplicate-insensitive, e.g. min-hashing). The docs scan fans out
+    BEFORE the explode so the x300 row amplification lands on every core,
+    not the single scan task."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split(F.col("text"), " ")
-    return (
+    out = (
         docs.select(
             "doc_id",
             F.explode(
@@ -57,8 +61,8 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.array_join(F.slice(F.col("toks"), F.col("i") + 1, 3), " ").alias("shingle"),
         )
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 @register(
@@ -103,7 +107,9 @@ bands AS (
 def minhash_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, band_sig): LSH band signatures from a 16-hash
     MinHash signature, 4 rows per band."""
-    sh = shingles_df(spark, sf_dir)
+    # min() ignores duplicates, so the shingle-distinct shuffle is skipped
+    # entirely; partial min aggregation collapses everything map-side.
+    sh = shingles_df(spark, sf_dir, distinct=False)
     perms = F.explode(F.sequence(F.lit(0), F.lit(N_PERMS - 1))).alias("p")
     mh = (
         sh.select("doc_id", "shingle", perms)
@@ -244,7 +250,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     position, sign of the vote sum becomes the fingerprint bit. Near-dups
     at scale = hamming-close fingerprints, indexable by bit-block
     equi-joins (same LSH banding idea as minhash)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from snackfs_spark.functions import davg, dsum, money, rate
 from snackfs_spark.registry import register
-from snackfs_spark.sources.tables import load_table
+from snackfs_spark.sources.tables import fan_out, load_table
 
 
 @register(
@@ -45,9 +45,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation keeps results deterministic under any parallelism.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    filtered = fan_out(
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")), spark
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        filtered.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(money("l_quantity"), "sum_qty"),
             dsum(money("l_extendedprice"), "sum_base_price"),
@@ -162,7 +164,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     s = load_table(spark, sf_dir, "supplier")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = fan_out(load_table(spark, sf_dir, "lineitem"), spark)
     dims = (
         s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from snackfs_spark.registry import register
-from snackfs_spark.sources.tables import load_table
+from snackfs_spark.sources.tables import fan_out, load_table
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 LANG_MARKERS = {
@@ -143,7 +143,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: position-weighted character hash (the
     order-sensitive rolling-hash family, but expressible as a plain sum
     so it aggregates map-side and stays deterministic)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return (
         docs.select(
             "doc_id",

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from snackfs_spark.sources.tables import load_table
+from snackfs_spark.sources.tables import fan_out, load_table
 
 # Derived views are requested by many queries per session; memoize + cache
 # so the chunk/union expansion materializes once. Keyed per application so
@@ -178,7 +178,7 @@ def _build_content_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     The chunk expansion is a generator expression inside the scan project —
     no shuffle; chunks of a file stay in the partition that read the file,
     which is what makes per-file reassembly cheap at scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return (
         docs.select(
             _doc_path().alias("path"),

@@ -36,6 +36,23 @@ BROADCAST_DIMS = ("region", "nation", "supplier")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Restore scan parallelism when the source produced fewer partitions
+    than the cluster has slots (the classic small-file / single-row-group
+    problem: a parquet file with one row group scans as ONE task no
+    matter its size).
+
+    At real scale inputs have >= cores splits and this is a no-op; on the
+    bench's single-row-group files it trades one cheap round-robin
+    shuffle of the (already filtered/pruned) rows for full parallelism in
+    everything downstream. Call it AFTER filters so pushdown is intact.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
