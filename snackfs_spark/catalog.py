@@ -230,6 +230,30 @@ class SnackCatalog:
         )
         return b.join(r, normal | wrap).select("path", "block_idx", "host")
 
+    # ---- path utilities ---------------------------------------------
+
+    @staticmethod
+    def resolve(cwd: str, rel: str) -> str:
+        """Relative-path resolution against a working directory
+        (SnackFS.scala:75-83 resolves against /user/<name>): absolute
+        paths pass through; '.'/'..' segments normalize."""
+        raw = rel if rel.startswith("/") else f"{cwd.rstrip('/')}/{rel}"
+        parts: list[str] = []
+        for seg in raw.split("/"):
+            if seg in ("", "."):
+                continue
+            if seg == "..":
+                if parts:
+                    parts.pop()
+                continue
+            parts.append(seg)
+        return "/" + "/".join(parts)
+
+    def ls_glob(self, path: str, like: str) -> DataFrame:
+        """Glob listing (SnackFSShell.scala:272): LIKE predicate in the
+        listing scan."""
+        return self.ls(path).filter(F.col("name").like(like))
+
     def lock_holders(self) -> DataFrame:
         """First-attempt-wins lock arbitration (ThriftStore.scala:655-671)."""
         w = Window.partitionBy("path").orderBy("ts", "event_id")

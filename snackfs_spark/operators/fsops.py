@@ -211,3 +211,26 @@ def fs_stat_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.col("size") / 256.0).cast("long").alias("size_in_blocks"),
         F.date_format("mtime", "yyyy-MM-dd HH:mm:ss").alias("mtime_str"),
     )
+
+
+GLOB_PATTERN = "doc_1%.txt"          # SQL LIKE form of glob doc_1*.txt
+
+
+@register(
+    "fs_ls_glob",
+    oracle=fs_sql(
+        f"""SELECT path, name, size FROM files
+            WHERE parent_path = '{LS_DIR}' AND name LIKE '{GLOB_PATTERN}'""",
+        "files",
+    ),
+)
+def fs_ls_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ls with glob expansion (SnackFSShell.scala:272 globStatus): the
+    glob compiles to a LIKE/regex predicate evaluated in the same listing
+    scan — no per-candidate existence checks."""
+    return (
+        SnackCatalog(spark, sf_dir)
+        .ls(LS_DIR)
+        .filter(F.col("name").like(GLOB_PATTERN))
+        .select("path", "name", "size")
+    )

@@ -67,3 +67,60 @@ def rel_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(money("o_totalprice"), "band_total"),
         )
     )
+
+
+RANGE_READ_START = 300     # byte range for split planning
+RANGE_READ_LEN = 600
+
+
+@register(
+    "fs_block_locations_range",
+    oracle=fs_sql(
+        f"""SELECT b.path, b.block_idx, r.host
+           FROM (
+             SELECT bl.path, bl.block_idx, bl.token
+             FROM blocks bl
+             JOIN (SELECT path AS fpath, CAST(size AS BIGINT) AS fsize
+                   FROM files WHERE NOT is_dir) f
+               ON bl.path = f.fpath
+             WHERE bl.block_idx * 256 < {RANGE_READ_START + RANGE_READ_LEN}
+               AND bl.block_idx * 256 + least(256, f.fsize - bl.block_idx * 256)
+                   > {RANGE_READ_START}
+           ) b JOIN ring r
+             ON (r.tok_start < r.tok_end AND b.token > r.tok_start AND b.token <= r.tok_end)
+             OR (r.tok_start >= r.tok_end AND (b.token > r.tok_start OR b.token <= r.tok_end))""",
+        "blocks",
+        "files",
+        "ring",
+    ),
+)
+def fs_block_locations_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getFileBlockLocations(path, start, len) (SnackFS.scala:135-149):
+    only blocks overlapping [start, start+len) are located. The overlap
+    predicate is implemented CORRECTLY — the reference's filter at
+    SnackFS.scala:138 only drops blocks before the range and wrongly
+    keeps blocks after it; the oracle pins the correct semantics."""
+    from snackfs_spark.sources.fsmodel import blocks_df, files_df, ring_df
+
+    lo, hi = RANGE_READ_START, RANGE_READ_START + RANGE_READ_LEN
+    b = blocks_df(spark, sf_dir)
+    f = files_df(spark, sf_dir).filter(~F.col("is_dir")).select(
+        F.col("path").alias("fpath"), F.col("size").alias("fsize")
+    )
+    b = (
+        b.join(f, b["path"] == f["fpath"])
+        .withColumn("b_off", F.col("block_idx").cast("long") * 256)
+        .withColumn("b_len", F.least(F.lit(256), F.col("fsize") - F.col("b_off")))
+        .filter((F.col("b_off") < hi) & (F.col("b_off") + F.col("b_len") > lo))
+        .select("path", "block_idx", "token")
+    )
+    r = F.broadcast(ring_df(spark, sf_dir))
+    normal = (
+        (r["tok_start"] < r["tok_end"])
+        & (b["token"] > r["tok_start"])
+        & (b["token"] <= r["tok_end"])
+    )
+    wrap = (r["tok_start"] >= r["tok_end"]) & (
+        (b["token"] > r["tok_start"]) | (b["token"] <= r["tok_end"])
+    )
+    return b.join(r, normal | wrap).select("path", "block_idx", "host")

@@ -369,3 +369,98 @@ def q_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
+
+
+@register(
+    "rel_semi_anti_joins",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND year(o.o_orderdate) = 1995)) AS active_1995,
+      (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        AS never_ordered
+    """,
+)
+def rel_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (EXISTS / NOT EXISTS): customers active in 1995 and
+    customers who never ordered. Both execute as broadcast/shuffled hash
+    semi-joins — no row multiplication, keys only."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    active = c.join(
+        o.filter(F.year("o_orderdate") == 1995),
+        c["c_custkey"] == F.col("o_custkey"),
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("active_1995"))
+    never = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").agg(
+        F.count(F.lit(1)).alias("never_ordered")
+    )
+    return active.crossJoin(never)
+
+
+@register(
+    "rel_min_per_group_subquery",
+    oracle="""
+    SELECT p.p_brand, p.p_partkey, p.p_retailprice
+    FROM part p
+    JOIN (SELECT p_brand AS b, MIN(p_retailprice) AS mn FROM part GROUP BY p_brand) m
+      ON p.p_brand = m.b AND p.p_retailprice = m.mn
+    """,
+)
+def rel_min_per_group_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated-subquery shape: cheapest part per brand via
+    aggregate-then-join-back (the decorrelated plan Catalyst would
+    produce; ties produce one row per tied part in both engines)."""
+    p = load_table(spark, sf_dir, "part")
+    mins = p.groupBy(F.col("p_brand").alias("b")).agg(
+        F.min("p_retailprice").alias("mn")
+    )
+    return (
+        p.join(
+            F.broadcast(mins),
+            (p["p_brand"] == mins["b"]) & (p["p_retailprice"] == mins["mn"]),
+        )
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+
+
+@register(
+    "cube_order_priorities",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube: all grouping-set combinations of (status, priority) in one
+    pass (§2.D grouping-sets family)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(money("o_totalprice"), "total"),
+    )
+
+
+@register(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_partkey % 100 = 0
+    UNION ALL
+    SELECT p_partkey, 'retailprice', p_retailprice
+    FROM part WHERE p_partkey % 100 = 0
+    """,
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack): wide measures to long (measure, value) rows."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 100 == 0)
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice) "
+        "AS (measure, value)",
+    )

@@ -167,3 +167,59 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.join(F.broadcast(counts), "label").select(
         "label", "n_vectors", "dim", "centroid_component"
     )
+
+
+@register("ann_ivf_probe", oracle=None)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = per-label mean vectors (the
+    centroids embedding_label_centroids builds components of); each query
+    probes ONLY its nearest centroid's partition, then exact cosine top-k
+    within it. At 100 TB: centroids broadcast, corpus pre-partitioned by
+    list id — the probe is a partition-pruned scan, not a full pass.
+    Rows-only check (the centroid argmax chain is exact but lengthy to
+    mirror in SQL; recall semantics are pinned by test_similarity)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # centroids: elementwise mean per label via posexplode + re-assemble
+    cents = (
+        emb.select("label", F.posexplode(dbl).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("centroid")
+        )
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), dbl.alias("qv")
+    )
+    dot_qc = "aggregate(zip_with(qv, centroid, (x, y) -> x * y), 0D, (a, v) -> a + v)"
+    nq = "sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y), 0D, (a, v) -> a + v))"
+    nc = "sqrt(aggregate(zip_with(centroid, centroid, (x, y) -> x * y), 0D, (a, v) -> a + v))"
+    assign_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_cos"), F.col("label")
+    )
+    assigned = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("c_cos", F.expr(f"{dot_qc} / ({nq} * {nc})"))
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "qv", F.col("label").alias("probe_label"))
+    )
+    corpus = emb.select("vec_id", "label", dbl.alias("cv"))
+    dot = "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, v) -> a + v)"
+    ncv = "sqrt(aggregate(zip_with(cv, cv, (x, y) -> x * y), 0D, (a, v) -> a + v))"
+    scored = (
+        F.broadcast(assigned)
+        .join(corpus, assigned["probe_label"] == corpus["label"])
+        .withColumn("cosine", F.expr(f"{dot} / ({nq} * {ncv})"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "probe_label", "cosine")
+    )

@@ -51,6 +51,7 @@ def load_all() -> dict[str, Query]:
         content,
         dedup,
         fsops,
+        functions_battery,
         interval_join,
         multimodal,
         relational,
