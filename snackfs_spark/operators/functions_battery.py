@@ -119,3 +119,28 @@ def array_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(dbl).alias("min_component"),
         F.size(F.filter(F.col("embedding"), lambda x: x >= 0)).alias("n_nonneg"),
     )
+
+
+@register(
+    "map_function_battery",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           json_keys(props)[1] AS first_key,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL AS has_k
+    FROM events WHERE event_id % 100 = 0
+    """,
+)
+def map_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/JSON library: parse the props JSON into map<string,long> and
+    exercise map_keys/element_at/size — per-row expressions, no shuffle."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(m, "k").alias("k_value"),
+        F.element_at(m, "k").isNotNull().alias("has_k"),
+    )

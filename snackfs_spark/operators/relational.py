@@ -464,3 +464,27 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice) "
         "AS (measure, value)",
     )
+
+
+@register(
+    "distinct_users_per_type_twophase",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_per_type_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact distinct: COUNT(DISTINCT) over few hot groups
+    (event_type has 5 values → 5 reducers if done naively). The two-phase
+    rewrite first groups by (type, user) — a high-cardinality, uniform
+    key that spreads across all partitions — then counts per type. Same
+    result, no hot reducer; the pattern that survives skewed keys at
+    100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    per_pair = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_pair.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("n_events"),
+    )

@@ -196,3 +196,37 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "asof_last_error_before_purchase",
+    oracle="""
+    SELECT event_id, user_id, ts, last_error_value FROM (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_error_value
+      FROM events
+    ) WHERE event_type = 'purchase'
+    """,
+)
+def asof_last_error_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark has no native form of): for every
+    purchase, the value of the user's most recent STRICTLY PRIOR error
+    event. Implemented as the union-tag + last(ignorenulls) window — the
+    standard composition that turns an as-of join into one partitioned
+    window pass instead of a range join. Partition key = user: state and
+    shuffle are bounded per user at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    err_val = F.when(F.col("event_type") == "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn("last_error_value", F.last(err_val, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_error_value")
+    )

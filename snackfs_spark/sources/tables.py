@@ -56,6 +56,9 @@ def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Timestamp semantics must match the DuckDB oracle regardless of which
+    # session runs us (the driver supplies its own): pin UTC at read time.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
