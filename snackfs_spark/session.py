@@ -33,6 +33,7 @@ def get_spark(app_name: str = "snackfs_spark", cpus: int | None = None) -> Spark
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.warehouse.dir", "/root/repo/var/warehouse")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
