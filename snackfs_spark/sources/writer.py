@@ -200,3 +200,27 @@ def cp_subtree(files: DataFrame, content: DataFrame, src: str, dst: str):
     return files.unionByName(new_files, allowMissingColumns=True), content.unionByName(
         new_content
     )
+
+
+def compact_content(spark: SparkSession, out_dir: str, target_files: int = 8) -> int:
+    """Small-file compaction for the content table — the operational
+    analog of the reference's sblock compaction thresholds
+    (ThriftStore.scala:229-234). Rewrites the content directory into
+    `target_files` range-partitioned files sorted by (path, sub_offset),
+    restoring the locality contract after many small append jobs.
+    Returns the file count after compaction."""
+    path = f"{out_dir}/content"
+    df = spark.read.parquet(path)
+    tmp = f"{out_dir}/content_compacting"
+    (
+        df.repartitionByRange(target_files, "path", "sub_offset")
+        .sortWithinPartitions("path", "sub_offset")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    # atomic-ish swap (single-writer maintenance op, like a compaction task)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return len(spark.read.parquet(path).inputFiles())

@@ -117,3 +117,36 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only check: session_window start timestamps are plan-internal
     (merge order) but the row set is deterministic for a drained stream."""
     return run_stream_to_df(spark, session_window_stream(spark, sf_dir))
+
+
+def stream_ingest_documents(
+    spark: SparkSession, src_dir: str, out_dir: str, glob: str = "*.parquet"
+) -> None:
+    """Streaming ingest of document batches into the filesystem tables
+    via foreachBatch: each micro-batch is chunked and appended with the
+    same writer used for batch ingest — exactly-once per epoch because
+    the chunker is deterministic and the sink is idempotent per batch
+    subdirectory."""
+    from snackfs_spark.sources.writer import chunk_text, files_metadata
+
+    batch_probe = spark.read.option("pathGlobFilter", glob).parquet(src_dir)
+    schema = batch_probe.schema
+
+    def _sink(batch_df, epoch_id: int) -> None:
+        chunk_text(batch_df).write.mode("overwrite").parquet(
+            f"{out_dir}/content/epoch={epoch_id}"
+        )
+        files_metadata(batch_df).write.mode("overwrite").parquet(
+            f"{out_dir}/files/epoch={epoch_id}"
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .start()
+    )
+    q.awaitTermination()

@@ -109,3 +109,56 @@ def test_touchz_and_cp(spark, texts):
     got = {r["path"]: r["text"] for r in _reassemble(c3).collect()}
     assert got["/backup/w/b.txt"] == "ab" * 320 and got["/w/b.txt"] == "ab" * 320
     assert f3.filter(F.col("path") == "/backup/w/empty.marker").count() == 1
+
+
+def test_compact_content_preserves_bytes(spark, texts):
+    writer.ingest_texts(texts, str(VAR / "cmp"), )
+    before = {r["path"]: r["text"] for r in _reassemble(
+        spark.read.parquet(str(VAR / "cmp/content"))).collect()}
+    n_files = writer.compact_content(spark, str(VAR / "cmp"), target_files=2)
+    assert n_files <= 2
+    after = {r["path"]: r["text"] for r in _reassemble(
+        spark.read.parquet(str(VAR / "cmp/content"))).collect()}
+    assert after == before
+
+
+def test_streaming_ingest_foreachbatch(spark, texts):
+    src = VAR / "stream_src"
+    texts.write.mode("overwrite").parquet(str(src))
+    from snackfs_spark.streaming.ingest import stream_ingest_documents
+
+    stream_ingest_documents(spark, str(src), str(VAR / "stream_out"))
+    content = spark.read.parquet(str(VAR / "stream_out/content"))
+    got = {r["path"]: r["text"] for r in _reassemble(content).collect()}
+    want = {r["path"]: r["text"] for r in texts.collect()}
+    assert got == want
+
+
+def test_chunk_roundtrip_property(spark):
+    """Property-based: chunk -> reassemble is identity for arbitrary
+    text, including empty, whitespace-only, exact-boundary, and unicode
+    payloads (the reference pins this only with two golden files,
+    FileSystemStreamSpec.scala:46-132)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_categories=("Cs",)
+                ),
+                max_size=700,
+            ),
+            min_size=1,
+            max_size=6,
+            unique=True,
+        )
+    )
+    def check(payloads):
+        rows = [(f"/p/f{i}.txt", t) for i, t in enumerate(payloads)]
+        df = spark.createDataFrame(rows, "path string, text string")
+        got = {r["path"]: r["text"] for r in _reassemble(writer.chunk_text(df)).collect()}
+        assert got == {p: t for p, t in rows}
+
+    check()
