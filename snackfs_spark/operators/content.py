@@ -113,3 +113,30 @@ def fs_len_from_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(b.subs, 0L, (a, s) -> a + s.length))"
         ).alias("computed_size"),
     )
+
+
+@register(
+    "fs_connector_roundtrip",
+    oracle=f"SELECT {_DOC_PATH_SQL} AS path, text FROM documents",
+)
+def fs_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full read path through the custom snackstore data source (the
+    Cassandra-style KV connector, sources/snackstore.py): documents are
+    chunked into the store's sblock layout, read back through
+    spark.read.format("snackstore") — bucket-pruned, filter-pushing —
+    and reassembled; must equal the original text byte-for-byte."""
+    from snackfs_spark.sources.snackstore import store_for
+
+    root = store_for(spark, sf_dir)
+    content = (
+        spark.read.format("snackstore").option("store_dir", root).load()
+    ).withColumnRenamed("payload", "piece")
+    return content.groupBy("path").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("sub_offset", "piece"))),
+                lambda s: s.getField("piece"),
+            ),
+            "",
+        ).alias("text")
+    )

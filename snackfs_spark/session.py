@@ -34,6 +34,8 @@ def get_spark(app_name: str = "snackfs_spark", cpus: int | None = None) -> Spark
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.warehouse.dir", "/root/repo/var/warehouse")
+        # custom Python data source (snackstore) declares pushFilters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
