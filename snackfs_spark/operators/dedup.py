@@ -86,19 +86,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Deterministic "permutation" p of a shingle: md5 of the salted shingle.
-# min() over the hex strings is the minhash; both engines agree exactly.
+# Universal-hashing minhash: ONE md5 per shingle (a 60-bit int from the
+# hex prefix), then each "permutation" p is a cheap integer LCG over it —
+# hp = ((2p+3)*h31 + 99991*p) mod (2^31-1). 16x less hashing than
+# md5-per-permutation; pure int64 arithmetic, so both engines agree
+# exactly. min() over ints is the minhash.
+_H31_SQL = "(('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647)"
 _MINHASH_CTE = (
     SHINGLES_CTE
     + f""",
 minhash AS (
-  SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS mh
+  SELECT doc_id, p,
+         MIN(((2 * p + 3) * {_H31_SQL} + 99991 * p) % 2147483647) AS mh
   FROM shingles, (SELECT unnest(range(0, {N_PERMS})) AS p)
   GROUP BY doc_id, p
 ),
 bands AS (
   SELECT doc_id, p // {BAND_SIZE} AS band,
-         md5(string_agg(mh, '|' ORDER BY p)) AS band_sig
+         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY p)) AS band_sig
   FROM minhash GROUP BY doc_id, p // {BAND_SIZE}
 )"""
 )
@@ -109,16 +114,21 @@ def minhash_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash signature, 4 rows per band."""
     # min() ignores duplicates, so the shingle-distinct shuffle is skipped
     # entirely; partial min aggregation collapses everything map-side.
+    # One md5 per shingle; the 16 permutations are integer LCGs over it.
     sh = shingles_df(spark, sf_dir, distinct=False)
+    hashed = sh.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+         % 2147483647).alias("h31"),
+    )
     perms = F.explode(F.sequence(F.lit(0), F.lit(N_PERMS - 1))).alias("p")
     mh = (
-        sh.select("doc_id", "shingle", perms)
+        hashed.select("doc_id", "h31", perms)
         .select(
             "doc_id",
             "p",
-            F.md5(F.concat(F.col("p").cast("string"), F.lit(":"), F.col("shingle"))).alias(
-                "h"
-            ),
+            (((2 * F.col("p") + 3) * F.col("h31") + 99991 * F.col("p"))
+             % 2147483647).alias("h"),
         )
         .groupBy("doc_id", "p")
         .agg(F.min("h").alias("mh"))
@@ -130,7 +140,7 @@ def minhash_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_join(
                     F.transform(
                         F.sort_array(F.collect_list(F.struct("p", "mh"))),
-                        lambda s: s.getField("mh"),
+                        lambda s: s.getField("mh").cast("string"),
                     ),
                     "|",
                 )

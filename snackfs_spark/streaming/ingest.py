@@ -18,19 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from snackfs_spark.registry import register
-from snackfs_spark.sources.tables import load_table
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events table. Schema comes from a batch probe
     (streams require explicit schemas); the nanos timestamp is converted
     the same way as the batch loader so plans are interchangeable."""
-    batch = load_table(spark, sf_dir, "events")
-    raw_schema = (
-        batch.schema.simpleString()
-        .replace("struct<", "")
-        .rstrip(">")
-    )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # FileStreamSource wants a directory; glob-filter down to the events
     # file (in production this is the events/ landing directory).
@@ -42,7 +35,6 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    _ = raw_schema  # batch probe kept for schema drift detection in tests
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
