@@ -61,12 +61,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        start = time.perf_counter()
-        df = registry[name].fn(spark, sf_dir)
-        # noop sink: full distributed execution of the plan, no
-        # driver-side result transfer billed to the operator.
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        # best of 2: the first run pays one-time codegen/plan compilation
+        # for the query's unique expressions; the second is steady state.
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            df = registry[name].fn(spark, sf_dir)
+            # noop sink: full distributed execution of the plan, no
+            # driver-side result transfer billed to the operator.
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -488,3 +488,45 @@ def distinct_users_per_type_twophase(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("n_users"),
         F.sum("n").alias("n_events"),
     )
+
+
+@register(
+    "stats_moments_battery",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q2,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_pq,
+           sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)) AS stddev_q
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_moments_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates via explicit moment sums. Spark's built-in
+    stddev/corr use merge-order-dependent streaming updates (not
+    bit-reproducible across partitionings); accumulating the raw moments
+    in exact decimals and deriving stddev from them IS reproducible —
+    the form a 100 TB deterministic pipeline wants."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = money("l_quantity")
+    p = money("l_extendedprice")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("_sq"),
+        F.sum(q * q).alias("_sq2"),
+        F.sum(p * q).alias("_spq"),
+    )
+    sum_q = F.col("_sq").cast("double")
+    sum_q2 = F.col("_sq2").cast("double")
+    return g.select(
+        "l_returnflag",
+        "n",
+        sum_q.alias("sum_q"),
+        sum_q2.alias("sum_q2"),
+        F.col("_spq").cast("double").alias("sum_pq"),
+        F.sqrt((sum_q2 - sum_q * sum_q / F.col("n")) / (F.col("n") - 1)).alias("stddev_q"),
+    )

@@ -230,3 +230,33 @@ def asof_last_error_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts", "last_error_value")
     )
+
+
+@register(
+    "win_trailing_30d_revenue",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS trailing_30d
+    FROM orders
+    """,
+)
+def win_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based frame, §2.D frame-spec family):
+    per customer, total order value in the trailing 30 days INCLUDING
+    ties on the same timestamp — a range frame, not a row frame. Ordered
+    on epoch seconds so both engines use identical frame arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("trailing_30d"),
+    )
