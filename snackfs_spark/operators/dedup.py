@@ -342,3 +342,87 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") > 0.8)
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected-components clustering over the LSH candidate pairs: the step
+# that turns pairwise near-dup evidence into keep/drop decisions. Pairs
+# are not transitive-closed — A~B and B~C must collapse into ONE cluster
+# with ONE keeper — so the canonical pipeline is
+#   pairs → connected components → min-id per component → keep keeper.
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=(
+        "WITH RECURSIVE "
+        + _MINHASH_CTE
+        + """,
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label
+      FROM reach r JOIN edges e ON e.src = r.doc_id
+      WHERE r.label < e.dst
+    )
+    SELECT doc_id,
+           MIN(label) AS cluster_id,
+           CAST(doc_id = MIN(label) AS INT) AS is_keeper
+    FROM reach GROUP BY doc_id
+    """
+    ),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash-LSH
+    candidate graph by iterative min-label propagation, then the smallest
+    doc_id per component is the keeper (`is_keeper=1` rows are the
+    deduplicated corpus). Label propagation is a join + min-groupBy per
+    round, converging in O(component diameter) rounds — near-dup
+    clusters are shallow (dup chains, not long paths), so this is 2-3
+    rounds in practice; `localCheckpoint` truncates lineage each round
+    (a reliable checkpoint dir on a real cluster). Deterministic: min is
+    order-insensitive, so the result is partitioning-independent."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(12):  # >> any real near-dup component diameter
+        prop = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .select(F.col("dst").alias("doc_id"), "label")
+        )
+        new_labels = (
+            labels.unionAll(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).cast("int").alias("is_keeper"),
+    )

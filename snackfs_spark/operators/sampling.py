@@ -1,0 +1,102 @@
+"""Deterministic sampling / dataset-split operators (BASELINE.md
+training-pipeline mandate).
+
+A 100 TB training pipeline cannot use `df.sample()` for train/val/test
+splits: the assignment must be (a) reproducible run-to-run, (b) stable
+under repartitioning, and (c) recomputable for any single document
+without scanning the corpus. The standard answer is hash-mod bucketing
+on the stable document key — a pure per-row projection: no shuffle, no
+state, survives any partitioning, and the split of one doc is computable
+in isolation.
+
+The hash is md5 (not Spark's murmur3 `F.hash`) so the DuckDB oracle
+reproduces it bit-for-bit: hex-prefix → int, mod 100, same trick as the
+minhash pipeline in `dedup.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snackfs_spark.registry import register
+from snackfs_spark.sources.tables import load_table
+
+TRAIN_PCT = 80
+VAL_PCT = 10  # test = remainder
+
+_BUCKET_SQL = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS INT)"
+
+
+def _bucket(doc_id: Column) -> Column:
+    """Deterministic 0-99 bucket from the doc key: md5 of the decimal
+    string rendering, first 15 hex digits (60 bits, exact in int64), mod
+    100. Identical arithmetic to `_BUCKET_SQL` on the DuckDB side."""
+    h = F.substring(F.md5(doc_id.cast("string")), 1, 15)
+    return (F.conv(h, 16, 10).cast("long") % 100).cast("int")
+
+
+def _split(bucket: Column) -> Column:
+    return (
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+@register(
+    "split_assign_hash",
+    oracle=f"""
+    SELECT doc_id,
+           {_BUCKET_SQL} AS bucket,
+           CASE WHEN {_BUCKET_SQL} < {TRAIN_PCT} THEN 'train'
+                WHEN {_BUCKET_SQL} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_assign_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document train/val/test assignment (80/10/10) by hash-mod
+    bucketing. Narrow projection — zero shuffles; the split is a pure
+    function of doc_id, so it is stable across runs, partitionings and
+    incremental re-ingests (new docs never move old ones between splits,
+    unlike percentile- or sample-based splitting)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    return docs.select("doc_id", b.alias("bucket"), _split(b).alias("split"))
+
+
+@register(
+    "split_summary_tokens",
+    oracle=f"""
+    SELECT CASE WHEN {_BUCKET_SQL} < {TRAIN_PCT} THEN 'train'
+                WHEN {_BUCKET_SQL} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def split_summary_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-level token budget: docs / whitespace tokens / chars per
+    split — the sanity report every dataset build emits. 3-group
+    aggregate with map-side partial aggregation; the token count is a
+    per-row expression, so the whole plan is one scan + one 3-key
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    return (
+        docs.select(
+            _split(b).alias("split"),
+            F.size(F.split("text", " ")).alias("toks"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("ws_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )

@@ -55,6 +55,7 @@ def load_all() -> dict[str, Query]:
         interval_join,
         multimodal,
         relational,
+        sampling,
         similarity,
         textstats,
         windows,
