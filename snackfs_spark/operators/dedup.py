@@ -113,39 +113,42 @@ def minhash_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, band_sig): LSH band signatures from a 16-hash
     MinHash signature, 4 rows per band."""
     # min() ignores duplicates, so the shingle-distinct shuffle is skipped
-    # entirely; partial min aggregation collapses everything map-side.
-    # One md5 per shingle; the 16 permutations are integer LCGs over it.
+    # entirely. All 16 permutation mins are computed as COLUMNS of one
+    # doc_id-keyed aggregate — no 16x row explode, ONE shuffle for the
+    # whole signature, and partial aggregation collapses each task's
+    # shingles to a single 16-column row before it ships. Band signatures
+    # are then pure projections; the 4 band rows appear only after the
+    # heavy aggregate (x4 of #docs, not x16 of #shingles).
     sh = shingles_df(spark, sf_dir, distinct=False)
-    hashed = sh.select(
-        "doc_id",
-        (F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-         % 2147483647).alias("h31"),
+    h31 = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        % 2147483647
     )
-    perms = F.explode(F.sequence(F.lit(0), F.lit(N_PERMS - 1))).alias("p")
-    mh = (
-        hashed.select("doc_id", "h31", perms)
-        .select(
-            "doc_id",
-            "p",
-            (((2 * F.col("p") + 3) * F.col("h31") + 99991 * F.col("p"))
-             % 2147483647).alias("h"),
-        )
-        .groupBy("doc_id", "p")
-        .agg(F.min("h").alias("mh"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min((((2 * p + 3) * h31) + 99991 * p) % 2147483647).alias(f"mh{p}")
+            for p in range(N_PERMS)
+        ]
     )
-    return (
-        mh.groupBy("doc_id", (F.col("p") / BAND_SIZE).cast("int").alias("band"))
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("p", "mh"))),
-                        lambda s: s.getField("mh").cast("string"),
-                    ),
-                    "|",
-                )
-            ).alias("band_sig")
-        )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{p}").cast("string")
+                            for p in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)
+                        ],
+                    )
+                ).alias("band_sig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
     )
 
 
@@ -168,7 +171,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; only colliding buckets produce work."""
     bands = minhash_bands_df(spark, sf_dir)
     a = bands.alias("a")
-    b = bands.alias("b")
+    # shuffle_hash (not broadcast): both sides then carry an IDENTICAL
+    # exchange on (band, band_sig), so ReuseExchange computes the heavy
+    # shingle→signature aggregate ONCE and reads it twice — a broadcast
+    # join would recompute it per side. Also the scale-out plan: bucket
+    # keys are near-uniform (md5), so the shuffle is skew-free.
+    b = bands.alias("b").hint("shuffle_hash")
     return (
         a.join(
             b,
@@ -392,12 +400,19 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds in practice; `localCheckpoint` truncates lineage each round
     (a reliable checkpoint dir on a real cluster). Deterministic: min is
     order-insensitive, so the result is partitioning-independent."""
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    # Materialize the candidate edges once — every propagation round
+    # joins against them, and without the checkpoint each round would
+    # re-run the whole minhash pipeline.
+    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # Iterate ONLY over nodes that touch an edge: singletons (the vast
+    # majority of any corpus) can never change label, so the loop runs
+    # on the candidate graph (≈ #near-dup docs), not the corpus.
     labels = (
-        load_table(spark, sf_dir, "documents")
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
         .localCheckpoint(eager=True)
     )
@@ -421,8 +436,9 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(F.broadcast(labels), "doc_id", "left").select(
         "doc_id",
-        F.col("label").alias("cluster_id"),
-        (F.col("doc_id") == F.col("label")).cast("int").alias("is_keeper"),
+        F.coalesce("label", "doc_id").alias("cluster_id"),
+        (F.col("doc_id") == F.coalesce("label", "doc_id")).cast("int").alias("is_keeper"),
     )
