@@ -530,3 +530,70 @@ def stats_moments_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_spq").cast("double").alias("sum_pq"),
         F.sqrt((sum_q2 - sum_q * sum_q / F.col("n")) / (F.col("n") - 1)).alias("stddev_q"),
     )
+
+
+@register(
+    "quantile_battery",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           quantile_cont(l_quantity, 0.90) AS q90,
+           quantile_cont(l_extendedprice, 0.95) AS p95_price,
+           median(l_extendedprice) AS med_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (type-7, the Spark `percentile` /
+    DuckDB `quantile_cont` definition) plus a discrete median. Exact
+    percentile is a sort-based aggregate — fine at sf0.1; the 100 TB
+    path is `approx_percentile` (see `approx_aggregates`), this query
+    pins the exact semantics the sketch approximates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25D)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.50D)").alias("q50"),
+        F.expr("percentile(l_quantity, 0.75D)").alias("q75"),
+        F.expr("percentile(l_quantity, 0.90D)").alias("q90"),
+        F.expr("percentile(l_extendedprice, 0.95D)").alias("p95_price"),
+        F.median("l_extendedprice").alias("med_price"),
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + (CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - k * 1800) * INTERVAL 1 SECOND
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events, (SELECT unnest([0, 1]) AS k)
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation: 1-hour windows every 30 minutes, so
+    each event lands in exactly two windows. Spark's `window()` expands
+    the overlap before the aggregate — same plan Structured Streaming
+    runs incrementally. The oracle derives the two covering window
+    starts arithmetically (slot start, slot start - slide)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value").cast("decimal(18,2)"), "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
