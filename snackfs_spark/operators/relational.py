@@ -597,3 +597,71 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "rel_salted_skew_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def rel_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join: the manual remedy when one join key is hot
+    enough to overwhelm a single reducer and AQE's skew split can't
+    apply (e.g. followed by an aggregation on the same key). The fact
+    side gets a deterministic salt (hash of its unique key mod S); the
+    dim side is replicated S ways; the join key becomes (custkey, salt),
+    spreading each hot customer over S tasks. The post-join aggregate
+    merges the salt shards, so the result is EXACTLY the unsalted join —
+    which is what the oracle checks."""
+    S = 8
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.hash("o_orderkey"), F.lit(S))
+    )
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+    )
+    return (
+        o.join(c, (o["o_custkey"] == c["c_custkey"]) & (o["salt"] == c["salt"]))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(money("o_totalprice"), "total_spend"),
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with an extra join-side predicate
+    (customers with zero matching orders must survive with count 0),
+    then a distribution-of-counts re-aggregation. The outer join
+    preserves the null-extension semantics; COUNT(column) vs COUNT(*)
+    distinction is load-bearing."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
