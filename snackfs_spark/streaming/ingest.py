@@ -111,6 +111,64 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_df(spark, session_window_stream(spark, sf_dir))
 
 
+def purchase_error_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same user's
+    error events from the preceding hour. Both sides carry watermarks
+    and the join has an explicit event-time range, so state eviction is
+    bounded on both sides — the canonical Structured Streaming
+    stream-stream join shape (late rows beyond watermark + range are
+    dropped from state, not buffered forever)."""
+    ev = stream_events(spark, sf_dir)
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("value").alias("error_value"),
+        )
+        .withWatermark("e_ts", "2 hours")
+    )
+    return purch.join(
+        err,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("e_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "p_user", "p_ts", "error_id", "e_ts", "error_value")
+
+
+@register(
+    "streaming_purchase_error_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS p_user,
+           p.ts AS p_ts,
+           e.event_id AS error_id,
+           e.ts AS e_ts,
+           e.value AS error_value
+    FROM events p JOIN events e
+      ON p.event_type = 'purchase' AND e.event_type = 'error'
+     AND p.user_id = e.user_id
+     AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts
+    """,
+)
+def streaming_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream join, drained to completion in append mode —
+    must equal the equivalent batch interval join (the oracle)."""
+    return run_stream_to_df(
+        spark, purchase_error_join_stream(spark, sf_dir), mode="append"
+    )
+
+
 def stream_ingest_documents(
     spark: SparkSession, src_dir: str, out_dir: str, glob: str = "*.parquet"
 ) -> None:

@@ -50,3 +50,30 @@ def test_stateful_user_monitor(spark):
     got_map = {r["user_id"]: (r["n_events"], r["max_value"]) for r in final.collect()}
     want_map = {r["user_id"]: (r["n_events"], r["max_value"]) for r in want.collect()}
     assert got_map == want_map
+
+
+def test_stream_stream_join_equals_batch(spark):
+    from snackfs_spark.streaming.ingest import purchase_error_join_stream
+
+    got = run_stream_to_df(
+        spark, purchase_error_join_stream(spark, SF_SMALL), mode="append"
+    )
+    ev = load_table(spark, SF_SMALL, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    er = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.col("value").alias("error_value"),
+    )
+    want = p.join(
+        er,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("e_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "p_user", "p_ts", "error_id", "e_ts", "error_value")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
