@@ -154,3 +154,52 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum((F.col("i") + 1) * F.ascii("ch")) % 2147483647).alias("fingerprint")
         )
     )
+
+
+@register(
+    "text_vocab_topk",
+    oracle="""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 200
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: corpus-wide token frequencies, top 200.
+    The canonical first step of tokenizer training. explode → groupBy
+    collapses map-side (vocab cardinality << token count), and the
+    top-k is TakeOrderedAndProject — per-partition heaps, never a
+    global sort. Tie-break on token keeps the cut deterministic."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(200)
+    )
+
+
+@register(
+    "text_redact",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_hash,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_redactions
+    FROM documents
+    """,
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content scrubbing: replace digit runs with a placeholder (the
+    PII-redaction shape: same plan with email/phone/ID patterns) and
+    count replacements. Pure per-row projection — no shuffle, streams
+    through whole-stage codegen; the hash of the redacted text lets the
+    oracle check the full rewrite without shipping it."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace("text", "[0-9]+", "<NUM>")).alias("redacted_hash"),
+        F.regexp_count("text", F.lit("[0-9]+")).cast("long").alias("n_redactions"),
+    )
