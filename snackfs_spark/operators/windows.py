@@ -260,3 +260,44 @@ def win_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.sum(money("o_totalprice")).over(w).cast("double").alias("trailing_30d"),
     )
+
+
+@register(
+    "win_analytics_battery",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-function battery (§2.D frame-spec family): lag/lead,
+    ntile, percent_rank, cume_dist, first/last_value with an explicit
+    unbounded frame (last_value's default frame stops at CURRENT ROW —
+    the classic trap — so the full frame is spelled out). One hash
+    exchange on o_custkey serves every function; ordering includes the
+    unique o_orderkey so all outputs are deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+    )
