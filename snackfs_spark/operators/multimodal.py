@@ -161,3 +161,47 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+RESIZE_TARGET = 32
+
+
+def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB resize: a real deployment decodes the image and resamples
+    pixels (PIL is not in this container). The deterministic stand-in
+    strided-samples the payload down to RESIZE_TARGET bytes, preserving
+    the real contract: binary in, fixed-size binary out, vectorized per
+    Arrow batch."""
+    for pdf in batches:
+        out_ids, out_n, out_b = [], [], []
+        for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+            b = bytes(payload)
+            n = len(b)
+            stride = max(n // RESIZE_TARGET, 1)
+            sampled = b[::stride][:RESIZE_TARGET]
+            out_ids.append(aid)
+            out_n.append(n)
+            out_b.append(sampled.ljust(RESIZE_TARGET, b"\x00"))
+        yield pd.DataFrame(
+            {"asset_id": out_ids, "orig_bytes": out_n, "resized": out_b}
+        )
+
+
+@register("multimodal_resize", oracle=None)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing for image-like payloads: mapInPandas, narrow (no
+    shuffle — resize parallelism equals scan parallelism), fixed-size
+    binary output. Rows-only check; determinism and output shape are
+    pinned by tests/test_multimodal.py."""
+    assets = binary_assets_df(spark, sf_dir)
+    return assets.select("asset_id", "payload").mapInPandas(
+        _resize, schema=_RESIZE_SCHEMA
+    )

@@ -1,0 +1,44 @@
+"""Multimodal plumbing tests: the stubbed decode/resize/frame-sample
+operators must have real, deterministic Spark-side mechanics (schema,
+batch shape, partition-local execution) even though the codec itself is
+a stand-in."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snackfs_spark.operators.multimodal import (
+    RESIZE_TARGET,
+    multimodal_frame_sample,
+    multimodal_resize,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_multimodal_resize_shape(spark):
+    out = multimodal_resize(spark, SF_SMALL)
+    rows = out.collect()
+    assert rows
+    # fixed-size binary output for every payload
+    assert all(len(r["resized"]) == RESIZE_TARGET for r in rows)
+    assert all(r["orig_bytes"] > 0 for r in rows)
+    # deterministic: a second run yields identical bytes
+    again = {r["asset_id"]: bytes(r["resized"]) for r in multimodal_resize(spark, SF_SMALL).collect()}
+    assert all(bytes(r["resized"]) == again[r["asset_id"]] for r in rows)
+
+
+def test_frame_sample_covers_payload(spark):
+    frames = multimodal_frame_sample(spark, SF_SMALL)
+    # reassembling every asset's frames in order gives back the payload size
+    sizes = (
+        frames.groupBy("asset_id")
+        .agg(F.sum(F.octet_length("frame_bytes")).alias("n"))
+    )
+    from snackfs_spark.operators.multimodal import binary_assets_df
+
+    orig = binary_assets_df(spark, SF_SMALL).select(
+        "asset_id", F.octet_length("payload").alias("n")
+    )
+    got = {r["asset_id"]: r["n"] for r in sizes.collect()}
+    want = {r["asset_id"]: r["n"] for r in orig.collect()}
+    assert got == want
