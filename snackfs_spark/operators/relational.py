@@ -696,3 +696,53 @@ def groupingsets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         li=li,
     )
+
+
+@register(
+    "timeseries_correlation",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS x,
+             CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS y
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(x) AS BIGINT) AS sum_x,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+             / (sqrt(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE))
+                * sqrt(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DOUBLE)))
+             AS pearson_r
+    FROM h
+    """,
+)
+def timeseries_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series correlation (streaming time-series similarity family,
+    PAPERS.md/EDBT 2019): hourly click vs purchase counts, Pearson r
+    from exact integer moment sums — unlike `F.corr`, whose streaming
+    update is merge-order-dependent, integer moments make the statistic
+    bit-reproducible at any parallelism. Two map-side-combining
+    aggregates; the second collapses to one row."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+    )
+    m = h.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return m.select(
+        F.col("n").alias("n_hours"),
+        F.col("sx").alias("sum_x"),
+        F.col("sy").alias("sum_y"),
+        (num / (dx * dy)).alias("pearson_r"),
+    )
