@@ -72,3 +72,35 @@ def test_lsh_join_no_cartesian(spark):
 def test_ann_bruteforce_broadcasts_queries(spark):
     df = REG["ann_bruteforce_topk"].fn(spark, SF_ORACLE)
     assert_broadcast(df)
+
+
+def test_minhash_band_join_reuses_exchange(spark):
+    """The band self-join must read the heavy signature aggregate from a
+    reused exchange, not compute it once per join side. AQE finalizes
+    stage reuse only at runtime, so execute first, then inspect."""
+    df = REG["dedup_minhash_lsh"].fn(spark, SF_ORACLE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    assert "ReusedExchange" in plan, plan
+
+
+def test_vocab_topk_no_global_sort(spark):
+    df = REG["text_vocab_topk"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_salted_join_spreads_key(spark):
+    """The salted join must join on (custkey, salt), not custkey alone."""
+    df = REG["rel_salted_skew_join"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "salt" in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_split_assign_no_shuffle(spark):
+    """Hash-mod split assignment is a pure projection: zero exchanges."""
+    df = REG["split_assign_hash"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, plan
