@@ -746,3 +746,65 @@ def timeseries_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sy").alias("sum_y"),
         (num / (dx * dy)).alias("pearson_r"),
     )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(o.o_orderdate AS VARCHAR) AS orderdate,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 250
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a join aggregate — orders whose total
+    line quantity exceeds a threshold. The post-aggregation filter runs
+    on the already-collapsed groups, so it ships #orders rows, not
+    #lineitems; AQE coalesces the (orderkey) shuffle both sides share."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate")
+        .agg(F.sum(money("l_quantity")).alias("_tq"))
+        .filter(F.col("_tq") > 250)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate"),
+            F.col("_tq").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "setops_all_variants",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(k) AS BIGINT) AS sum_keys
+    FROM (
+      SELECT o_custkey AS k FROM orders WHERE year(o_orderdate) = 1994
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    )
+    """,
+)
+def setops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-ops (INTERSECT ALL): duplicate-preserving semantics —
+    a customer with 3 orders in 1994 and 2 in 1995 contributes
+    min(3,2)=2 rows. Summarized to (count, checksum) so the oracle pins
+    the multiset without shipping it."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_keys(y: int) -> DataFrame:
+        return o.filter(F.year("o_orderdate") == y).select(
+            F.col("o_custkey").alias("k")
+        )
+
+    both = year_keys(1994).intersectAll(year_keys(1995))
+    return both.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").alias("sum_keys"),
+    )
