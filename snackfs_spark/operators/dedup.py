@@ -442,3 +442,42 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("label", "doc_id").alias("cluster_id"),
         (F.col("doc_id") == F.coalesce("label", "doc_id")).cast("int").alias("is_keeper"),
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    SELECT n.doc_id,
+           CAST(EXISTS (
+             SELECT 1 FROM documents c
+             WHERE c.doc_id < 400 AND md5(c.text) = md5(n.text)
+           ) AS INT) AS dup_of_corpus
+    FROM documents n WHERE n.doc_id >= 400
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a new batch (doc_id >= 400 stands in for
+    today's ingest) checked against the existing corpus by content hash —
+    the daily-pipeline shape, where the corpus side is a pre-computed
+    hash table (here: derived; in production: stored and bucketed by
+    hash, so the probe is a co-located join). Left-semi join marks dups;
+    the same plan with the LSH band table (`minhash_bands_df`) instead
+    of md5 gives incremental NEAR-dup. The corpus side collapses to
+    distinct hashes before the join — its volume is #unique, not
+    #rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_hashes = (
+        docs.filter(F.col("doc_id") < 400)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    new_batch = docs.filter(F.col("doc_id") >= 400).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    return (
+        new_batch.join(corpus_hashes.withColumn("dup", F.lit(1)), "h", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup", F.lit(0)).cast("int").alias("dup_of_corpus"),
+        )
+    )
