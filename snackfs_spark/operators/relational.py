@@ -292,9 +292,9 @@ def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")
         ).alias("status_tag"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
-        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("order_month"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long").alias("order_month"),
         F.abs(F.round("o_totalprice", 0)).alias("rounded_price"),
-        F.length("o_orderpriority").alias("prio_len"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
     )
 
 

@@ -163,7 +163,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = (
         emb.select("label", F.posexplode("embedding").alias("pos", "x"))
         .filter(F.col("pos") < 4)
-        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
         # float → double first: Spark's float→decimal cast rounds via the
         # float's 7-digit string repr, DuckDB via the exact binary value;
         # the double hop makes both engines round identically.

@@ -98,7 +98,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "n_chars",
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         (F.col("n_chars").cast("double") / n_tokens).alias("avg_token_len"),
         (stop.cast("double") / n_tokens).alias("stopword_ratio"),
         F.when(
@@ -123,7 +123,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
         F.regexp_count("text", F.lit("[a-z]+")).cast("long").alias("word_tokens"),
         F.regexp_count("text", F.lit("[0-9]+")).cast("long").alias("number_tokens"),
     )

@@ -295,7 +295,7 @@ def win_analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
         F.first("o_orderkey").over(w).alias("first_order"),
