@@ -224,3 +224,20 @@ def compact_content(spark: SparkSession, out_dir: str, target_files: int = 8) ->
     shutil.rmtree(path)
     shutil.move(tmp, path)
     return len(spark.read.parquet(path).inputFiles())
+
+
+def save_bucketed(
+    df: DataFrame, table: str, keys: list[str], buckets: int = 8
+) -> None:
+    """Persist a DataFrame as a bucketed+sorted table so later equi-joins
+    on `keys` are co-located (no shuffle on either pre-bucketed side).
+    The scale story for materialized dedup signatures: compute MinHash
+    bands once, store them bucketed by (band, band_sig), and every
+    incremental batch joins against the stored corpus without ever
+    reshuffling it."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(table)
+    )

@@ -107,3 +107,47 @@ def test_sql_interface_matches_dataframe_api(spark):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("size").alias("bytes"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_minhash_band_store_incremental_join_no_corpus_shuffle(spark):
+    """Materialized-signature layout: corpus MinHash bands stored bucketed
+    by (band, band_sig); an incremental batch (also bucketed) joins with
+    NO exchange on either side — the corpus is never reshuffled. The
+    candidates must equal the derived (non-materialized) computation."""
+    from snackfs_spark.operators.dedup import minhash_bands_df
+    from snackfs_spark.sources.writer import save_bucketed
+
+    bands = minhash_bands_df(spark, SF_ORACLE)
+    for t in ("corpus_bands", "batch_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    save_bucketed(bands.filter(F.col("doc_id") < 400), "corpus_bands", ["band", "band_sig"])
+    save_bucketed(bands.filter(F.col("doc_id") >= 400), "batch_bands", ["band", "band_sig"])
+    corpus = spark.table("corpus_bands")
+    batch = spark.table("batch_bands")
+    joined = (
+        batch.hint("merge")
+        .join(
+            corpus.withColumnRenamed("doc_id", "corpus_doc"),
+            ["band", "band_sig"],
+        )
+        .select("doc_id", "corpus_doc")
+        .distinct()
+    )
+    plan = formatted_plan(joined)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning(band" not in plan, plan
+    # equivalence with the fully-derived pipeline
+    a = bands.filter(F.col("doc_id") >= 400).alias("a")
+    b = bands.filter(F.col("doc_id") < 400).alias("b")
+    want = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("corpus_doc"))
+        .distinct()
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))
+    for t in ("corpus_bands", "batch_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
