@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from snackfs_spark.catalog import SnackCatalog
 from snackfs_spark.registry import register
 from snackfs_spark.sources.fsmodel import files_df, fs_sql
+from snackfs_spark.sources.tables import load_table
 
 STAT_PATH = "/data/src0/doc_42.txt"
 LS_DIR = "/data/src0"
@@ -233,4 +234,68 @@ def fs_ls_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .ls(LS_DIR)
         .filter(F.col("name").like(GLOB_PATTERN))
         .select("path", "name", "size")
+    )
+
+
+@register(
+    "fs_lww_snapshot",
+    oracle="""
+    WITH upserts AS (
+      SELECT '/data/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+             CAST(n_chars AS BIGINT) AS size,
+             TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) MINUTE AS mtime
+      FROM documents
+      UNION ALL
+      SELECT '/data/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt',
+             CAST(n_chars + 1000 AS BIGINT),
+             TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) MINUTE + INTERVAL 1 HOUR
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT path, size, mtime, n_versions FROM (
+      SELECT path, size, mtime,
+             ROW_NUMBER() OVER (PARTITION BY path ORDER BY mtime DESC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY path) AS BIGINT) AS n_versions
+      FROM upserts
+    ) WHERE rn = 1
+    """,
+)
+def fs_lww_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins snapshot over a timestamped upsert log — the
+    reference's storeINode semantics (client-timestamped batch_mutate,
+    ThriftStore.scala:281-301, LWW at read time) recomputed analytically:
+    latest row per path by mtime (SURVEY §1.3's declared mapping). One
+    window over the path partition; at scale the upsert log is a real
+    table and this is the compaction/snapshot query (or a Delta MERGE
+    upstream). A second generation for doc_id % 7 == 0 simulates
+    re-written files."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("/data/"), F.col("source"),
+        F.lit("/doc_"), F.col("doc_id").cast("string"), F.lit(".txt"),
+    )
+    base_mtime = F.expr(
+        "timestampadd(MINUTE, cast(doc_id as int), timestamp'2024-01-01 00:00:00')"
+    )
+    gen0 = docs.select(
+        path.alias("path"),
+        F.col("n_chars").cast("long").alias("size"),
+        base_mtime.alias("mtime"),
+    )
+    gen1 = docs.filter(F.col("doc_id") % 7 == 0).select(
+        path.alias("path"),
+        (F.col("n_chars") + 1000).cast("long").alias("size"),
+        F.expr(
+            "timestampadd(HOUR, 1, timestampadd(MINUTE, cast(doc_id as int), "
+            "timestamp'2024-01-01 00:00:00'))"
+        ).alias("mtime"),
+    )
+    upserts = gen0.unionAll(gen1)
+    w = Window.partitionBy("path")
+    return (
+        upserts.withColumn("rn", F.row_number().over(w.orderBy(F.col("mtime").desc())))
+        .withColumn("n_versions", F.count(F.lit(1)).over(w).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select("path", "size", "mtime", "n_versions")
     )
