@@ -40,6 +40,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
     "text_quality_score",
+    "text_vocab_topk",
+    "split_summary_tokens",
 ]
 
 
