@@ -151,3 +151,24 @@ def test_minhash_band_store_incremental_join_no_corpus_shuffle(spark):
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))
     for t in ("corpus_bands", "batch_bands"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ingest_cache_identical_results(spark):
+    """The engine-managed multi-file re-layout (build_ingest_cache) must
+    be invisible to results: same rows, same values, only more splits."""
+    from snackfs_spark.registry import load_all
+    from snackfs_spark.sources import tables
+
+    reg = load_all()
+    q = reg["q1_pricing_summary"].fn
+    want = sorted(map(tuple, q(spark, SF_ORACLE).collect()))
+    root = tables.build_ingest_cache(spark, SF_ORACLE)
+    try:
+        li = tables.load_table(spark, SF_ORACLE, "lineitem")
+        assert li.rdd.getNumPartitions() > 1  # re-layout took effect
+        got = sorted(map(tuple, q(spark, SF_ORACLE).collect()))
+        assert got == want
+    finally:
+        tables._INGEST_CACHE.pop(SF_ORACLE, None)
+    # opt-in: with the cache deactivated, reads return to the raw file
+    assert tables.load_table(spark, SF_ORACLE, "lineitem").rdd.getNumPartitions() >= 1
