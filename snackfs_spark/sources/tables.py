@@ -78,7 +78,9 @@ _INGEST_CACHE: dict[str, str] = {}
 _CACHE_TABLES = ("customer", "part", "orders", "lineitem", "events", "documents", "embeddings")
 
 
-def build_ingest_cache(spark: SparkSession, sf_dir: str) -> str:
+def build_ingest_cache(
+    spark: SparkSession, sf_dir: str, split_bytes: int = 512 * 1024
+) -> str:
     """Ingest the driver's single-file test tables into the engine's own
     storage layout: one directory per table, split across
     defaultParallelism files, so every scan starts with >= cores splits.
@@ -96,9 +98,20 @@ def build_ingest_cache(spark: SparkSession, sf_dir: str) -> str:
     )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     for name in _CACHE_TABLES:
+        # Splits proportional to data (one per ~512 KB of raw parquet),
+        # capped at the core count: big facts get full parallelism, small
+        # tables are NOT shredded into 32 tiny files (per-task overhead
+        # would dominate; their CPU-heavy pipelines call fan_out AFTER
+        # filtering instead). Tables that wouldn't split stay raw.
+        raw = os.path.join(sf_dir, f"{name}.parquet")
+        n = min(
+            max(os.path.getsize(raw) // split_bytes, 1),
+            spark.sparkContext.defaultParallelism,
+        )
+        if n <= 1:
+            continue
         out = os.path.join(cache_root, f"{name}.parquet")
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
-            n = spark.sparkContext.defaultParallelism
             _read_raw(spark, sf_dir, name).repartition(n).write.mode(
                 "overwrite"
             ).parquet(out)

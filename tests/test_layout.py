@@ -162,10 +162,14 @@ def test_ingest_cache_identical_results(spark):
     reg = load_all()
     q = reg["q1_pricing_summary"].fn
     want = sorted(map(tuple, q(spark, SF_ORACLE).collect()))
-    root = tables.build_ingest_cache(spark, SF_ORACLE)
+    root = tables.build_ingest_cache(spark, SF_ORACLE, split_bytes=256 * 1024)
     try:
-        li = tables.load_table(spark, SF_ORACLE, "lineitem")
-        assert li.rdd.getNumPartitions() > 1  # re-layout took effect
+        # re-layout took effect on disk (Spark may still pack small files
+        # into one task at this SF; file count is the layout evidence)
+        import glob
+
+        parts = glob.glob(f"{root}/lineitem.parquet/part-*")
+        assert len(parts) > 1, parts
         got = sorted(map(tuple, q(spark, SF_ORACLE).collect()))
         assert got == want
     finally:
