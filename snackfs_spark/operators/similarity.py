@@ -232,3 +232,50 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "probe_label", "cosine")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             greatest(list_reduce(list_transform(range(1, 65),
+                        i -> abs(CAST(embedding[i] AS DOUBLE))),
+                        (a, b) -> greatest(a, b)), 1e-30) / 127 AS scale
+      FROM embeddings
+    )
+    SELECT e.vec_id,
+           q.scale,
+           CAST(list_reduce(list_transform(range(1, 65),
+                  i -> floor(CAST(e.embedding[i] AS DOUBLE) / q.scale + 0.5)),
+                  (a, b) -> a + b) AS BIGINT) AS sum_q,
+           CAST(list_reduce(list_transform(range(1, 65),
+                  i -> floor(CAST(e.embedding[i] AS DOUBLE) / q.scale + 0.5)),
+                  (a, b) -> greatest(a, b)) AS BIGINT) AS max_q
+    FROM embeddings e JOIN q ON q.vec_id = e.vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quantization plumbing (the 4x storage shrink every
+    embedding column gets before 100 TB): per-vector max-abs scale,
+    elements mapped to [-127, 127] by round-half-up. Pure per-row
+    higher-order-function projection — no shuffle, JVM-side; the oracle
+    checks the checksum and max of the quantized codes (array outputs
+    don't hash portably). floor(x/scale + 0.5) is used instead of
+    round() because the engines' round() tie-breaking differs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e64 = "CAST(embedding AS ARRAY<DOUBLE>)"
+    scale = F.expr(
+        f"greatest(aggregate(transform({e64}, x -> abs(x)), 0D, "
+        "(a, x) -> greatest(a, x)), 1e-30D) / 127"
+    )
+    out = emb.withColumn("scale", scale)
+    q = f"transform({e64}, x -> floor(x / scale + 0.5D))"
+    return out.select(
+        "vec_id",
+        "scale",
+        F.expr(f"CAST(aggregate({q}, 0D, (a, x) -> a + x) AS BIGINT)").alias("sum_q"),
+        F.expr(
+            f"CAST(aggregate({q}, -1000D, (a, x) -> greatest(a, x)) AS BIGINT)"
+        ).alias("max_q"),
+    )
