@@ -935,3 +935,92 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                               / COUNT(*)
+                         FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND year(o.o_orderdate) = 1995)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy customers with no 1995 orders — a scalar
+    aggregate subquery feeding the filter threshold, plus NOT EXISTS as
+    a left-anti join. The scalar (one double) broadcasts; the anti join is
+    key-only. The average is derived from an exact decimal sum so the
+    threshold is partitioning-independent."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0)
+    avg_bal = (
+        pos.agg(
+            (F.sum(money("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("t")
+        )
+    )
+    rich = c.join(F.broadcast(avg_bal), c["c_acctbal"] > avg_bal["t"]).drop("t")
+    o95 = o.filter(F.year("o_orderdate") == 1995)
+    idle = rich.join(o95, rich["c_custkey"] == o95["o_custkey"], "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        dsum(money("c_acctbal"), "total_bal"),
+    )
+
+
+@register(
+    "events_conversion_funnel",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             MIN(ts) FILTER (event_type = 'view') AS first_view,
+             MIN(ts) FILTER (event_type = 'click') AS first_click,
+             MIN(ts) FILTER (event_type = 'purchase') AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(first_view) AS BIGINT) AS viewed,
+           CAST(COUNT(CASE WHEN first_click > first_view THEN 1 END) AS BIGINT)
+             AS clicked_after_view,
+           CAST(COUNT(CASE WHEN first_purchase > first_click
+                        AND first_click > first_view THEN 1 END) AS BIGINT)
+             AS purchased_after_click
+    FROM stages
+    """,
+)
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-funnel analysis: per user, the first timestamp of each
+    stage, then ordered-sequence counts (view → click → purchase). One
+    user-keyed aggregate with conditional MINs (map-side combining),
+    then a single-row re-aggregate — the product-analytics shape that at
+    100 TB replaces per-user event sorting with two map-combinable
+    aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_view").alias("viewed"),
+        F.count(F.when(F.col("first_click") > F.col("first_view"), 1)).alias(
+            "clicked_after_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("first_purchase") > F.col("first_click"))
+                & (F.col("first_click") > F.col("first_view")),
+                1,
+            )
+        ).alias("purchased_after_click"),
+    )
