@@ -77,3 +77,36 @@ def test_stream_stream_join_equals_batch(spark):
         & (F.col("e_ts") <= F.col("p_ts")),
     ).select("purchase_id", "p_user", "p_ts", "error_id", "e_ts", "error_value")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_incremental_microbatches_converge_to_batch(spark):
+    """True incremental execution: stream the multi-file ingest layout
+    one file per trigger, so the windowed aggregation is computed across
+    SEVERAL micro-batches with state carried between them — and the
+    drained result must still equal the batch plan."""
+    import glob
+
+    from snackfs_spark.sources import tables
+    from tests.conftest import SF_ORACLE
+
+    root = tables.build_ingest_cache(spark, SF_ORACLE, split_bytes=64 * 1024)
+    tables._INGEST_CACHE.pop(SF_ORACLE, None)  # batch side reads raw
+    ev_dir = f"{root}/events.parquet"
+    n_files = len(glob.glob(f"{ev_dir}/part-*"))
+    assert n_files > 1, "need multiple files for multiple micro-batches"
+    schema = spark.read.parquet(ev_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ev_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("hour_start"), "event_type", "n_events")
+    )
+    got = run_stream_to_df(spark, stream)
+    ev = load_table(spark, SF_ORACLE, "events")
+    want = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
