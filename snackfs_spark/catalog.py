@@ -162,6 +162,19 @@ class SnackCatalog:
         c = self.content.withColumnRenamed("payload", "piece")
         return c.groupBy("path").agg(_ordered_concat("sub_offset").alias("text"))
 
+    def open(self, path: str) -> str:
+        """Open ONE file and return its reassembled content, with the
+        reference's error semantics (OpenFileCommand.scala:43-59):
+        missing path → FileNotFoundError; directory → IsADirectoryError.
+        The existence check and the read are each a pushed point filter."""
+        st = self.stat(path).collect()
+        if not st:
+            raise FileNotFoundError(path)
+        if st[0]["is_dir"]:
+            raise IsADirectoryError(path)
+        rows = self.read().filter(F.col("path") == path).collect()
+        return rows[0]["text"] if rows else ""
+
     def read_range(self, start: int, length: int) -> DataFrame:
         """Random range read [start, start+length) per file (seek
         semantics, BlockInputStream.scala:42-59): only overlapping chunks

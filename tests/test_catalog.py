@@ -111,3 +111,17 @@ def test_block_locations_cover_every_block_exactly_once(cat, spark):
     # wraparound + disjoint ranges => every token maps to exactly one host
     assert locs.count() == n_blocks
     assert locs.select("path", "block_idx").distinct().count() == n_blocks
+
+
+def test_open_single_file_and_error_semantics(cat, docs_con):
+    want = docs_con.execute(
+        "SELECT text FROM documents WHERE doc_id = 0"
+    ).fetchone()[0]
+    got = cat.open("/data/src0/doc_0.txt")
+    assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        cat.open("/data/src0/doc_999999.txt")
+    with _pytest.raises(IsADirectoryError):
+        cat.open("/data/src0")
