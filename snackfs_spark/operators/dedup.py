@@ -193,40 +193,50 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=(
         "WITH "
-        + SHINGLES_CTE
+        + _MINHASH_CTE
         + """,
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM shingles a JOIN shingles b
-        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      WHERE a.doc_id < 50 AND b.doc_id < 50
-      GROUP BY a.doc_id, b.doc_id
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN shingles a ON a.doc_id = c.doc_a
+      JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
     )
-    SELECT p.doc_a, p.doc_b,
-           CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
-    FROM pairs p
-    JOIN sizes sa ON sa.doc_id = p.doc_a
-    JOIN sizes sb ON sb.doc_id = p.doc_b
-    WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.2
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.2
     """
     ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard similarity over a bounded scope (doc_id < 50):
-    the verifier that LSH candidates would feed at scale. Intersections
-    come from a shingle equi-join + count, never a cross join; the
-    doc_id bound stands in for 'candidate pairs only'."""
-    sh = shingles_df(spark, sf_dir).filter(F.col("doc_id") < 50)
+    """Exact n-gram Jaccard VERIFICATION of the LSH candidate pairs —
+    the second stage of the real near-dup pipeline (candidates from
+    `dedup_minhash_lsh`, exact Jaccard only per candidate, threshold
+    filters false positives). The candidate set is tiny relative to the
+    corpus, so both shingle joins are candidate-driven broadcasts; the
+    all-pairs shingle join never happens at any scale."""
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    sh = shingles_df(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(
+    inter = (
+        F.broadcast(cand)
+        .join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("doc_b") == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.alias("sa")
@@ -235,7 +245,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sa.n") + F.col("sb.n") - F.col("inter")
     )
     return (
-        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
         .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
