@@ -334,15 +334,15 @@ DOT_SPARK = (
              AS cosine
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE a.vec_id < 100 AND b.vec_id < 100
-      AND {_DOT_SQL_DUCK} / ({_NORM_SQL_DUCK.format(v='a')} * {_NORM_SQL_DUCK.format(v='b')}) > 0.8
+    WHERE {_DOT_SQL_DUCK} / ({_NORM_SQL_DUCK.format(v='a')} * {_NORM_SQL_DUCK.format(v='b')}) > 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: pairs above 0.8 cosine within the same
-    label, bounded scope (vec_id < 100). The label equi-key plays the
-    role an LSH bucket plays at scale — the join is never all-pairs."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    """Embedding-cosine near-dup: pairs above 0.4 cosine within the same
+    label (threshold calibrated to the synthetic embedding geometry).
+    The label equi-key plays the role an LSH/IVF bucket plays at scale —
+    the join is bucket-local, never all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
     a, b = emb.alias("a"), emb.alias("b")
     dot = F.expr(DOT_SPARK.format(a="a.embedding", b="b.embedding"))
     na = F.sqrt(F.expr(DOT_SPARK.format(a="a.embedding", b="a.embedding")))
@@ -358,7 +358,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             (dot / (na * nb)).alias("cosine"),
         )
-        .filter(F.col("cosine") > 0.8)
+        .filter(F.col("cosine") > 0.4)
     )
 
 
