@@ -17,7 +17,7 @@ from snackfs_spark.registry import register
 from snackfs_spark.sources.fsmodel import files_df, fs_sql
 from snackfs_spark.sources.tables import load_table
 
-STAT_PATH = "/data/src0/doc_42.txt"
+STAT_PATH = "/data/src2/doc_42.txt"
 LS_DIR = "/data/src0"
 SUBTREE = "/data/src1"
 RENAME_SRC = "/data/src2"

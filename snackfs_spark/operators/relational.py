@@ -76,8 +76,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
@@ -90,8 +90,8 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -201,23 +201,24 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "setops_customer_years",
     oracle="""
-    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999
     INTERSECT
-    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
     EXCEPT
-    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1993
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001
     """,
 )
 def setops_customer_years(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operations: customers active in both 1994 and 1995 but not
-    1993 (intersect/except over distinct keys)."""
+    """Set operations: customers active in both 1999 and 2000 but not
+    2001 (intersect/except over distinct keys; years chosen inside the
+    data's 1995-2001 span so each leg is non-empty)."""
     o = load_table(spark, sf_dir, "orders")
 
     def year_keys(y: int) -> DataFrame:
         return o.filter(F.year("o_orderdate") == y).select("o_custkey")
 
-    return year_keys(1994).intersect(year_keys(1995)).exceptAll(
-        year_keys(1993).distinct()
+    return year_keys(1999).intersect(year_keys(2000)).exceptAll(
+        year_keys(2001).distinct()
     ).distinct()
 
 

@@ -56,7 +56,9 @@ def test_stat_point_lookup_pushes_path_filter(spark):
     # (InMemoryTableScan keeps partition-level filters) — assert the
     # filter at least survives into the plan rather than being lost.
     plan = formatted_plan(df)
-    assert "/data/src0/doc_42.txt" in plan
+    from snackfs_spark.operators.fsops import STAT_PATH
+
+    assert STAT_PATH in plan
 
 
 def test_topk_uses_take_ordered(spark):
