@@ -786,15 +786,15 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(k) AS BIGINT) AS sum_keys
     FROM (
-      SELECT o_custkey AS k FROM orders WHERE year(o_orderdate) = 1994
+      SELECT o_custkey AS k FROM orders WHERE year(o_orderdate) = 1999
       INTERSECT ALL
-      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
     )
     """,
 )
 def setops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset set-ops (INTERSECT ALL): duplicate-preserving semantics —
-    a customer with 3 orders in 1994 and 2 in 1995 contributes
+    a customer with 3 orders in 1999 and 2 in 2000 contributes
     min(3,2)=2 rows. Summarized to (count, checksum) so the oracle pins
     the multiset without shipping it."""
     o = load_table(spark, sf_dir, "orders")
@@ -804,7 +804,7 @@ def setops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("k")
         )
 
-    both = year_keys(1994).intersectAll(year_keys(1995))
+    both = year_keys(1999).intersectAll(year_keys(2000))
     return both.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("k").alias("sum_keys"),
