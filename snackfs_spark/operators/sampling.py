@@ -100,3 +100,50 @@ def split_summary_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
     )
+
+
+@register(
+    "corpus_build_train",
+    oracle=f"""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    quality AS (
+      SELECT doc_id FROM documents
+      WHERE n_chars BETWEEN 100 AND 500
+        AND len(string_split(text, ' ')) >= 20
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS ws_tokens
+    FROM documents d
+    JOIN keepers k ON k.doc_id = d.doc_id
+    JOIN quality q ON q.doc_id = d.doc_id
+    WHERE {_BUCKET_SQL.replace('doc_id', 'd.doc_id')} < {TRAIN_PCT}
+    """,
+)
+def corpus_build_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone dataset-build query: the training corpus is the
+    intersection of (a) exact-dedup keepers, (b) the quality filter, and
+    (c) the train split — the pipeline every pretraining dataset runs.
+    Keepers come from one hash-groupBy; quality and split are per-row
+    predicates; the final joins are key-only semi-joins, so the full
+    document text is scanned exactly once."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    quality = docs.filter(
+        F.col("n_chars").between(100, 500)
+        & (F.size(F.split("text", " ")) >= 20)
+    ).select("doc_id")
+    train = docs.filter(_bucket(F.col("doc_id")) < TRAIN_PCT)
+    return (
+        train.join(keepers, "doc_id", "left_semi")
+        .join(quality, "doc_id", "left_semi")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("ws_tokens"),
+        )
+    )
