@@ -1025,3 +1025,49 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("purchased_after_click"),
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort_week,
+             CAST(datediff('week', f.cohort_week, date_trunc('week', e.ts)) AS BIGINT)
+               AS weeks_since
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT cohort_week, weeks_since, CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity GROUP BY cohort_week, weeks_since
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted per weeks-since-cohort — the standard retention triangle.
+    Two user-keyed aggregates (first-activity, then distinct activity
+    weeks) and a broadcast of the per-user cohort assignment; no
+    event-level shuffle survives past the first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            ).cast("long").alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "weeks_since").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
