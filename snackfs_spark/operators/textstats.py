@@ -9,6 +9,8 @@ speed. The one Pandas-UDF variant lives in operators/multimodal.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -202,4 +204,93 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.regexp_replace("text", "[0-9]+", "<NUM>")).alias("redacted_hash"),
         F.regexp_count("text", F.lit("[0-9]+")).cast("long").alias("n_redactions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pandas-UDF demonstrations (Arrow-vectorized Python paths). UDFs are the
+# slow path at scale — these exist to pin the PLUMBING (Arrow batches,
+# numpy vectorization, grouped-map semantics) with oracle-exact integer
+# arithmetic, for the cases where JVM built-ins genuinely cannot express
+# the computation (model scoring, custom feature extraction).
+
+
+@register(
+    "text_fingerprint_pandas",
+    oracle="""
+    SELECT doc_id,
+           CAST(SUM((i + 1) * ascii(substr(text, CAST(i + 1 AS INT), 1))) % 2147483647
+                AS BIGINT) AS fingerprint
+    FROM (SELECT doc_id, text, unnest(range(0, n_chars)) AS i FROM documents)
+    GROUP BY doc_id
+    """,
+)
+def text_fingerprint_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same position-weighted fingerprint as `text_fingerprint`, but
+    computed in a SCALAR @pandas_udf (Arrow batch in, numpy int64 out) —
+    the vectorized-Python path for computations built-ins can't express.
+    Same oracle as the JVM version: the two implementations must agree
+    exactly, which is the real test of the Arrow plumbing."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            codes = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+            # ascii corpus: byte == codepoint; positions are 1-based
+            out.append(int((codes * np.arange(1, len(codes) + 1)).sum() % 2147483647))
+        return pd.Series(out, dtype="int64")
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return docs.select("doc_id", fp("text").alias("fingerprint"))
+
+
+@register(
+    "user_event_gaps_grouped",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000
+               - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                 // 1000000 AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(SUM(gap_s) AS BIGINT) AS total_span_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def user_event_gaps_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics via applyInPandas (grouped
+    map): each user's events arrive as ONE pandas DataFrame, sorted and
+    differenced in numpy — the grouped-map shape for per-entity
+    sequential logic (sessionizers, trajectory features) that window
+    functions can't express. Integer-seconds arithmetic keeps it
+    oracle-exact; the equivalent window-function form is the oracle."""
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        secs = (pdf["ts"].astype("int64") // 1_000_000_000).to_numpy()
+        if len(secs) < 2:
+            return pd.DataFrame(
+                columns=["user_id", "n_events", "max_gap_s", "total_span_s"]
+            ).astype({"user_id": "int64", "n_events": "int64",
+                      "max_gap_s": "int64", "total_span_s": "int64"})
+        d = secs[1:] - secs[:-1]
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(secs)],
+                "max_gap_s": [int(d.max())],
+                "total_span_s": [int(d.sum())],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_id", "ts").groupBy("user_id").applyInPandas(
+        gaps,
+        schema="user_id long, n_events long, max_gap_s long, total_span_s long",
     )
