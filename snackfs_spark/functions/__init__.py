@@ -40,3 +40,23 @@ def dsum(col: Column, alias: str) -> Column:
 def davg(col: Column, alias: str) -> Column:
     """Deterministic average: exact decimal sum / count, double division."""
     return (F.sum(col).cast("double") / F.count(col)).alias(alias)
+
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def ts_str(col: str | Column) -> Column:
+    """Render a timestamp as a microsecond-precision string. Timestamp
+    OUTPUT columns are always emitted as strings: pandas surfaces Spark
+    timestamps as datetime64[ns] but DuckDB's as datetime64[us], and a
+    unit-sensitive value-hash would see different bit patterns for equal
+    instants. Strings hash identically everywhere. (Verified: Spark's
+    SSSSSS and DuckDB's %f render the same six fractional digits.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, TS_FMT_SPARK)
+
+
+def ts_str_sql(expr: str) -> str:
+    """DuckDB twin of ts_str for oracle strings."""
+    return f"strftime({expr}, '{TS_FMT_DUCK}')"

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from snackfs_spark.catalog import SnackCatalog
 from snackfs_spark.registry import register
 from snackfs_spark.sources.fsmodel import files_df, fs_sql
+from snackfs_spark.functions import ts_str
 from snackfs_spark.sources.tables import load_table
 
 STAT_PATH = "/data/src2/doc_42.txt"
@@ -28,7 +29,8 @@ DELETE_TARGET = "/data/src3"
 @register(
     "fs_stat",
     oracle=fs_sql(
-        f"""SELECT path, is_dir, size, owner, grp, permission, mtime
+        f"""SELECT path, is_dir, size, owner, grp, permission,
+                   strftime(mtime, '%Y-%m-%d %H:%M:%S.%f') AS mtime
             FROM files WHERE path = '{STAT_PATH}'""",
         "files",
     ),
@@ -37,7 +39,9 @@ def fs_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """getFileStatus: point metadata lookup (FileStatusCommand.scala:34-48).
     A single pushed-down equality predicate; with the files table
     partitioned/bucketed by path prefix this touches one partition."""
-    return SnackCatalog(spark, sf_dir).stat(STAT_PATH)
+    return SnackCatalog(spark, sf_dir).stat(STAT_PATH).withColumn(
+        "mtime", ts_str("mtime")
+    )
 
 
 @register(
@@ -251,7 +255,8 @@ def fs_ls_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
              TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) MINUTE + INTERVAL 1 HOUR
       FROM documents WHERE doc_id % 7 = 0
     )
-    SELECT path, size, mtime, n_versions FROM (
+    SELECT path, size, strftime(mtime, '%Y-%m-%d %H:%M:%S.%f') AS mtime,
+           n_versions FROM (
       SELECT path, size, mtime,
              ROW_NUMBER() OVER (PARTITION BY path ORDER BY mtime DESC) AS rn,
              CAST(COUNT(*) OVER (PARTITION BY path) AS BIGINT) AS n_versions
@@ -297,5 +302,5 @@ def fs_lww_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         upserts.withColumn("rn", F.row_number().over(w.orderBy(F.col("mtime").desc())))
         .withColumn("n_versions", F.count(F.lit(1)).over(w).cast("long"))
         .filter(F.col("rn") == 1)
-        .select("path", "size", "mtime", "n_versions")
+        .select("path", "size", ts_str("mtime").alias("mtime"), "n_versions")
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from snackfs_spark.functions import ts_str
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import load_table
 
@@ -60,7 +61,7 @@ def string_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(quarter(o_orderdate) AS INT) AS q,
            CAST(dayofyear(o_orderdate) AS INT) AS doy,
            strftime(CAST(o_orderdate AS DATE) + 90, '%Y-%m-%d') AS due_date,
-           date_trunc('month', o_orderdate) AS month_start,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S.%f') AS month_start,
            strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
            CAST(datediff('day', TIMESTAMP '1992-01-01 00:00:00', o_orderdate) AS BIGINT)
              AS days_since_92
@@ -81,7 +82,7 @@ def date_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DATE reach pandas as different dtypes and would hash apart
         F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 90), "yyyy-MM-dd")
         .alias("due_date"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        ts_str(F.date_trunc("month", "o_orderdate")).alias("month_start"),
         F.date_format(F.last_day(F.col("o_orderdate").cast("date")), "yyyy-MM-dd")
         .alias("month_end"),
         F.datediff(

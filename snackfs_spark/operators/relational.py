@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from snackfs_spark.functions import davg, dsum, money, rate
+from snackfs_spark.functions import ts_str
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import fan_out, load_table
 
@@ -108,7 +109,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l.l_orderkey,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-           o.o_orderdate
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -139,7 +140,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(money("l_extendedprice") * (1 - rate("l_discount")), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
-        .select("l_orderkey", "revenue", "o_orderdate")
+        .select("l_orderkey", "revenue", ts_str("o_orderdate").alias("o_orderdate"))
     )
 
 
@@ -180,7 +181,8 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "topk_orders",
     oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS o_orderdate
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 25
@@ -194,7 +196,8 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(25)
-        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+                ts_str("o_orderdate").alias("o_orderdate"))
     )
 
 
@@ -302,7 +305,8 @@ def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_hourly_rollup",
     oracle="""
-    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS hour_start,
+           event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY date_trunc('hour', ts), event_type
@@ -314,7 +318,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (snackfs_spark/streaming)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
-        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        ts_str(F.date_trunc("hour", "ts")).alias("hour_start"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value").cast("decimal(18,2)"), "total_value"),
@@ -566,9 +570,9 @@ def quantile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_sliding_window",
     oracle="""
-    SELECT TIMESTAMP '1970-01-01 00:00:00'
-             + (CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - k * 1800) * INTERVAL 1 SECOND
-             AS window_start,
+    SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
+             + (CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - k * 1800) * INTERVAL 1 SECOND,
+             '%Y-%m-%d %H:%M:%S.%f') AS window_start,
            event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -592,7 +596,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value").cast("decimal(18,2)"), "total_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            ts_str(F.col("w.start")).alias("window_start"),
             "event_type",
             "n_events",
             "total_value",
@@ -1042,7 +1046,8 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS weeks_since
       FROM events e JOIN firsts f ON f.user_id = e.user_id
     )
-    SELECT cohort_week, weeks_since, CAST(COUNT(*) AS BIGINT) AS active_users
+    SELECT strftime(cohort_week, '%Y-%m-%d %H:%M:%S.%f') AS cohort_week,
+           weeks_since, CAST(COUNT(*) AS BIGINT) AS active_users
     FROM activity GROUP BY cohort_week, weeks_since
     """,
 )
@@ -1068,6 +1073,12 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return activity.groupBy("cohort_week", "weeks_since").agg(
-        F.count(F.lit(1)).alias("active_users")
+    return (
+        activity.groupBy("cohort_week", "weeks_since")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .select(
+            ts_str("cohort_week").alias("cohort_week"),
+            "weeks_since",
+            "active_users",
+        )
     )

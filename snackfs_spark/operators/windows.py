@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from snackfs_spark.functions import money
 from snackfs_spark.catalog import SnackCatalog
+from snackfs_spark.functions import ts_str
 from snackfs_spark.registry import register
 from snackfs_spark.sources.fsmodel import content_df, fs_sql
 from snackfs_spark.sources.tables import load_table
@@ -51,7 +52,7 @@ def fs_suboff_prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fs_lock_arbitration",
     oracle=fs_sql(
-        """SELECT path, holder, ts FROM (
+        """SELECT path, holder, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts FROM (
              SELECT path, holder, ts,
                     ROW_NUMBER() OVER (PARTITION BY path ORDER BY ts, event_id) AS rn
              FROM locks
@@ -63,13 +64,14 @@ def fs_lock_arbitration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lock winner per path = first attempt in time order — the
     createlock min-timeUUID arbitration (ThriftStore.scala:655-671) as a
     ranking window. event_id breaks ts ties deterministically."""
-    return SnackCatalog(spark, sf_dir).lock_holders()
+    return SnackCatalog(spark, sf_dir).lock_holders().withColumn("ts", ts_str("ts"))
 
 
 @register(
     "win_first_order_per_customer",
     oracle="""
-    SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
+    SELECT o_custkey, o_orderkey AS first_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS first_orderdate
     FROM (
       SELECT o_custkey, o_orderkey, o_orderdate,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -88,7 +90,7 @@ def win_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             F.col("o_orderkey").alias("first_orderkey"),
-            F.col("o_orderdate").alias("first_orderdate"),
+            ts_str("o_orderdate").alias("first_orderdate"),
         )
     )
 
@@ -201,7 +203,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "asof_last_error_before_purchase",
     oracle="""
-    SELECT event_id, user_id, ts, last_error_value FROM (
+    SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           last_error_value FROM (
       SELECT event_id, user_id, ts, event_type,
              last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -228,7 +231,7 @@ def asof_last_error_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     return (
         ev.withColumn("last_error_value", F.last(err_val, ignorenulls=True).over(w))
         .filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "ts", "last_error_value")
+        .select("event_id", "user_id", ts_str("ts").alias("ts"), "last_error_value")
     )
 
 

@@ -17,6 +17,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from snackfs_spark.functions import ts_str
 from snackfs_spark.registry import register
 
 
@@ -89,7 +90,8 @@ def run_stream_to_df(spark: SparkSession, streaming_df: DataFrame, mode: str = "
 @register(
     "streaming_hourly_rollup",
     oracle="""
-    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS hour_start,
+           event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY date_trunc('hour', ts), event_type
@@ -98,7 +100,8 @@ def run_stream_to_df(spark: SparkSession, streaming_df: DataFrame, mode: str = "
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The windowed streaming aggregation, drained to completion — output
     must equal the batch rollup (and hash-match the same oracle)."""
-    return run_stream_to_df(spark, hourly_rollup_stream(spark, sf_dir))
+    out = run_stream_to_df(spark, hourly_rollup_stream(spark, sf_dir))
+    return out.withColumn("hour_start", ts_str("hour_start"))
 
 
 @register("streaming_session_windows", oracle=None)
@@ -151,9 +154,9 @@ def purchase_error_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.event_id AS purchase_id,
            p.user_id AS p_user,
-           p.ts AS p_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
            e.event_id AS error_id,
-           e.ts AS e_ts,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS e_ts,
            e.value AS error_value
     FROM events p JOIN events e
       ON p.event_type = 'purchase' AND e.event_type = 'error'
@@ -164,9 +167,10 @@ def purchase_error_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stream-stream join, drained to completion in append mode —
     must equal the equivalent batch interval join (the oracle)."""
-    return run_stream_to_df(
+    out = run_stream_to_df(
         spark, purchase_error_join_stream(spark, sf_dir), mode="append"
     )
+    return out.withColumn("p_ts", ts_str("p_ts")).withColumn("e_ts", ts_str("e_ts"))
 
 
 def stream_ingest_documents(
