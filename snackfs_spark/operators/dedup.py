@@ -225,28 +225,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, so both shingle joins are candidate-driven broadcasts; the
     all-pairs shingle join never happens at any scale."""
     cand = dedup_minhash_lsh(spark, sf_dir)
-    sh = shingles_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        F.broadcast(cand)
-        .join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(
-            b,
-            (F.col("doc_b") == F.col("b.doc_id"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("inter").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+    # One shingle pass, semi-joined down to candidate docs BEFORE any
+    # per-pair work: the shingle volume that reaches the pair join is
+    # O(candidate docs), not O(corpus). collect_set dedups shingles, so
+    # the distinct shuffle is skipped too.
+    sets = (
+        shingles_df(spark, sf_dir, distinct=False)
+        .join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+        .select("doc_id", "sh", F.size("sh").alias("n"))
     )
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
