@@ -38,6 +38,7 @@ HEADLINE = [
     "sessionize_events",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "ann_bruteforce_topk",
     "text_quality_score",
     "text_vocab_topk",
