@@ -49,13 +49,21 @@ def shingles_df(
     not the single scan task."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split(F.col("text"), " ")
+    # Guard the explode: Spark's sequence(0, -1) yields a DESCENDING
+    # [0, -1] (not empty), and slice(toks, i+1, 3) with that index throws
+    # INVALID_PARAMETER_VALUE.START. Documents with < 3 tokens must
+    # produce ZERO shingles — exactly what the oracle's
+    # range(0, greatest(len-2, 0)) does.
     out = (
-        docs.select(
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
             "doc_id",
             F.explode(
-                F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(-1)))
+                F.when(
+                    F.size("toks") >= 3, F.sequence(F.lit(0), F.size("toks") - 3)
+                ).otherwise(F.array().cast("array<int>"))
             ).alias("i"),
-            toks.alias("toks"),
+            "toks",
         )
         .select(
             "doc_id",
@@ -222,8 +230,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the second stage of the real near-dup pipeline (candidates from
     `dedup_minhash_lsh`, exact Jaccard only per candidate, threshold
     filters false positives). The candidate set is tiny relative to the
-    corpus, so both shingle joins are candidate-driven broadcasts; the
-    all-pairs shingle join never happens at any scale."""
+    corpus, so the shingle pass is semi-joined down to candidate docs
+    before any per-pair work; the all-pairs shingle join never happens at
+    any scale."""
     cand = dedup_minhash_lsh(spark, sf_dir)
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
@@ -249,9 +258,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+    # No explicit broadcast of the shingle-set sides: at 100 TB the
+    # candidate set is corpus-proportional (millions of docs x hundreds
+    # of shingles), so forcing a broadcast would OOM. Plain equi-joins
+    # let AQE pick — it still broadcasts when a side is actually small,
+    # and falls back to a skew-safe shuffled hash join when it is not.
     return (
-        cand.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
@@ -452,7 +466,9 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.join(F.broadcast(labels), "doc_id", "left").select(
+    # labels is bounded by edge-incident docs — corpus-proportional in
+    # the worst case, so no forced broadcast; AQE broadcasts iff small.
+    return docs.join(labels, "doc_id", "left").select(
         "doc_id",
         F.coalesce("label", "doc_id").alias("cluster_id"),
         (F.col("doc_id") == F.coalesce("label", "doc_id")).cast("int").alias("is_keeper"),

@@ -78,7 +78,7 @@ def fs_lsr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fs_du",
     oracle=fs_sql(
         """SELECT split_part(path, '/', 3) AS child, CAST(SUM(size) AS BIGINT) AS bytes
-           FROM files WHERE path LIKE '/data/%/%' AND NOT is_dir
+           FROM files WHERE path LIKE '/data/%' AND NOT is_dir
            GROUP BY split_part(path, '/', 3)""",
         "files",
     ),

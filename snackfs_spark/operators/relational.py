@@ -349,12 +349,14 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     so this takes the driver's rows-only check; the exact counterparts
     are oracle-checked elsewhere (q_distinct_parts)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Scalar columns only: the driver's rows-only canonicalizer cannot
+    # hash ARRAY cells, so the three quantiles are projected individually.
     return li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), 10000).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", F.lit(0.95), 10000).alias("p95_price"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), 10000).alias("p99_price"),
     )
 
 

@@ -183,11 +183,17 @@ def _build_content_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             _doc_path().alias("path"),
             F.col("text"),
+            # Zero-length files expand to NO chunks — Spark's
+            # sequence(0, -1) would otherwise emit a descending [0, -1],
+            # diverging from the oracle CTE's empty range(0, 0).
             F.explode(
-                F.sequence(
-                    F.lit(0).cast("long"),
-                    F.ceil(F.col("n_chars") / SUB_CHARS).cast("long") - 1,
-                )
+                F.when(
+                    F.col("n_chars") > 0,
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        F.ceil(F.col("n_chars") / SUB_CHARS).cast("long") - 1,
+                    ),
+                ).otherwise(F.array().cast("array<long>"))
             ).alias("i"),
         )
         .select(
@@ -281,11 +287,15 @@ def _build_blocks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         _doc_path().alias("path"),
         "doc_id",
+        # Same empty-file guard as the content relation (oracle: range(0,0)).
         F.explode(
-            F.sequence(
-                F.lit(0).cast("long"),
-                F.ceil(F.col("n_chars") / BLOCK_CHARS).cast("long") - 1,
-            )
+            F.when(
+                F.col("n_chars") > 0,
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.ceil(F.col("n_chars") / BLOCK_CHARS).cast("long") - 1,
+                ),
+            ).otherwise(F.array().cast("array<long>"))
         ).alias("block_idx"),
     ).select(
         "path",

@@ -14,12 +14,24 @@ Layout mirrors the reference's storage schema (ThriftStore.scala:228-241):
 - **Key dispersion**: bucket = md5(path) % buckets — the reference's
   path-hash row key (ThriftStore.scala:243-247 getPathKey).
 - **Partition planning**: one InputPartition per bucket, the connector
-  analog of split planning over the token ring (§3.3; preferredLocations
-  would attach here on a real cluster).
+  analog of split planning over the token ring (§3.3). Each partition
+  carries `preferred_hosts` — the RF=3 replica set from the token ring
+  (owner interval + 2 clockwise successors), mirroring the reference's
+  block→replica locality feed (ThriftStore.scala:543-605, consumed by
+  SnackFS.scala:135-149). Spark's Python Data Source API does not yet
+  consume preferred locations from Python partitions, so the hosts are
+  surfaced via `SnackStoreReader.preferred_locations()` for the
+  scheduler-integration layer (and asserted in tests); the planning math
+  is the real thing.
 - **Filter pushdown** (SupportsPushDownFilters analog, SURVEY §4):
   `path = X` prunes to ONE bucket before any IO; `path LIKE prefix%` and
   sub_offset range predicates filter inside the reader before rows reach
   Spark. Unsupported filters are returned to Spark for post-evaluation.
+- **Limit pushdown** (SupportsPushDownLimit analog, SURVEY §4): a
+  `limit=N` read option stops each partition after N rows (Spark applies
+  the final global limit), and an always-on `listing_cap` (default
+  100000) mirrors the reference's hard listing cap pushed into the
+  indexed-slice query (ThriftStore.scala:509).
 - **Writes**: each task writes blobs + a task-unique inode fragment into
   its buckets (no commit coordination needed — filenames are unique, the
   reader unions fragments), mirroring the reference's per-sub-block
@@ -47,6 +59,9 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 DEFAULT_BUCKETS = 8
+LISTING_CAP = 100_000   # reference's hard listing cap (ThriftStore.scala:509)
+TOKEN_SPACE = 4294967296  # 2^32 ring, same space as sources/fsmodel.py
+REPLICATION = 3           # RF=3 SimpleStrategy-style replica walk
 
 SCHEMA = (
     "path string, sub_offset bigint, length bigint, payload string"
@@ -61,9 +76,26 @@ def _path_hash(path: str) -> str:
     return hashlib.md5(path.encode()).hexdigest()[:16]
 
 
+def bucket_replicas(bucket: int, buckets: int, hosts: list[str]) -> tuple[str, ...]:
+    """Replica hosts for one bucket: place the bucket's midpoint token on
+    the ring (equal ranges per host, wraparound at the top, exactly the
+    fsmodel ring layout), owner = containing range, replicas = owner + the
+    next RF-1 hosts clockwise — Cassandra SimpleStrategy, the locality
+    walk of ThriftStore.scala:543-605."""
+    if not hosts:
+        return ()
+    token = (bucket * TOKEN_SPACE + TOKEN_SPACE // 2) // max(buckets, 1)
+    step = TOKEN_SPACE // len(hosts)
+    # Range i covers (i*step, (i+1)*step] with the last range wrapping to 0:
+    # owner index = ceil(token/step) - 1 (mod n).
+    owner = ((token + step - 1) // step - 1) % len(hosts)
+    return tuple(hosts[(owner + r) % len(hosts)] for r in range(min(REPLICATION, len(hosts))))
+
+
 @dataclass
 class _BucketPartition(InputPartition):
     bucket: int
+    preferred_hosts: tuple[str, ...] = ()
 
 
 class SnackStoreReader(DataSourceReader):
@@ -72,9 +104,15 @@ class SnackStoreReader(DataSourceReader):
         if not self.root:
             raise ValueError("snackstore requires option 'store_dir'")
         with open(os.path.join(self.root, "_store.json")) as f:
-            self.buckets = json.load(f)["buckets"]
+            meta = json.load(f)
+        self.buckets = meta["buckets"]
+        self.hosts: list[str] = meta.get("hosts", [])
         self.eq_path: str | None = None
         self.prefix: str | None = None
+        # SupportsPushDownLimit analog: per-partition row cap. The
+        # listing cap is always on, mirroring the reference's 100k bound.
+        limit = options.get("limit")
+        self.limit = min(int(limit), LISTING_CAP) if limit is not None else LISTING_CAP
 
     def pushFilters(self, filters: list[Filter]):
         for f in filters:
@@ -88,40 +126,68 @@ class SnackStoreReader(DataSourceReader):
     def partitions(self):
         if self.eq_path is not None:
             # point lookup touches exactly one bucket (getPathKey dispersion)
-            return [_BucketPartition(_bucket_of(self.eq_path, self.buckets))]
-        return [_BucketPartition(b) for b in range(self.buckets)]
+            b = _bucket_of(self.eq_path, self.buckets)
+            return [_BucketPartition(b, bucket_replicas(b, self.buckets, self.hosts))]
+        return [
+            _BucketPartition(b, bucket_replicas(b, self.buckets, self.hosts))
+            for b in range(self.buckets)
+        ]
+
+    def preferred_locations(self) -> dict[int, tuple[str, ...]]:
+        """bucket -> replica hosts, the preferredLocations feed the JVM
+        scheduler would consume (SnackFS.scala:135-149 getFileBlockLocations)."""
+        return {p.bucket: p.preferred_hosts for p in self.partitions()}
 
     def read(self, partition: _BucketPartition):
         bdir = os.path.join(self.root, f"bucket={partition.bucket}")
         if not os.path.isdir(bdir):
             return
-        inodes: dict[str, dict] = {}
-        for fn in os.listdir(bdir):
+        # Merge inode fragments ADDITIVELY: a path's chunks may span
+        # several write tasks (repartitioned input, append jobs), so each
+        # fragment contributes offsets; dict.update would silently drop
+        # all but the last fragment's list.
+        offsets: dict[str, set[int]] = {}
+        for fn in sorted(os.listdir(bdir)):
             if fn.startswith("inodes-"):
                 with open(os.path.join(bdir, fn)) as f:
-                    inodes.update(json.load(f))
-        for path, meta in inodes.items():
+                    for path, meta in json.load(f).items():
+                        offsets.setdefault(path, set()).update(meta["offsets"])
+        emitted = 0
+        for path in sorted(offsets):
             if self.eq_path is not None and path != self.eq_path:
                 continue
             if self.prefix is not None and not path.startswith(self.prefix):
                 continue
             ph = _path_hash(path)
-            for off in meta["offsets"]:
+            for off in sorted(offsets[path]):
+                if emitted >= self.limit:
+                    return
                 blob = os.path.join(bdir, f"sblock-{ph}-{off}.bin")
                 with open(blob, "rb") as f:
                     payload = f.read().decode("utf-8")
                 yield (path, off, len(payload), payload)
+                emitted += 1
 
 
 class SnackStoreWriter(DataSourceWriter):
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = False):
         self.root = options.get("store_dir")
         if not self.root:
             raise ValueError("snackstore requires option 'store_dir'")
         self.buckets = int(options.get("buckets", DEFAULT_BUCKETS))
+        hosts_opt = options.get("hosts")
+        self.hosts = hosts_opt.split(",") if hosts_opt else []
+        if overwrite and os.path.isdir(self.root):
+            # mode("overwrite") clears every bucket dir; without this the
+            # old fragments would silently survive under the new store.
+            import shutil  # noqa: PLC0415
+
+            for fn in os.listdir(self.root):
+                if fn.startswith("bucket="):
+                    shutil.rmtree(os.path.join(self.root, fn))
         os.makedirs(self.root, exist_ok=True)
         with open(os.path.join(self.root, "_store.json"), "w") as f:
-            json.dump({"buckets": self.buckets}, f)
+            json.dump({"buckets": self.buckets, "hosts": self.hosts}, f)
 
     def write(self, rows):
         task = uuid.uuid4().hex[:12]
@@ -165,7 +231,7 @@ class SnackStoreDataSource(DataSource):
         return SnackStoreReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> SnackStoreWriter:
-        return SnackStoreWriter(self.options)
+        return SnackStoreWriter(self.options, overwrite=overwrite)
 
 
 def register(spark) -> None:
@@ -191,10 +257,15 @@ def store_for(spark, sf_dir: str) -> str:
         chunks = fsmodel.content_df(spark, sf_dir).select(
             "path", "sub_offset", "length", "payload"
         )
+        hosts = [
+            r["host"]
+            for r in fsmodel.ring_df(spark, sf_dir).orderBy("tok_start").collect()
+        ]
         (
             chunks.write.format("snackstore")
             .option("store_dir", root)
             .option("buckets", DEFAULT_BUCKETS)
+            .option("hosts", ",".join(hosts))
             .mode("append")
             .save()
         )
