@@ -131,15 +131,15 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample", oracle=None)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+FRAME_STRIDE = 64
+
+
+def frame_sample_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing for video-like payloads: slice each binary
-    payload into fixed-stride 'frames' (posexplode over computed offsets)
-    and emit (asset_id, frame_idx, frame_bytes). The real decoder is the
-    stub above; the partitioning/explode shape is what matters at scale.
-    Rows-only check (binary output is not SQL-hashable portably)."""
+    payload into fixed-stride 'frames' (explode over computed offsets) —
+    (asset_id, frame_idx, frame_bytes). The real decoder is the stub
+    above; the partitioning/explode shape is what matters at scale."""
     assets = binary_assets_df(spark, sf_dir)
-    stride = 64
     return (
         assets.select(
             "asset_id",
@@ -148,7 +148,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(
                     F.lit(0),
                     F.greatest(
-                        (F.octet_length("payload") - 1) / stride, F.lit(0)
+                        (F.octet_length("payload") - 1) / FRAME_STRIDE, F.lit(0)
                     ).cast("int"),
                 )
             ).alias("frame_idx"),
@@ -156,10 +156,45 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "asset_id",
             "frame_idx",
-            F.expr(f"substring(payload, frame_idx * {stride} + 1, {stride})").alias(
-                "frame_bytes"
-            ),
+            F.expr(
+                f"substring(payload, frame_idx * {FRAME_STRIDE} + 1, {FRAME_STRIDE})"
+            ).alias("frame_bytes"),
         )
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    # Chunked payload iteration parity (reference §2.A #27-35,
+    # FileSystemOutputStream.scala:55-120): the oracle recomputes each
+    # frame's offset/length/md5 from the source text — byte slices equal
+    # char slices because the corpus is ascii (asserted in tests).
+    oracle=f"""
+    SELECT doc_id AS asset_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           CAST(i * {FRAME_STRIDE} AS BIGINT) AS frame_offset,
+           CAST(length(substr(text, CAST(i * {FRAME_STRIDE} + 1 AS INT), {FRAME_STRIDE}))
+                AS BIGINT) AS frame_len,
+           md5(substr(text, CAST(i * {FRAME_STRIDE} + 1 AS INT), {FRAME_STRIDE}))
+             AS frame_md5
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(0, greatest((n_chars - 1) // {FRAME_STRIDE}, 0) + 1)) AS i
+      FROM documents
+    )
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling, projected to SQL-expressible scalars per frame
+    (offset, length, content md5) so the chunk iteration is hash-checked
+    end-to-end, not just row-counted."""
+    frames = frame_sample_df(spark, sf_dir)
+    return frames.select(
+        "asset_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        (F.col("frame_idx").cast("long") * FRAME_STRIDE).alias("frame_offset"),
+        F.octet_length("frame_bytes").cast("long").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_md5"),
     )
 
 
@@ -195,13 +230,40 @@ def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register("multimodal_resize", oracle=None)
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing for image-like payloads: mapInPandas, narrow (no
-    shuffle — resize parallelism equals scan parallelism), fixed-size
-    binary output. Rows-only check; determinism and output shape are
-    pinned by tests/test_multimodal.py."""
+def resize_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw mapInPandas resize pipeline (binary out)."""
     assets = binary_assets_df(spark, sf_dir)
     return assets.select("asset_id", "payload").mapInPandas(
         _resize, schema=_RESIZE_SCHEMA
+    )
+
+
+@register(
+    "multimodal_resize",
+    # The oracle re-derives the strided byte sampling in SQL. Valid while
+    # every payload has >= RESIZE_TARGET bytes (fixture docs are 100+
+    # chars, asserted in tests), so the \\x00 padding branch never fires
+    # and byte indexing equals char indexing (ascii corpus).
+    oracle=f"""
+    SELECT doc_id AS asset_id,
+           CAST(n_chars AS BIGINT) AS orig_bytes,
+           CAST({RESIZE_TARGET} AS BIGINT) AS resized_len,
+           md5(array_to_string(
+             list_transform(range(0, {RESIZE_TARGET}),
+               j -> substr(text, CAST(j * greatest(n_chars // {RESIZE_TARGET}, 1) + 1 AS INT), 1)),
+             '')) AS resized_md5
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize through the Pandas-UDF path (mapInPandas, narrow — resize
+    parallelism equals scan parallelism), projected to scalars (original
+    size, resized size, content md5) so the Arrow batch plumbing is
+    hash-checked against the oracle's SQL re-derivation."""
+    out = resize_df(spark, sf_dir)
+    return out.select(
+        "asset_id",
+        "orig_bytes",
+        F.octet_length("resized").cast("long").alias("resized_len"),
+        F.md5("resized").alias("resized_md5"),
     )

@@ -178,22 +178,82 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_probe", oracle=None)
+_IVF_CENT_DUCK = """cent AS (
+      SELECT label, i AS pos,
+             CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12)))
+                  AS DOUBLE) / COUNT(*) AS c
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+      GROUP BY label, i
+    ),
+    cents AS (
+      SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label
+    )"""
+
+_DOT64 = (
+    "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+
+@register(
+    "ann_ivf_probe",
+    oracle=f"""
+    WITH {_IVF_CENT_DUCK},
+    q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    assign AS (
+      SELECT query_id, qv, label, c_cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY c_cos DESC, label) AS rn
+      FROM (
+        SELECT q.query_id, q.qv, c.label,
+               {_DOT64.format(a='q.qv', b='c.centroid')}
+                 / (sqrt({_DOT64.format(a='q.qv', b='q.qv')})
+                    * sqrt({_DOT64.format(a='c.centroid', b='c.centroid')})) AS c_cos
+        FROM q, cents c
+      )
+    ),
+    probe AS (SELECT query_id, qv, label AS probe_label FROM assign WHERE rn = 1)
+    SELECT query_id, vec_id, probe_label, cosine FROM (
+      SELECT p.query_id, e.vec_id, p.probe_label,
+             {_DOT64.format(a='p.qv', b='ev')}
+               / (sqrt({_DOT64.format(a='p.qv', b='p.qv')})
+                  * sqrt({_DOT64.format(a='ev', b='ev')})) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                ORDER BY {_DOT64.format(a='p.qv', b='ev')}
+                                  / (sqrt({_DOT64.format(a='p.qv', b='p.qv')})
+                                     * sqrt({_DOT64.format(a='ev', b='ev')})) DESC,
+                                e.vec_id) AS rn
+      FROM probe p
+      JOIN (SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+            FROM embeddings) e
+        ON e.label = p.probe_label
+    ) WHERE rn <= {TOP_K}
+    """,
+)
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantizer = per-label mean vectors (the
     centroids embedding_label_centroids builds components of); each query
     probes ONLY its nearest centroid's partition, then exact cosine top-k
     within it. At 100 TB: centroids broadcast, corpus pre-partitioned by
     list id — the probe is a partition-pruned scan, not a full pass.
-    Rows-only check (the centroid argmax chain is exact but lengthy to
-    mirror in SQL; recall semantics are pinned by test_similarity)."""
+    Centroid means use decimal accumulation (order-independent), so the
+    whole probe chain is deterministic and hash-checked by the oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    # centroids: elementwise mean per label via posexplode + re-assemble
+    # centroids: elementwise mean per label via posexplode + re-assemble;
+    # decimal sum → double ÷ count matches the oracle bit-for-bit at any
+    # partitioning (double summation order would not).
     cents = (
         emb.select("label", F.posexplode(dbl).alias("pos", "x"))
         .groupBy("label", "pos")
-        .agg(F.avg("x").alias("c"))
+        .agg(
+            (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)))
+            .alias("c")
+        )
         .groupBy("label")
         .agg(
             F.transform(

@@ -207,6 +207,92 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_profile",
+    oracle=(
+        """
+    WITH fp AS (
+      SELECT doc_id,
+             CAST(SUM((i + 1) * ascii(substr(text, CAST(i + 1 AS INT), 1))) % 2147483647
+                  AS BIGINT) AS fingerprint
+      FROM (SELECT doc_id, text, unnest(range(0, n_chars)) AS i FROM documents)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE """
+        + " ".join(
+            f"WHEN {_marker_count_sql(lang)} >= greatest("
+            + ", ".join(_marker_count_sql(o) for o in LANG_MARKERS)
+            + f") THEN '{lang}'"
+            for lang in LANG_MARKERS
+        )
+        + """ ELSE 'und' END AS predicted_lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the', 'a', 'and', 'with', 'of', 'in'))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio,
+           CASE WHEN n_chars BETWEEN 100 AND 500
+                     AND len(string_split(text, ' ')) >= 20
+                THEN 1 ELSE 0 END AS quality_pass,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS word_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS number_tokens,
+           COALESCE(f.fingerprint, 0) AS fingerprint
+    FROM documents d LEFT JOIN fp f ON f.doc_id = d.doc_id
+    """
+    ),
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consolidated per-document text-scoring profile: language-ID,
+    quality gate, token counts and content fingerprint in ONE pass — the
+    shape a real pipeline runs (one scan, all scores). Everything is a
+    JVM column expression; the fingerprint is a higher-order-function
+    fold (zip_with + aggregate), so the whole profile is a pure
+    projection with ZERO shuffles — scan-speed at 100 TB.
+
+    The single-purpose variants (text_lang_id, text_quality_score,
+    text_token_count, text_fingerprint) stay registered individually;
+    this query is the one-scan composition of the four."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    counts = {lang: _marker_count_spark(lang) for lang in LANG_MARKERS}
+    best = F.greatest(*counts.values())
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(counts[lang] >= best, F.lit(lang)).otherwise(pred)
+    n_tokens = F.size(toks)
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "and", "with", "of", "in"))
+    )
+    # Positional fold instead of explode+groupBy: fingerprint as a pure
+    # projection. The sequence is sized to the split array (Spark's split
+    # emits a trailing '' whose ascii is 0, so the extra term is inert;
+    # sizing by length(text) would make zip_with null-pad). Guarded so
+    # empty docs yield 0, matching the oracle's COALESCE.
+    fingerprint = F.when(
+        F.length("text") > 0,
+        F.expr(
+            "aggregate(zip_with(split(text, '(?!^)'), "
+            "sequence(1L, bigint(size(split(text, '(?!^)')))), "
+            "(c, i) -> i * ascii(c)), "
+            "0L, (a, x) -> a + x) % 2147483647"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return docs.select(
+        "doc_id",
+        pred.alias("predicted_lang"),
+        n_tokens.cast("long").alias("n_tokens"),
+        (F.col("n_chars").cast("double") / n_tokens).alias("avg_token_len"),
+        (stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        F.when(F.col("n_chars").between(100, 500) & (n_tokens >= 20), 1)
+        .otherwise(0)
+        .alias("quality_pass"),
+        F.regexp_count("text", F.lit("[a-z]+")).cast("long").alias("word_tokens"),
+        F.regexp_count("text", F.lit("[0-9]+")).cast("long").alias("number_tokens"),
+        fingerprint.alias("fingerprint"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pandas-UDF demonstrations (Arrow-vectorized Python paths). UDFs are the
 # slow path at scale — these exist to pin the PLUMBING (Arrow batches,

@@ -9,36 +9,59 @@ from pyspark.sql import functions as F
 
 from snackfs_spark.operators.multimodal import (
     RESIZE_TARGET,
+    binary_assets_df,
+    frame_sample_df,
     multimodal_frame_sample,
     multimodal_resize,
+    resize_df,
 )
 from tests.conftest import SF_SMALL
 
 
 def test_multimodal_resize_shape(spark):
-    out = multimodal_resize(spark, SF_SMALL)
+    out = resize_df(spark, SF_SMALL)
     rows = out.collect()
     assert rows
     # fixed-size binary output for every payload
     assert all(len(r["resized"]) == RESIZE_TARGET for r in rows)
     assert all(r["orig_bytes"] > 0 for r in rows)
     # deterministic: a second run yields identical bytes
-    again = {r["asset_id"]: bytes(r["resized"]) for r in multimodal_resize(spark, SF_SMALL).collect()}
+    again = {r["asset_id"]: bytes(r["resized"]) for r in resize_df(spark, SF_SMALL).collect()}
     assert all(bytes(r["resized"]) == again[r["asset_id"]] for r in rows)
 
 
+def test_resize_oracle_preconditions(spark):
+    """The resize/frame oracles re-derive byte slicing as char slicing —
+    valid iff the corpus is ascii and every payload >= RESIZE_TARGET."""
+    assets = binary_assets_df(spark, SF_SMALL)
+    bad = assets.filter(
+        (F.octet_length("payload") != F.length(F.decode("payload", "utf-8")))
+        | (F.octet_length("payload") < RESIZE_TARGET)
+    ).count()
+    assert bad == 0
+
+
 def test_frame_sample_covers_payload(spark):
-    frames = multimodal_frame_sample(spark, SF_SMALL)
+    frames = frame_sample_df(spark, SF_SMALL)
     # reassembling every asset's frames in order gives back the payload size
     sizes = (
         frames.groupBy("asset_id")
         .agg(F.sum(F.octet_length("frame_bytes")).alias("n"))
     )
-    from snackfs_spark.operators.multimodal import binary_assets_df
-
     orig = binary_assets_df(spark, SF_SMALL).select(
         "asset_id", F.octet_length("payload").alias("n")
     )
     got = {r["asset_id"]: r["n"] for r in sizes.collect()}
     want = {r["asset_id"]: r["n"] for r in orig.collect()}
     assert got == want
+
+
+def test_registered_outputs_are_scalar(spark):
+    """Driver-facing outputs must not contain binary/array columns (the
+    rows-only canonicalizer and the value-hash both require scalars)."""
+    for q in (multimodal_frame_sample, multimodal_resize):
+        for f in q(spark, SF_SMALL).schema.fields:
+            assert f.dataType.typeName() in {"long", "string", "integer", "double"}, (
+                q.__name__,
+                f,
+            )

@@ -106,3 +106,42 @@ def test_split_assign_no_shuffle(spark):
     df = REG["split_assign_hash"].fn(spark, SF_ORACLE)
     plan = formatted_plan(df)
     assert "Exchange" not in plan, plan
+
+
+def test_topk_windows_use_group_limit(spark):
+    """rank<=k windows must plan a partial WindowGroupLimit before the
+    final per-key window: each partition keeps only its local top-k, so
+    the window shuffle moves O(k * partitions) rows, not the full scored
+    set — the property that keeps a 5-query ANN scan viable against a
+    100 TB corpus."""
+    for name in ("ann_bruteforce_topk", "win_topk_orders_per_customer"):
+        plan = formatted_plan(REG[name].fn(spark, SF_ORACLE))
+        assert "WindowGroupLimit" in plan, (name, plan)
+
+
+def test_jaccard_verifier_has_no_forced_broadcast(spark):
+    """The Jaccard pair joins must NOT hint broadcast: the shingle-set
+    sides are corpus-proportional at scale (VERDICT r1). The only
+    allowed hint is the candidate-doc-id semi-join (ids only, bounded).
+    AQE may still CHOOSE broadcast at runtime when a side is small —
+    that's fine; forcing it is not."""
+    df = REG["dedup_ngram_jaccard"].fn(spark, SF_ORACLE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    hints = [l for l in analyzed.splitlines() if "ResolvedHint" in l]
+    # The only broadcast hint is the candidate-doc-ID semi-join inside
+    # `sets`, which appears twice in the tree (once under each pair-join
+    # side). The pair joins themselves and the band join stay unhinted /
+    # shuffle_hash. 3+ broadcasts would mean a forced shingle-set
+    # broadcast crept back in.
+    broadcast_hints = [l for l in hints if "broadcast" in l.lower()]
+    assert len(broadcast_hints) <= 2, analyzed
+
+
+def test_cluster_canonical_no_forced_broadcast(spark):
+    df = REG["dedup_cluster_canonical"].fn(spark, SF_ORACLE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed.splitlines()[0], analyzed
+    final_join_hints = [
+        l for l in analyzed.splitlines()[:10] if "broadcast" in l.lower()
+    ]
+    assert not final_join_hints, analyzed

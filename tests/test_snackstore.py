@@ -90,3 +90,94 @@ def test_unsupported_filter_still_correct(spark, store):
     df = _read(spark).filter((F.col("sub_offset") >= 64) & (F.col("path") == "/kv/b.txt"))
     rows = df.collect()
     assert rows and all(r["sub_offset"] >= 64 and r["path"] == "/kv/b.txt" for r in rows)
+
+
+def test_multi_fragment_paths_merge_additively(spark, store):
+    """A path whose chunks span several write tasks (repartitioned input)
+    must read back complete: inode fragments merge additively, never
+    replace (ADVICE r1: dict.update dropped all but the last fragment)."""
+    root = VAR / "frag_store"
+    rows = [("/frag/x.txt", "x" * 300)]
+    df = spark.createDataFrame(rows, "path string, text string")
+    chunks = writer.chunk_text(df).select("path", "sub_offset", "length", "payload")
+    # 5 chunks scattered over 4 tasks -> several inode fragments for ONE path
+    scattered = chunks.repartition(4)
+    (
+        scattered.write.format("snackstore")
+        .option("store_dir", str(root))
+        .option("buckets", 2)
+        .mode("append")
+        .save()
+    )
+    got = (
+        spark.read.format("snackstore")
+        .option("store_dir", str(root))
+        .load()
+        .sort("sub_offset")
+        .collect()
+    )
+    assert "".join(r["payload"] for r in got) == "x" * 300
+
+
+def test_overwrite_clears_previous_store(spark, store):
+    root = VAR / "ow_store"
+    def write(text, mode):
+        df = spark.createDataFrame([("/ow/a.txt", text)], "path string, text string")
+        chunks = writer.chunk_text(df).select("path", "sub_offset", "length", "payload")
+        (
+            chunks.write.format("snackstore")
+            .option("store_dir", str(root))
+            .option("buckets", 2)
+            .mode(mode)
+            .save()
+        )
+    write("old " * 100, "append")
+    write("new", "overwrite")
+    got = (
+        spark.read.format("snackstore").option("store_dir", str(root)).load().collect()
+    )
+    assert [r["payload"] for r in got] == ["new"]
+
+
+def test_preferred_locations_surface_ring_hosts(spark, store):
+    """Each bucket partition carries its RF=3 replica hosts from the
+    token ring — the preferredLocations feed of ThriftStore.scala:543-605
+    / SnackFS.scala:135-149."""
+    root = VAR / "loc_store"
+    df = spark.createDataFrame([("/loc/a.txt", "abc")], "path string, text string")
+    chunks = writer.chunk_text(df).select("path", "sub_offset", "length", "payload")
+    hosts = [f"node{i}" for i in range(5)]
+    (
+        chunks.write.format("snackstore")
+        .option("store_dir", str(root))
+        .option("buckets", 4)
+        .option("hosts", ",".join(hosts))
+        .mode("append")
+        .save()
+    )
+    reader = snackstore.SnackStoreReader(None, {"store_dir": str(root)})
+    locs = reader.preferred_locations()
+    assert set(locs) == {0, 1, 2, 3}
+    for bucket, replicas in locs.items():
+        assert len(replicas) == 3 and len(set(replicas)) == 3
+        assert set(replicas) <= set(hosts)
+        # deterministic: replica walk is a pure function of the ring
+        assert replicas == snackstore.bucket_replicas(bucket, 4, hosts)
+    # replica sets rotate around the ring, not all identical
+    assert len({r for rs in locs.values() for r in rs}) > 3
+
+
+def test_limit_pushdown_caps_partition_rows(spark, store):
+    """SupportsPushDownLimit analog: limit=N stops each bucket's reader
+    after N rows (the reference's hard listing cap, ThriftStore.scala:509
+    — pushed into the scan, not applied after it)."""
+    df = (
+        spark.read.format("snackstore")
+        .option("store_dir", str(VAR / "store"))
+        .option("limit", "1")
+        .load()
+    )
+    import pandas as pd  # noqa: F401
+    per_part = df.rdd.glom().map(len).collect()
+    assert all(n <= 1 for n in per_part)
+    assert df.count() <= 8
