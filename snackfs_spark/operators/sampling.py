@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from snackfs_spark.operators.dedup import SHINGLES_CTE, shingles_df
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import load_table
 
@@ -98,6 +99,64 @@ def split_summary_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("toks").cast("long").alias("ws_tokens"),
             F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+_EVAL_BUCKET = _BUCKET_SQL.replace("doc_id", "s.doc_id")
+
+
+@register(
+    "split_contamination_check",
+    oracle=f"""
+    WITH {SHINGLES_CTE},
+    marked AS (
+      SELECT s.doc_id, s.shingle, {_EVAL_BUCKET} AS bucket FROM shingles s
+    ),
+    train_sh AS (SELECT DISTINCT shingle FROM marked WHERE bucket < {TRAIN_PCT}),
+    ev AS (SELECT doc_id, shingle FROM marked WHERE bucket >= {TRAIN_PCT}),
+    tot AS (SELECT doc_id, COUNT(*) AS n FROM ev GROUP BY doc_id),
+    hit AS (
+      SELECT e.doc_id, COUNT(*) AS h
+      FROM ev e JOIN train_sh t ON t.shingle = e.shingle
+      GROUP BY e.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.h, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(h.h, 0) AS DOUBLE) / t.n AS overlap_ratio,
+           CASE WHEN CAST(COALESCE(h.h, 0) AS DOUBLE) / t.n >= 0.5
+                THEN 1 ELSE 0 END AS contaminated
+    FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+    """,
+)
+def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: for every val/test document, the
+    fraction of its word-3-gram shingles that also appear anywhere in the
+    train split — the standard benchmark-leakage check run before any
+    evaluation. At 100 TB the train shingle set is corpus-proportional,
+    so the membership probe is a shuffled equi-join on the shingle key
+    (never a broadcast); the distinct collapses map-side, and eval-side
+    volume is only the held-out 20%."""
+    sh = shingles_df(spark, sf_dir, distinct=True)
+    b = _bucket(F.col("doc_id"))
+    train_sh = sh.filter(b < TRAIN_PCT).select("shingle").distinct()
+    ev = sh.filter(b >= TRAIN_PCT)
+    tot = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hit = (
+        ev.join(train_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    ratio = F.coalesce("n_overlap", F.lit(0)).cast("double") / F.col("n_shingles")
+    return (
+        tot.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            ratio.alias("overlap_ratio"),
+            F.when(ratio >= 0.5, 1).otherwise(0).alias("contaminated"),
         )
     )
 

@@ -208,6 +208,64 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    oracle="""
+    SELECT doc_id, n_tokens, n_distinct_tokens,
+           CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS distinct_token_ratio,
+           n_shingles, n_distinct_shingles,
+           CASE WHEN n_shingles > 0
+                THEN 1.0 - CAST(n_distinct_shingles AS DOUBLE) / n_shingles
+                ELSE 0.0 END AS dup_shingle_ratio
+    FROM (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_distinct_tokens,
+             CAST(greatest(len(string_split(text, ' ')) - 2, 0) AS BIGINT)
+               AS n_shingles,
+             CAST(len(list_distinct(list_transform(
+                    range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+                    i -> array_to_string(
+                           list_slice(string_split(text, ' '), i + 1, i + 3), ' '))))
+                  AS BIGINT) AS n_distinct_shingles
+      FROM documents
+    )
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family):
+    distinct-token ratio and duplicate-3-gram fraction per document.
+    Highly repetitive documents (boilerplate, keyword stuffing, decoding
+    loops) score high dup_shingle_ratio and get filtered before
+    training. Everything — including the shingle construction — is a
+    higher-order-function projection: zero shuffles, scan-speed at
+    100 TB (contrast with dedup.shingles_df, which explodes because its
+    consumers aggregate ACROSS documents; here the stats stay per-doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    sh_arr = (
+        f"CASE WHEN size({toks}) >= 3 THEN transform(sequence(0, size({toks}) - 3), "
+        f"i -> array_join(slice({toks}, i + 1, 3), ' ')) "
+        "ELSE array() END"
+    )
+    n_tokens = F.expr(f"size({toks})").cast("long")
+    n_distinct = F.expr(f"size(array_distinct({toks}))").cast("long")
+    n_sh = F.expr(f"greatest(size({toks}) - 2, 0)").cast("long")
+    n_dsh = F.expr(f"size(array_distinct({sh_arr}))").cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        (n_distinct.cast("double") / n_tokens).alias("distinct_token_ratio"),
+        n_sh.alias("n_shingles"),
+        n_dsh.alias("n_distinct_shingles"),
+        F.when(n_sh > 0, F.lit(1.0) - n_dsh.cast("double") / n_sh)
+        .otherwise(F.lit(0.0))
+        .alias("dup_shingle_ratio"),
+    )
+
+
+@register(
     "text_profile",
     oracle=(
         """

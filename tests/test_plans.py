@@ -137,6 +137,37 @@ def test_jaccard_verifier_has_no_forced_broadcast(spark):
     assert len(broadcast_hints) <= 2, analyzed
 
 
+def test_bucketed_join_eliminates_shuffle(spark):
+    """Fact-fact join over tables bucketed by the join key must run with
+    ZERO shuffle exchanges on the join itself (only the final small
+    group-agg exchanges). Broadcast is disabled to simulate two sides too
+    big to broadcast — the 100 TB case bucketing exists for."""
+    from snackfs_spark.sources import bucketed
+
+    bucketed.build_bucketed_facts(spark, SF_ORACLE)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed.colocated_join(spark)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan, plan
+    assert "Bucketed: true" in plan, plan
+    # the join consumes bucketed scans directly: every exchange in the
+    # plan is the post-join aggregate on o_orderpriority — none on the
+    # join keys (the AQE plan string repeats the tree, so count kinds,
+    # not lines)
+    exchanges = {
+        l.strip() for l in plan.splitlines()
+        if "Exchange" in l and "ReusedExchange" not in l
+    }
+    assert exchanges and all("o_orderpriority" in l for l in exchanges), plan
+
+
 def test_cluster_canonical_no_forced_broadcast(spark):
     df = REG["dedup_cluster_canonical"].fn(spark, SF_ORACLE)
     analyzed = df._jdf.queryExecution().analyzed().toString()
