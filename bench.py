@@ -43,6 +43,11 @@ HEADLINE = [
     "text_quality_score",
     "text_vocab_topk",
     "split_summary_tokens",
+    # round 2 additions
+    "text_profile",
+    "text_repetition",
+    "split_contamination_check",
+    "multimodal_frame_sample",
 ]
 
 

@@ -241,18 +241,21 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order-function projection: zero shuffles, scan-speed at
     100 TB (contrast with dedup.shingles_df, which explodes because its
     consumers aggregate ACROSS documents; here the stats stay per-doc)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = "split(text, ' ')"
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    # Stage the token array once: each downstream stat references the
+    # materialized `toks` column instead of re-splitting text per
+    # expression (codegen does not CSE across higher-order functions).
+    staged = docs.select("doc_id", F.split("text", " ").alias("toks"))
     sh_arr = (
-        f"CASE WHEN size({toks}) >= 3 THEN transform(sequence(0, size({toks}) - 3), "
-        f"i -> array_join(slice({toks}, i + 1, 3), ' ')) "
+        "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3), "
+        "i -> array_join(slice(toks, i + 1, 3), ' ')) "
         "ELSE array() END"
     )
-    n_tokens = F.expr(f"size({toks})").cast("long")
-    n_distinct = F.expr(f"size(array_distinct({toks}))").cast("long")
-    n_sh = F.expr(f"greatest(size({toks}) - 2, 0)").cast("long")
+    n_tokens = F.expr("size(toks)").cast("long")
+    n_distinct = F.expr("size(array_distinct(toks))").cast("long")
+    n_sh = F.expr("greatest(size(toks) - 2, 0)").cast("long")
     n_dsh = F.expr(f"size(array_distinct({sh_arr}))").cast("long")
-    return docs.select(
+    return staged.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_distinct.alias("n_distinct_tokens"),
@@ -311,7 +314,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     The single-purpose variants (text_lang_id, text_quality_score,
     text_token_count, text_fingerprint) stay registered individually;
     this query is the one-scan composition of the four."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split(F.col("text"), " ")
     counts = {lang: _marker_count_spark(lang) for lang in LANG_MARKERS}
     best = F.greatest(*counts.values())

@@ -173,6 +173,42 @@ def streaming_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.withColumn("p_ts", ts_str("p_ts")).withColumn("e_ts", ts_str("e_ts"))
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents table (landing-directory shape)."""
+    return (
+        spark.readStream.schema(
+            "doc_id bigint, source string, lang string, n_chars bigint, text string"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+@register(
+    "streaming_dedup_ingest",
+    oracle="SELECT DISTINCT md5(text) AS content_hash FROM documents",
+)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight exact dedup at ingest time: documents stream in, each
+    batch's content hashes are checked against the accumulated state and
+    only first-seen content passes — the streaming form of
+    dedup_incremental (the daily-ingest pipeline collapsed to per-batch
+    latency). Output is the distinct hash set (the kept-row choice
+    within a batch is engine-internal, the key set is deterministic and
+    equals the batch DISTINCT — the oracle).
+
+    State is keyed by content hash. At 100 TB the state store is bounded
+    with `dropDuplicatesWithinWatermark` over the ingest timestamp
+    (documents here carry no event time, so the demo uses the unbounded
+    form); the state backend shards by key hash, so dedup throughput
+    scales with executors."""
+    docs = stream_documents(spark, sf_dir)
+    hashes = docs.select(F.md5("text").alias("content_hash")).dropDuplicates(
+        ["content_hash"]
+    )
+    return run_stream_to_df(spark, hashes, mode="append")
+
+
 def stream_ingest_documents(
     spark: SparkSession, src_dir: str, out_dir: str, glob: str = "*.parquet"
 ) -> None:
