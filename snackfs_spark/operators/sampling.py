@@ -137,8 +137,14 @@ def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluation. At 100 TB the train shingle set is corpus-proportional,
     so the membership probe is a shuffled equi-join on the shingle key
     (never a broadcast); the distinct collapses map-side, and eval-side
-    volume is only the held-out 20%."""
-    sh = shingles_df(spark, sf_dir, distinct=True)
+    volume is only the held-out 20%.
+
+    The shingle relation feeds three consumers (train set, eval totals,
+    eval hits), so it is materialized once — locally a checkpoint; in a
+    real pipeline the shingle/signature table is persisted storage that
+    dedup, decontamination and clustering all read (computed once per
+    corpus, not once per query)."""
+    sh = shingles_df(spark, sf_dir, distinct=True).localCheckpoint(eager=True)
     b = _bucket(F.col("doc_id"))
     train_sh = sh.filter(b < TRAIN_PCT).select("shingle").distinct()
     ev = sh.filter(b >= TRAIN_PCT)
