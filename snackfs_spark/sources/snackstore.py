@@ -32,6 +32,13 @@ Layout mirrors the reference's storage schema (ThriftStore.scala:228-241):
   the final global limit), and an always-on `listing_cap` (default
   100000) mirrors the reference's hard listing cap pushed into the
   indexed-slice query (ThriftStore.scala:509).
+- **Column pruning** (SupportsPushDownRequiredColumns analog, SURVEY §4:
+  the reference fetches ONLY the path column in listings,
+  ThriftStore.scala:506): the Python Data Source API has no
+  required-columns hook yet, so a `columns` read option names the
+  needed fields; when `payload` is absent the reader never opens a blob
+  (lengths come from a stat call) — metadata listings over the store do
+  zero content IO.
 - **Writes**: each task writes blobs + a task-unique inode fragment into
   its buckets (no commit coordination needed — filenames are unique, the
   reader unions fragments), mirroring the reference's per-sub-block
@@ -113,6 +120,12 @@ class SnackStoreReader(DataSourceReader):
         # listing cap is always on, mirroring the reference's 100k bound.
         limit = options.get("limit")
         self.limit = min(int(limit), LISTING_CAP) if limit is not None else LISTING_CAP
+        # SupportsPushDownRequiredColumns analog: a metadata-only read
+        # ('payload' not requested) never opens blobs.
+        cols = options.get("columns")
+        self.want_payload = cols is None or "payload" in {
+            c.strip() for c in cols.split(",")
+        }
 
     def pushFilters(self, filters: list[Filter]):
         for f in filters:
@@ -146,26 +159,39 @@ class SnackStoreReader(DataSourceReader):
         # several write tasks (repartitioned input, append jobs), so each
         # fragment contributes offsets; dict.update would silently drop
         # all but the last fragment's list.
-        offsets: dict[str, set[int]] = {}
+        chunks: dict[str, dict[int, int | None]] = {}
         for fn in sorted(os.listdir(bdir)):
             if fn.startswith("inodes-"):
                 with open(os.path.join(bdir, fn)) as f:
                     for path, meta in json.load(f).items():
-                        offsets.setdefault(path, set()).update(meta["offsets"])
+                        ent = chunks.setdefault(path, {})
+                        for off, length in meta.get("chunks", []):
+                            ent[off] = length
+                        for off in meta.get("offsets", []):  # pre-r2 stores
+                            ent.setdefault(off, None)
         emitted = 0
-        for path in sorted(offsets):
+        for path in sorted(chunks):
             if self.eq_path is not None and path != self.eq_path:
                 continue
             if self.prefix is not None and not path.startswith(self.prefix):
                 continue
             ph = _path_hash(path)
-            for off in sorted(offsets[path]):
+            for off in sorted(chunks[path]):
                 if emitted >= self.limit:
                     return
                 blob = os.path.join(bdir, f"sblock-{ph}-{off}.bin")
-                with open(blob, "rb") as f:
-                    payload = f.read().decode("utf-8")
-                yield (path, off, len(payload), payload)
+                if self.want_payload:
+                    with open(blob, "rb") as f:
+                        payload = f.read().decode("utf-8")
+                    yield (path, off, len(payload), payload)
+                else:
+                    # metadata-only: the length comes from the inode
+                    # record; pre-r2 stores lack it, fall back to a stat
+                    # (== char length only for ascii payloads)
+                    length = chunks[path][off]
+                    if length is None:
+                        length = os.path.getsize(blob)
+                    yield (path, off, length, None)
                 emitted += 1
 
 
@@ -200,8 +226,10 @@ class SnackStoreWriter(DataSourceWriter):
             ph = _path_hash(path)
             with open(os.path.join(bdir, f"sblock-{ph}-{off}.bin"), "wb") as f:
                 f.write(payload.encode("utf-8"))
-            ent = inodes.setdefault(b, {}).setdefault(path, {"offsets": []})
-            ent["offsets"].append(off)
+            ent = inodes.setdefault(b, {}).setdefault(path, {"chunks": []})
+            # (offset, char length) in the inode record, so metadata-only
+            # reads never touch blobs (the reference's listing pattern)
+            ent["chunks"].append([off, len(payload)])
         for b, m in inodes.items():
             with open(
                 os.path.join(self.root, f"bucket={b}", f"inodes-{task}.json"), "w"

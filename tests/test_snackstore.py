@@ -167,6 +167,44 @@ def test_preferred_locations_surface_ring_hosts(spark, store):
     assert len({r for rs in locs.values() for r in rs}) > 3
 
 
+def test_metadata_only_read_skips_blob_io(spark, store):
+    """Column-pruning analog (reference fetches only the path column in
+    listings, ThriftStore.scala:506): with 'payload' excluded via the
+    columns option, the reader must not open a single blob. Proven by
+    deleting every blob — the metadata listing still works while a full
+    read would fail."""
+    import shutil as _sh
+
+    root = VAR / "meta_store"
+    rows = [("/m/a.txt", "alpha " * 40), ("/m/b.txt", "bravo " * 20)]
+    df = spark.createDataFrame(rows, "path string, text string")
+    chunks = writer.chunk_text(df).select("path", "sub_offset", "length", "payload")
+    (
+        chunks.write.format("snackstore")
+        .option("store_dir", str(root))
+        .option("buckets", 2)
+        .mode("append")
+        .save()
+    )
+    expected = {
+        (r["path"], r["sub_offset"], r["length"]) for r in chunks.collect()
+    }
+    # delete all blobs; inode fragments remain
+    for bucket in root.glob("bucket=*"):
+        for blob in bucket.glob("sblock-*"):
+            blob.unlink()
+    meta = (
+        spark.read.format("snackstore")
+        .option("store_dir", str(root))
+        .option("columns", "path,sub_offset,length")
+        .load()
+        .collect()
+    )
+    assert {(r["path"], r["sub_offset"], r["length"]) for r in meta} == expected
+    assert all(r["payload"] is None for r in meta)
+    _sh.rmtree(root)
+
+
 def test_limit_pushdown_caps_partition_rows(spark, store):
     """SupportsPushDownLimit analog: limit=N stops each bucket's reader
     after N rows (the reference's hard listing cap, ThriftStore.scala:509
