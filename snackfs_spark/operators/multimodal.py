@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from snackfs_spark.registry import register
-from snackfs_spark.sources.tables import load_table
+from snackfs_spark.sources.tables import fan_out, load_table
 
 _DOC_PATH_SQL = "'/data/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt'"
 
@@ -101,7 +101,9 @@ def _decode_and_featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 def decode_features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInPandas decode pipeline: per-partition Arrow batches, no
     shuffle — decode parallelism equals scan parallelism."""
-    assets = binary_assets_df(spark, sf_dir)
+    # fan_out: decode parallelism must match cores even when the source
+    # is one unsplittable file; at real scale (multi-file) it's a no-op.
+    assets = fan_out(binary_assets_df(spark, sf_dir), spark)
     return assets.select("asset_id", "payload").mapInPandas(
         _decode_and_featurize, schema=_FEATURE_SCHEMA
     )
@@ -139,7 +141,7 @@ def frame_sample_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload into fixed-stride 'frames' (explode over computed offsets) —
     (asset_id, frame_idx, frame_bytes). The real decoder is the stub
     above; the partitioning/explode shape is what matters at scale."""
-    assets = binary_assets_df(spark, sf_dir)
+    assets = fan_out(binary_assets_df(spark, sf_dir), spark)
     return (
         assets.select(
             "asset_id",
@@ -232,7 +234,7 @@ def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def resize_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw mapInPandas resize pipeline (binary out)."""
-    assets = binary_assets_df(spark, sf_dir)
+    assets = fan_out(binary_assets_df(spark, sf_dir), spark)
     return assets.select("asset_id", "payload").mapInPandas(
         _resize, schema=_RESIZE_SCHEMA
     )
