@@ -16,7 +16,7 @@ minhash pipeline in `dedup.py`.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snackfs_spark.operators.dedup import SHINGLES_CTE, shingles_df
@@ -100,6 +100,96 @@ def split_summary_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("toks").cast("long").alias("ws_tokens"),
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
+    )
+
+
+PACK_SHARDS = 16      # hash shards packed independently (scale-out unit)
+PACK_BUDGET = 2048    # tokens per training chunk
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    SELECT doc_id, shard, n_tokens,
+           CAST(COALESCE(prev, 0) AS BIGINT) AS tok_offset,
+           CAST(COALESCE(prev, 0) // {PACK_BUDGET} AS BIGINT) AS start_chunk,
+           CAST(COALESCE(prev, 0) % {PACK_BUDGET} AS BIGINT) AS offset_in_chunk
+    FROM (
+      SELECT doc_id,
+             CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             SUM(len(string_split(text, ' ')))
+               OVER (PARTITION BY doc_id % {PACK_SHARDS} ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+      FROM documents
+    )
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing layout: concatenate documents in a
+    deterministic order and cut every PACK_BUDGET tokens — each doc gets
+    its token offset, the chunk its first token lands in, and the offset
+    within that chunk (docs may straddle chunk boundaries, as in
+    standard pretraining packing).
+
+    A single global running sum would serialize on one partition, so
+    packing runs per hash shard (doc_id % {PACK_SHARDS}): shards pack
+    independently and in parallel — the unit a 1000-executor run scales
+    over — and the layout stays deterministic and reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (F.col("doc_id") % PACK_SHARDS).cast("long")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = docs.select(
+        "doc_id", shard.alias("shard"), n_tokens.alias("n_tokens")
+    ).withColumn("tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return staged.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "tok_offset",
+        (F.col("tok_offset") / PACK_BUDGET).cast("long").alias("start_chunk"),
+        (F.col("tok_offset") % PACK_BUDGET).alias("offset_in_chunk"),
+    )
+
+
+# Below the 25 docs/source of the smallest fixture so the quota actually
+# binds (a non-binding quota would make the query trivially pass).
+STRATUM_QUOTA = 15
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents
+    ) WHERE rk <= {STRATUM_QUOTA}
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: at most STRATUM_QUOTA docs per
+    source, chosen by hash rank — the source-balancing step of a corpus
+    mixture. Unlike df.sample(), the pick is reproducible, partition-
+    independent, and stable under re-ingest (a new doc displaces at most
+    one hash-adjacent pick in its own stratum). Per-stratum top-k plans
+    WindowGroupLimit: each partition keeps k candidates, so the window
+    shuffle moves O(k x strata), not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRATUM_QUOTA)
     )
 
 
