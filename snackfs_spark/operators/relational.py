@@ -821,11 +821,12 @@ def setops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_nation_volume",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           CAST(SUM(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           CAST(SUM(volume) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l.l_shipdate) AS l_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
       FROM supplier s
       JOIN lineitem l ON s.s_suppkey = l.l_suppkey
       JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -842,9 +843,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipping volume between a nation pair by year —
     a 6-table join with a disjunctive cross-nation predicate. Both
     nation joins broadcast; only the lineitem⋈orders edge shuffles.
-    NOTE: volume sums decimal(18,2)-rounded doubles (the per-row product
-    is rounded before accumulation on BOTH sides) so the group sums are
-    order-independent."""
+    NOTE: each FACTOR is cast to decimal before the product (the q10/q1
+    pattern) — rounding the double product instead hits half-way ties
+    whose half-up vs binary rounding differs between engines (surfaced
+    by the sf0.1 sweep; sf0.01 had no tie rows)."""
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -863,7 +865,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
         )
     )
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,2)")
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
     return (
         j.select("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"), vol.alias("v"))
         .groupBy("supp_nation", "cust_nation", "l_year")
