@@ -269,6 +269,51 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_diversity",
+    oracle="""
+    WITH tc AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(COUNT(*) AS DOUBLE) / SUM(cnt) AS type_token_ratio,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS sum_cnt2,
+           1.0 - CAST(SUM(cnt * cnt) AS DOUBLE) / (SUM(cnt) * SUM(cnt))
+             AS simpson_diversity
+    FROM tc GROUP BY doc_id
+    """,
+)
+def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals: type-token ratio and Simpson
+    diversity (1 - Σp²) per document — the entropy-family gibberish /
+    template detector, formulated WITHOUT logs so the score is exact
+    rational arithmetic (Σcnt² is an integer; one double division at the
+    end) and hash-identical across engines and partitionings. Two
+    map-combinable aggregations: (doc, token) counts collapse map-side,
+    then a per-doc rollup — no sort, no window, scan-bound at 100 TB."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    tc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = F.sum("cnt")
+    return tc.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        (F.count(F.lit(1)).cast("double") / n).alias("type_token_ratio"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sum_cnt2"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("cnt") * F.col("cnt")).cast("double") / (n * n)
+        ).alias("simpson_diversity"),
+    )
+
+
+@register(
     "text_profile",
     oracle=(
         """
