@@ -161,6 +161,65 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # binds (a non-binding quota would make the query trivially pass).
 STRATUM_QUOTA = 15
 
+# Domain-mixture weights: per-source keep probabilities (percent). The
+# DoReMi/Pile-style corpus recipe — up/down-weight domains at ingest.
+# Sources not listed keep the default rate.
+MIX_RATES = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}
+MIX_DEFAULT = 60
+
+
+def _mix_rate_sql(col: str) -> str:
+    cases = " ".join(
+        f"WHEN {col} = '{s}' THEN {r}" for s, r in MIX_RATES.items()
+    )
+    return f"CASE {cases} ELSE {MIX_DEFAULT} END"
+
+
+# Salted bucket for the mixture decision: MUST be independent of the
+# split bucket, or sampled-out docs would correlate with the val/test
+# split (a classic pipeline bug).
+_MIX_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    " % 100 AS INT)"
+)
+
+
+def _mix_bucket(doc_id: Column) -> Column:
+    h = F.substring(F.md5(F.concat(F.lit("mix|"), doc_id.cast("string"))), 1, 15)
+    return (F.conv(h, 16, 10).cast("long") % 100).cast("int")
+
+
+@register(
+    "mixture_sample",
+    oracle=f"""
+    SELECT doc_id, source, bucket, rate FROM (
+      SELECT doc_id, source,
+             {_MIX_BUCKET_SQL} AS bucket,
+             {_mix_rate_sql('source')} AS rate
+      FROM documents
+    ) WHERE bucket < rate
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: keep each document with its source's
+    configured probability (the corpus-recipe step that up/down-weights
+    domains before training). The keep decision is a salted hash-mod
+    bucket — deterministic and reproducible, independent of the
+    train/val/test bucket (an unsalted reuse would correlate sampling
+    with the split), and monotone across rate sweeps: a doc kept at
+    rate r stays kept for every rate >= r (nested subsets, the property
+    mixture-weight searches need). Pure projection: zero shuffles at
+    any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(MIX_DEFAULT)
+    for s, r in reversed(list(MIX_RATES.items())):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    b = _mix_bucket(F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source", b.alias("bucket"), rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate"))
+    )
+
 
 @register(
     "stratified_sample",
