@@ -262,6 +262,41 @@ class SnackStoreDataSource(DataSource):
         return SnackStoreWriter(self.options, overwrite=overwrite)
 
 
+def vacuum_store(root: str) -> dict[str, int]:
+    """Garbage-collect orphan blobs: a write task that died after writing
+    sblock files but before its inode fragment leaves unreferenced blobs
+    on disk (the commit protocol makes them invisible to readers, but
+    they consume space). Walk each bucket, collect every (path-hash,
+    offset) the inode records reference, delete the rest — the connector
+    analog of Cassandra's compaction/GC of dead sblock columns
+    (reference thresholds: ThriftStore.scala:229-234).
+
+    Safe to run concurrently with readers (referenced blobs are never
+    touched); run it after failed jobs or on a schedule."""
+    removed = kept = 0
+    for fn in os.listdir(root):
+        if not fn.startswith("bucket="):
+            continue
+        bdir = os.path.join(root, fn)
+        referenced: set[str] = set()
+        for f in os.listdir(bdir):
+            if f.startswith("inodes-"):
+                with open(os.path.join(bdir, f)) as fh:
+                    for path, meta in json.load(fh).items():
+                        ph = _path_hash(path)
+                        offs = [c[0] for c in meta.get("chunks", [])]
+                        offs += list(meta.get("offsets", []))
+                        referenced.update(f"sblock-{ph}-{o}.bin" for o in offs)
+        for f in os.listdir(bdir):
+            if f.startswith("sblock-"):
+                if f in referenced:
+                    kept += 1
+                else:
+                    os.unlink(os.path.join(bdir, f))
+                    removed += 1
+    return {"removed": removed, "kept": kept}
+
+
 def register(spark) -> None:
     # pushFilters requires the runtime flag; set it here so the connector
     # works on any session handed to us (it is a plain SQL conf)

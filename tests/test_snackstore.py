@@ -205,6 +205,41 @@ def test_metadata_only_read_skips_blob_io(spark, store):
     _sh.rmtree(root)
 
 
+def test_vacuum_removes_only_orphan_blobs(spark, store):
+    """A write task that dies after writing blobs but before its inode
+    fragment leaves orphans; vacuum_store deletes exactly those and the
+    store reads back byte-identical."""
+    root = VAR / "vac_store"
+    df = spark.createDataFrame(
+        [("/v/a.txt", "alpha " * 30), ("/v/b.txt", "beta " * 50)],
+        "path string, text string",
+    )
+    chunks = writer.chunk_text(df).select("path", "sub_offset", "length", "payload")
+    (
+        chunks.write.format("snackstore")
+        .option("store_dir", str(root))
+        .option("buckets", 2)
+        .mode("append")
+        .save()
+    )
+    before = {
+        (r["path"], r["sub_offset"], r["payload"])
+        for r in spark.read.format("snackstore").option("store_dir", str(root)).load().collect()
+    }
+    # simulate an aborted task: orphan blobs with no inode fragment
+    for b in (0, 1):
+        bdir = root / f"bucket={b}"
+        bdir.mkdir(exist_ok=True)
+        (bdir / "sblock-deadbeefdeadbeef-0.bin").write_bytes(b"orphan")
+    stats = snackstore.vacuum_store(str(root))
+    assert stats["removed"] == 2 and stats["kept"] == len(before)
+    after = {
+        (r["path"], r["sub_offset"], r["payload"])
+        for r in spark.read.format("snackstore").option("store_dir", str(root)).load().collect()
+    }
+    assert after == before
+
+
 def test_limit_pushdown_caps_partition_rows(spark, store):
     """SupportsPushDownLimit analog: limit=N stops each bucket's reader
     after N rows (the reference's hard listing cap, ThriftStore.scala:509
