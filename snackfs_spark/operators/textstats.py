@@ -185,6 +185,51 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_pair_counts",
+    oracle="""
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (
+      SELECT substr(word, i + 1, 2) AS pair
+      FROM (
+        SELECT word, unnest(range(0, greatest(len(word) - 1, 0))) AS i
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE len(word) >= 2
+      )
+    )
+    GROUP BY pair
+    ORDER BY freq DESC, pair
+    LIMIT 100
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE tokenizer training: corpus-wide frequencies
+    of adjacent symbol pairs (here: character bigrams within words) —
+    each merge round of BPE picks the top pair, re-segments, recounts.
+    Pair cardinality is alphabet², so the groupBy collapses map-side and
+    the cut is per-partition heaps (TakeOrderedAndProject); the explode
+    runs at scan parallelism. Tie-break on pair keeps the top-100 cut
+    deterministic."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(word) - 2), "
+                "i -> substring(word, i + 1, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("pair"))
+        .limit(100)
+    )
+
+
+@register(
     "text_redact",
     oracle="""
     SELECT doc_id,
