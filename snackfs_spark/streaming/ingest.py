@@ -111,7 +111,8 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only check: session_window start timestamps are plan-internal
     (merge order) but the row set is deterministic for a drained stream."""
-    return run_stream_to_df(spark, session_window_stream(spark, sf_dir))
+    out = run_stream_to_df(spark, session_window_stream(spark, sf_dir))
+    return out.withColumn("session_start", ts_str("session_start"))
 
 
 def purchase_error_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
