@@ -140,3 +140,40 @@ def fs_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("text")
     )
+
+
+LS_LIMIT = 5  # pushed-down listing limit for fs_ls_limited
+
+
+@register(
+    "fs_ls_limited",
+    oracle=fs_sql(
+        "SELECT path, sub_offset, length FROM content "
+        f"ORDER BY path, sub_offset LIMIT {LS_LIMIT}",
+        "content",
+    ),
+)
+def fs_ls_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Limited metadata listing through the connector's pushed-down limit
+    (SupportsPushDownLimit analog; the reference pushes its listing bound
+    into the indexed-slice query, ThriftStore.scala:509). The
+    `limit` read option stops EACH bucket's reader after N rows — the
+    per-bucket emission order is (path, sub_offset)-sorted, so each
+    bucket's first N is a superset of the global first N under the same
+    order, and the final orderBy+limit is exact. `columns` excludes
+    payload, so the listing does zero blob IO on top of early exit."""
+    from snackfs_spark.sources.snackstore import store_for
+
+    root = store_for(spark, sf_dir)
+    meta = (
+        spark.read.format("snackstore")
+        .option("store_dir", root)
+        .option("columns", "path,sub_offset,length")
+        .option("limit", str(LS_LIMIT))
+        .load()
+    )
+    return (
+        meta.select("path", "sub_offset", "length")
+        .orderBy("path", "sub_offset")
+        .limit(LS_LIMIT)
+    )

@@ -236,8 +236,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the (tiny) candidate set once: it feeds BOTH the
     # semi-join that prunes the shingle pass and the final pair join, and
     # without the checkpoint each consumer re-runs the whole minhash
-    # band-join DAG (~30% of query time at sf0.1).
-    cand = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    # band-join DAG (~30% of query time at sf0.1). eager=False: building
+    # the DataFrame runs no jobs (schema enumeration stays free); the
+    # checkpoint lands on the first action. Non-reliable on executor
+    # loss — a real pipeline persists the candidate table to storage.
+    cand = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=False)
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
@@ -246,10 +249,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One shingle pass, semi-joined down to candidate docs BEFORE any
     # per-pair work: the shingle volume that reaches the pair join is
     # O(candidate docs), not O(corpus). collect_set dedups shingles, so
-    # the distinct shuffle is skipped too.
+    # the distinct shuffle is skipped too. No forced broadcast even on
+    # this IDs-only side: candidate count is corpus-proportional on
+    # near-dup-heavy crawls, so AQE picks the strategy (it still
+    # broadcasts when the set is actually small).
     sets = (
         shingles_df(spark, sf_dir, distinct=False)
-        .join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .join(cand_docs, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("sh"))
         .select("doc_id", "sh", F.size("sh").alias("n"))

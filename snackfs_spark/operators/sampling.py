@@ -292,8 +292,14 @@ def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval hits), so it is materialized once — locally a checkpoint; in a
     real pipeline the shingle/signature table is persisted storage that
     dedup, decontamination and clustering all read (computed once per
-    corpus, not once per query)."""
-    sh = shingles_df(spark, sf_dir, distinct=True).localCheckpoint(eager=True)
+    corpus, not once per query). `eager=False` so building the DataFrame
+    (schema enumeration, plan tests) runs zero jobs — materialization
+    happens on the first action. Caveat noted for the cluster story:
+    localCheckpoint is non-reliable (executor loss discards it); a real
+    deployment writes the shingle table to storage instead (the
+    persisted-table pattern above), so the local shortcut is
+    bench-plumbing, not the 100 TB design."""
+    sh = shingles_df(spark, sf_dir, distinct=True).localCheckpoint(eager=False)
     b = _bucket(F.col("doc_id"))
     train_sh = sh.filter(b < TRAIN_PCT).select("shingle").distinct()
     ev = sh.filter(b >= TRAIN_PCT)

@@ -68,8 +68,9 @@ PRIORITY: tuple[str, ...] = (
     "fs_rename",
     "fs_delete",
     "fs_mkdirs",
-    # custom connector round-trip (SURVEY §7 M6)
+    # custom connector round-trip + pushed-down limit (SURVEY §7 M6, §4)
     "fs_connector_roundtrip",
+    "fs_ls_limited",
     # TPC-H-shaped relational surface
     "q1_pricing_summary",
     "q6_revenue_forecast",
@@ -86,7 +87,6 @@ PRIORITY: tuple[str, ...] = (
     "topk_orders",
     "setops_customer_years",
     "rollup_pricing",
-    "groupingsets_pricing",
     "approx_aggregates",
     "scalar_function_battery",
     "win_topk_orders_per_customer",
@@ -103,11 +103,11 @@ PRIORITY: tuple[str, ...] = (
     "ann_ivf_probe",
     # §2.C text analysis (one-scan composition of the four scoring ops)
     "text_profile",
-    # §2.C multimodal (chunk iteration + pandas-UDF path, both oracled)
+    # §2.C multimodal (chunk iteration through the pandas-UDF path)
     "multimodal_frame_sample",
-    "multimodal_resize",
-    # §2.C dataset splits
+    # §2.C dataset splits + decontamination
     "split_assign_hash",
+    "split_contamination_check",
     # §2.C streaming
     "streaming_hourly_rollup",
 )

@@ -29,9 +29,13 @@ Layout mirrors the reference's storage schema (ThriftStore.scala:228-241):
   Spark. Unsupported filters are returned to Spark for post-evaluation.
 - **Limit pushdown** (SupportsPushDownLimit analog, SURVEY §4): a
   `limit=N` read option stops each partition after N rows (Spark applies
-  the final global limit), and an always-on `listing_cap` (default
-  100000) mirrors the reference's hard listing cap pushed into the
-  indexed-slice query (ThriftStore.scala:509).
+  the final global limit). Separately, a `listing_cap` option (default
+  100000) mirrors the reference's hard listing cap, which bounds *path
+  listings* only — the indexed-slice query of ThriftStore.scala:509 —
+  never data reads. It therefore applies only to metadata-only reads
+  (payload column not requested), and when it binds the reader raises
+  rather than silently truncating (the reference surfaces the same
+  bound as a query-size contract, not a lossy default).
 - **Column pruning** (SupportsPushDownRequiredColumns analog, SURVEY §4:
   the reference fetches ONLY the path column in listings,
   ThriftStore.scala:506): the Python Data Source API has no
@@ -116,16 +120,22 @@ class SnackStoreReader(DataSourceReader):
         self.hosts: list[str] = meta.get("hosts", [])
         self.eq_path: str | None = None
         self.prefix: str | None = None
-        # SupportsPushDownLimit analog: per-partition row cap. The
-        # listing cap is always on, mirroring the reference's 100k bound.
+        # SupportsPushDownLimit analog: per-partition row cap (Spark
+        # applies the final global limit, so truncation here is the
+        # *requested* semantics, never lossy).
         limit = options.get("limit")
-        self.limit = min(int(limit), LISTING_CAP) if limit is not None else LISTING_CAP
+        self.limit: int | None = int(limit) if limit is not None else None
         # SupportsPushDownRequiredColumns analog: a metadata-only read
         # ('payload' not requested) never opens blobs.
         cols = options.get("columns")
         self.want_payload = cols is None or "payload" in {
             c.strip() for c in cols.split(",")
         }
+        # The reference's 100k listing bound (ThriftStore.scala:509)
+        # applies to path listings only, never data reads: enforce it
+        # only on metadata-only scans, and fail loudly when it binds
+        # (a silently truncated listing looks complete downstream).
+        self.listing_cap = int(options.get("listing_cap", LISTING_CAP))
 
     def pushFilters(self, filters: list[Filter]):
         for f in filters:
@@ -177,8 +187,16 @@ class SnackStoreReader(DataSourceReader):
                 continue
             ph = _path_hash(path)
             for off in sorted(chunks[path]):
-                if emitted >= self.limit:
-                    return
+                if self.limit is not None and emitted >= self.limit:
+                    return  # pushed-down LIMIT: truncation is requested
+                if not self.want_payload and emitted >= self.listing_cap:
+                    raise RuntimeError(
+                        f"snackstore listing exceeds listing_cap="
+                        f"{self.listing_cap} rows in bucket "
+                        f"{partition.bucket}; raise the 'listing_cap' "
+                        "read option or push a narrower path filter "
+                        "(reference bound: ThriftStore.scala:509)"
+                    )
                 blob = os.path.join(bdir, f"sblock-{ph}-{off}.bin")
                 if self.want_payload:
                     with open(blob, "rb") as f:
@@ -200,9 +218,7 @@ class SnackStoreWriter(DataSourceWriter):
         self.root = options.get("store_dir")
         if not self.root:
             raise ValueError("snackstore requires option 'store_dir'")
-        self.buckets = int(options.get("buckets", DEFAULT_BUCKETS))
-        hosts_opt = options.get("hosts")
-        self.hosts = hosts_opt.split(",") if hosts_opt else []
+        meta_path = os.path.join(self.root, "_store.json")
         if overwrite and os.path.isdir(self.root):
             # mode("overwrite") clears every bucket dir; without this the
             # old fragments would silently survive under the new store.
@@ -211,9 +227,32 @@ class SnackStoreWriter(DataSourceWriter):
             for fn in os.listdir(self.root):
                 if fn.startswith("bucket="):
                     shutil.rmtree(os.path.join(self.root, fn))
-        os.makedirs(self.root, exist_ok=True)
-        with open(os.path.join(self.root, "_store.json"), "w") as f:
-            json.dump({"buckets": self.buckets, "hosts": self.hosts}, f)
+        if not overwrite and os.path.exists(meta_path):
+            # Appending to an existing store: the bucket count is part of
+            # the physical layout (blobs already hash to it) — reuse the
+            # recorded metadata, and refuse a conflicting explicit
+            # `buckets` option (writing with a different count would
+            # route new fragments to buckets old readers never visit:
+            # silent data loss). Same for hosts — an append must not
+            # wipe the ring.
+            with open(meta_path) as f:
+                existing = json.load(f)
+            self.buckets = existing["buckets"]
+            self.hosts = existing.get("hosts", [])
+            opt_buckets = options.get("buckets")
+            if opt_buckets is not None and int(opt_buckets) != self.buckets:
+                raise ValueError(
+                    f"append with buckets={opt_buckets} conflicts with "
+                    f"existing store layout buckets={self.buckets}; "
+                    "use mode('overwrite') to re-bucket"
+                )
+        else:
+            self.buckets = int(options.get("buckets", DEFAULT_BUCKETS))
+            hosts_opt = options.get("hosts")
+            self.hosts = hosts_opt.split(",") if hosts_opt else []
+            os.makedirs(self.root, exist_ok=True)
+            with open(meta_path, "w") as f:
+                json.dump({"buckets": self.buckets, "hosts": self.hosts}, f)
 
     def write(self, rows):
         task = uuid.uuid4().hex[:12]
@@ -262,7 +301,10 @@ class SnackStoreDataSource(DataSource):
         return SnackStoreWriter(self.options, overwrite=overwrite)
 
 
-def vacuum_store(root: str) -> dict[str, int]:
+VACUUM_GRACE_SECONDS = 600.0
+
+
+def vacuum_store(root: str, grace_seconds: float = VACUUM_GRACE_SECONDS) -> dict[str, int]:
     """Garbage-collect orphan blobs: a write task that died after writing
     sblock files but before its inode fragment leaves unreferenced blobs
     on disk (the commit protocol makes them invisible to readers, but
@@ -272,7 +314,15 @@ def vacuum_store(root: str) -> dict[str, int]:
     (reference thresholds: ThriftStore.scala:229-234).
 
     Safe to run concurrently with readers (referenced blobs are never
-    touched); run it after failed jobs or on a schedule."""
+    touched) AND with in-flight writers: write() creates sblock blobs
+    *before* the task's inode fragment lands, so a blob that merely
+    looks orphaned may be seconds from being referenced. Only blobs
+    older than `grace_seconds` (mtime threshold — the gc_grace analog
+    of Cassandra's tombstone GC) are deleted; pass grace_seconds=0 only
+    when all writers are known quiesced."""
+    import time  # noqa: PLC0415
+
+    cutoff = time.time() - grace_seconds
     removed = kept = 0
     for fn in os.listdir(root):
         if not fn.startswith("bucket="):
@@ -289,10 +339,11 @@ def vacuum_store(root: str) -> dict[str, int]:
                         referenced.update(f"sblock-{ph}-{o}.bin" for o in offs)
         for f in os.listdir(bdir):
             if f.startswith("sblock-"):
-                if f in referenced:
+                fp = os.path.join(bdir, f)
+                if f in referenced or os.path.getmtime(fp) > cutoff:
                     kept += 1
                 else:
-                    os.unlink(os.path.join(bdir, f))
+                    os.unlink(fp)
                     removed += 1
     return {"removed": removed, "kept": kept}
 

@@ -120,21 +120,17 @@ def test_topk_windows_use_group_limit(spark):
 
 
 def test_jaccard_verifier_has_no_forced_broadcast(spark):
-    """The Jaccard pair joins must NOT hint broadcast: the shingle-set
-    sides are corpus-proportional at scale (VERDICT r1). The only
-    allowed hint is the candidate-doc-id semi-join (ids only, bounded).
-    AQE may still CHOOSE broadcast at runtime when a side is small —
-    that's fine; forcing it is not."""
+    """NO join in the Jaccard verifier may hint broadcast: the shingle-set
+    sides are corpus-proportional at scale (VERDICT r1), and the
+    candidate-doc-id set is corpus-proportional too on near-dup-heavy
+    crawls (VERDICT r2 dropped the last forced hint). AQE may still
+    CHOOSE broadcast at runtime when a side is small — that's fine;
+    forcing it is not."""
     df = REG["dedup_ngram_jaccard"].fn(spark, SF_ORACLE)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     hints = [l for l in analyzed.splitlines() if "ResolvedHint" in l]
-    # The only broadcast hint is the candidate-doc-ID semi-join inside
-    # `sets`, which appears twice in the tree (once under each pair-join
-    # side). The pair joins themselves and the band join stay unhinted /
-    # shuffle_hash. 3+ broadcasts would mean a forced shingle-set
-    # broadcast crept back in.
     broadcast_hints = [l for l in hints if "broadcast" in l.lower()]
-    assert len(broadcast_hints) <= 2, analyzed
+    assert len(broadcast_hints) == 0, analyzed
 
 
 def test_bucketed_join_eliminates_shuffle(spark):

@@ -39,8 +39,10 @@ FAMILIES = {
     "running sum": "win_running_order_total",
     "sort+limit": "topk_orders",
     "set ops": "setops_customer_years",
-    "rollup": "rollup_pricing",
-    "grouping sets": "groupingsets_pricing",
+    # rollup_pricing is the family rep; the groupingsets/cube variants
+    # exercise the same Expand-based operator and are covered by the
+    # in-repo oracle replica outside the window (r2 VERDICT slot advice)
+    "rollup/groupingsets": "rollup_pricing",
     "scalar functions": "scalar_function_battery",
 }
 
@@ -51,8 +53,10 @@ CLASSES = {
     "text": "text_profile",
     "multimodal": "multimodal_frame_sample",
     "sampling": "split_assign_hash",
+    "decontamination": "split_contamination_check",
     "streaming": "streaming_hourly_rollup",
     "connector": "fs_connector_roundtrip",
+    "connector limit pushdown": "fs_ls_limited",
 }
 
 

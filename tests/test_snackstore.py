@@ -231,6 +231,18 @@ def test_vacuum_removes_only_orphan_blobs(spark, store):
         bdir = root / f"bucket={b}"
         bdir.mkdir(exist_ok=True)
         (bdir / "sblock-deadbeefdeadbeef-0.bin").write_bytes(b"orphan")
+    # fresh orphans are inside the GC grace window (they may belong to an
+    # in-flight writer whose inode fragment hasn't landed) -> kept
+    stats = snackstore.vacuum_store(str(root))
+    assert stats["removed"] == 0 and stats["kept"] == len(before) + 2
+    # age them past the grace window (backdate mtime), then they are GC'd
+    import os as _os
+    import time as _time
+
+    old = _time.time() - 2 * snackstore.VACUUM_GRACE_SECONDS
+    for b in (0, 1):
+        fp = root / f"bucket={b}" / "sblock-deadbeefdeadbeef-0.bin"
+        _os.utime(fp, (old, old))
     stats = snackstore.vacuum_store(str(root))
     assert stats["removed"] == 2 and stats["kept"] == len(before)
     after = {
@@ -254,3 +266,80 @@ def test_limit_pushdown_caps_partition_rows(spark, store):
     per_part = df.rdd.glom().map(len).collect()
     assert all(n <= 1 for n in per_part)
     assert df.count() <= 8
+
+
+def test_listing_cap_binds_only_metadata_reads_and_raises(spark, store):
+    """The reference's 100k cap bounds path LISTINGS only
+    (ThriftStore.scala:509), never data reads — and when it binds, the
+    reader raises instead of silently truncating (ADVICE r2)."""
+    import pytest as _pt
+    from pyspark.errors.exceptions.captured import PythonException
+
+    base = (
+        spark.read.format("snackstore")
+        .option("store_dir", str(VAR / "store"))
+    )
+    total = base.load().count()
+    # full payload scan: cap option is IGNORED (data reads uncapped)
+    assert base.option("listing_cap", "1").load().count() == total
+    # metadata-only listing under the same tiny cap: hard error, not a
+    # silently truncated listing
+    with _pt.raises(PythonException, match="listing_cap"):
+        (
+            base.option("listing_cap", "1")
+            .option("columns", "path,sub_offset,length")
+            .load()
+            .count()
+        )
+    # a metadata listing under a generous cap lists everything
+    assert (
+        base.option("listing_cap", str(total))
+        .option("columns", "path,sub_offset,length")
+        .load()
+        .count()
+        == total
+    )
+
+
+def test_append_reuses_existing_store_layout(spark, store):
+    """Appending must reuse the existing store's bucket count and ring
+    hosts (the layout old fragments already hash to); a conflicting
+    explicit buckets option is an error, not silent data loss (ADVICE
+    r2: a re-bucketed append routes lookups to the wrong bucket)."""
+    import json as _json
+
+    root = VAR / "append_store"
+
+    def write(path, text, mode, **opts):
+        df = spark.createDataFrame([(path, text)], "path string, text string")
+        chunks = writer.chunk_text(df).select(
+            "path", "sub_offset", "length", "payload"
+        )
+        w = chunks.write.format("snackstore").option("store_dir", str(root))
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.mode(mode).save()
+
+    write("/ap/a.txt", "alpha " * 40, "append", buckets=4, hosts="n1,n2,n3")
+    # append with DIFFERENT defaults: layout must be preserved, ring kept
+    write("/ap/b.txt", "bravo " * 40, "append")
+    meta = _json.loads((root / "_store.json").read_text())
+    assert meta["buckets"] == 4
+    assert meta["hosts"] == ["n1", "n2", "n3"]
+    got = {
+        r["path"]
+        for r in spark.read.format("snackstore")
+        .option("store_dir", str(root))
+        .load()
+        .select("path")
+        .distinct()
+        .collect()
+    }
+    assert got == {"/ap/a.txt", "/ap/b.txt"}
+    # conflicting explicit bucket count refuses loudly
+    with pytest.raises(Exception, match="conflicts with existing store layout"):
+        write("/ap/c.txt", "charlie", "append", buckets=16)
+    # overwrite MAY re-bucket
+    write("/ap/d.txt", "delta", "overwrite", buckets=16)
+    meta = _json.loads((root / "_store.json").read_text())
+    assert meta["buckets"] == 16
