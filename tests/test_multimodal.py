@@ -30,10 +30,21 @@ def test_multimodal_resize_shape(spark):
     assert all(bytes(r["resized"]) == again[r["asset_id"]] for r in rows)
 
 
-def test_resize_oracle_preconditions(spark):
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+SF_BENCH = "/root/testdata/sf0.1"
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_ORACLE, SF_BENCH])
+def test_resize_oracle_preconditions(spark, sf_dir):
     """The resize/frame oracles re-derive byte slicing as char slicing —
-    valid iff the corpus is ascii and every payload >= RESIZE_TARGET."""
-    assets = binary_assets_df(spark, SF_SMALL)
+    valid iff the corpus is ascii and every payload >= RESIZE_TARGET.
+    Checked at EVERY fixture scale the oracle sweep runs at (ADVICE r2):
+    a future fixture with non-ascii or short docs must fail here, not
+    silently diverge in the driver's gate."""
+    assets = binary_assets_df(spark, sf_dir)
     bad = assets.filter(
         (F.octet_length("payload") != F.length(F.decode("payload", "utf-8")))
         | (F.octet_length("payload") < RESIZE_TARGET)

@@ -1,0 +1,34 @@
+"""Sampling/packing operator tests beyond the registered oracle battery:
+shard-count parameterization of sequence packing (VERDICT r2 #4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from snackfs_spark.operators.sampling import (
+    PACK_SHARDS,
+    pack_oracle_sql,
+    pack_sequences_sharded,
+)
+from tests.conftest import SF_ORACLE
+from tests.oracle_harness import compare
+
+
+@pytest.mark.parametrize("shards", [4, 32])
+def test_pack_sequences_green_at_any_shard_count(spark, duck, shards):
+    """Packing must be deterministic and oracle-exact at ANY shard count
+    — the shard count is the scale-out knob (defaultParallelism on a
+    real cluster), so correctness can't depend on its value."""
+    assert shards != PACK_SHARDS  # the registered count is already gated
+    sdf = pack_sequences_sharded(spark, SF_ORACLE, shards=shards).toPandas()
+    odf = duck.execute(pack_oracle_sql(shards)).fetchdf()
+    assert compare(sdf, odf) == []
+    assert sdf["shard"].nunique() == shards
+
+
+def test_pack_sequences_defaults_to_parallelism(spark):
+    """With no explicit count, sharding tracks defaultParallelism — the
+    docstring's '1000-executor scale unit' claim is the actual default."""
+    df = pack_sequences_sharded(spark, SF_ORACLE)
+    n = df.select("shard").distinct().count()
+    assert n == spark.sparkContext.defaultParallelism
