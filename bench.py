@@ -55,6 +55,12 @@ HEADLINE_R2 = [
     "multimodal_frame_sample",
 ]
 
+# Round-3 additions (same honest billing: inside the total, outside the
+# r01/r02-comparable subtotals).
+HEADLINE_R3 = [
+    "text_boilerplate",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,7 +81,7 @@ def main() -> None:
     fsmodel.locks_df(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_R2:
+    for name in HEADLINE + HEADLINE_R2 + HEADLINE_R3:
         # best of 2: the first run pays one-time codegen/plan compilation
         # for the query's unique expressions; the second is steady state.
         best = float("inf")
@@ -99,6 +105,9 @@ def main() -> None:
                 "queries": timings,
                 "r01_comparable_subtotal": round(
                     sum(timings[n] for n in HEADLINE), 3
+                ),
+                "r02_comparable_subtotal": round(
+                    sum(timings[n] for n in HEADLINE + HEADLINE_R2), 3
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -531,3 +531,123 @@ def user_event_gaps_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         gaps,
         schema="user_id long, n_events long, max_gap_s long, total_span_s long",
     )
+
+
+# ---- cross-document boilerplate (RefinedWeb/C4-style line dedup analog) ----
+
+COMMON_MIN_DOCS = 3   # a shingle seen in >= this many docs is boilerplate
+COMMON_TOP_K = 20
+
+# Distinct (doc, shingle) pairs + the corpus-common subset, as DuckDB CTEs
+# (reuses the dedup pipeline's shingle definition, dedup.py SHINGLES_CTE).
+_COMMON_CTE = """, common AS (
+  SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM shingles GROUP BY shingle
+  HAVING COUNT(*) >= {min_docs}
+)"""
+
+
+def _common_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-common shingles: one shuffle on the shingle key with
+    map-side partial counting ((doc,shingle) pairs are pre-distinct, so
+    counts are doc frequencies). The output cardinality is the number of
+    cross-document shingles — boilerplate-sized, not corpus-sized."""
+    from snackfs_spark.operators.dedup import shingles_df
+
+    return (
+        shingles_df(spark, sf_dir, distinct=True)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= COMMON_MIN_DOCS)
+    )
+
+
+def _boilerplate_oracle() -> str:
+    from snackfs_spark.operators.dedup import SHINGLES_CTE
+
+    return (
+        "WITH " + SHINGLES_CTE
+        + _COMMON_CTE.format(min_docs=COMMON_MIN_DOCS)
+        + f"""
+    , stats AS (
+      SELECT s.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_shingles,
+             CAST(SUM(CASE WHEN c.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_common
+      FROM shingles s LEFT JOIN common c ON s.shingle = c.shingle
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_distinct_shingles, 0) AS n_distinct_shingles,
+           COALESCE(n_common, 0) AS n_common,
+           CASE WHEN COALESCE(n_distinct_shingles, 0) > 0
+                THEN CAST(n_common AS DOUBLE) / n_distinct_shingles
+                ELSE 0.0 END AS boilerplate_ratio
+    FROM documents d LEFT JOIN stats ON d.doc_id = stats.doc_id
+    """
+    )
+
+
+def _common_ngrams_oracle() -> str:
+    from snackfs_spark.operators.dedup import SHINGLES_CTE
+
+    return (
+        "WITH " + SHINGLES_CTE
+        + _COMMON_CTE.format(min_docs=COMMON_MIN_DOCS)
+        + f"""
+    SELECT shingle, n_docs FROM common
+    ORDER BY n_docs DESC, shingle LIMIT {COMMON_TOP_K}
+    """
+    )
+
+
+@register("text_common_ngrams", oracle=_common_ngrams_oracle())
+def text_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top corpus-common word 3-grams by document frequency — the
+    discovery side of boilerplate removal (headers, license banners,
+    navigation chrome shared across many pages). One shuffle on the
+    shingle key; the top-k cut is per-partition heaps
+    (TakeOrderedAndProject), never a global sort."""
+    common = _common_shingles(spark, sf_dir)
+    return common.orderBy(F.desc("n_docs"), "shingle").limit(COMMON_TOP_K)
+
+
+@register("text_boilerplate", oracle=_boilerplate_oracle())
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate ratio: the fraction of a doc's distinct
+    3-gram shingles that are corpus-common (doc frequency >=
+    COMMON_MIN_DOCS). The cross-document complement of text_repetition's
+    within-document stats — C4/RefinedWeb drop or strip high-ratio docs.
+
+    Scale shape: TWO shuffles on the shingle key (doc-frequency count,
+    then the membership probe back onto the per-doc pairs) and one on
+    doc_id for the final roll-up. The common set joins WITHOUT a
+    broadcast hint: it is usually boilerplate-sized but corpus-
+    proportional in the worst case (template-heavy crawls) — AQE
+    broadcasts when it is actually small. Docs with < 3 tokens keep a
+    row (ratio 0.0) via the left join from documents."""
+    from snackfs_spark.operators.dedup import shingles_df
+
+    pairs = shingles_df(spark, sf_dir, distinct=True)
+    common = _common_shingles(spark, sf_dir).select(
+        "shingle", F.lit(1).alias("is_common")
+    )
+    stats = (
+        pairs.join(common, "shingle", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_shingles"),
+            F.count("is_common").alias("n_common"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_sh = F.coalesce("n_distinct_shingles", F.lit(0)).cast("long")
+    n_co = F.coalesce("n_common", F.lit(0)).cast("long")
+    return docs.join(stats, "doc_id", "left_outer").select(
+        "doc_id",
+        n_sh.alias("n_distinct_shingles"),
+        n_co.alias("n_common"),
+        F.when(n_sh > 0, n_co.cast("double") / n_sh)
+        .otherwise(F.lit(0.0))
+        .alias("boilerplate_ratio"),
+    )

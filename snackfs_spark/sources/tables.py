@@ -66,7 +66,17 @@ def _read_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Only the driver's raw files carry the nanos-as-long column; an
+        # events table written by another engine (e.g. the sf1 stress
+        # fixture) already has a real timestamp. Normalize NTZ to the
+        # session-UTC instant type so downstream epoch casts work the
+        # same on either encoding.
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

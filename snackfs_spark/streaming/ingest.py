@@ -241,3 +241,34 @@ def stream_ingest_documents(
         .start()
     )
     q.awaitTermination()
+
+
+@register(
+    "streaming_dedup_bounded",
+    oracle="SELECT DISTINCT md5(text) AS content_hash FROM documents",
+)
+def streaming_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-state form of streaming_dedup_ingest: an ingest
+    event-time column + watermark lets `dropDuplicatesWithinWatermark`
+    evict dedup state as time advances — the 100 TB shape, where the
+    state store holds only the watermark horizon instead of every hash
+    ever seen (SCALE.md Streaming). Documents carry no event time, so
+    ingest time is derived deterministically from doc_id; the whole
+    fixture lands inside one watermark horizon, which is exactly what
+    makes the output equal the exact DISTINCT (the oracle). Duplicates
+    separated by more than the horizon would intentionally re-emit —
+    that's the bounded-state contract, traded for O(horizon) state."""
+    docs = stream_documents(spark, sf_dir)
+    hashed = docs.select(
+        F.md5("text").alias("content_hash"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_dt_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("ingest_ts"),
+    )
+    deduped = hashed.withWatermark("ingest_ts", "30 days").dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+    return run_stream_to_df(
+        spark, deduped.select("content_hash"), mode="append"
+    )

@@ -172,3 +172,24 @@ def test_cluster_canonical_no_forced_broadcast(spark):
         l for l in analyzed.splitlines()[:10] if "broadcast" in l.lower()
     ]
     assert not final_join_hints, analyzed
+
+
+def test_common_ngrams_no_global_sort(spark):
+    """The corpus-common-shingle top-k cuts with per-partition heaps
+    (TakeOrderedAndProject), never a global sort of the shingle
+    frequency table."""
+    df = REG["text_common_ngrams"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan, plan  # map-side doc-frequency combine
+
+
+def test_boilerplate_probe_has_no_forced_broadcast(spark):
+    """The common-shingle membership probe joins WITHOUT a broadcast
+    hint: the common set is corpus-proportional on template-heavy crawls
+    (same argument as the Jaccard verifier). AQE may still choose
+    broadcast at runtime when it is actually small."""
+    df = REG["text_boilerplate"].fn(spark, SF_ORACLE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    hints = [l for l in analyzed.splitlines() if "ResolvedHint" in l]
+    assert not [l for l in hints if "broadcast" in l.lower()], analyzed

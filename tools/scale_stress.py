@@ -1,0 +1,87 @@
+"""10x scale stress sweep (VERDICT r2 #8): run the heaviest headline
+queries at sf0.1 and at the 10x var/sf1 fixture (tools/make_scale_fixture.py)
+and report per-query scaling exponents.
+
+exponent = log10(t_sf1 / t_sf0.1)  — 1.0 is perfectly linear in data
+volume; < 1 means fixed overheads still dominate; > 1 is superlinear and
+a scale bug. Methodology matches bench.py: ingest re-layout + cache
+warmup billed separately, noop sink (no driver transfer), best of 2.
+
+Usage: python tools/scale_stress.py [shuffle_partitions]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from snackfs_spark.registry import load_all  # noqa: E402
+from snackfs_spark.session import get_spark  # noqa: E402
+
+QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "split_contamination_check",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "sessionize_events",
+    "win_running_order_total",
+    "fs_content",
+    "text_profile",
+]
+
+SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
+
+
+def main() -> None:
+    shuffle = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    registry = load_all()
+    spark = get_spark("scale_stress")
+    # sf1 has 10x the rows per shuffle key-space; size partitions so a
+    # partition stays ~sf0.1-sized (the knob a real cluster turns).
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
+
+    from snackfs_spark.sources import fsmodel, tables
+
+    results: dict[str, dict[str, float]] = {n: {} for n in QUERIES}
+    for sf, sf_dir in SF_DIRS.items():
+        tables.build_ingest_cache(spark, sf_dir)
+        registry["q6_revenue_forecast"].fn(spark, sf_dir).collect()
+        fsmodel.files_df(spark, sf_dir).count()
+        fsmodel.content_df(spark, sf_dir).count()
+        fsmodel.locks_df(spark, sf_dir).count()
+        for name in QUERIES:
+            best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                df = registry[name].fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - start)
+            results[name][sf] = round(best, 3)
+            print(f"# sf{sf} {name}: {best:.3f}s", file=sys.stderr)
+
+    table = {
+        name: {
+            "sf0.1_sec": t["0.1"],
+            "sf1_sec": t["1"],
+            "ratio": round(t["1"] / t["0.1"], 2),
+            "exponent": round(math.log10(t["1"] / t["0.1"]), 2),
+        }
+        for name, t in results.items()
+    }
+    out = {"shuffle_partitions": shuffle, "queries": table}
+    print(json.dumps(out, indent=1))
+    (_REPO / "var/scale_stress.json").write_text(json.dumps(out, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
