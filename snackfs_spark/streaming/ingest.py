@@ -104,13 +104,41 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("hour_start", ts_str("hour_start"))
 
 
-@register("streaming_session_windows", oracle=None)
+@register(
+    "streaming_session_windows",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window streaming aggregation (gap-based, stateful).
 
-
-    Rows-only check: session_window start timestamps are plan-internal
-    (merge order) but the row set is deterministic for a drained stream."""
+    Oracled (was rows-only through r2): for a fully drained stream the
+    merged session set is deterministic — a session's start is the min
+    event time in it, and a new session opens exactly when the
+    inter-event gap is >= the 30-minute gap duration (session windows
+    are half-open [ts, ts+gap), so an event landing exactly at the
+    previous session's end does NOT merge). The oracle is the batch
+    lag/running-sum sessionization under that same >= convention —
+    which also pins the half-open boundary semantics themselves."""
     out = run_stream_to_df(spark, session_window_stream(spark, sf_dir))
     return out.withColumn("session_start", ts_str("session_start"))
 
