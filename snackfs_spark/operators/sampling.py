@@ -386,3 +386,67 @@ def corpus_build_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size(F.split("text", " "))).cast("long").alias("ws_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking: slice every document into overlapping
+# fixed-size token windows — the step that turns a cleaned corpus into
+# training sequences when documents are NOT concatenated (the
+# alternative to pack_sequences' concat-then-chunk layout).
+
+CHUNK_TOKENS = 64   # window size (tokens)
+CHUNK_STRIDE = 48   # window stride; overlap = CHUNK_TOKENS - CHUNK_STRIDE
+
+
+@register(
+    "text_chunk_sliding",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, len(toks), {CHUNK_STRIDE})) AS chunk_start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(least({CHUNK_TOKENS}, len(toks) - chunk_start) AS BIGINT)
+             AS chunk_len,
+           array_to_string(toks[chunk_start + 1:chunk_start + {CHUNK_TOKENS}], ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (overlapping context windows):
+    each doc yields windows of CHUNK_TOKENS tokens every CHUNK_STRIDE,
+    the tail window keeping whatever remains.
+
+    Scale shape: a pure per-row generator — tokenize in the projection,
+    `sequence()` the window starts, explode, `slice` each window out of
+    the token array. No shuffle at any scale; output rows ~= n_tokens /
+    stride per doc, produced at scan speed. The overlap policy
+    (window - stride tokens shared between neighbors) is the standard
+    causal-LM eval chunking; pack_sequences is the training-side
+    alternative that concatenates docs instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    start = F.col("chunk_start")
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+            ).alias("chunk_start"),
+        )
+        .select(
+            "doc_id",
+            start.cast("long").alias("chunk_start"),
+            F.least(F.lit(CHUNK_TOKENS), F.size("toks") - start)
+            .cast("long")
+            .alias("chunk_len"),
+            F.array_join(
+                F.slice("toks", start + 1, F.lit(CHUNK_TOKENS)), " "
+            ).alias("chunk_text"),
+        )
+    )
