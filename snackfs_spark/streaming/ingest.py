@@ -22,21 +22,33 @@ from snackfs_spark.registry import register
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events table. Schema comes from a batch probe
-    (streams require explicit schemas); the nanos timestamp is converted
-    the same way as the batch loader so plans are interchangeable."""
+    """readStream over the events table. Streams require an explicit
+    schema, so a cheap batch footer probe decides how ``ts`` is encoded
+    on disk — TIMESTAMP(NANOS) surfaced as bigint (older fixtures) or a
+    real micros timestamp — and the stream applies the SAME normalization
+    as the batch loader (tables._read_raw), so plans are interchangeable
+    and both encodings hash to identical output."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    probe = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    )
+    ts_type = dict(probe.dtypes)["ts"]
     # FileStreamSource wants a directory; glob-filter down to the events
     # file (in production this is the events/ landing directory).
     raw = (
         spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string, "
-            "value double, props string"
+            f"event_id bigint, ts {ts_type}, user_id bigint, "
+            "event_type string, value double, props string"
         )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
