@@ -61,6 +61,12 @@ HEADLINE_R3 = [
     "text_boilerplate",
 ]
 
+# Round-4 additions: iterative k-means and SemDeDup-style semantic dedup.
+HEADLINE_R4 = [
+    "emb_kmeans_assign",
+    "dedup_semantic",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,7 +87,7 @@ def main() -> None:
     fsmodel.locks_df(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_R2 + HEADLINE_R3:
+    for name in HEADLINE + HEADLINE_R2 + HEADLINE_R3 + HEADLINE_R4:
         # best of 2: the first run pays one-time codegen/plan compilation
         # for the query's unique expressions; the second is steady state.
         best = float("inf")
@@ -108,6 +114,13 @@ def main() -> None:
                 ),
                 "r02_comparable_subtotal": round(
                     sum(timings[n] for n in HEADLINE + HEADLINE_R2), 3
+                ),
+                "r03_comparable_subtotal": round(
+                    sum(
+                        timings[n]
+                        for n in HEADLINE + HEADLINE_R2 + HEADLINE_R3
+                    ),
+                    3,
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

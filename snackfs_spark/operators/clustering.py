@@ -1,0 +1,215 @@
+"""Embedding-space clustering operators (SURVEY.md §2.C similarity /
+dedup families): fixed-iteration Lloyd's k-means as the iterative-
+algorithm showcase, and SemDeDup-style semantic deduplication (drop
+near-identical vectors within a cluster).
+
+Both are deterministic end-to-end — centroid means accumulate in exact
+decimals, distances/cosines are left-fold double arithmetic — so the
+DuckDB oracles hash-match bit-for-bit at any partitioning. Iterative
+algorithms on Spark want few, wide rounds: each k-means round is one
+broadcast-join assignment pass + one map-side-collapsing aggregate,
+which is exactly the shape that survives a 1000-executor scale-up
+(centroids are O(k·dim) — always broadcastable; the corpus is scanned
+once per round, never shuffled).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from snackfs_spark.registry import register
+from snackfs_spark.sources.tables import load_table
+
+KMEANS_K = 8          # initial centroids = vectors with vec_id 0..K-1
+KMEANS_ITERS = 2      # fixed rounds => SQL-unrollable, fully deterministic
+SEMDEDUP_TAU = 0.35   # within-cluster cosine above this = semantic dup
+
+_L2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), 0D, (s, v) -> s + v)"
+)
+_L2_DUCK = (
+    "list_reduce(list_transform(range(1, 65), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+_DOT_DUCK = "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+
+
+def _assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd's assignment pass: nearest centroid by squared L2,
+    ties broken by centroid id. Centroids broadcast; the corpus is
+    mapped, never shuffled."""
+    d = F.expr(_L2.format(a="ev", b="cv"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cid"))
+    return (
+        vectors.crossJoin(F.broadcast(cents))
+        .withColumn("dist", d)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "ev", "cid", "dist")
+    )
+
+
+def _recenter(assigned: DataFrame) -> DataFrame:
+    """New centroids = per-cluster elementwise means over an integer
+    lattice: each component is scaled by 1e12 and rounded HALF-EVEN to a
+    bigint before summation. Decimal casts won't do here — a float like
+    0.1983642578125 is an exact 13-fractional-digit dyadic, a true
+    rounding tie at any fixed decimal scale, and Spark casts HALF_UP
+    while DuckDB rounds half-even. bround/round_even on a double < 2^53
+    is tie-exact in both engines (binary ties are exactly representable
+    halves), integer sums are order-independent, and the final
+    double divisions are IEEE-correctly-rounded — so centroids are
+    bit-identical at any partition count in both engines."""
+    q = F.bround(F.col("x") * F.lit(1.0e12)).cast("bigint")
+    return (
+        assigned.select("cid", F.posexplode("ev").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            (F.sum(q).cast("double") / F.count(F.lit(1)) / F.lit(1.0e12)).alias("c")
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("cv")
+        )
+    )
+
+
+def _kmeans_oracle() -> str:
+    """Lloyd's unrolled to KMEANS_ITERS rounds in SQL CTEs."""
+    assign = """
+      SELECT vec_id, ev, cid, dist FROM (
+        SELECT v.vec_id, v.ev, c.cid,
+               {l2} AS dist,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {l2}, c.cid) AS rn
+        FROM {vsrc} v CROSS JOIN {csrc} c
+      ) WHERE rn = 1
+    """
+    l2 = _L2_DUCK.format(a="v.ev", b="c.cv")
+    recenter = """
+      SELECT cid, list(c ORDER BY pos) AS cv FROM (
+        SELECT cid, i AS pos,
+               CAST(SUM(CAST(round_even(ev[i] * 1e12, 0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1e12 AS c
+        FROM {asrc}, (SELECT unnest(range(1, 65)) AS i)
+        GROUP BY cid, i
+      ) GROUP BY cid
+    """
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, ev AS cv FROM v WHERE vec_id < {KMEANS_K}),
+    a1 AS ({assign.format(l2=l2, vsrc="v", csrc="c0")}),
+    c1 AS ({recenter.format(asrc="a1")}),
+    a2 AS ({assign.format(l2=l2, vsrc="v", csrc="c1")})
+    SELECT vec_id, cid AS cluster, dist AS sq_dist FROM a2
+    """
+
+
+@register("emb_kmeans_assign", oracle=_kmeans_oracle())
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding corpus, Lloyd's algorithm with
+    deterministic seeding (centroids = the first K vectors by id) and a
+    fixed iteration count. Per round: centroids broadcast against one
+    corpus scan (assignment), then a posexplode + decimal-mean aggregate
+    (recenter) whose output is again O(k·dim). The corpus itself never
+    shuffles — rounds cost one scan each, the classic iterative-ML shape
+    on Spark (same loop as MLlib's KMeans, minus sampling-based init,
+    which is deliberately replaced by deterministic seeding so the whole
+    chain is oracle-checkable). At 100 TB: per-round cost = one cached
+    scan; k and dim bound all shuffle traffic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev")
+    )
+    cents = v.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("ev").alias("cv")
+    )
+    assigned = _assign(v, cents)
+    for _ in range(KMEANS_ITERS - 1):
+        cents = _recenter(assigned)
+        assigned = _assign(v, cents)
+    return assigned.select(
+        "vec_id", F.col("cid").alias("cluster"), F.col("dist").alias("sq_dist")
+    )
+
+
+def _semdedup_oracle() -> str:
+    cos = (
+        f"{_DOT_DUCK.format(a='a.ev', b='b.ev')}"
+        f" / (sqrt({_DOT_DUCK.format(a='a.ev', b='a.ev')})"
+        f" * sqrt({_DOT_DUCK.format(a='b.ev', b='b.ev')}))"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      FROM embeddings
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM v a JOIN v b ON a.label = b.label AND b.vec_id > a.vec_id
+      WHERE {cos} > {SEMDEDUP_TAU}
+    )
+    SELECT v.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) FILTER (WHERE d.vec_id IS NULL) AS BIGINT) AS n_kept,
+           CAST(MIN(CASE WHEN d.vec_id IS NULL THEN v.vec_id END) AS BIGINT)
+             AS first_kept
+    FROM v LEFT JOIN dropped d ON d.vec_id = v.vec_id
+    GROUP BY v.label ORDER BY v.label
+    """
+
+
+@register("dedup_semantic", oracle=_semdedup_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 pattern):
+    embeddings are grouped into clusters (here the corpus's label column
+    — in production the k-means assignment above), pairwise cosine runs
+    ONLY within a cluster, and for every pair above the threshold the
+    higher id is dropped; survivors are counted per cluster.
+
+    Scale: the O(n²) pair comparison is confined to one cluster — the
+    equi-self-join on the cluster key shuffles each vector once, and
+    cluster sizes are controlled by k (pick k ∝ corpus/1e4 and each
+    cluster's pair block fits one task; skewed clusters split via AQE).
+    The drop set is vec_ids only — orders of magnitude smaller than the
+    corpus — and joins back as a broadcast. This is the published
+    SemDeDup recipe re-expressed as two joins + one aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev"),
+    )
+    dot = "aggregate(zip_with(a.ev, b.ev, (x, y) -> x * y), 0D, (s, z) -> s + z)"
+    na = "sqrt(aggregate(zip_with(a.ev, a.ev, (x, y) -> x * y), 0D, (s, z) -> s + z))"
+    nb = "sqrt(aggregate(zip_with(b.ev, b.ev, (x, y) -> x * y), 0D, (s, z) -> s + z))"
+    dropped = (
+        v.alias("a")
+        .join(
+            v.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("b.vec_id") > F.col("a.vec_id")),
+        )
+        .filter(F.expr(f"{dot} / ({na} * {nb})") > SEMDEDUP_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    flagged = v.join(
+        F.broadcast(dropped.withColumn("is_dup", F.lit(1))), "vec_id", "left"
+    )
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count(F.when(F.col("is_dup").isNull(), 1)).alias("n_kept"),
+            F.min(F.when(F.col("is_dup").isNull(), F.col("vec_id"))).alias("first_kept"),
+        )
+        .orderBy("label")
+    )

@@ -1088,3 +1088,216 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_users",
         )
     )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate-then-select-the-max — a derived relation
+    consumed twice (once for the per-supplier revenue, once for its own
+    max). The scalar max is a one-row broadcast, so the second pass is a
+    map-side filter, not a self-join shuffle; the revenue aggregate itself
+    is a single hash exchange on l_suppkey. Decimal accumulation keeps the
+    double equality between the two consumers exact at any parallelism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(money("l_extendedprice") * (1 - rate("l_discount")), "total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .orderBy("s_suppkey")
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH part_avg AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN part_avg a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND l.l_quantity < 0.2 * a.avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery (revenue from orders
+    far below the part's average order quantity), decorrelated by hand
+    into a per-part aggregate joined back to the fact — exactly what
+    Catalyst does to the subquery form, made explicit. Both the fact join
+    and the aggregate shuffle on l_partkey, so AQE can reuse the exchange;
+    the brand filter broadcasts. The 0.2x threshold comparison is double
+    math from exact decimal sums — identical in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.sum(money("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    joined = (
+        li.alias("l")
+        .join(F.broadcast(p), F.col("l.l_partkey") == F.col("p_partkey"))
+        .join(part_avg.alias("a"), F.col("l.l_partkey") == F.col("a.l_partkey"))
+        .filter(F.col("l.l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return joined.agg(
+        (F.sum(money("l.l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q19_disjunctive_filter",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 16 AND 30
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 31 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
+    distributes the disjunction: the part-only terms (brand OR'd with
+    brand) and the lineitem-only quantity range union push below the
+    join as partial filters, shrinking both sides before the equi-join;
+    the residual mixed predicate evaluates post-join. The part side is
+    a broadcast after its pushed filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(16, 30)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(31, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            dsum(money("l_extendedprice") * (1 - rate("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    WITH asia_volume AS (
+      SELECT CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_items
+    FROM asia_volume GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — a ratio of two conditional
+    aggregates over a 6-way join. All dims (customer-side nation+region,
+    supplier+nation) broadcast after their filters; the only shuffles are
+    the orders-lineitem key exchange and the final tiny per-year
+    aggregate. Both ratio operands accumulate in exact decimals, so the
+    per-year division is bit-identical across engines and partitionings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load_table(spark, sf_dir, "supplier")
+    asia_cust = (
+        c.join(F.broadcast(n1), c["c_nationkey"] == n1["n_nationkey"])
+        .join(F.broadcast(r), n1["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey")
+    )
+    vol = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(asia_cust), o["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("n2_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (money("l_extendedprice") * (1 - rate("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_year")
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snackfs_spark.registry import register
@@ -660,4 +660,111 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_sh > 0, n_co.cast("double") / n_sh)
         .otherwise(F.lit(0.0))
         .alias("boilerplate_ratio"),
+    )
+
+
+@register(
+    "text_rarity_score",
+    oracle="""
+    WITH vocab AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(v.freq) AS BIGINT) AS sum_token_freq,
+           CAST(MIN(v.freq) AS BIGINT) AS min_token_freq
+    FROM toks t JOIN vocab v ON v.token = t.token
+    GROUP BY t.doc_id
+    """,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency ("unigram LM") document scoring: each document's
+    tokens are scored against the corpus-wide vocabulary — the total and
+    minimum corpus frequency of its tokens. A monotone transform of the
+    average unigram log-probability (rarer tokens → lower sums) computed
+    entirely in integer space, so the result is bit-exact at any
+    parallelism (an actual sum of log-doubles would be order-dependent
+    AND libm-dependent across engines). This is the standard cheap
+    quality/outlier filter before perplexity models enter the pipeline.
+
+    Scale: vocabulary cardinality << token count, so the vocab aggregate
+    collapses map-side into a relation small enough to broadcast; the
+    token→vocab join is then map-side too, and the per-doc aggregate
+    shuffles one row per (doc, partial). Two scans of text, zero
+    corpus-sized shuffles."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        toks.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").alias("sum_token_freq"),
+            F.min("freq").alias("min_token_freq"),
+        )
+    )
+
+
+TFIDF_TOP_TERMS = 3
+
+
+def _tfidf_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks
+      GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token, tf, df, tfidf FROM (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df)
+                                           DESC, tf.token) AS rn
+      FROM tf JOIN df ON df.token = tf.token CROSS JOIN n
+    ) WHERE rn <= {TFIDF_TOP_TERMS}
+    """
+
+
+@register("text_tfidf_topk", oracle=_tfidf_oracle())
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top characteristic terms per document by TF-IDF — keyword
+    extraction / topic fingerprinting over the corpus. The idf factor is
+    the raw ratio n_docs/df rather than its log: log is not required to
+    be correctly rounded by IEEE 754 (libm differs across engines) while
+    multiply and divide are, and rankings under a monotone transform are
+    identical — so the scores hash bit-exact across engines.
+
+    Scale: tf aggregates shuffle on (doc, token) at token cardinality;
+    df, like the vocabulary, collapses map-side to vocab size and
+    broadcasts; n_docs is a one-row broadcast. The per-doc top-k is a
+    ranking window with partial WindowGroupLimit, never a global sort."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(F.broadcast(n))
+        .withColumn("tfidf", F.col("tf") * (F.col("n_docs").cast("double") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "token", "tf", "df", "tfidf")
     )

@@ -91,16 +91,18 @@ PRIORITY: tuple[str, ...] = (
     "scalar_function_battery",
     "win_topk_orders_per_customer",
     "win_running_order_total",
-    # §2.C dedup battery (the five mandated methods)
+    # §2.C dedup battery (exact, minhash, jaccard, embedding, semantic;
+    # simhash registers after the window — same family, repo-checked)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
+    "dedup_semantic",
     "dedup_embedding_cosine",
-    # §2.C similarity search
+    # §2.C similarity search + clustering (IVF probe registers after the
+    # window; k-means is the iterative-algorithm representative)
     "ann_bruteforce_topk",
     "ann_lsh_bucketed",
-    "ann_ivf_probe",
+    "emb_kmeans_assign",
     # §2.C text analysis (one-scan composition of the four scoring ops)
     "text_profile",
     # §2.C multimodal (chunk iteration through the pandas-UDF path)
@@ -120,6 +122,7 @@ def load_all() -> dict[str, Query]:
     # Imports are side-effecting by design; keep the list explicit so a
     # missing module is an error, not silent coverage loss.
     from snackfs_spark.operators import (  # noqa: F401
+        clustering,
         content,
         dedup,
         fsops,

@@ -193,3 +193,33 @@ def test_boilerplate_probe_has_no_forced_broadcast(spark):
     analyzed = df._jdf.queryExecution().analyzed().toString()
     hints = [l for l in analyzed.splitlines() if "ResolvedHint" in l]
     assert not [l for l in hints if "broadcast" in l.lower()], analyzed
+
+
+def test_kmeans_broadcasts_centroids_and_partial_topk(spark):
+    """Each Lloyd's round must broadcast the O(k*dim) centroid relation
+    against a single corpus scan (never shuffle the corpus) and take the
+    per-vector nearest centroid via a partial WindowGroupLimit."""
+    df = REG["emb_kmeans_assign"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    # the corpus relation itself is never exchanged: every Exchange in
+    # the plan belongs to the k*dim recenter aggregate or the per-vector
+    # window, both keyed, never a corpus-wide repartition
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_semdedup_pair_join_not_force_broadcast(spark):
+    """The within-cluster pair self-join must NOT hint broadcast (both
+    sides are corpus-sized); only the ids-only drop set is hinted."""
+    df = REG["dedup_semantic"].fn(spark, SF_ORACLE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    hints = [l for l in analyzed.splitlines() if "ResolvedHint" in l]
+    broadcast_hints = [l for l in hints if "broadcast" in l.lower()]
+    assert len(broadcast_hints) <= 1, analyzed
+
+
+def test_tfidf_topk_uses_group_limit(spark):
+    df = REG["text_tfidf_topk"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan

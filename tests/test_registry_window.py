@@ -49,7 +49,9 @@ FAMILIES = {
 # §2.C class → representative
 CLASSES = {
     "dedup": "dedup_minhash_lsh",
+    "semantic dedup": "dedup_semantic",
     "similarity": "ann_bruteforce_topk",
+    "clustering (iterative)": "emb_kmeans_assign",
     "text": "text_profile",
     "multimodal": "multimodal_frame_sample",
     "sampling": "split_assign_hash",
