@@ -182,22 +182,44 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — and joins back as a broadcast. This is the published
     SemDeDup recipe re-expressed as two joins + one aggregate."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Norms precomputed once per vector at scan time: the pair predicate
+    # then costs ONE fold (the dot product) instead of three — bitwise
+    # identical to the oracle's inline norms (same fold over the same
+    # array), 3x less per-pair work where the O(c²) cost lives.
     v = emb.select(
         "vec_id",
         "label",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.expr("aggregate(zip_with(ev, ev, (x, y) -> x * y), 0D, (s, z) -> s + z)")),
     )
     dot = "aggregate(zip_with(a.ev, b.ev, (x, y) -> x * y), 0D, (s, z) -> s + z)"
-    na = "sqrt(aggregate(zip_with(a.ev, a.ev, (x, y) -> x * y), 0D, (s, z) -> s + z))"
-    nb = "sqrt(aggregate(zip_with(b.ev, b.ev, (x, y) -> x * y), 0D, (s, z) -> s + z))"
+    # Pair-blocking: the O(c²)·dim pair compute is CPU-bound, but AQE
+    # sizes shuffle partitions by bytes and would coalesce the join onto
+    # a handful of tasks (embedding rows are tiny on disk). Sub-block the
+    # pair space — a-rows keyed by vec_id mod B, b-rows replicated to
+    # every block — so the join key (label, blk) carries B tasks per
+    # cluster; each pair still appears exactly once. The explicit
+    # repartition pins the parallelism against byte-based coalescing.
+    # At corpus scale the same two knobs (k clusters × B blocks) are the
+    # unit a 1000-executor run scales over.
+    blocks = 4
+    a_side = v.withColumn("blk", (F.col("vec_id") % blocks).cast("int")).repartition(
+        32, "label", "blk"
+    )
+    b_side = v.withColumn(
+        "blk", F.explode(F.array(*[F.lit(i) for i in range(blocks)]))
+    ).repartition(32, "label", "blk")
     dropped = (
-        v.alias("a")
+        a_side.alias("a")
         .join(
-            v.alias("b"),
+            b_side.alias("b"),
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("b.vec_id") > F.col("a.vec_id")),
         )
-        .filter(F.expr(f"{dot} / ({na} * {nb})") > SEMDEDUP_TAU)
+        .filter(F.expr(f"{dot} / (a.nrm * b.nrm)") > SEMDEDUP_TAU)
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
     )
@@ -210,6 +232,120 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
             F.count(F.when(F.col("is_dup").isNull(), 1)).alias("n_kept"),
             F.min(F.when(F.col("is_dup").isNull(), F.col("vec_id"))).alias("first_kept"),
+        )
+        .orderBy("label")
+    )
+
+
+TARGET_CLUSTER = 64   # target vectors per sub-cluster in the scaled variant
+N_LABELS = 10         # label-cluster count in the fixture
+
+
+def _subbits_for(n: int) -> int:
+    """Smallest b with N_LABELS * TARGET_CLUSTER * 2^b >= n (pure integer
+    arithmetic — no log2, so both engines derive the identical b)."""
+    b = 0
+    while N_LABELS * TARGET_CLUSTER * (1 << b) < n:
+        b += 1
+    return b
+
+
+def _semdedup_scaled_oracle() -> str:
+    cos = (
+        f"{_DOT_DUCK.format(a='a.ev', b='b.ev')}"
+        f" / (sqrt({_DOT_DUCK.format(a='a.ev', b='a.ev')})"
+        f" * sqrt({_DOT_DUCK.format(a='b.ev', b='b.ev')}))"
+    )
+    # b = smallest integer with 640 * 2^b >= n, via an integer-only probe
+    # over candidate bit counts (log2 would be libm math; this is exact).
+    return f"""
+    WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+    bits AS (
+      SELECT MIN(b) AS b FROM (SELECT unnest(range(0, 21)) AS b), n
+      WHERE {N_LABELS * TARGET_CLUSTER} * (1 << b) >= n.n
+    ),
+    v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev,
+             list_sum(list_transform(range(1, bits.b + 1),
+                      j -> CASE WHEN embedding[j] >= 0
+                                THEN 1 << (j - 1) ELSE 0 END)) AS bucket
+      FROM embeddings CROSS JOIN bits
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM v a JOIN v b ON a.label = b.label
+        AND COALESCE(a.bucket, 0) = COALESCE(b.bucket, 0)
+        AND b.vec_id > a.vec_id
+      WHERE {cos} > {SEMDEDUP_TAU}
+    )
+    SELECT v.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) FILTER (WHERE d.vec_id IS NULL) AS BIGINT) AS n_kept
+    FROM v LEFT JOIN dropped d ON d.vec_id = v.vec_id
+    GROUP BY v.label ORDER BY v.label
+    """
+
+
+@register("dedup_semantic_scaled", oracle=_semdedup_scaled_oracle())
+def dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-adaptive SemDeDup: the 10x stress sweep measured the fixed-k
+    variant superlinear (exponent 1.35 — cluster size grows with the
+    corpus, pairs grow quadratically). The published recipe scales the
+    cluster count with the corpus; here each label cluster is sub-split
+    by sign-bit hyperplane buckets whose BIT COUNT is derived from the
+    corpus count (smallest b with clusters*2^b covering n at
+    TARGET_CLUSTER vectors each) — cluster size stays ~constant, so
+    pair volume is linear in n. Near-identical vectors agree on sign
+    bits with high probability (the same LSH argument as
+    dedup_embedding_cosine), which is what makes sub-splitting a valid
+    recall/cost trade at 100 TB. The bit count uses pure integer
+    arithmetic so the oracle derives the identical b."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # one tiny count job; the scalar parameterizes the plan
+    bits = _subbits_for(n)
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.expr("aggregate(zip_with(ev, ev, (x, y) -> x * y), 0D, (s, z) -> s + z)")),
+    )
+    if bits:
+        bucket = sum(
+            (
+                F.when(F.element_at(F.col("ev"), j + 1) >= 0, F.lit(1 << j)).otherwise(
+                    F.lit(0)
+                )
+                for j in range(bits)
+            ),
+            F.lit(0),
+        )
+    else:
+        bucket = F.lit(0)
+    v = v.withColumn("bucket", bucket).repartition(32, "label", "bucket")
+    dot = "aggregate(zip_with(a.ev, b.ev, (x, y) -> x * y), 0D, (s, z) -> s + z)"
+    dropped = (
+        v.alias("a")
+        .join(
+            v.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("b.vec_id") > F.col("a.vec_id")),
+        )
+        .filter(F.expr(f"{dot} / (a.nrm * b.nrm)") > SEMDEDUP_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    flagged = v.join(
+        F.broadcast(dropped.withColumn("is_dup", F.lit(1))), "vec_id", "left"
+    )
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count(F.when(F.col("is_dup").isNull(), 1)).alias("n_kept"),
         )
         .orderBy("label")
     )

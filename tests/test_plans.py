@@ -223,3 +223,42 @@ def test_tfidf_topk_uses_group_limit(spark):
     df = REG["text_tfidf_topk"].fn(spark, SF_ORACLE)
     plan = formatted_plan(df)
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """Spark's runtime bloom-filter injection (the 100 TB semi-join
+    pushdown knob): when a selective dim-side filter feeds a SHUFFLE
+    join — both sides too big to broadcast, the cluster-scale case — the
+    optimizer builds a bloom filter from the filtered side and probes it
+    on the fact side BEFORE the shuffle, cutting shuffle volume by the
+    filter's selectivity. Local thresholds are tuned down because the
+    bench fixture is far below the 10 GB default application-side scan
+    size; on a real cluster the defaults engage by themselves."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan, plan

@@ -110,3 +110,110 @@ def test_incremental_microbatches_converge_to_batch(spark):
         F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n_events"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_multibatch_incremental_rollup_equals_batch(spark, tmp_path):
+    """True incrementality: the same windowed aggregation drained over
+    MANY micro-batches (events split into 8 files, maxFilesPerTrigger=1,
+    arriving in event-time order) must equal the batch plan. Exercises
+    state merge across batches and watermark advancement — properties a
+    single-file drain (one micro-batch) never touches."""
+    import uuid
+
+    ev = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "events_batches")
+    # event-time-ordered 8-way split: each file is one contiguous time
+    # range, so batch k+1's data is "later" than batch k's — the
+    # realistic landing pattern a watermark advances over.
+    ev.withColumn(
+        "bucket", F.ntile(8).over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("ts"))
+    ).write.partitionBy("bucket").mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("hour_start"), "event_type", "n_events", "total_value")
+    )
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    q = stream.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        got = spark.table(name)
+        want = ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+        assert q.lastProgress is not None and q.lastProgress["batchId"] >= 7, (
+            "expected >= 8 micro-batches (one per file)"
+        )
+    finally:
+        q.stop()
+
+
+def test_multibatch_append_drops_late_rows_after_finalize(spark, tmp_path):
+    """Watermark semantics under multi-batch arrival, pinned exactly as
+    Spark implements them: late-data dropping is tied to state EVICTION.
+    A straggler arriving while its window's state is still live is
+    merged (Spark's guarantee is one-directional — in-watermark data is
+    definitely aggregated; too-late data is dropped best-effort). Once
+    the watermark has passed the window end and a batch has finalized
+    (emitted + evicted) it, a straggler for that window must be DROPPED —
+    append mode can never emit the same window twice. Three event-time-
+    ordered micro-batches (file mtimes force the source order):
+      b0 advances the watermark past the 00:00 window,
+      b1 triggers finalization of that window (n must be 1),
+      b2 is a post-finalization straggler — dropped, not re-emitted."""
+    import glob
+    import os
+    import time
+    import uuid
+    from datetime import datetime
+
+    schema = "ts timestamp, k string, v long"
+    batches = [
+        [(datetime(2024, 1, 1, 0, 10), "a", 1), (datetime(2024, 1, 1, 12, 0), "a", 1)],
+        [(datetime(2024, 1, 1, 13, 0), "a", 1)],
+        [(datetime(2024, 1, 1, 0, 20), "a", 1)],  # straggler
+    ]
+    src = str(tmp_path / "late_batches")
+    now = time.time()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}")
+        for f in glob.glob(f"{src}/b{i}/*.parquet"):
+            os.utime(f, (now - 100 + i * 10, now - 100 + i * 10))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "k", "n")
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = stream.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+    got = {(r["win_start"], r["k"]): r["n"] for r in rows}
+    # finalized once with only the on-time row; the straggler neither
+    # re-emitted the window nor bumped its count
+    assert got.get((datetime(2024, 1, 1, 0, 0), "a")) == 1, rows
+    assert len([k for k in got if k[0] == datetime(2024, 1, 1, 0, 0)]) == 1, rows

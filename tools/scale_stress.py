@@ -36,6 +36,10 @@ QUERIES = [
     "win_running_order_total",
     "fs_content",
     "text_profile",
+    "emb_kmeans_assign",
+    "dedup_semantic",
+    "dedup_semantic_scaled",
+    "text_tfidf_topk",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
