@@ -88,10 +88,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE + HEADLINE_R2 + HEADLINE_R3 + HEADLINE_R4:
-        # best of 2: the first run pays one-time codegen/plan compilation
-        # for the query's unique expressions; the second is steady state.
+        # best of 3: the first run pays one-time codegen/plan compilation
+        # for the query's unique expressions; later runs are steady state
+        # (three samples because host timing variance on shared boxes is
+        # large — factor-3 swings observed run-to-run on identical plans).
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             df = registry[name].fn(spark, sf_dir)
             # noop sink: full distributed execution of the plan, no
