@@ -439,3 +439,68 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "probe_label", "cosine")
     )
+
+
+def _recall_oracle() -> str:
+    bf = f"""
+      SELECT query_id, vec_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_COSINE_DUCK} DESC, b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+      ) WHERE rn <= {TOP_K}
+    """
+    lsh = f"""
+      SELECT query_id, vec_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_COSINE_DUCK} DESC, b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b
+          ON b.vec_id <> a.vec_id
+         AND {_BUCKET_DUCK.format(v='a')} = {_BUCKET_DUCK.format(v='b')}
+        WHERE a.vec_id < {N_QUERIES}
+      ) WHERE rn <= {TOP_K}
+    """
+    return f"""
+    WITH bf AS ({bf}), lsh AS ({lsh})
+    SELECT bf.query_id,
+           CAST(COUNT(*) AS BIGINT) AS true_k,
+           CAST(COUNT(lsh.vec_id) AS BIGINT) AS hits,
+           CAST(COUNT(lsh.vec_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+    FROM bf LEFT JOIN lsh
+      ON lsh.query_id = bf.query_id AND lsh.vec_id = bf.vec_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+    """
+
+
+@register("ann_lsh_recall", oracle=_recall_oracle())
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN against the exact brute-force
+    baseline — the evaluation loop every approximate index needs before
+    its bits/probes knobs are trusted at scale. Composes the two
+    existing pipelines and left-joins exact results to approximate ones;
+    at 100 TB the baseline runs on a sampled query set (here the query
+    set is already small) while the index side stays the production
+    plan, so the measurement never costs an all-pairs pass."""
+    bf = ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("bf_vec")
+    )
+    ap = ann_lsh_bucketed(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("lsh_vec"), F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(
+            ap,
+            (bf["query_id"] == ap["query_id"]) & (bf["bf_vec"] == ap["lsh_vec"]),
+            "left",
+        )
+        .drop(ap["query_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("true_k"),
+            F.count("hit").alias("hits"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

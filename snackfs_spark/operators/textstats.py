@@ -768,3 +768,90 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOP_TERMS)
         .select("doc_id", "token", "tf", "df", "tfidf")
     )
+
+
+def _bigram_oracle() -> str:
+    return """
+    WITH toks AS (
+      SELECT doc_id, i AS pos, words[i + 1] AS w
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS words,
+               unnest(range(0, len(string_split(text, ' ')))) AS i
+        FROM documents
+      )
+    ),
+    bigrams AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    big_counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bigrams GROUP BY w1, w2
+    ),
+    uni_counts AS (
+      SELECT w AS w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM toks GROUP BY w
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(round_even((CAST(bc.c2 AS DOUBLE) / uc.c1) * 1e12, 0)
+                         AS BIGINT)) AS BIGINT) AS prob_lattice_sum
+    FROM bigrams g
+    JOIN big_counts bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+    JOIN uni_counts uc ON uc.w1 = g.w1
+    GROUP BY g.doc_id
+    """
+
+
+@register("text_bigram_prob", oracle=_bigram_oracle())
+def text_bigram_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring: each document's adjacent word pairs
+    are scored by the corpus-wide conditional probability
+    P(w2|w1) = count(w1 w2) / count(w1), and the per-doc total is
+    reported on a 1e-12 integer lattice (bround half-even, then integer
+    sum) — the same engine-portable trick as the k-means centroids,
+    because a sum of raw double ratios would be order-dependent. This is
+    the next step up from unigram rarity scoring (text_rarity_score):
+    fluency-style filtering that catches shuffled/garbled text a unigram
+    model scores identically.
+
+    Scale: bigram vocabulary is vocab² worst case but Zipf-small in
+    practice — both count relations collapse map-side and broadcast;
+    the per-doc aggregate shuffles one row per (doc, partial). The
+    bigram explode is a zero-shuffle projection (posexplode + lead via
+    array zip, no self-join — the oracle's pos-join form is the SQL
+    equivalent, the Spark side never materializes it)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    words = F.split(F.col("text"), " ")
+    # adjacent pairs without a self-join: zip words with their tail
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(words) >= 2,
+                F.zip_with(
+                    F.slice(words, 1, F.size(words) - 1),
+                    F.slice(words, 2, F.size(words) - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = (
+        docs.select(F.explode(words).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        pairs.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .withColumn(
+            "q",
+            F.bround((F.col("c2").cast("double") / F.col("c1")) * F.lit(1.0e12)).cast(
+                "bigint"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("q").alias("prob_lattice_sum"),
+    )

@@ -176,3 +176,33 @@ def test_ingest_cache_identical_results(spark):
         tables._INGEST_CACHE.pop(SF_ORACLE, None)
     # opt-in: with the cache deactivated, reads return to the raw file
     assert tables.load_table(spark, SF_ORACLE, "lineitem").rdd.getNumPartitions() >= 1
+
+
+def test_ivf_partitioned_layout_prunes_to_probe_list(spark, tmp_path):
+    """The IVF scale claim made physical: embeddings written partitioned
+    by list id (label) let a probe read ONE partition — the scan carries
+    a PartitionFilters entry on label and prunes the other directories.
+    At 100 TB this is the difference between a probe that reads 1/k of
+    the corpus and one that scans everything and filters late."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_ORACLE
+
+    src = f"{SF_ORACLE}/embeddings.parquet"
+    out = str(tmp_path / "emb_by_label")
+    spark.read.parquet(src).write.partitionBy("label").mode("overwrite").parquet(out)
+
+    probe = spark.read.parquet(out).filter(F.col("label") == 3)
+    probe.collect()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    # the filter must appear inside PartitionFilters (pruned at listing
+    # time), not only as a post-scan Filter
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("label" in l for l in pf), plan
+    # pruning is real: the executed scan's numFiles metric says it read
+    # ONE file (the label=3 directory), not all 10 label directories
+    leaves = probe._jdf.queryExecution().executedPlan().collectLeaves()
+    scan = leaves.head()
+    num_files = scan.metrics().apply("numFiles").value()
+    assert num_files == 1, f"scan read {num_files} files, expected 1"
