@@ -217,3 +217,75 @@ def test_multibatch_append_drops_late_rows_after_finalize(spark, tmp_path):
     # re-emitted the window nor bumped its count
     assert got.get((datetime(2024, 1, 1, 0, 0), "a")) == 1, rows
     assert len([k for k in got if k[0] == datetime(2024, 1, 1, 0, 0)]) == 1, rows
+
+
+def test_checkpoint_restart_resumes_state_exactly_once(spark, tmp_path):
+    """Fault-tolerance contract: a stateful streaming aggregation
+    stopped and RESTARTED from its checkpoint must (a) not reprocess
+    batches it already committed — the second run's sink receives no
+    duplicate contribution — and (b) resume its state store, so data
+    arriving after the restart merges into the same windows. This is
+    the exactly-once recovery story a 100 TB ingest pipeline rests on;
+    a single-process drain never exercises it."""
+    import glob
+    import os
+    import time
+    import uuid
+    from datetime import datetime
+
+    schema = "ts timestamp, k string, v long"
+    src = str(tmp_path / "ckpt_src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "ckpt_out")
+    now = time.time()
+
+    def write_batch(i, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}")
+        for f in glob.glob(f"{src}/b{i}/*.parquet"):
+            os.utime(f, (now - 100 + i * 10, now - 100 + i * 10))
+
+    def run_until_drained():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+            .select(F.col("win.start").alias("win_start"), "k", "n", "total")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # run 1: two batches land, the 00:00 window stays OPEN (watermark
+    # has not passed it when the run stops)
+    write_batch(0, [(datetime(2024, 1, 1, 0, 10), "a", 1)])
+    write_batch(1, [(datetime(2024, 1, 1, 0, 40), "a", 2)])
+    run_until_drained()
+
+    # run 2 (restart from checkpoint): one more on-time row for the SAME
+    # window (state must have survived), then time advances far enough
+    # to finalize it
+    write_batch(2, [(datetime(2024, 1, 1, 0, 50), "a", 4)])
+    write_batch(3, [(datetime(2024, 1, 1, 12, 0), "a", 8)])
+    run_until_drained()
+
+    got = {
+        (r["win_start"], r["k"]): (r["n"], r["total"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # exactly one finalized row for the 00:00 window, merging rows from
+    # BOTH runs exactly once: n=3, total=1+2+4
+    assert got.get((datetime(2024, 1, 1, 0, 0), "a")) == (3, 7), got

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -46,23 +47,34 @@ SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
 
 
 def main() -> None:
+    # usage: scale_stress.py [shuffle_partitions] [label=dir ...]
     shuffle = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    sf_dirs = dict(SF_DIRS)
+    if len(sys.argv) > 2:
+        sf_dirs = dict(arg.split("=", 1) for arg in sys.argv[2:])
+    labels = list(sf_dirs)
+    # SCALE_STRESS_SKIP=q1,q2 drops queries (e.g. the deliberately
+    # superlinear fixed-k semdedup from a 100x run, where its measured
+    # 10x blowup already makes the point and 10000x pairs would not end)
+    skip = {q for q in (os.environ.get("SCALE_STRESS_SKIP") or "").split(",") if q}
+    queries = [q for q in QUERIES if q not in skip]
     registry = load_all()
     spark = get_spark("scale_stress")
-    # sf1 has 10x the rows per shuffle key-space; size partitions so a
-    # partition stays ~sf0.1-sized (the knob a real cluster turns).
+    # the larger fixture has Nx the rows per shuffle key-space; size
+    # partitions so a partition stays ~base-sized (the knob a real
+    # cluster turns).
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
 
     from snackfs_spark.sources import fsmodel, tables
 
-    results: dict[str, dict[str, float]] = {n: {} for n in QUERIES}
-    for sf, sf_dir in SF_DIRS.items():
+    results: dict[str, dict[str, float]] = {n: {} for n in queries}
+    for sf, sf_dir in sf_dirs.items():
         tables.build_ingest_cache(spark, sf_dir)
         registry["q6_revenue_forecast"].fn(spark, sf_dir).collect()
         fsmodel.files_df(spark, sf_dir).count()
         fsmodel.content_df(spark, sf_dir).count()
         fsmodel.locks_df(spark, sf_dir).count()
-        for name in QUERIES:
+        for name in queries:
             best = float("inf")
             for _ in range(2):
                 start = time.perf_counter()
@@ -72,12 +84,14 @@ def main() -> None:
             results[name][sf] = round(best, 3)
             print(f"# sf{sf} {name}: {best:.3f}s", file=sys.stderr)
 
+    base, big = labels[0], labels[-1]
+    decades = math.log10(float(big) / float(base))
     table = {
         name: {
-            "sf0.1_sec": t["0.1"],
-            "sf1_sec": t["1"],
-            "ratio": round(t["1"] / t["0.1"], 2),
-            "exponent": round(math.log10(t["1"] / t["0.1"]), 2),
+            f"sf{base}_sec": t[base],
+            f"sf{big}_sec": t[big],
+            "ratio": round(t[big] / t[base], 2),
+            "exponent": round(math.log10(t[big] / t[base]) / decades, 2),
         }
         for name, t in results.items()
     }
