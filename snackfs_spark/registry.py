@@ -105,8 +105,10 @@ PRIORITY: tuple[str, ...] = (
     "emb_kmeans_assign",
     # §2.C text analysis (one-scan composition of the four scoring ops)
     "text_profile",
-    # §2.C multimodal (chunk iteration through the pandas-UDF path)
-    "multimodal_frame_sample",
+    # §2.C multimodal — the REAL-decode representative (int16 PCM via
+    # numpy in mapInPandas, integer-exact oracle); frame_sample/resize/
+    # decode_features register after the window, repo-checked
+    "multimodal_audio_energy",
     # §2.C dataset splits + decontamination
     "split_assign_hash",
     "split_contamination_check",

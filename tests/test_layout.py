@@ -206,3 +206,75 @@ def test_ivf_partitioned_layout_prunes_to_probe_list(spark, tmp_path):
     scan = leaves.head()
     num_files = scan.metrics().apply("numFiles").value()
     assert num_files == 1, f"scan read {num_files} files, expected 1"
+
+
+def test_zorder_layout_improves_two_column_skipping(spark, tmp_path):
+    """Z-ordered layout must make range filters on BOTH key columns
+    skippable, where a single-column sort only helps its own column.
+    Measured, not asserted from theory: write lineitem sorted by
+    l_orderkey alone vs z-ordered on (l_orderkey, l_partkey), run the
+    same selective two-column filter, and compare how many FILES each
+    layout's scan reads (file-level min/max pruning is the same
+    mechanism as row-group pruning, one level up)."""
+    from pyspark.sql import functions as F
+
+    from snackfs_spark.sources.zorder import write_zordered, zorder_key
+    from tests.conftest import SF_ORACLE
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    n_files = 16
+    plain = str(tmp_path / "li_sorted_one_col")
+    zord = str(tmp_path / "li_zordered")
+    (
+        li.repartitionByRange(n_files, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(plain)
+    )
+    write_zordered(li, zord, "l_orderkey", "l_partkey", n_files=n_files)
+
+    # sanity: morton(a=0b101, b=0b011) — a's bits land at even positions
+    # (bit0=1, bit4=1 -> 17), b's at odd (bit1=1, bit3=1 -> 10) -> 27
+    probe = spark.range(1).select(
+        zorder_key(F.lit(0b101), F.lit(0b011)).alias("z")
+    )
+    assert probe.collect()[0]["z"] == 27
+
+    # Row-group min/max statistics are what parquet readers prune on
+    # (Spark prunes row groups inside the reader; plain Spark has no
+    # file-level stats skipping — that layer is table formats'). Measure
+    # the layouts' skipping potential directly from the written stats:
+    # for a filter on the SECOND dimension only — the case z-order
+    # exists for — count row groups whose [min,max] overlap the range.
+    import glob
+
+    import pyarrow.parquet as pq
+
+    def overlapping_row_groups(path, lo, hi):
+        total = overlap = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx["l_partkey"]).statistics
+                total += 1
+                if st.min <= hi and st.max >= lo:
+                    overlap += 1
+        return total, overlap
+
+    lo, hi = 1, 255  # selective partkey range (high bits zero)
+    plain_total, plain_overlap = overlapping_row_groups(plain, lo, hi)
+    z_total, z_overlap = overlapping_row_groups(zord, lo, hi)
+    assert plain_total >= n_files and z_total >= n_files
+    # orderkey-sorted layout: partkey spans its full range in every row
+    # group — nothing skippable on a partkey-only predicate
+    assert plain_overlap == plain_total, (plain_overlap, plain_total)
+    # z-ordered layout: row groups are rectangles in (orderkey, partkey)
+    # space, so most exclude the low-partkey strip entirely
+    assert z_overlap < plain_overlap / 2, (z_overlap, plain_overlap)
+    # and the layouts hold identical data
+    assert (
+        spark.read.parquet(zord).count() == spark.read.parquet(plain).count()
+    )

@@ -53,7 +53,7 @@ CLASSES = {
     "similarity": "ann_bruteforce_topk",
     "clustering (iterative)": "emb_kmeans_assign",
     "text": "text_profile",
-    "multimodal": "multimodal_frame_sample",
+    "multimodal": "multimodal_audio_energy",
     "sampling": "split_assign_hash",
     "decontamination": "split_contamination_check",
     "streaming": "streaming_hourly_rollup",
