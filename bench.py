@@ -61,10 +61,13 @@ HEADLINE_R3 = [
     "text_boilerplate",
 ]
 
-# Round-4 additions: iterative k-means and SemDeDup-style semantic dedup.
+# Round-4 additions: iterative k-means, SemDeDup-style semantic dedup,
+# bigram-LM scoring, and the real-decode PCM feature path.
 HEADLINE_R4 = [
     "emb_kmeans_assign",
     "dedup_semantic",
+    "text_bigram_prob",
+    "multimodal_audio_energy",
 ]
 
 
