@@ -1,0 +1,42 @@
+"""Determinism under parallelism: the property the whole oracle design
+rests on (SCALE.md 'Global posture'). Every hash-checked aggregate
+accumulates in exact decimal / integer-lattice / min-max space, so the
+SAME query must produce bit-identical rows under different shuffle
+partition counts — the local stand-in for running on a differently
+sized cluster. A query that only passes at one partition count would
+flap the driver's value hash the day the cluster resizes."""
+
+from __future__ import annotations
+
+import pytest
+
+from snackfs_spark.registry import load_all
+from tests.conftest import SF_SMALL
+
+REG = load_all()
+
+# The queries whose numeric paths are the riskiest: decimal sums,
+# integer-lattice means (k-means, bigram), minhash min-aggregates, and
+# the left-fold cosine chain.
+PROBES = [
+    "q1_pricing_summary",
+    "win_running_order_total",
+    "dedup_minhash_lsh",
+    "emb_kmeans_assign",
+    "dedup_semantic_scaled",
+    "text_bigram_prob",
+    "ann_ivf_probe",
+]
+
+
+@pytest.mark.parametrize("name", PROBES)
+def test_bit_identical_across_partition_counts(name, spark):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = sorted(map(tuple, REG[name].fn(spark, SF_SMALL).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = sorted(map(tuple, REG[name].fn(spark, SF_SMALL).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b, f"{name}: results differ between 32 and 7 shuffle partitions"
