@@ -92,11 +92,13 @@ PRIORITY: tuple[str, ...] = (
     "win_topk_orders_per_customer",
     "win_running_order_total",
     # §2.C dedup battery (exact, minhash, jaccard, embedding, semantic;
-    # simhash registers after the window — same family, repo-checked)
+    # simhash and the fixed-k SemDeDup register after the window — same
+    # families, repo-checked; the size-adaptive variant is the
+    # production form the window showcases)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_semantic",
+    "dedup_semantic_scaled",
     "dedup_embedding_cosine",
     # §2.C similarity search + clustering (IVF probe registers after the
     # window; k-means is the iterative-algorithm representative)

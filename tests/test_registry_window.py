@@ -49,7 +49,7 @@ FAMILIES = {
 # §2.C class → representative
 CLASSES = {
     "dedup": "dedup_minhash_lsh",
-    "semantic dedup": "dedup_semantic",
+    "semantic dedup": "dedup_semantic_scaled",
     "similarity": "ann_bruteforce_topk",
     "clustering (iterative)": "emb_kmeans_assign",
     "text": "text_profile",
