@@ -77,8 +77,10 @@ def _recenter(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_oracle() -> str:
-    """Lloyd's unrolled to KMEANS_ITERS rounds in SQL CTEs."""
+def _kmeans_oracle(iters: int = KMEANS_ITERS) -> str:
+    """Lloyd's unrolled to `iters` rounds in SQL CTEs (each round = one
+    assign CTE + one recenter CTE; the chain is generated, so the same
+    oracle covers deeper runs in tests)."""
     assign = """
       SELECT vec_id, ev, cid, dist FROM (
         SELECT v.vec_id, v.ev, c.cid,
@@ -98,17 +100,22 @@ def _kmeans_oracle() -> str:
         GROUP BY cid, i
       ) GROUP BY cid
     """
-    return f"""
-    WITH v AS (
+    ctes = [
+        f"""v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
       FROM embeddings
-    ),
-    c0 AS (SELECT vec_id AS cid, ev AS cv FROM v WHERE vec_id < {KMEANS_K}),
-    a1 AS ({assign.format(l2=l2, vsrc="v", csrc="c0")}),
-    c1 AS ({recenter.format(asrc="a1")}),
-    a2 AS ({assign.format(l2=l2, vsrc="v", csrc="c1")})
-    SELECT vec_id, cid AS cluster, dist AS sq_dist FROM a2
-    """
+    )""",
+        f"c0 AS (SELECT vec_id AS cid, ev AS cv FROM v WHERE vec_id < {KMEANS_K})",
+        f"a1 AS ({assign.format(l2=l2, vsrc='v', csrc='c0')})",
+    ]
+    for r in range(2, iters + 1):
+        ctes.append(f"c{r - 1} AS ({recenter.format(asrc=f'a{r - 1}')})")
+        ctes.append(f"a{r} AS ({assign.format(l2=l2, vsrc='v', csrc=f'c{r - 1}')})")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT vec_id, cid AS cluster, dist AS sq_dist FROM a{iters}"
+    )
 
 
 @register("emb_kmeans_assign", oracle=_kmeans_oracle())
@@ -123,6 +130,13 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is deliberately replaced by deterministic seeding so the whole
     chain is oracle-checkable). At 100 TB: per-round cost = one cached
     scan; k and dim bound all shuffle traffic."""
+    return kmeans_assign(spark, sf_dir, iters=KMEANS_ITERS)
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
+    """Parameterized Lloyd's loop behind emb_kmeans_assign; tests run it
+    deeper than the registered round count against the same generated
+    oracle (`_kmeans_oracle(iters)`)."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev")
@@ -131,7 +145,7 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("ev").alias("cv")
     )
     assigned = _assign(v, cents)
-    for _ in range(KMEANS_ITERS - 1):
+    for _ in range(iters - 1):
         cents = _recenter(assigned)
         assigned = _assign(v, cents)
     return assigned.select(

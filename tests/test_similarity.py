@@ -57,3 +57,18 @@ def test_lsh_recall_subset_of_bruteforce_order(spark):
         key = (r["query_id"], r["vec_id"])
         assert key not in seen
         seen.add(key)
+
+
+def test_kmeans_deeper_rounds_match_generated_oracle(spark, duck):
+    """The iterative loop stays bit-exact BEYOND the registered round
+    count: 4 Lloyd's rounds vs the 4-round generated SQL oracle. Pins
+    that per-round determinism does not decay as rounds compound (each
+    round's lattice rounding is exact, so errors cannot accumulate) and
+    that the oracle generator is faithful for arbitrary depth."""
+    from snackfs_spark.operators.clustering import _kmeans_oracle, kmeans_assign
+    from tests.conftest import SF_ORACLE
+
+    got = sorted(map(tuple, kmeans_assign(spark, SF_ORACLE, iters=4).collect()))
+    want = sorted(map(tuple, duck.execute(_kmeans_oracle(iters=4)).fetchall()))
+    assert len(got) == len(want) > 0
+    assert [tuple(map(str, r)) for r in got] == [tuple(map(str, r)) for r in want]
