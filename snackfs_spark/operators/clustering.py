@@ -301,20 +301,9 @@ def _semdedup_scaled_oracle() -> str:
     """
 
 
-@register("dedup_semantic_scaled", oracle=_semdedup_scaled_oracle())
-def dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Size-adaptive SemDeDup: the 10x stress sweep measured the fixed-k
-    variant superlinear (exponent 1.35 — cluster size grows with the
-    corpus, pairs grow quadratically). The published recipe scales the
-    cluster count with the corpus; here each label cluster is sub-split
-    by sign-bit hyperplane buckets whose BIT COUNT is derived from the
-    corpus count (smallest b with clusters*2^b covering n at
-    TARGET_CLUSTER vectors each) — cluster size stays ~constant, so
-    pair volume is linear in n. Near-identical vectors agree on sign
-    bits with high probability (the same LSH argument as
-    dedup_embedding_cosine), which is what makes sub-splitting a valid
-    recall/cost trade at 100 TB. The bit count uses pure integer
-    arithmetic so the oracle derives the identical b."""
+def semantic_scaled_dropped(spark: SparkSession, sf_dir: str):
+    """(vectors, dropped_vec_ids) for size-adaptive SemDeDup — shared by
+    the registered query and the corpus-build capstone."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()  # one tiny count job; the scalar parameterizes the plan
     bits = _subbits_for(n)
@@ -352,6 +341,24 @@ def dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
     )
+    return v, dropped
+
+
+@register("dedup_semantic_scaled", oracle=_semdedup_scaled_oracle())
+def dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-adaptive SemDeDup: the 10x stress sweep measured the fixed-k
+    variant superlinear (exponent 1.35 — cluster size grows with the
+    corpus, pairs grow quadratically). The published recipe scales the
+    cluster count with the corpus; here each label cluster is sub-split
+    by sign-bit hyperplane buckets whose BIT COUNT is derived from the
+    corpus count (smallest b with clusters*2^b covering n at
+    TARGET_CLUSTER vectors each) — cluster size stays ~constant, so
+    pair volume is linear in n. Near-identical vectors agree on sign
+    bits with high probability (the same LSH argument as
+    dedup_embedding_cosine), which is what makes sub-splitting a valid
+    recall/cost trade at 100 TB. The bit count uses pure integer
+    arithmetic so the oracle derives the identical b."""
+    v, dropped = semantic_scaled_dropped(spark, sf_dir)
     flagged = v.join(
         F.broadcast(dropped.withColumn("is_dup", F.lit(1))), "vec_id", "left"
     )

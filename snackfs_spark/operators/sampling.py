@@ -450,3 +450,133 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_text"),
         )
     )
+
+
+FLUENCY_MIN = 32_000_000_000  # min avg bigram lattice prob (~0.032 * 1e12)
+
+
+def _corpus_v2_oracle() -> str:
+    from snackfs_spark.operators.clustering import (
+        N_LABELS,
+        SEMDEDUP_TAU,
+        TARGET_CLUSTER,
+        _DOT_DUCK,
+    )
+
+    cos = (
+        f"{_DOT_DUCK.format(a='a.ev', b='b.ev')}"
+        f" / (sqrt({_DOT_DUCK.format(a='a.ev', b='a.ev')})"
+        f" * sqrt({_DOT_DUCK.format(a='b.ev', b='b.ev')}))"
+    )
+    return f"""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    quality AS (
+      SELECT doc_id FROM documents
+      WHERE n_chars BETWEEN 100 AND 500
+        AND len(string_split(text, ' ')) >= 20
+    ),
+    n AS (SELECT COUNT(*) AS n FROM embeddings),
+    bits AS (
+      SELECT MIN(b) AS b FROM (SELECT unnest(range(0, 21)) AS b), n
+      WHERE {N_LABELS * TARGET_CLUSTER} * (1 << b) >= n.n
+    ),
+    v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev,
+             list_sum(list_transform(range(1, bits.b + 1),
+                      j -> CASE WHEN embedding[j] >= 0
+                                THEN 1 << (j - 1) ELSE 0 END)) AS bucket
+      FROM embeddings CROSS JOIN bits
+    ),
+    sem_dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM v a JOIN v b ON a.label = b.label
+        AND COALESCE(a.bucket, 0) = COALESCE(b.bucket, 0)
+        AND b.vec_id > a.vec_id
+      WHERE {cos} > {SEMDEDUP_TAU}
+    ),
+    toks AS (
+      SELECT doc_id, i AS pos, words[i + 1] AS w
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS words,
+               unnest(range(0, len(string_split(text, ' ')))) AS i
+        FROM documents
+      )
+    ),
+    bigrams AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bigrams GROUP BY w1, w2),
+    uc AS (SELECT w AS w1, COUNT(*) AS c1 FROM toks GROUP BY w),
+    fluent AS (
+      SELECT g.doc_id
+      FROM bigrams g
+      JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+      JOIN uc ON uc.w1 = g.w1
+      GROUP BY g.doc_id
+      HAVING SUM(CAST(round_even((CAST(bc.c2 AS DOUBLE) / uc.c1) * 1e12, 0)
+                      AS BIGINT)) // COUNT(*) >= {FLUENCY_MIN}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS ws_tokens
+    FROM documents d
+    JOIN keepers k ON k.doc_id = d.doc_id
+    JOIN quality q ON q.doc_id = d.doc_id
+    JOIN fluent f ON f.doc_id = d.doc_id
+    LEFT JOIN sem_dropped s ON s.vec_id = d.doc_id
+    WHERE s.vec_id IS NULL
+      AND {_BUCKET_SQL.replace('doc_id', 'd.doc_id')} < {TRAIN_PCT}
+    """
+
+
+@register("corpus_build_v2", oracle=_corpus_v2_oracle())
+def corpus_build_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 corpus-build capstone: the v1 recipe (exact dedup ∩
+    quality gate ∩ train split) extended with the round's new signals —
+    size-adaptive SEMANTIC dedup (embedding-space near-dups dropped;
+    docs without an embedding row keep, semantics = no signal, no drop)
+    and bigram-LM FLUENCY (per-doc avg conditional probability on the
+    1e-12 lattice must clear a fixed floor). Every leg is key-only until
+    the final count: keeper/quality/fluent relations carry doc_ids, the
+    semantic drop set carries vec_ids, and text is scanned in two passes
+    total (quality projection + bigram scoring) regardless of how many
+    filters stack. The same composition at 100 TB materializes each
+    signal as a column once and AND-s them — which is exactly this
+    plan's shape."""
+    from snackfs_spark.operators.clustering import semantic_scaled_dropped
+    from snackfs_spark.operators.textstats import text_bigram_prob
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    toks = F.split(F.col("text"), " ")
+    quality = docs.filter(
+        F.col("n_chars").between(100, 500) & (F.size(toks) >= 20)
+    ).select("doc_id")
+    fluent = (
+        text_bigram_prob(spark, sf_dir)
+        .filter(
+            F.expr(f"prob_lattice_sum div n_bigrams") >= F.lit(FLUENCY_MIN)
+        )
+        .select("doc_id")
+    )
+    _, sem_dropped = semantic_scaled_dropped(spark, sf_dir)
+    kept = (
+        docs.join(keepers.select("doc_id"), "doc_id", "left_semi")
+        .join(quality, "doc_id", "left_semi")
+        .join(fluent, "doc_id", "left_semi")
+        .join(
+            F.broadcast(sem_dropped.withColumnRenamed("vec_id", "doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+        .filter(_bucket(F.col("doc_id")) < TRAIN_PCT)
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("ws_tokens"),
+    )
