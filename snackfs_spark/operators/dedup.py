@@ -522,3 +522,131 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("dup", F.lit(0)).cast("int").alias("dup_of_corpus"),
         )
     )
+
+
+SIMHASH_BLOCKS = 4  # 8-bit blocks; hamming distance <= 3 guarantees a collision
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (('0x' || substr(md5(tok), 1, 8))::BIGINT >> b) & 1 = 1
+                      THEN 1 ELSE -1 END) AS vote
+      FROM toks, (SELECT unnest(range(0, 32)) AS b)
+      GROUP BY doc_id, b
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    blocks AS (
+      SELECT doc_id, simhash, blk, (simhash >> (blk * 8)) & 255 AS blk_val
+      FROM fp, (SELECT unnest(range(0, 4)) AS blk)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+    FROM blocks a JOIN blocks b
+      ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIR generation — completes the fingerprint
+    family: the 32-bit fingerprint splits into 4 disjoint 8-bit blocks;
+    by pigeonhole, any pair within hamming distance 3 agrees on at least
+    one whole block, so candidates come from equi-joins on (block,
+    block_value) — never an all-pairs hamming scan — and the exact
+    hamming check filters survivors. Identical banding shape to
+    MinHash-LSH; at 100 TB the block join shuffles on near-uniform
+    8-bit-block keys and pair work is collision-bounded."""
+    fp = dedup_simhash(spark, sf_dir)
+    blocks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BLOCKS - 1))).alias("blk"),
+    ).withColumn("blk_val", F.expr("(simhash >> (blk * 8)) & 255"))
+    a = blocks.alias("a")
+    b = blocks.alias("b").hint("shuffle_hash")
+    hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= 3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "dedup_chunk_exact",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             array_to_string(toks[chunk_start + 1:chunk_start + 128], ' ')
+               AS chunk_text
+      FROM (
+        SELECT doc_id, toks, unnest(range(0, len(toks), 64)) AS chunk_start
+        FROM t
+      )
+    )
+    SELECT md5(chunk_text) AS chunk_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM chunks
+    GROUP BY md5(chunk_text)
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup — the line/paragraph-level pass of a C4-
+    style pipeline, at chunk granularity (the corpus has no paragraph
+    breaks, so the unit is the 128-token sliding chunk with stride 64,
+    the same chunking the RAG path uses). Reports duplicated chunks
+    with copy counts and the keeper doc. Same scale shape as dedup_exact
+    — one shuffle on a uniform content hash, map-side collapse — just
+    on an exploded relation ~2x the token count. At 100 TB this catches
+    shared boilerplate/quotes that document-level hashing never sees."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    toks = F.split(F.col("text"), " ")
+    chunks = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, size(toks) - 1, 64), s -> s)")
+            ).alias("chunk_start"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.slice(F.col("toks"), F.col("chunk_start") + 1, 128), " "
+            ).alias("chunk_text"),
+        )
+    )
+    return (
+        chunks.groupBy(F.md5("chunk_text").alias("chunk_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
