@@ -1340,3 +1340,81 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+ANOM_TRAIL = 24  # trailing hours in the baseline window
+
+
+@register(
+    "events_rate_anomaly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT h, event_type, n,
+             CAST(SUM(n) OVER w AS BIGINT) AS trail_sum,
+             CAST(SUM(n * n) OVER w AS BIGINT) AS trail_sumsq,
+             CAST(COUNT(*) OVER w AS BIGINT) AS trail_n
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN {ANOM_TRAIL} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S.%f') AS hour_start,
+           event_type, n, trail_sum, trail_n
+    FROM stats
+    WHERE trail_n >= 12
+      AND (n * trail_n - trail_sum) > 0
+      AND (n * trail_n - trail_sum) * (n * trail_n - trail_sum)
+          > 9 * (trail_n * trail_sumsq - trail_sum * trail_sum)
+    ORDER BY event_type, hour_start
+    """,
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-spike detection: hourly event counts vs a trailing 24-hour
+    baseline, flagging hours more than 3 sigma above the mean. The
+    z-score test is algebraically cleared of division AND sqrt —
+    (n·N − Σ)² > 9·(N·Σx² − Σ²) over integer window sums — so the whole
+    detector is exact int64 arithmetic: no libm, no rounding, portable
+    to the oracle bit-for-bit (DESIGN.md determinism rules). The same
+    two-window plan is the streaming anomaly monitor's batch twin:
+    per-key hourly aggregate (map-side collapse), then a bounded ROWS
+    window per event_type — state is O(types x 24)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-ANOM_TRAIL, -1)
+    )
+    stats = hourly.select(
+        "h",
+        "event_type",
+        "n",
+        F.sum("n").over(w).alias("trail_sum"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("trail_sumsq"),
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+    )
+    dev = F.col("n") * F.col("trail_n") - F.col("trail_sum")
+    var_n3 = F.col("trail_n") * F.col("trail_sumsq") - F.col("trail_sum") * F.col(
+        "trail_sum"
+    )
+    return (
+        stats.filter(
+            (F.col("trail_n") >= 12) & (dev > 0) & (dev * dev > 9 * var_n3)
+        )
+        .select(
+            ts_str("h").alias("hour_start"),
+            "event_type",
+            "n",
+            "trail_sum",
+            "trail_n",
+        )
+        .orderBy("event_type", "hour_start")
+    )
