@@ -57,3 +57,96 @@ def user_monitor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of operators/relational.events_rate_anomaly: per-type
+# hourly counts with a trailing 24-ROW baseline, closed-hour emission.
+# State per key = the last 24 completed hourly counts + the still-open
+# hour's partial count — O(types x 25) fixed-width state, the bounded
+# form of the batch window. An hour CLOSES when a later hour's first
+# event arrives (event-time-ordered ingest, the multi-batch test
+# fixture's landing pattern); anomalies use the same division- and
+# sqrt-free int64 algebra as the batch detector, so closed-hour output
+# equals the batch query's rows exactly.
+# ---------------------------------------------------------------------------
+
+ANOM_OUTPUT_SCHEMA = (
+    "event_type string, hour_epoch bigint, n bigint, trail_sum bigint, trail_n bigint"
+)
+# hist_* = last 24 completed hours (parallel arrays, ascending);
+# open_hour/open_n = the hour still accumulating (-1 = none)
+ANOM_STATE_SCHEMA = (
+    "hist_counts array<bigint>, open_hour bigint, open_n bigint"
+)
+ANOM_TRAIL = 24
+ANOM_MIN_TRAIL = 12
+
+
+def _anomaly_monitor(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (event_type,) = key
+    if state.exists:
+        hist, open_hour, open_n = state.get
+        hist = list(hist)
+    else:
+        hist, open_hour, open_n = [], -1, 0
+
+    # per-hour counts of this batch, ascending by hour
+    import collections
+
+    batch_counts: dict[int, int] = collections.defaultdict(int)
+    for pdf in pdfs:
+        hours = (pdf["ts"].astype("int64") // 1_000_000_000 // 3600).astype("int64")
+        for h, c in hours.value_counts().items():
+            batch_counts[int(h)] += int(c)
+
+    out = {k: [] for k in ("event_type", "hour_epoch", "n", "trail_sum", "trail_n")}
+    for h in sorted(batch_counts):
+        if h == open_hour:
+            open_n += batch_counts[h]
+            continue
+        # a later hour arrived: the open hour closes first
+        if open_hour != -1 and h > open_hour:
+            _close_hour(event_type, open_hour, open_n, hist, out)
+        open_hour, open_n = h, batch_counts[h]
+    state.update((hist[-ANOM_TRAIL:], open_hour, open_n))
+    yield pd.DataFrame(
+        {
+            "event_type": pd.Series(out["event_type"], dtype="object"),
+            "hour_epoch": pd.Series(out["hour_epoch"], dtype="int64"),
+            "n": pd.Series(out["n"], dtype="int64"),
+            "trail_sum": pd.Series(out["trail_sum"], dtype="int64"),
+            "trail_n": pd.Series(out["trail_n"], dtype="int64"),
+        }
+    )
+
+
+def _close_hour(event_type, hour, n, hist, out):
+    trail = hist[-ANOM_TRAIL:]
+    trail_n = len(trail)
+    if trail_n >= ANOM_MIN_TRAIL:
+        trail_sum = sum(trail)
+        trail_sumsq = sum(c * c for c in trail)
+        dev = n * trail_n - trail_sum
+        var_n3 = trail_n * trail_sumsq - trail_sum * trail_sum
+        if dev > 0 and dev * dev > 9 * var_n3:
+            out["event_type"].append(event_type)
+            out["hour_epoch"].append(hour * 3600)
+            out["n"].append(n)
+            out["trail_sum"].append(trail_sum)
+            out["trail_n"].append(trail_n)
+    hist.append(n)
+    del hist[:-ANOM_TRAIL]
+
+
+def rate_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir).select("event_type", "ts")
+    return ev.groupBy("event_type").applyInPandasWithState(
+        _anomaly_monitor,
+        outputStructType=ANOM_OUTPUT_SCHEMA,
+        stateStructType=ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

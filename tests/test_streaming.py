@@ -289,3 +289,68 @@ def test_checkpoint_restart_resumes_state_exactly_once(spark, tmp_path):
     # exactly one finalized row for the 00:00 window, merging rows from
     # BOTH runs exactly once: n=3, total=1+2+4
     assert got.get((datetime(2024, 1, 1, 0, 0), "a")) == (3, 7), got
+
+
+def test_stateful_anomaly_monitor_equals_batch(spark, tmp_path):
+    """The custom stateful anomaly monitor (applyInPandasWithState,
+    per-type trailing-24-hour state) drained over event-time-ordered
+    micro-batches must flag EXACTLY the rows the batch detector
+    (events_rate_anomaly) flags — except each type's final hour, which
+    never closes in the stream (no later event arrives to close it).
+    This pins that windowed state carried across micro-batch boundaries
+    reproduces the batch ROWS-window semantics."""
+    from datetime import timezone
+
+    from pyspark.sql.window import Window as W
+
+    from snackfs_spark.registry import load_all
+    from snackfs_spark.streaming.stateful import ANOM_OUTPUT_SCHEMA, _anomaly_monitor
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "anom_batches")
+    ev.withColumn(
+        "bucket", F.ntile(6).over(W.orderBy("ts"))
+    ).write.partitionBy("bucket").mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .select("event_type", "ts")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _anomaly_monitor,
+            outputStructType=ANOM_OUTPUT_SCHEMA,
+            stateStructType="hist_counts array<bigint>, open_hour bigint, open_n bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    got_df = run_stream_to_df(spark, stream, mode="append")
+    got = {
+        (r["event_type"], r["hour_epoch"], r["n"], r["trail_sum"], r["trail_n"])
+        for r in got_df.collect()
+    }
+
+    batch = load_all()["events_rate_anomaly"].fn(spark, SF_SMALL).collect()
+    # drop each type's final hour (the stream's still-open hour)
+    last_hour = {
+        r["event_type"]: r["mx"]
+        for r in ev.groupBy("event_type")
+        .agg(F.max(F.date_trunc("hour", "ts")).alias("mx"))
+        .collect()
+    }
+    want = set()
+    for r in batch:
+        hs = r["hour_start"]  # "YYYY-MM-DD HH:MM:SS.ffffff"
+        from datetime import datetime
+
+        dt = datetime.strptime(hs, "%Y-%m-%d %H:%M:%S.%f")
+        if dt == last_hour[r["event_type"]]:
+            continue
+        epoch = int(dt.replace(tzinfo=timezone.utc).timestamp())
+        want.add((r["event_type"], epoch, r["n"], r["trail_sum"], r["trail_n"]))
+    assert got == want, (sorted(got)[:5], sorted(want)[:5])
+    assert want, "fixture produced no anomalies to compare"
