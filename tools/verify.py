@@ -1,0 +1,67 @@
+"""One-command verification drive: run every registered query against
+its DuckDB oracle at one or more scale factors, the same comparison the
+round driver's CORRECTNESS gate performs.
+
+Usage: python tools/verify.py [sf ...]   (default: 0.01 0.1)
+Exit code 0 iff every oracled query hash-matches at every sf.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as e  # noqa: E402
+from snackfs_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def main() -> int:
+    sfs = sys.argv[1:] or ["0.01", "0.1"]
+    spark = get_spark("verify", cpus=8)
+    print("entry rows:", len(e.entry(spark).collect()))
+    qs, osql = e.queries(), e.oracle_sql()
+    failed = False
+    for sf in sfs:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('/root/testdata/sf{sf}/{t}.parquet')"
+            )
+        bad = []
+        for name, fn in qs.items():
+            sp = fn(spark, f"/root/testdata/sf{sf}").toPandas()
+            if name not in osql:
+                continue
+            od = con.execute(osql[name]).fetchdf()
+            cols = sorted(sp.columns)
+            ok = (
+                cols == sorted(od.columns)
+                and len(sp) == len(od)
+                and sp[cols]
+                .sort_values(cols)
+                .reset_index(drop=True)
+                .astype(str)
+                .equals(od[cols].sort_values(cols).reset_index(drop=True).astype(str))
+            )
+            if not ok:
+                bad.append(name)
+                print(f"sf{sf} {name}: MISMATCH rows {len(sp)}/{len(od)}")
+        print(f"sf{sf} MISMATCHES:", bad or "none")
+        failed = failed or bool(bad)
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
