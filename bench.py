@@ -68,6 +68,7 @@ HEADLINE_R4 = [
     "dedup_semantic",
     "text_bigram_prob",
     "multimodal_audio_energy",
+    "corpus_build_v2",
 ]
 
 
