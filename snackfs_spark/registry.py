@@ -111,8 +111,11 @@ PRIORITY: tuple[str, ...] = (
     # numpy in mapInPandas, integer-exact oracle); frame_sample/resize/
     # decode_features register after the window, repo-checked
     "multimodal_audio_energy",
-    # §2.C dataset splits + decontamination
-    "split_assign_hash",
+    # §2.C dataset splits + decontamination + the end-to-end capstone
+    # (corpus_build_v2 hash-checks exact dedup ∩ quality ∩ semantic
+    # dedup ∩ bigram fluency ∩ train split in one row; the plain
+    # split_assign_hash projection registers after the window)
+    "corpus_build_v2",
     "split_contamination_check",
     # §2.C streaming
     "streaming_hourly_rollup",

@@ -54,7 +54,7 @@ CLASSES = {
     "clustering (iterative)": "emb_kmeans_assign",
     "text": "text_profile",
     "multimodal": "multimodal_audio_energy",
-    "sampling": "split_assign_hash",
+    "sampling": "corpus_build_v2",
     "decontamination": "split_contamination_check",
     "streaming": "streaming_hourly_rollup",
     "connector": "fs_connector_roundtrip",
