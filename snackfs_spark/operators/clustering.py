@@ -370,3 +370,79 @@ def dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+SEMCON_TAU = 0.35   # eval vector this close to ANY train vector = leaked
+_VEC_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS INT)"
+)
+TRAIN_PCT = 80  # same 80/20 split arithmetic as operators/sampling
+
+
+def _semcon_oracle() -> str:
+    cos = (
+        f"{_DOT_DUCK.format(a='t.ev', b='e.ev')}"
+        f" / (sqrt({_DOT_DUCK.format(a='t.ev', b='t.ev')})"
+        f" * sqrt({_DOT_DUCK.format(a='e.ev', b='e.ev')}))"
+    )
+    return f"""
+    WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+    bits AS (
+      SELECT MIN(b) AS b FROM (SELECT unnest(range(0, 21)) AS b), n
+      WHERE {N_LABELS * TARGET_CLUSTER} * (1 << b) >= n.n
+    ),
+    v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev,
+             COALESCE(list_sum(list_transform(range(1, bits.b + 1),
+                      j -> CASE WHEN embedding[j] >= 0
+                                THEN 1 << (j - 1) ELSE 0 END)), 0) AS bucket,
+             {_VEC_BUCKET_SQL} AS split_bucket
+      FROM embeddings CROSS JOIN bits
+    )
+    SELECT e.vec_id AS eval_vec,
+           CAST(COUNT(*) AS BIGINT) AS n_close_train,
+           MAX({cos}) AS max_cosine
+    FROM v e JOIN v t
+      ON e.label = t.label AND e.bucket = t.bucket
+     AND e.split_bucket >= {TRAIN_PCT} AND t.split_bucket < {TRAIN_PCT}
+    WHERE {cos} > {SEMCON_TAU}
+    GROUP BY e.vec_id ORDER BY e.vec_id
+    """
+
+
+@register("split_semantic_contamination", oracle=_semcon_oracle())
+def split_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space train/eval decontamination — the semantic
+    complement of split_contamination_check (which probes exact shingle
+    overlap): an eval vector whose cosine to ANY train vector exceeds
+    the threshold is a paraphrase-level leak that n-gram matching never
+    sees. Candidate pairs come from the same size-adaptive
+    (label, sign-bit bucket) key as dedup_semantic_scaled — near-
+    identical vectors collide with high probability — so the cross-split
+    comparison is an equi-join with linear pair volume, never
+    eval x train. Flagged rows report how many train neighbors sit
+    inside the threshold and the worst (max) cosine; max over portable
+    doubles is itself portable, so the row hashes exactly."""
+    v, _ = semantic_scaled_dropped(spark, sf_dir)
+    h = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15)
+    v = v.withColumn("split_bucket", (F.conv(h, 16, 10).cast("long") % 100).cast("int"))
+    train = v.filter(F.col("split_bucket") < TRAIN_PCT).alias("t")
+    ev = v.filter(F.col("split_bucket") >= TRAIN_PCT).alias("e")
+    dot = "aggregate(zip_with(t.ev, e.ev, (x, y) -> x * y), 0D, (s, z) -> s + z)"
+    cos = F.expr(f"{dot} / (t.nrm * e.nrm)")
+    return (
+        ev.join(
+            train,
+            (F.col("e.label") == F.col("t.label"))
+            & (F.col("e.bucket") == F.col("t.bucket")),
+        )
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") > SEMCON_TAU)
+        .groupBy(F.col("e.vec_id").alias("eval_vec"))
+        .agg(
+            F.count(F.lit(1)).alias("n_close_train"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .orderBy("eval_vec")
+    )

@@ -855,3 +855,97 @@ def text_bigram_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("q").alias("prob_lattice_sum"),
     )
+
+
+BM25_K1_NUM, BM25_K1_DEN = 12, 10   # k1 = 1.2 as an exact rational
+BM25_B_NUM, BM25_B_DEN = 3, 4       # b = 0.75
+BM25_QUERY = ("table", "scan", "join")  # fixed query terms
+BM25_TOP = 20
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token IN ({terms}) GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(round_even(
+               ((CAST(n.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({BM25_K1_NUM}.0 / {BM25_K1_DEN} + 1))
+               / (tf.tf + ({BM25_K1_NUM}.0 / {BM25_K1_DEN})
+                  * (1 - {BM25_B_NUM}.0 / {BM25_B_DEN}
+                     + ({BM25_B_NUM}.0 / {BM25_B_DEN})
+                       * (dl.dl * n.n_docs / CAST(n.total_len AS DOUBLE))))
+               * 1e9, 0) AS BIGINT)) AS BIGINT) AS score_lattice
+      FROM tf
+      JOIN df ON df.token = tf.token
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN n
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score_lattice FROM (
+      SELECT doc_id, score_lattice,
+             ROW_NUMBER() OVER (ORDER BY score_lattice DESC, doc_id) AS rn
+      FROM scored
+    ) WHERE rn <= {BM25_TOP}
+    """
+
+
+@register("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed query, top-20
+    documents — the lexical-retrieval baseline every RAG/dataset-search
+    stack starts from. Determinism: the idf factor is the rational
+    (N−df+0.5)/(df+0.5) (no log — libm is not portable across engines;
+    rational idf is the same quantity before the log transform and BM25
+    rank order under a per-term monotone map is preserved for
+    single-term contributions), and per-term contributions are quantized
+    to a 1e-9 lattice with half-even rounding before the integer sum, so
+    the total is order-independent AND engine-exact.
+
+    Scale: doc lengths and term stats collapse map-side (df is
+    query-terms-sized, broadcast); only matching postings join; top-k is
+    TakeOrderedAndProject. avgdl enters as dl·N/total_len — one
+    correctly-rounded double chain shared by both engines."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    k1 = f"{BM25_K1_NUM}.0 / {BM25_K1_DEN}"
+    b = f"{BM25_B_NUM}.0 / {BM25_B_DEN}"
+    contrib = (
+        f"CAST(bround(((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))"
+        f" * (tf * ({k1} + 1))"
+        f" / (tf + ({k1}) * (1 - {b} + ({b}) * (dl * n_docs / CAST(total_len AS DOUBLE))))"
+        f" * 1e9, 0) AS BIGINT)"
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr(contrib)).alias("score_lattice"))
+    )
+    return (
+        scored.orderBy(F.col("score_lattice").desc(), F.col("doc_id"))
+        .limit(BM25_TOP)
+        .select("doc_id", "score_lattice")
+    )
