@@ -949,3 +949,60 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BM25_TOP)
         .select("doc_id", "score_lattice")
     )
+
+
+HYBRID_QUERY_VEC = 0  # vec_id of the "query" embedding for the rerank stage
+
+
+def _hybrid_oracle() -> str:
+    dot = (
+        "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), "
+        "(x, y) -> x + y)"
+    )
+    cos = (
+        f"{dot.format(a='qv.ev', b='cv.ev')}"
+        f" / (sqrt({dot.format(a='qv.ev', b='qv.ev')})"
+        f" * sqrt({dot.format(a='cv.ev', b='cv.ev')}))"
+    )
+    return f"""
+    WITH bm25 AS ({_bm25_oracle()}),
+    emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      FROM embeddings
+    ),
+    qv AS (SELECT ev FROM emb WHERE vec_id = {HYBRID_QUERY_VEC})
+    SELECT b.doc_id, b.score_lattice, {cos} AS cosine
+    FROM bm25 b JOIN emb cv ON cv.vec_id = b.doc_id CROSS JOIN qv
+    ORDER BY cosine DESC, b.doc_id
+    """
+
+
+@register("hybrid_search_topk", oracle=_hybrid_oracle())
+def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the standard RAG stack's two-stage ranker:
+    cheap lexical recall (BM25 top-k over the full corpus) followed by
+    dense re-ranking (embedding cosine against the query vector) of just
+    the candidates. Composition is the scale story: the expensive dense
+    math touches k rows, never the corpus; the BM25 stage is the
+    map-side-collapsing plan above; the rerank is a broadcast of one
+    query vector against k candidate embeddings. Candidates without an
+    embedding row drop out (inner join), exactly as the oracle does."""
+    from snackfs_spark.sources.tables import load_table as _lt
+
+    cands = text_bm25_topk(spark, sf_dir)
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev")
+    )
+    qv = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+        F.col("ev").alias("qev")
+    )
+    dot = "aggregate(zip_with(qev, ev, (x, y) -> x * y), 0D, (s, z) -> s + z)"
+    nq = "sqrt(aggregate(zip_with(qev, qev, (x, y) -> x * y), 0D, (s, z) -> s + z))"
+    nc = "sqrt(aggregate(zip_with(ev, ev, (x, y) -> x * y), 0D, (s, z) -> s + z))"
+    return (
+        cands.join(emb, cands["doc_id"] == emb["vec_id"])
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cosine", F.expr(f"{dot} / ({nq} * {nc})"))
+        .orderBy(F.col("cosine").desc(), F.col("doc_id"))
+        .select("doc_id", "score_lattice", "cosine")
+    )

@@ -41,6 +41,12 @@ QUERIES = [
     "dedup_semantic",
     "dedup_semantic_scaled",
     "text_tfidf_topk",
+    "text_bigram_prob",
+    "text_bm25_topk",
+    "multimodal_audio_energy",
+    "events_rate_anomaly",
+    "corpus_build_v2",
+    "split_semantic_contamination",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
