@@ -45,6 +45,13 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("locations")
     sub.add_parser("locks")
     sub.add_parser("mkdir")
+    an = sub.add_parser(
+        "analyze",
+        help="run any registered analytics query (see 'analyze --list')",
+    )
+    an.add_argument("query", nargs="?", default=None)
+    an.add_argument("--list", dest="an_list", action="store_true")
+    an.add_argument("-n", type=int, default=50, help="rows to show")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -109,6 +116,18 @@ def main(argv: list[str] | None = None) -> int:
         _show(cat.lock_holders())
     elif args.verb == "mkdir":
         _show(cat.mkdirs_closure())
+    elif args.verb == "analyze":
+        from snackfs_spark.registry import load_all
+
+        reg = load_all()
+        if args.an_list or args.query is None:
+            for name in reg:
+                print(name)
+        elif args.query not in reg:
+            print(f"analyze: unknown query {args.query!r}", file=sys.stderr)
+            rc = 1
+        else:
+            _show(reg[args.query].fn(spark, args.sf_dir), args.n)
     if owns_session:
         spark.stop()
     return rc
