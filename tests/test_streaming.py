@@ -354,3 +354,58 @@ def test_stateful_anomaly_monitor_equals_batch(spark, tmp_path):
         want.add((r["event_type"], epoch, r["n"], r["trail_sum"], r["trail_n"]))
     assert got == want, (sorted(got)[:5], sorted(want)[:5])
     assert want, "fixture produced no anomalies to compare"
+
+
+def test_event_loaders_adapt_to_both_ts_encodings(spark, tmp_path):
+    """Round 4's only red driver row came from the fixture regenerating
+    events.ts as timestamp[us] where the stream reader had hardcoded the
+    old nanos-as-long encoding. Pin the fix: batch AND stream loaders
+    must produce identical rows from BOTH physical encodings of the
+    same data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from snackfs_spark.sources.tables import load_table
+    from snackfs_spark.streaming.ingest import stream_events
+
+    src = load_table(spark, SF_SMALL, "events").orderBy("event_id").limit(200)
+    rows = src.collect()
+
+    base = {
+        "event_id": [r["event_id"] for r in rows],
+        "user_id": [r["user_id"] for r in rows],
+        "event_type": [r["event_type"] for r in rows],
+        "value": [r["value"] for r in rows],
+        "props": [r["props"] for r in rows],
+    }
+    micros = [int(r["ts"].timestamp() * 1_000_000) for r in rows]
+
+    enc_us = str(tmp_path / "enc_us")
+    enc_ns = str(tmp_path / "enc_ns")
+    for out, ts_arr in (
+        (enc_us, pa.array(micros, type=pa.timestamp("us"))),
+        (enc_ns, pa.array([m * 1000 for m in micros], type=pa.timestamp("ns"))),
+    ):
+        t = pa.table({**base, "ts": ts_arr})
+        import os
+
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(t, f"{out}/events.parquet")
+
+    def batch_rows(d):
+        return sorted(
+            (r["event_id"], r["ts"]) for r in load_table(spark, d, "events").collect()
+        )
+
+    def stream_rows(d):
+        got = run_stream_to_df(
+            spark, stream_events(spark, d).select("event_id", "ts"), mode="append"
+        )
+        return sorted((r["event_id"], r["ts"]) for r in got.collect())
+
+    b_us, b_ns = batch_rows(enc_us), batch_rows(enc_ns)
+    s_us, s_ns = stream_rows(enc_us), stream_rows(enc_ns)
+    assert b_us == b_ns, "batch loader diverges between encodings"
+    assert s_us == s_ns, "stream loader diverges between encodings"
+    assert b_us == s_us, "batch and stream loaders disagree"
+    assert len(b_us) == 200
