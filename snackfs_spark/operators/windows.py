@@ -310,3 +310,57 @@ def win_analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_order"),
         F.last("o_orderkey").over(wfull).alias("last_order"),
     )
+
+
+DEBOUNCE_SECS = 300  # drop repeats of (user, type) within 5 minutes
+
+
+@register(
+    "events_debounce",
+    oracle=f"""
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM (
+      SELECT user_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     >= {DEBOUNCE_SECS} * 1000000
+                  THEN 1 ELSE 0 END AS keep
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    GROUP BY user_id, event_type
+    HAVING SUM(CASE WHEN keep = 0 THEN 1 ELSE 0 END) > 0
+    ORDER BY user_id, event_type
+    """,
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-level telemetry dedup (debounce): a repeat of the same
+    (user, event_type) within 5 minutes of the PREVIOUS event of that
+    key is a duplicate signal (double-clicks, retry storms) and is
+    dropped; reports keys that lost events. Completes the dedup family's
+    granularity ladder: corpus → document → chunk → event. One lag
+    window per key — a single hash exchange on (user, type), state
+    O(1) per key; the identical incremental form runs as a stateful
+    stream (keep last-kept-ts per key). Tie-break on event_id keeps the
+    lag deterministic under equal timestamps."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # exact integer microseconds (unix_micros), matching the oracle's
+    # epoch_us — double seconds would risk a ±ulp flip at an exactly-
+    # 300s gap
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    keep = F.when(
+        gap_us.isNull() | (gap_us >= DEBOUNCE_SECS * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.select("user_id", "event_type", keep.alias("keep"))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.when(F.col("keep") == 0, 1).otherwise(0)).alias("n_dropped"),
+        )
+        .filter(F.col("n_dropped") > 0)
+        .orderBy("user_id", "event_type")
+    )
