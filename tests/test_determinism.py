@@ -26,6 +26,9 @@ PROBES = [
     "dedup_semantic_scaled",
     "text_bigram_prob",
     "ann_ivf_probe",
+    "text_bm25_topk",
+    "corpus_build_v2",
+    "split_semantic_contamination",
 ]
 
 
