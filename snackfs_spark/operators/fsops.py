@@ -304,3 +304,75 @@ def fs_lww_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("path", "size", ts_str("mtime").alias("mtime"), "n_versions")
     )
+
+
+@register(
+    "fs_scd2_history",
+    oracle="""
+    WITH upserts AS (
+      SELECT '/data/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+             CAST(n_chars AS BIGINT) AS size,
+             TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) MINUTE AS mtime
+      FROM documents
+      UNION ALL
+      SELECT '/data/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt',
+             CAST(n_chars + 1000 AS BIGINT),
+             TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) MINUTE + INTERVAL 1 HOUR
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT path, size,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           strftime(mtime, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           COALESCE(strftime(LEAD(mtime) OVER w, '%Y-%m-%d %H:%M:%S.%f'),
+                    'CURRENT') AS valid_to,
+           LEAD(mtime) OVER w IS NULL AS is_current
+    FROM upserts
+    WINDOW w AS (PARTITION BY path ORDER BY mtime)
+    """,
+)
+def fs_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 version history over the timestamped upsert log — the
+    companion of fs_lww_snapshot: instead of compacting to the latest row
+    per path (the reference's LWW read, ThriftStore.scala:281-301), emit
+    EVERY version with its validity interval [valid_from, valid_to) via a
+    lead() window, the open end marked 'CURRENT'. This is the audit/
+    time-travel view a metadata store needs once overwrites exist.
+
+    Scale shape: one window over the path partition (same shuffle key as
+    the snapshot query — on a real deployment both share a path-
+    partitioned layout so neither exchanges at all). Version chains are
+    per-path and short, so no partition skew."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("/data/"), F.col("source"),
+        F.lit("/doc_"), F.col("doc_id").cast("string"), F.lit(".txt"),
+    )
+    base_mtime = F.expr(
+        "timestampadd(MINUTE, cast(doc_id as int), timestamp'2024-01-01 00:00:00')"
+    )
+    gen0 = docs.select(
+        path.alias("path"),
+        F.col("n_chars").cast("long").alias("size"),
+        base_mtime.alias("mtime"),
+    )
+    gen1 = docs.filter(F.col("doc_id") % 7 == 0).select(
+        path.alias("path"),
+        (F.col("n_chars") + 1000).cast("long").alias("size"),
+        F.expr(
+            "timestampadd(HOUR, 1, timestampadd(MINUTE, cast(doc_id as int), "
+            "timestamp'2024-01-01 00:00:00'))"
+        ).alias("mtime"),
+    )
+    upserts = gen0.unionAll(gen1)
+    w = Window.partitionBy("path").orderBy("mtime")
+    nxt = F.lead("mtime").over(w)
+    return upserts.select(
+        "path",
+        "size",
+        F.row_number().over(w).cast("long").alias("version"),
+        ts_str("mtime").alias("valid_from"),
+        F.coalesce(ts_str(nxt), F.lit("CURRENT")).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -1418,3 +1418,71 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_start")
     )
+
+
+@register(
+    "events_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT g.h, t.event_type
+      FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+            FROM bounds) g
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    ),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(grid.h, '%Y-%m-%d %H:%M:%S.%f') AS hour_start,
+           grid.event_type,
+           COALESCE(agg.n_events, 0) AS n_events,
+           COALESCE(agg.total_value, 0.0) AS total_value
+    FROM grid LEFT JOIN agg ON agg.h = grid.h AND agg.event_type = grid.event_type
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly time series: every (hour, event_type) cell of the
+    dense grid spanning [min hour, max hour], zero-filled where no events
+    landed — the standard densification step before time-series modelling
+    (a rollup alone silently drops empty hours, which breaks lag/trailing
+    windows downstream, cf. events_rate_anomaly).
+
+    Scale shape: the fact scan aggregates first (map-side partial, one
+    shuffle on (hour, type) — same plan as events_hourly_rollup); the
+    dense grid is hours x types, which is tiny at ANY corpus size (10
+    years x 24x365 x a handful of types ~ 1e6 rows), built from a 1-row
+    bounds aggregate via sequence()/explode — so the left join is a
+    broadcast of the AGGREGATED side against the grid, never a second
+    pass over raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value").cast("decimal(18,2)"), "total_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    return grid.join(
+        agg, ["h", "event_type"], "left"
+    ).select(
+        ts_str("h").alias("hour_start"),
+        "event_type",
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )

@@ -580,3 +580,106 @@ def corpus_build_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(toks)).alias("ws_tokens"),
     )
+
+
+# Curriculum selection: fraction of the corpus token total the selected
+# prefix may use (2/5 in exact integer arithmetic, so both engines
+# derive the identical budget).
+CURR_BUDGET_NUM, CURR_BUDGET_DEN = 2, 5
+
+
+@register(
+    "curriculum_token_budget",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                                t -> t <> ''))) AS BIGINT)
+               AS score,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) * {CURR_BUDGET_NUM} / {CURR_BUDGET_DEN}
+                  AS BIGINT) AS budget
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, score, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, score, n_tokens, cum_tokens
+    FROM c, tot WHERE cum_tokens <= budget
+    """,
+)
+def curriculum_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token-budget selection: take the best documents
+    (score = distinct-token count, ties by doc_id) until the running
+    token total reaches a fixed fraction of the corpus — the "train on
+    the top-X%-by-quality tokens" curriculum step.
+
+    The semantics are a GLOBAL ordered prefix sum, but a global
+    orderBy+window would funnel 100 TB through one task. This runs the
+    classic two-phase decomposition instead:
+
+      1. per-SCORE token totals (one small agg — score cardinality is
+         bounded by max doc length, thousands at most), running offsets
+         over that tiny relation, and the scalar budget;
+      2. scores whose offset already exceeds the budget are dropped
+         BEFORE any per-document work (the curriculum analog of
+         partition pruning — at a 40% budget, most of the corpus never
+         reaches the window);
+      3. the per-document running sum is windowed WITHIN each surviving
+         score group (parallel across groups), shifted by the group
+         offset.
+
+    Equal to the single-window oracle because (score DESC, doc_id) is a
+    total order and cum(doc) = offset(score) + within-group cum."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            )
+        )
+        .cast("long")
+        .alias("score"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    budget = d.agg(
+        (
+            F.sum("n_tokens") * CURR_BUDGET_NUM / F.lit(CURR_BUDGET_DEN)
+        )
+        .cast("long")
+        .alias("budget")
+    )
+    grp = d.groupBy("score").agg(F.sum("n_tokens").alias("grp_tokens"))
+    # Running offset over the per-score relation: single-partition window
+    # by construction, but over ~thousands of rows, not the corpus.
+    w_scores = (
+        Window.orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = grp.select(
+        "score",
+        F.coalesce(F.sum("grp_tokens").over(w_scores), F.lit(0)).alias(
+            "offset"
+        ),
+    ).crossJoin(F.broadcast(budget))
+    survivors = offsets.filter(F.col("offset") < F.col("budget"))
+    w_doc = (
+        Window.partitionBy("score")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(survivors), "score")
+        .withColumn(
+            "cum_tokens", F.col("offset") + F.sum("n_tokens").over(w_doc)
+        )
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "score", "n_tokens", "cum_tokens")
+    )

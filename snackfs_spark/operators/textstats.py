@@ -1006,3 +1006,130 @@ def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("doc_id"))
         .select("doc_id", "score_lattice", "cosine")
     )
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE token <> '' GROUP BY 1, 2
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           array_to_string(
+             list_transform(list_sort(list(doc_id))[1:16],
+                            x -> CAST(x AS VARCHAR)), ',') AS postings_head
+    FROM tf GROUP BY token HAVING COUNT(*) >= 3
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (the retrieval-infra counterpart of
+    text_bm25_topk, which recomputes postings per query): token ->
+    document frequency, collection tf, and the head of the sorted
+    posting list. df >= 3 drops the hapax tail.
+
+    Scale shape: explode -> one shuffle keyed by token with map-side
+    partial aggregation for df/total_tf. The posting LIST is the scale
+    hazard — a stopword's postings are corpus-sized — so the
+    materialized list is hard-capped at 16 entries (the index row stays
+    O(1)); a full index would range-bucket postings by (token, doc_id
+    range) into multiple rows, same plan, no giant row either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 16).alias("p"),
+        )
+        .filter(F.col("df") >= 3)
+        .select(
+            "token",
+            "df",
+            "total_tf",
+            F.array_join(
+                F.transform(F.col("p"), lambda x: x.cast("string")), ","
+            ).alias("postings_head"),
+        )
+    )
+
+
+# The co-occurrence vocabulary: top tokens by document frequency, ties
+# broken lexically so both engines pick the identical set.
+COOC_VOCAB = 100
+COOC_TOPK = 200
+
+
+@register(
+    "text_cooccurrence_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS df FROM tok WHERE token <> '' GROUP BY 1
+      ) QUALIFY ROW_NUMBER() OVER (ORDER BY df DESC, token) <= {COOC_VOCAB}
+    ),
+    vtok AS (SELECT t.doc_id, t.token FROM tok t JOIN vocab v USING (token))
+    SELECT a.token AS token_a, b.token AS token_b,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM vtok a JOIN vtok b ON a.doc_id = b.doc_id AND a.token < b.token
+    GROUP BY 1, 2
+    QUALIFY ROW_NUMBER() OVER (ORDER BY n_docs DESC, token_a, token_b)
+            <= {COOC_TOPK}
+    """,
+)
+def text_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence counts (word2vec/PMI-style statistics): how
+    many documents contain both tokens of a pair, for pairs drawn from
+    the top-{COOC_VOCAB}-by-df vocabulary, top {COOC_TOPK} pairs.
+
+    Scale shape: the naive all-token self-join is O(doc_len^2) rows per
+    document and unbounded across the corpus; restricting both sides to
+    a fixed vocabulary bounds the pair-key space at vocab^2 (~1e4 here)
+    regardless of corpus size. The vocabulary is tiny and BROADCAST, so
+    the only shuffle is the pair-count aggregation over bounded keys;
+    the doc_id equi-self-join stays co-partitioned on doc_id. Both
+    top-k cuts use orderBy+limit — TakeOrderedAndProject (per-partition
+    partial top-k, no single-partition global window; the determinism
+    the QUALIFY oracle needs comes from the full tie-break ordering)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "token")
+        .limit(COOC_VOCAB)
+        .select("token")
+    )
+    vtok = tok.join(F.broadcast(vocab), "token")
+    a = vtok.select(F.col("doc_id"), F.col("token").alias("token_a"))
+    b = vtok.select(F.col("doc_id"), F.col("token").alias("token_b"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "token_a", "token_b")
+        .limit(COOC_TOPK)
+    )
