@@ -1453,30 +1453,36 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a rollup alone silently drops empty hours, which breaks lag/trailing
     windows downstream, cf. events_rate_anomaly).
 
-    Scale shape: the fact scan aggregates first (map-side partial, one
-    shuffle on (hour, type) — same plan as events_hourly_rollup); the
-    dense grid is hours x types, which is tiny at ANY corpus size (10
-    years x 24x365 x a handful of types ~ 1e6 rows), built from a 1-row
-    bounds aggregate via sequence()/explode — so the left join is a
-    broadcast of the AGGREGATED side against the grid, never a second
-    pass over raw events."""
+    Scale shape: raw events are scanned ONCE — the (hour, type) rollup
+    (map-side partial, one shuffle; same plan as events_hourly_rollup).
+    Grid bounds and the type set are derived from that aggregated
+    relation (hour-truncated min/max commute with the rollup), which is
+    materialized via localCheckpoint so its three consumers (bounds,
+    types, probe side of the join) do not each re-run the fact scan —
+    Catalyst's exchange reuse cannot dedupe them because column pruning
+    specializes each subtree. The dense grid is hours x types, tiny at
+    ANY corpus size (10 years x 24x365 x a handful of types ~ 1e6
+    rows), built from a 1-row bounds aggregate via sequence()/explode,
+    so the final left join runs between the grid and the aggregate —
+    never against raw events. The checkpoint is non-reliable on
+    executor loss; a real pipeline persists the rollup table anyway
+    (it IS events_hourly_rollup's output)."""
     ev = load_table(spark, sf_dir, "events")
-    agg = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("h"), "event_type"
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        dsum(F.col("value").cast("decimal(18,2)"), "total_value"),
+    agg = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value").cast("decimal(18,2)"), "total_value"),
+        )
+        .localCheckpoint(eager=False)
     )
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
+    bounds = agg.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     hours = bounds.select(
         F.explode(
             F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
         ).alias("h")
     )
-    types = ev.select("event_type").distinct()
+    types = agg.select("event_type").distinct()
     grid = hours.crossJoin(F.broadcast(types))
     return grid.join(
         agg, ["h", "event_type"], "left"

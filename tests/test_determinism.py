@@ -29,6 +29,9 @@ PROBES = [
     "text_bm25_topk",
     "corpus_build_v2",
     "split_semantic_contamination",
+    # round 5: global-prefix-sum decomposition and bounded top-k ties
+    "curriculum_token_budget",
+    "text_cooccurrence_topk",
 ]
 
 

