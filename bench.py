@@ -71,6 +71,14 @@ HEADLINE_R4 = [
     "corpus_build_v2",
 ]
 
+# Round-5 additions: inverted-index build, bounded-vocab co-occurrence,
+# and the two-phase token-budget curriculum selection.
+HEADLINE_R5 = [
+    "text_inverted_index",
+    "text_cooccurrence_topk",
+    "curriculum_token_budget",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -91,7 +99,9 @@ def main() -> None:
     fsmodel.locks_df(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_R2 + HEADLINE_R3 + HEADLINE_R4:
+    for name in (
+        HEADLINE + HEADLINE_R2 + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5
+    ):
         # best of 3: the first run pays one-time codegen/plan compilation
         # for the query's unique expressions; later runs are steady state
         # (three samples because host timing variance on shared boxes is
@@ -125,6 +135,16 @@ def main() -> None:
                     sum(
                         timings[n]
                         for n in HEADLINE + HEADLINE_R2 + HEADLINE_R3
+                    ),
+                    3,
+                ),
+                "r04_comparable_subtotal": round(
+                    sum(
+                        timings[n]
+                        for n in HEADLINE
+                        + HEADLINE_R2
+                        + HEADLINE_R3
+                        + HEADLINE_R4
                     ),
                     3,
                 ),

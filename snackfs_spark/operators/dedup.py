@@ -650,3 +650,68 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+# Fuzzy-join knobs: prefix length compared, edit-distance threshold.
+FUZZY_PREFIX_LEN = 32
+FUZZY_MAX_DIST = 12
+
+
+@register(
+    "dedup_fuzzy_prefix",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             split_part(text, ' ', 1) AS blk,
+             substr(text, 1, {FUZZY_PREFIX_LEN}) AS pre
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS edit_dist
+    FROM p a JOIN p b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pre, b.pre) <= {FUZZY_MAX_DIST}
+    """,
+)
+def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) near-duplicate pairs — the STRING-metric
+    member of the dedup family (the set-metric members are the shingle
+    Jaccard / MinHash pipeline): documents whose {FUZZY_PREFIX_LEN}-char
+    prefixes are within levenshtein distance {FUZZY_MAX_DIST}, restricted
+    to a blocking key (the first whitespace token — the classic
+    record-linkage "blocking" step).
+
+    Scale shape: edit distance has no algebraic decomposition, so the
+    ONLY way it scales is never running it on the cross product. The
+    equi-join on the blocking key turns O(n^2) comparisons into
+    sum-over-blocks O(b^2) — shuffle-partitioned by block, parallel
+    across blocks; a skewed block (stopword first token) is the known
+    failure mode, handled the same way as any skewed join key (salting
+    or multi-attribute blocking keys; at 100 TB you'd block on several
+    cheap keys and union). The quadratic term touches only the fixed
+    {FUZZY_PREFIX_LEN}-char prefix column, never full text."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("blk"),
+        F.substring("text", 1, FUZZY_PREFIX_LEN).alias("pre"),
+    )
+    a = p.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("blk"),
+        F.col("pre").alias("pre_a"),
+    )
+    b = p.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("blk"),
+        F.col("pre").alias("pre_b"),
+    )
+    dist = F.levenshtein("pre_a", "pre_b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(dist <= FUZZY_MAX_DIST)
+        .select(
+            "doc_a", "doc_b", dist.cast("long").alias("edit_dist")
+        )
+    )

@@ -1492,3 +1492,86 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
         F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
     )
+
+
+@register(
+    "events_value_outliers",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    med AS (SELECT event_type, value AS med FROM r WHERE rn = (n + 1) // 2),
+    d AS (
+      SELECT e.event_id, e.event_type, e.value,
+             abs(e.value - m.med) AS dev, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    r2 AS (
+      SELECT event_type, dev,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn2,
+             COUNT(*) OVER (PARTITION BY event_type) AS n2
+      FROM d
+    ),
+    mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn2 = (n2 + 1) // 2)
+    SELECT d.event_id, d.event_type, d.value, d.med, mad.mad
+    FROM d JOIN mad USING (event_type)
+    WHERE d.dev > 3 * mad.mad
+    """,
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: events whose value deviates from the
+    per-type median by more than 3x the median absolute deviation (MAD)
+    — the robust-statistics counterpart of the z-score detector
+    (events_rate_anomaly), immune to the outliers it is hunting.
+
+    Determinism: medians are SELECTED (lower median = the element at
+    rank (n+1) div 2), never interpolated or accumulated, and the only
+    float math is one IEEE subtraction/abs/compare per row — exact on
+    both engines, no summation-order hazard (DESIGN.md float rules).
+
+    Scale shape: exact MAD is inherently two ordered passes (median of
+    values, then median of deviations). Each pass is a window
+    partitioned by event_type — parallel across types; a single
+    dominant type at 100 TB is the known exact-quantile limit, where
+    the declared alternative is percentile_approx (approx_aggregates).
+    The two tiny per-type median relations are BROADCAST back; the
+    deviation relation feeds both the second median and the final
+    filter, so it is materialized once (localCheckpoint locally, a
+    persisted table in a real pipeline)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    wt = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wt.orderBy("value")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    med = r.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "event_type", F.col("value").alias("med")
+    )
+    d = (
+        ev.join(F.broadcast(med), "event_type")
+        .withColumn("dev", F.abs(F.col("value") - F.col("med")))
+        .localCheckpoint(eager=False)
+    )
+    r2 = d.select(
+        "event_type",
+        "dev",
+        F.row_number().over(wt.orderBy("dev")).alias("rn2"),
+        F.count(F.lit(1)).over(wt).alias("n2"),
+    )
+    mad = r2.filter(F.col("rn2") == F.expr("(n2 + 1) DIV 2")).select(
+        "event_type", F.col("dev").alias("mad")
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") > 3 * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+    )
