@@ -1,0 +1,305 @@
+"""Graph analytics over a corpus-derived token graph (SURVEY.md §2.C
+extension surface): fixed-iteration PageRank and triangle counting —
+the two classic distributed-graph shapes (iterative scatter/gather and
+multi-way self-join) re-expressed as DataFrame plans.
+
+The graph: nodes are the top-``PR_VOCAB`` corpus tokens by term
+frequency; directed edges are the DISTINCT adjacent-token (bigram)
+pairs whose endpoints both sit in that vocabulary. Bounding the node
+set by a fixed vocabulary is what makes the graph relation scale-free:
+the corpus scan that extracts bigrams is linear and happens ONCE, the
+resulting edge relation is at most |V|² rows regardless of corpus
+size, and every iterative step after that touches only the tiny graph
+relation — the same "heavy extract once, iterate on the small state"
+shape as the k-means loop (clustering.py).
+
+Determinism: PageRank sums fractional contributions, and a sum of raw
+doubles is partition-order-dependent. Every per-edge contribution is
+therefore quantized HALF-EVEN onto a 1e-12 integer lattice and summed
+as bigints (order-free), with the single double division at the end —
+the identical portable-arithmetic trick as the k-means centroids and
+the bigram-LM scores, so the DuckDB oracle hash-matches bit-for-bit at
+any partition count. Triangle counts are pure integers.
+
+Reference parity note: the reference (a Cassandra-backed filesystem,
+see SURVEY.md §2.A) has no graph surface at all; these operators are
+part of the §2.C training-data-pipeline extension the build brief
+asks for (link-graph quality signals — PageRank-style authority and
+clustering-coefficient-style connectivity — are standard web-corpus
+curation features, cf. Common Crawl harmonic-centrality releases).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snackfs_spark.registry import register
+from snackfs_spark.sources.tables import fan_out, load_table
+
+PR_VOCAB = 150     # node budget: top tokens by term frequency
+PR_ITERS = 3       # fixed power-method rounds => SQL-unrollable
+PR_TOP = 50        # rows returned (full tie-break => deterministic)
+TRI_TOP = 50
+
+
+def _token_graph(spark: SparkSession, sf_dir: str):
+    """(vocab, edges, out_deg) for the token bigram graph. One corpus
+    scan builds the distinct-pair relation; everything returned is
+    O(|V|²)-bounded and localCheckpointed so the PageRank loop's three
+    consumers don't re-run the scan."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    words = F.split(F.col("text"), " ")
+    toks = docs.select(F.explode(words).alias("w")).filter(F.col("w") != "")
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(PR_VOCAB)
+        .select(F.col("w").alias("token"))
+        .localCheckpoint(eager=False)
+    )
+    # adjacent pairs without a self-join: zip words with their tail
+    # (same zero-shuffle projection as text_bigram_prob)
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(words) >= 2,
+                F.zip_with(
+                    F.slice(words, 1, F.size(words) - 1),
+                    F.slice(words, 2, F.size(words) - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    edges = (
+        pairs.filter(F.col("w1") != F.col("w2"))
+        .join(F.broadcast(vocab.withColumnRenamed("token", "w1")), "w1")
+        .join(F.broadcast(vocab.withColumnRenamed("token", "w2")), "w2")
+        .select("w1", "w2")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    out_deg = (
+        edges.groupBy("w1").agg(F.count(F.lit(1)).alias("od")).localCheckpoint(eager=False)
+    )
+    return vocab, edges, out_deg
+
+
+# Shared CTE prefix: bigram extraction -> vocab -> vocab-restricted
+# distinct edges (the oracle mirror of _token_graph).
+_GRAPH_CTES = f"""
+    toks0 AS (
+      SELECT doc_id, i AS pos, words[i + 1] AS w
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS words,
+               unnest(range(0, len(string_split(text, ' ')))) AS i
+        FROM documents
+      )
+    ),
+    vocab AS (
+      SELECT w AS token FROM (
+        SELECT w, COUNT(*) AS c FROM toks0 WHERE w <> '' GROUP BY w
+      ) QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, w) <= {PR_VOCAB}
+    ),
+    edges AS (
+      SELECT DISTINCT a.w AS w1, b.w AS w2
+      FROM toks0 a
+      JOIN toks0 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN vocab v1 ON v1.token = a.w
+      JOIN vocab v2 ON v2.token = b.w
+      WHERE a.w <> b.w
+    )"""
+
+
+def _pagerank_oracle(iters: int = PR_ITERS) -> str:
+    """Power method unrolled to `iters` rounds of CTEs (dangling-mass
+    CTE + in-sum CTE + rank CTE per round); generated so tests can run
+    deeper than the registered depth against the same SQL."""
+    ctes = [
+        _GRAPH_CTES.strip(),
+        "outd AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS od FROM edges GROUP BY w1)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vocab)",
+        "r0 AS (SELECT token, CAST(1 AS DOUBLE) / nn.n AS r FROM vocab, nn)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        ctes.append(
+            f"""d{k} AS (
+      SELECT COALESCE(SUM(CAST(round_even(p.r * 1e12, 0) AS BIGINT)), 0) AS dq
+      FROM {p} p LEFT JOIN outd o ON o.w1 = p.token WHERE o.w1 IS NULL
+    )"""
+        )
+        ctes.append(
+            f"""i{k} AS (
+      SELECT e.w2 AS token,
+             SUM(CAST(round_even((p.r / o.od) * 1e12, 0) AS BIGINT)) AS qs
+      FROM edges e JOIN {p} p ON p.token = e.w1 JOIN outd o ON o.w1 = e.w1
+      GROUP BY e.w2
+    )"""
+        )
+        ctes.append(
+            f"""r{k} AS (
+      SELECT v.token,
+             CAST(0.15 AS DOUBLE) / nn.n
+             + CAST(0.85 AS DOUBLE)
+               * ((CAST(COALESCE(i.qs, 0) AS DOUBLE) / 1e12)
+                  + (CAST(d.dq AS DOUBLE) / 1e12) / nn.n) AS r
+      FROM vocab v LEFT JOIN i{k} i ON i.token = v.token
+      CROSS JOIN d{k} d CROSS JOIN nn
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT token, r AS pagerank FROM r{iters}
+    QUALIFY ROW_NUMBER() OVER (ORDER BY r DESC, token) <= {PR_TOP}"""
+    )
+
+
+def pagerank_tokens(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
+    """Parameterized power-method loop behind graph_pagerank_tokens;
+    tests run it deeper than the registered round count against
+    `_pagerank_oracle(iters)`."""
+    vocab, edges, out_deg = _token_graph(spark, sf_dir)
+    nn = vocab.agg(F.count(F.lit(1)).alias("n"))
+    ranks = vocab.crossJoin(F.broadcast(nn)).select(
+        "token", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(iters):
+        # dangling mass: rank stranded on nodes with no out-edges is
+        # redistributed uniformly (the standard stochastic-matrix fix).
+        dang = (
+            ranks.join(out_deg, ranks.token == out_deg.w1, "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.bround(F.col("r") * F.lit(1.0e12)).cast("bigint")),
+                    F.lit(0).cast("bigint"),
+                ).alias("dq")
+            )
+        )
+        contrib = (
+            edges.join(F.broadcast(ranks.withColumnRenamed("token", "w1")), "w1")
+            .join(F.broadcast(out_deg), "w1")
+            .select(
+                F.col("w2").alias("token"),
+                F.bround((F.col("r") / F.col("od")) * F.lit(1.0e12))
+                .cast("bigint")
+                .alias("q"),
+            )
+        )
+        in_sum = contrib.groupBy("token").agg(F.sum("q").alias("qs"))
+        ranks = (
+            vocab.join(in_sum, "token", "left_outer")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "token",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85)
+                    * (
+                        F.coalesce("qs", F.lit(0)).cast("double") / F.lit(1.0e12)
+                        + (F.col("dq").cast("double") / F.lit(1.0e12)) / F.col("n")
+                    )
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.select("token", F.col("r").alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "token")
+        .limit(PR_TOP)
+    )
+
+
+@register("graph_pagerank_tokens", oracle=_pagerank_oracle())
+def graph_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 power-method rounds, uniform dangling
+    redistribution) over the vocab-bounded token bigram graph; top 50
+    by rank, full tie-break.
+
+    Scale shape: the corpus contributes ONE linear bigram-extraction
+    scan; the graph state (edges ≤ |V|², ranks = |V|) is then the only
+    thing the loop touches. Ranks/degrees broadcast into the edge join
+    every round, the in-sum aggregate collapses map-side onto ≤ |V|
+    keys, and the dangling mass is a one-row aggregate — per-round
+    shuffle volume is O(|V|), independent of corpus size. On a real
+    web-scale graph (nodes >> vocab) the identical plan runs with the
+    broadcast hint dropped: the edge⋈rank join becomes a co-partitioned
+    shuffle join on src, which is exactly Pregel-style scatter/gather
+    expressed relationally."""
+    return pagerank_tokens(spark, sf_dir, PR_ITERS)
+
+
+_TRI_CTES = f"""{_GRAPH_CTES},
+    und AS (
+      SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b FROM edges
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_TRI_CTES}
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (
+      SELECT x AS token FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    GROUP BY token
+    QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) <= {TRI_TOP}
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (the clustering-coefficient numerator)
+    on the undirected token graph; top 50 nodes by count.
+
+    The canonical distributed-triangle plan: orient every edge low→high
+    (each triangle counted exactly once as x<y<z), then two equi-self-
+    joins — wedge build (e1.b = e2.a) and wedge close (matching third
+    edge on (x, z)). Integer counts, no floating point at all.
+
+    Scale: self-join fan-out is Σ deg(v)² — the classic skew hazard on
+    power-law graphs. The low→high orientation is itself the published
+    mitigation (each wedge is built at its LOWEST-degree-compatible
+    vertex ordering, cutting hub fan-out quadratically; cf. the
+    MapReduce triangle-counting literature), and AQE skew-join handles
+    the residual hot keys. Here the relation is additionally bounded by
+    the |V|² vocabulary cap, so the joins are broadcast-sized."""
+    _, edges, _ = _token_graph(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "token")
+        .limit(TRI_TOP)
+    )

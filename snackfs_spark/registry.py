@@ -134,6 +134,7 @@ def load_all() -> dict[str, Query]:
         dedup,
         fsops,
         functions_battery,
+        graph,
         interval_join,
         multimodal,
         relational,

@@ -32,6 +32,9 @@ PROBES = [
     # round 5: global-prefix-sum decomposition and bounded top-k ties
     "curriculum_token_budget",
     "text_cooccurrence_topk",
+    # round 6: lattice-summed PageRank (dangling mass + in-sums are
+    # bigint sums; only the final per-node expression is double)
+    "graph_pagerank_tokens",
 ]
 
 
