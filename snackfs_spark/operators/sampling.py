@@ -683,3 +683,149 @@ def curriculum_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= F.col("budget"))
         .select("doc_id", "score", "n_tokens", "cum_tokens")
     )
+
+
+DSIR_NF = 512        # hashed-feature buckets
+DSIR_TARGET_LANG = "en"  # the "target domain" the weights steer toward
+DSIR_TOP = 100       # selected docs (deterministic top-k stand-in for
+                     # DSIR's Gumbel resampling)
+_DSIR_FEAT_SQL = (
+    "CAST(('0x' || substr(md5(w1 || ' ' || w2), 1, 15))::BIGINT"
+    f" % {DSIR_NF} AS INT)"
+)
+
+
+def _dsir_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, i AS pos, words[i + 1] AS w
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS words,
+               unnest(range(0, len(string_split(text, ' ')))) AS i
+        FROM documents
+      )
+    ),
+    feats AS (
+      SELECT a.doc_id, {_DSIR_FEAT_SQL} AS f
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1,
+      LATERAL (SELECT a.w AS w1, b.w AS w2) s
+    ),
+    tgt AS (SELECT doc_id FROM documents WHERE lang = '{DSIR_TARGET_LANG}'),
+    cr AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS cr FROM feats GROUP BY f),
+    ct AS (
+      SELECT f, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM feats JOIN tgt USING (doc_id) GROUP BY f
+    ),
+    tot AS (
+      SELECT (SELECT SUM(cr) FROM cr) AS tr, (SELECT COALESCE(SUM(ct), 0) FROM ct) AS tt
+    ),
+    ratio AS (
+      SELECT cr.f,
+             CAST(round_even(
+               ((CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) / (tot.tt + {DSIR_NF}))
+                / (CAST(cr.cr + 1 AS DOUBLE) / (tot.tr + {DSIR_NF}))) * 1e9,
+               0) AS BIGINT) AS q
+      FROM cr LEFT JOIN ct ON ct.f = cr.f CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_features,
+           CAST(SUM(r.q) AS BIGINT) AS imp_lattice_sum,
+           CAST(SUM(r.q) // COUNT(*) AS BIGINT) AS imp_avg_lattice
+    FROM feats x JOIN ratio r ON r.f = x.f JOIN documents d ON d.doc_id = x.doc_id
+    GROUP BY d.doc_id, d.lang
+    QUALIFY ROW_NUMBER() OVER (ORDER BY SUM(r.q) // COUNT(*) DESC, d.doc_id)
+            <= {DSIR_TOP}
+    """
+
+
+@register("importance_sample_dsir", oracle=_dsir_oracle())
+def importance_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023 pattern): documents
+    are scored by how much their hashed-n-gram feature distribution
+    looks like a TARGET domain (here: the lang='en' slice) relative to the
+    raw corpus, and the top-scoring docs are selected for training.
+
+    Statistic: per feature bucket f (bigram md5-hashed into
+    {DSIR_NF} buckets), the Laplace-smoothed probability ratio
+    p_target(f) / p_raw(f); a doc's importance aggregates the ratios of
+    its feature occurrences. Two deliberate, documented substitutions
+    versus the paper keep the chain engine-portable and hash-checkable:
+    the per-feature LOG of the ratio becomes the ratio itself quantized
+    onto a 1e-9 integer lattice (libm log is not bit-portable across
+    engines; the sum of quantized ratios is a monotone affinity score
+    with the same selection behavior on this statistic), and Gumbel-
+    noise resampling becomes deterministic top-k by (length-normalized
+    score, doc_id).
+
+    Scale shape: feature extraction is one linear corpus scan (the
+    zero-shuffle zip-with bigram projection); the feature-count
+    relations collapse map-side onto <= {DSIR_NF} keys and BROADCAST
+    back into the scoring join, so the only corpus-sized shuffle is the
+    per-doc aggregate. Selection is orderBy+limit =
+    TakeOrderedAndProject (per-partition partial top-k, no global
+    window); a full-corpus selection at 100 TB replaces it with an
+    approx_percentile threshold on the same score column."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(words) >= 2,
+                F.zip_with(
+                    F.slice(words, 1, F.size(words) - 1),
+                    F.slice(words, 2, F.size(words) - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    feats = pairs.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("bg"), 1, 15), 16, 10).cast("long") % DSIR_NF)
+        .cast("int")
+        .alias("f"),
+    )
+    tgt = docs.filter(F.col("lang") == DSIR_TARGET_LANG).select("doc_id")
+    cr = feats.groupBy("f").agg(F.count(F.lit(1)).alias("cr"))
+    ct = feats.join(tgt, "doc_id").groupBy("f").agg(F.count(F.lit(1)).alias("ct"))
+    tot = cr.agg(F.sum("cr").alias("tr")).crossJoin(
+        ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    )
+    ratio = (
+        cr.join(ct, "f", "left_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "f",
+            F.bround(
+                (
+                    (F.coalesce("ct", F.lit(0)) + 1).cast("double")
+                    / (F.col("tt") + DSIR_NF)
+                    / ((F.col("cr") + 1).cast("double") / (F.col("tr") + DSIR_NF))
+                )
+                * F.lit(1.0e9)
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(ratio), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("q").alias("imp_lattice_sum"),
+        )
+        .withColumn(
+            "imp_avg_lattice",
+            F.expr("imp_lattice_sum div n_features"),
+        )
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id", "lang", "n_features", "imp_lattice_sum", "imp_avg_lattice"
+        )
+        .orderBy(F.col("imp_avg_lattice").desc(), "doc_id")
+        .limit(DSIR_TOP)
+    )

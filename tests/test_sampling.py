@@ -32,3 +32,18 @@ def test_pack_sequences_defaults_to_parallelism(spark):
     df = pack_sequences_sharded(spark, SF_ORACLE)
     n = df.select("shard").distinct().count()
     assert n == spark.sparkContext.defaultParallelism
+
+
+def test_dsir_selection_skews_toward_target_lang(spark):
+    """The DSIR affinity score must actually steer selection: the
+    selected set's target-language share must strictly exceed the
+    corpus base rate (the statistic is useless if it doesn't)."""
+    from snackfs_spark.operators.sampling import DSIR_TARGET_LANG
+    from snackfs_spark.registry import load_all
+    from snackfs_spark.sources.tables import load_table
+
+    sel = load_all()["importance_sample_dsir"].fn(spark, SF_ORACLE).toPandas()
+    sel_rate = (sel["lang"] == DSIR_TARGET_LANG).mean()
+    docs = load_table(spark, SF_ORACLE, "documents").select("lang").toPandas()
+    base_rate = (docs["lang"] == DSIR_TARGET_LANG).mean()
+    assert sel_rate > base_rate + 0.25, (sel_rate, base_rate)
