@@ -364,3 +364,99 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_dropped") > 0)
         .orderBy("user_id", "event_type")
     )
+
+
+EWMA_K = 24          # truncation depth: terms beyond 24 lags are < 2^-25
+EWMA_SHIFT = 1 << EWMA_K  # 2^24 — the fixed-point denominator
+
+
+@register(
+    "events_ewma_hourly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_start,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type, hour_start, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour_start)
+               AS pos
+      FROM hourly
+    )
+    SELECT a.event_type,
+           strftime(a.hour_start, '%Y-%m-%d %H:%M:%S.%f') AS hour_start,
+           a.cents AS hourly_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           (CAST(SUM(b.cents * (CAST(1 AS BIGINT)
+                                << ({EWMA_K} - 1 - (a.pos - b.pos))))
+                 AS DOUBLE) / {EWMA_SHIFT}) / 100 AS ewma
+    FROM ser a JOIN ser b
+      ON b.event_type = a.event_type
+     AND a.pos - b.pos BETWEEN 0 AND {EWMA_K - 1}
+    GROUP BY a.event_type, a.hour_start, a.cents, a.pos
+    """,
+)
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 1/2) of each event
+    type's hourly value series — the classic smoothing/trend operator,
+    truncated at EWMA_K=24 lags (older terms weigh < 2^-25:
+    below the fixture's cent resolution, and an explicit, documented
+    part of the operator's contract — leading rows simply smooth over
+    the history that exists).
+
+    Determinism: an EWMA is a sum of fractional decay terms, and raw
+    double accumulation is partition-order-dependent. With alpha = 1/2
+    every weight is a power of two, so the WHOLE sum is computed in
+    fixed-point integers: hourly totals become exact cents (decimal
+    sum x 100), each lag-k term is cents << (K-1-k), and the bigint sum
+    is rescaled once by 2^K x 100 — two IEEE-exact divisions. No
+    lattice rounding at all: the EWMA is bit-exact in both engines at
+    any partition count.
+
+    Scale shape: the expensive relation (raw events) collapses FIRST to
+    the hourly series via one map-side-combining aggregate; the EWMA's
+    positional self-join then runs on the series relation (hours x
+    types — ~1e4 rows per YEAR of data per type), co-partitioned on
+    event_type. The join replaces a sequential per-row recurrence —
+    which would serialize on a single partition — with a bounded-fanout
+    (K rows per output) equi-join any executor count can share. The
+    streaming twin is the same algebra under a sliding event-time
+    window (streaming/ingest.py patterns)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_start")
+    ser = hourly.withColumn("pos", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
+    a = ser.alias("a")
+    b = ser.alias("b")
+    lag = F.col("a.pos") - F.col("b.pos")
+    term = F.col("b.cents") * F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {EWMA_K} - 1 - (a.pos - b.pos))"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (lag >= 0)
+            & (lag <= EWMA_K - 1),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            ts_str(F.col("a.hour_start")).alias("hour_start"),
+            F.col("a.cents").alias("hourly_cents"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            (
+                (F.sum(term).cast("double") / F.lit(EWMA_SHIFT)) / F.lit(100)
+            ).alias("ewma"),
+        )
+    )

@@ -64,3 +64,25 @@ def test_triangle_counts_match_bruteforce(spark):
     top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
     assert got == set(top)
     assert got, "fixture graph produced no triangles"
+
+
+def test_ewma_matches_sequential_recurrence(spark):
+    """The join-based fixed-point EWMA must equal the textbook
+    sequential form sum_{k<=K-1} x_{t-k} / 2^(k+1), computed
+    driver-side from the same hourly series."""
+    from snackfs_spark.operators.windows import EWMA_K
+    from snackfs_spark.registry import load_all
+
+    got = (
+        load_all()["events_ewma_hourly"].fn(spark, SF_ORACLE).toPandas()
+    )
+    one = got[got.event_type == sorted(got.event_type.unique())[0]].sort_values(
+        "hour_start"
+    )
+    xs = list(one.hourly_cents)
+    for t, row in enumerate(one.itertuples()):
+        want = sum(
+            xs[t - k] / (1 << (k + 1)) for k in range(min(t + 1, EWMA_K))
+        ) / 100
+        assert abs(row.ewma - want) < 1e-9, (t, row.ewma, want)
+        assert row.n_terms == min(t + 1, EWMA_K)
