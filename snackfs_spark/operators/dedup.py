@@ -715,3 +715,103 @@ def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", dist.cast("long").alias("edit_dist")
         )
     )
+
+
+@register(
+    "dedup_source_matrix",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+    chunks AS (
+      SELECT doc_id, source,
+             md5(array_to_string(toks[chunk_start + 1:chunk_start + 64], ' '))
+               AS h
+      FROM (
+        SELECT doc_id, source, toks, unnest(range(0, len(toks), 64)) AS chunk_start
+        FROM t
+      )
+    ),
+    c AS (
+      SELECT h, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM chunks GROUP BY h, source
+    ),
+    pairs AS (
+      SELECT source AS source_a, source AS source_b,
+             n * (n - 1) // 2 AS n_pairs
+      FROM c WHERE n >= 2
+      UNION ALL
+      SELECT a.source, b.source, a.n * b.n
+      FROM c a JOIN c b ON a.h = b.h AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_groups
+    FROM pairs GROUP BY source_a, source_b
+    """,
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-attribution matrix: for every (source_a, source_b) pair,
+    how many duplicated CHUNK PAIRS link the two sources (and how many
+    duplicate groups contribute) — duplication measured over aligned
+    64-token chunks (the non-overlapping page/paragraph unit; the
+    overlapping 128/64 RAG chunking lives in dedup_chunk_exact), the
+    level where cross-feed boilerplate actually collides. This is the
+    crawl-diagnostics view that tells you WHICH feeds mirror each other
+    before you pick per-source mixture weights.
+
+    Scale shape: the exploded chunk relation is first collapsed to one
+    row per (chunk_hash, source) with a copy count — the same single
+    uniformly-keyed shuffle as dedup_chunk_exact. Pair counts then come
+    from COMBINATORICS over those counts (within a source: n*(n-1)/2;
+    across two: n_a*n_b), never from a chunk-level self-join — a
+    boilerplate banner with 100k copies contributes one row per source,
+    not 10^10 join rows. The hash self-join runs over the collapsed
+    relation (rows = dup groups x sources present), which is
+    duplicate-volume-sized, not corpus-sized. All counts are bigint
+    lattice sums — bit-identical under any partitioning."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    toks = F.split(F.col("text"), " ")
+    chunks = (
+        docs.select("doc_id", "source", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr("transform(sequence(0, size(toks) - 1, 64), s -> s)")
+            ).alias("chunk_start"),
+            "toks",
+        )
+        .select(
+            "source",
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("toks"), F.col("chunk_start") + 1, 64), " "
+                )
+            ).alias("h"),
+        )
+    )
+    c = chunks.groupBy("h", "source").agg(F.count(F.lit(1)).alias("n"))
+    within = c.filter(F.col("n") >= 2).select(
+        F.col("source").alias("source_a"),
+        F.col("source").alias("source_b"),
+        F.expr("n * (n - 1) div 2").alias("n_pairs"),
+    )
+    a = c.select("h", F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    b = c.select("h", F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    cross = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            (F.col("n_a") * F.col("n_b")).alias("n_pairs"),
+        )
+    )
+    return (
+        within.unionAll(cross)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum("n_pairs").alias("n_pairs"),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+    )

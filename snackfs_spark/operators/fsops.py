@@ -376,3 +376,72 @@ def fs_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(ts_str(nxt), F.lit("CURRENT")).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# Compaction target: group small files into ~16-block bundles
+# (reference compaction constants ThriftStore.scala:229-234; block is
+# 256 chars in the scaled model, sources/fsmodel.py) — the small-files
+# remedy every object-store metadata layer needs.
+COMPACTION_TARGET = 4096
+
+
+@register(
+    "fs_compaction_plan",
+    oracle=fs_sql(
+        f"""SELECT parent_path,
+                   CAST(off // {COMPACTION_TARGET} AS BIGINT) AS compaction_group,
+                   CAST(COUNT(*) AS BIGINT) AS n_files,
+                   CAST(SUM(size) AS BIGINT) AS group_bytes,
+                   MIN(name) AS first_file,
+                   MAX(name) AS last_file
+            FROM (
+              SELECT parent_path, name, size,
+                     SUM(size) OVER (PARTITION BY parent_path
+                                     ORDER BY name
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) - size AS off
+              FROM files WHERE NOT is_dir
+            )
+            GROUP BY parent_path, CAST(off // {COMPACTION_TARGET} AS BIGINT)""",
+        "files",
+    ),
+)
+def fs_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: bin-pack each directory's files
+    (in name order) into target-size groups by bucketing the exclusive
+    prefix-sum of sizes — every group holds consecutive files totalling
+    ~COMPACTION_TARGET bytes (one file may straddle a boundary; the
+    greedy rule is deterministic, so the plan is reproducible). The
+    analog of the reference's sub-block compaction thresholds
+    (ThriftStore.scala:229-234) lifted to whole files — the operation a
+    100 TB ingest runs nightly so downstream scans see block-sized
+    objects instead of millions of tiny ones.
+
+    Scale shape: one window partitioned by directory (the metadata
+    table's natural partition key, so on a path-partitioned layout the
+    sort is partition-local — no global exchange), then a groupBy on
+    (dir, group) that map-side-combines. Directory fan-in bounds window
+    partition size; a pathological million-file flat directory is the
+    same skew problem as any hot key (salt by name prefix)."""
+    from pyspark.sql import Window
+
+    f = files_df(spark, sf_dir).filter(~F.col("is_dir"))
+    w = (
+        Window.partitionBy("parent_path")
+        .orderBy("name")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = (F.sum("size").over(w) - F.col("size")).alias("off")
+    planned = f.select("parent_path", "name", "size", off)
+    return (
+        planned.groupBy(
+            "parent_path",
+            F.expr(f"off div {COMPACTION_TARGET}").alias("compaction_group"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size").alias("group_bytes"),
+            F.min("name").alias("first_file"),
+            F.max("name").alias("last_file"),
+        )
+    )

@@ -829,3 +829,137 @@ def importance_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("imp_avg_lattice").desc(), "doc_id")
         .limit(DSIR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: assign each document to the smallest
+# power-of-two context length that holds it, then measure how much of
+# each bucket's padded token budget is real text. The batching-side
+# complement of pack_sequences: packing concatenates docs to kill
+# padding; bucketing keeps docs intact and pays measured padding.
+
+BUCKET_CAPS = [32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
+BUCKET_OVERFLOW = 16384  # docs longer than the largest cap land here
+
+
+def _bucket_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN n_tokens <= {c} THEN {c}" for c in BUCKET_CAPS
+    )
+    return f"CASE {whens} ELSE {BUCKET_OVERFLOW} END"
+
+
+@register(
+    "pack_length_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    b AS (SELECT n_tokens, CAST({_bucket_case_sql()} AS BIGINT) AS bucket_cap FROM t)
+    SELECT bucket_cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) * bucket_cap AS BIGINT) AS padded_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / (COUNT(*) * bucket_cap)
+             AS pad_efficiency
+    FROM b GROUP BY bucket_cap
+    """,
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length bucketing for padded batching: every document
+    goes to the smallest bucket cap >= its whitespace token count, and
+    each bucket reports its padding efficiency (real tokens / padded
+    tokens). This is the report a batching strategy is tuned against —
+    low efficiency in a bucket means either re-bucket (finer caps) or
+    switch those lengths to pack_sequences' concat layout.
+
+    Scale shape: one scan; the bucket cap is a pure projection (a
+    constant-folded CASE chain, no log/pow floats to disagree over) and
+    the roll-up is a map-side-combined groupBy on ~10 bucket keys. The
+    tiny key count is the POINT at scale: partial aggregation collapses
+    every task to <= 10 rows, so the final shuffle is bytes, not data.
+    All sums are bigint-lattice; the one double division happens once
+    per output row."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    cap = F.lit(BUCKET_OVERFLOW)
+    for c in reversed(BUCKET_CAPS):
+        cap = F.when(n_tokens <= c, F.lit(c)).otherwise(cap)
+    b = docs.select(n_tokens.alias("n_tokens"), cap.cast("long").alias("bucket_cap"))
+    return b.groupBy("bucket_cap").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.count(F.lit(1)) * F.col("bucket_cap")).alias("padded_tokens"),
+        (
+            F.sum("n_tokens").cast("double")
+            / (F.count(F.lit(1)) * F.col("bucket_cap"))
+        ).alias("pad_efficiency"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights: per-source sampling weights
+# proportional to size^alpha with alpha = 0.5 — the multilingual/
+# multi-domain "temperature sampling" recipe (upweight small sources,
+# damp huge ones). alpha = 0.5 is computed as an INTEGER sqrt so both
+# engines agree bit-for-bit: isqrt = floor(sqrt(chars)) is exact for
+# any bigint < 2^53 (IEEE sqrt is correctly rounded), the denominator
+# is a bigint sum of isqrts, and the final weight/allocation divisions
+# are single exact double/integer ops.
+
+MIX_TEMP_BUDGET = 10_000_000  # total char budget the weights allocate
+
+
+@register(
+    "mixture_temperature",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source
+    ),
+    i AS (
+      SELECT *, CAST(FLOOR(SQRT(CAST(chars AS DOUBLE))) AS BIGINT) AS isqrt_chars
+      FROM s
+    ),
+    t AS (SELECT CAST(SUM(isqrt_chars) AS BIGINT) AS tot FROM i)
+    SELECT source, n_docs, chars, isqrt_chars,
+           CAST(isqrt_chars AS DOUBLE) / tot AS weight,
+           {MIX_TEMP_BUDGET} * isqrt_chars // tot AS alloc_chars
+    FROM i, t
+    """,
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture: weight_s ∝ size_s^0.5, then an
+    integer allocation of a fixed char budget. Flattens the source
+    distribution the way multilingual corpus recipes do (small sources
+    oversampled relative to raw proportion, dominant sources damped)
+    without the per-document randomness of mixture_sample — the two
+    compose: this picks the per-source rates, that applies them.
+
+    Scale shape: one map-side-combined groupBy to per-source totals
+    (rows = #sources, a constant), then a 1-row global sum joined back —
+    Spark broadcasts the singleton automatically. Zero corpus-sized
+    shuffles; the corpus is touched exactly once. Determinism: all
+    accumulation is bigint; sqrt/floor/division are single correctly-
+    rounded IEEE ops on exact inputs, so Spark and DuckDB agree
+    bit-for-bit regardless of partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    i = s.withColumn(
+        "isqrt_chars", F.floor(F.sqrt(F.col("chars").cast("double"))).cast("long")
+    )
+    tot = i.agg(F.sum("isqrt_chars").alias("tot"))
+    return i.crossJoin(tot).select(
+        "source",
+        "n_docs",
+        "chars",
+        "isqrt_chars",
+        (F.col("isqrt_chars").cast("double") / F.col("tot")).alias("weight"),
+        F.expr(f"{MIX_TEMP_BUDGET} * isqrt_chars div tot").alias("alloc_chars"),
+    )
