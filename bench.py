@@ -79,6 +79,14 @@ HEADLINE_R5 = [
     "curriculum_token_budget",
 ]
 
+# Round-6 additions: chunk-level source dup-attribution matrix, length-
+# bucketed batching report, and the directory compaction planner.
+HEADLINE_R6 = [
+    "dedup_source_matrix",
+    "pack_length_buckets",
+    "fs_compaction_plan",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -101,6 +109,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in (
         HEADLINE + HEADLINE_R2 + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5
+        + HEADLINE_R6
     ):
         # best of 3: the first run pays one-time codegen/plan compilation
         # for the query's unique expressions; later runs are steady state
@@ -145,6 +154,17 @@ def main() -> None:
                         + HEADLINE_R2
                         + HEADLINE_R3
                         + HEADLINE_R4
+                    ),
+                    3,
+                ),
+                "r05_comparable_subtotal": round(
+                    sum(
+                        timings[n]
+                        for n in HEADLINE
+                        + HEADLINE_R2
+                        + HEADLINE_R3
+                        + HEADLINE_R4
+                        + HEADLINE_R5
                     ),
                     3,
                 ),

@@ -35,6 +35,10 @@ PROBES = [
     # round 6: lattice-summed PageRank (dangling mass + in-sums are
     # bigint sums; only the final per-node expression is double)
     "graph_pagerank_tokens",
+    # round 7: combinatoric pair counts over collapsed chunk-hash rows,
+    # and the integer-sqrt temperature weights (single exact double div)
+    "dedup_source_matrix",
+    "mixture_temperature",
 ]
 
 
