@@ -64,6 +64,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     StringStartsWith,
     WriterCommitMessage,
 )
@@ -286,6 +287,78 @@ class SnackStoreWriter(DataSourceWriter):
         return None
 
 
+class SnackStoreTailReader(SimpleDataSourceStreamReader):
+    """Streaming tail-follow of ONE store path — the reference's
+    tail/follow stream surface (fs/stream sequential readers;
+    `snackfs -tail -f`, SnackFSShell.scala) as a Structured Streaming
+    source. Each micro-batch emits the sub-blocks appended since the
+    last offset; the offset is the path's high-water sub_offset.
+
+    Replay is exact by construction: sub-block blobs are immutable once
+    their inode fragment commits (appends only ever add NEW offsets), so
+    the rows between two recorded offsets are the same set forever —
+    `readBetweenOffsets` re-derives them from the store, which is what
+    makes checkpoint recovery exactly-once without a WAL. A blob whose
+    task died before the inode fragment landed is invisible here for
+    the same reason it is invisible to batch readers (commit protocol),
+    so a partially-failed append can never half-appear in the stream.
+
+    At scale the same design follows a DIRECTORY (offset = per-path
+    high-water map, one partition per bucket); the single-path form is
+    the reference's actual tail semantics and keeps the offset O(1)."""
+
+    def __init__(self, options):
+        self.root = options.get("store_dir")
+        self.path = options.get("path")
+        if not self.root or not self.path:
+            raise ValueError("snackstore stream requires 'store_dir' and 'path'")
+        with open(os.path.join(self.root, "_store.json")) as f:
+            self.buckets = json.load(f)["buckets"]
+        self.bdir = os.path.join(
+            self.root, f"bucket={_bucket_of(self.path, self.buckets)}"
+        )
+
+    def initialOffset(self) -> dict:
+        return {"hwm": -1}  # follow from the start of the file
+
+    def _committed_offsets(self) -> list[int]:
+        """sub_offsets of the path visible under the commit protocol
+        (listed from inode fragments, never by globbing blobs)."""
+        offs: set[int] = set()
+        if not os.path.isdir(self.bdir):
+            return []
+        for fn in sorted(os.listdir(self.bdir)):
+            if fn.startswith("inodes-"):
+                with open(os.path.join(self.bdir, fn)) as f:
+                    meta = json.load(f).get(self.path)
+                if meta:
+                    offs.update(off for off, _len in meta.get("chunks", []))
+                    offs.update(meta.get("offsets", []))
+        return sorted(offs)
+
+    def _rows(self, lo_exclusive: int, hi_inclusive: int | None):
+        ph = _path_hash(self.path)
+        for off in self._committed_offsets():
+            if off <= lo_exclusive:
+                continue
+            if hi_inclusive is not None and off > hi_inclusive:
+                continue
+            with open(os.path.join(self.bdir, f"sblock-{ph}-{off}.bin"), "rb") as f:
+                payload = f.read().decode("utf-8")
+            yield (self.path, off, len(payload), payload)
+
+    def read(self, start: dict):
+        offs = self._committed_offsets()
+        hwm = max([o for o in offs] or [start["hwm"]])
+        end = {"hwm": max(hwm, start["hwm"])}
+        # a list_iterator, not a generator: the engine caches the batch
+        # for replay-until-commit via copy.copy, which generators refuse
+        return iter(list(self._rows(start["hwm"], end["hwm"]))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._rows(start["hwm"], end["hwm"])))
+
+
 class SnackStoreDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -299,6 +372,9 @@ class SnackStoreDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> SnackStoreWriter:
         return SnackStoreWriter(self.options, overwrite=overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> SnackStoreTailReader:
+        return SnackStoreTailReader(self.options)
 
 
 VACUUM_GRACE_SECONDS = 600.0

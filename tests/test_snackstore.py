@@ -385,3 +385,115 @@ def test_append_reuses_existing_store_layout(spark, store):
     write("/ap/d.txt", "delta", "overwrite", buckets=16)
     meta = _json.loads((root / "_store.json").read_text())
     assert meta["buckets"] == 16
+
+
+def test_stream_tail_follow_emits_appends_incrementally(spark, store):
+    """Streaming tail-follow (SnackStoreTailReader): batch 1 sees the
+    file's current sub-blocks; an append surfaces ONLY the new
+    sub-blocks in the next micro-batch; drained content equals the
+    batch read byte-for-byte."""
+    root = str(VAR / "tailstore")
+    base = spark.createDataFrame(
+        [("/log/app.txt", "alpha " * 40)], "path string, text string"
+    )
+    chunks = writer.chunk_text(base).select("path", "sub_offset", "length", "payload")
+    (
+        chunks.write.format("snackstore")
+        .option("store_dir", root)
+        .option("buckets", 4)
+        .mode("append")
+        .save()
+    )
+    stream = (
+        spark.readStream.format("snackstore")
+        .option("store_dir", root)
+        .option("path", "/log/app.txt")
+        .load()
+    )
+    name = "tail_follow_sink"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.table(name).collect()
+        n_first = len(first)
+        assert n_first > 0
+        assert all(r["path"] == "/log/app.txt" for r in first)
+
+        # append: new sub-blocks at offsets past the current end
+        old_len = sum(r["length"] for r in first)
+        tail_df = spark.createDataFrame(
+            [("/log/app.txt", int(old_len), "bravo tail", 10)],
+            "path string, sub_offset long, payload string, length long",
+        ).select("path", "sub_offset", "length", "payload")
+        (
+            tail_df.write.format("snackstore")
+            .option("store_dir", root)
+            .mode("append")
+            .save()
+        )
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+        assert len(rows) == n_first + 1  # only the appended sub-block arrives
+        text = "".join(
+            r["payload"] for r in sorted(rows, key=lambda r: r["sub_offset"])
+        )
+        assert text == "alpha " * 40 + "bravo tail"
+    finally:
+        q.stop()
+
+    # batch read agrees with the drained stream (same store, same rows)
+    batch = (
+        spark.read.format("snackstore")
+        .option("store_dir", root)
+        .load()
+        .filter(F.col("path") == "/log/app.txt")
+        .collect()
+    )
+    assert sorted((r["sub_offset"], r["payload"]) for r in batch) == sorted(
+        (r["sub_offset"], r["payload"]) for r in rows
+    )
+
+
+def test_stream_tail_replay_between_offsets_is_exact(spark, store):
+    """readBetweenOffsets re-derives a closed batch exactly (checkpoint
+    recovery contract): rows between two high-water marks never change."""
+    from snackfs_spark.sources.snackstore import SnackStoreTailReader
+
+    root = str(VAR / "replaystore")
+    df = spark.createDataFrame(
+        [("/log/r.txt", "x" * 200)], "path string, text string"
+    )
+    chunks = writer.chunk_text(df).select("path", "sub_offset", "length", "payload")
+    (
+        chunks.write.format("snackstore")
+        .option("store_dir", root)
+        .option("buckets", 4)
+        .mode("append")
+        .save()
+    )
+    r = SnackStoreTailReader({"store_dir": root, "path": "/log/r.txt"})
+    start = r.initialOffset()
+    rows1, end = r.read(start)
+    rows1 = list(rows1)
+    assert rows1 and end["hwm"] == max(o for _, o, _, _ in rows1)
+    # replay the same window: identical rows
+    assert list(r.readBetweenOffsets(start, end)) == rows1
+    # a later append must NOT leak into the closed window
+    extra = spark.createDataFrame(
+        [("/log/r.txt", 1000, 5, "tail!")],
+        "path string, sub_offset long, length long, payload string",
+    )
+    (
+        extra.write.format("snackstore")
+        .option("store_dir", root)
+        .mode("append")
+        .save()
+    )
+    assert list(r.readBetweenOffsets(start, end)) == rows1
+    rows2, end2 = r.read(end)
+    assert [o for _, o, _, _ in rows2] == [1000] and end2["hwm"] == 1000
