@@ -47,6 +47,11 @@ QUERIES = [
     "events_rate_anomaly",
     "corpus_build_v2",
     "split_semantic_contamination",
+    # round-6 ops: chunk-hash collapse + combinatoric pair counts, and
+    # the two tiny-key roll-ups (bucketing report, compaction planner)
+    "dedup_source_matrix",
+    "pack_length_buckets",
+    "fs_compaction_plan",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
