@@ -1575,3 +1575,112 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dev") > 3 * F.col("mad"))
         .select("event_id", "event_type", "value", "med", "mad")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling: the one-pass data-quality report a pipeline runs on
+# every new drop before anything downstream trusts it.
+
+PROFILE_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+]
+
+
+@register(
+    "table_profile",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{c}' AS column_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   CAST(MIN({c}) AS DOUBLE) AS min_val,
+                   CAST(MAX({c}) AS DOUBLE) AS max_val
+            FROM lineitem"""
+        for c in PROFILE_COLS
+    ),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of the fact table (row count, null count,
+    exact distinct count, min/max) — the ingest-gate data-quality
+    report. All columns profile in ONE aggregate over one scan; Spark
+    plans the multi-distinct via Expand (one row per column per input
+    row, partially aggregated map-side), which beats N separate scans
+    the moment the table doesn't fit cache.
+
+    At 100 TB the exact COUNT(DISTINCT) per column is the expensive
+    honest form (each distinct column adds an Expand leg); the
+    production variant swaps approx_count_distinct into the SAME plan
+    (see approx_aggregates) — kept exact here so the profile stays
+    oracle-checkable. Min/max/counts are exact in either form. Output
+    is unpivoted to one row per column so the report shape is stable
+    as columns are added."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__distinct, {c}__min, {c}__max"
+        for c in PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_rows, n_null, n_distinct, min_val, max_val)"
+    )
+
+
+# Histogram: equi-width buckets over the events value domain.
+HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 500.0, 20
+
+
+_HIST_BUCKET_SQL = (
+    f"CASE WHEN value < {HIST_LO} THEN 0 "
+    f"WHEN value >= {HIST_HI} THEN {HIST_BUCKETS} + 1 "
+    f"ELSE CAST(FLOOR((value - {HIST_LO}) * {float(HIST_BUCKETS)} "
+    f"/ ({HIST_HI} - {HIST_LO})) AS BIGINT) + 1 END"
+)
+
+
+@register(
+    "events_value_histogram",
+    oracle=f"""
+    SELECT {_HIST_BUCKET_SQL} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(value) AS DOUBLE) AS min_val,
+           CAST(MAX(value) AS DOUBLE) AS max_val
+    FROM events GROUP BY 1
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of the event value distribution (the
+    dashboard/monitoring primitive). The bucket index is a pure
+    projection — the SQL-standard width_bucket rule, written out as the
+    IDENTICAL expression in both engines (floor((v-lo)*n/(hi-lo))+1,
+    under/overflow in buckets 0 and n+1) because DuckDB lacks the
+    builtin and matching the operation ORDER keeps the one float
+    expression bit-identical at bucket boundaries. The histogram is
+    then one map-side-combined groupBy on <= n+2 keys: like
+    pack_length_buckets, the final shuffle carries bytes per task, not
+    data, at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.expr(_HIST_BUCKET_SQL).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").cast("double").alias("min_val"),
+            F.max("value").cast("double").alias("max_val"),
+        )
+    )

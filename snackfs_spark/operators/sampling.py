@@ -963,3 +963,61 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("isqrt_chars").cast("double") / F.col("tot")).alias("weight"),
         F.expr(f"{MIX_TEMP_BUDGET} * isqrt_chars div tot").alias("alloc_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-order shuffle: the final step before export —
+# a reproducible pseudo-random global order over the corpus, sharded so
+# no global sequence is ever materialized.
+
+SHUFFLE_SALT = "epoch0"   # new epoch => new salt => fresh permutation
+SHUFFLE_SHARDS = 64       # export shard count (= writer parallelism)
+
+
+@register(
+    "training_order_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5('{SHUFFLE_SALT}|' || CAST(doc_id AS VARCHAR)) AS rnd
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(rnd, 1, 15))::BIGINT % {SHUFFLE_SHARDS} AS BIGINT)
+             AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY ('0x' || substr(rnd, 1, 15))::BIGINT % {SHUFFLE_SHARDS}
+             ORDER BY rnd, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order shuffle: every document gets a salted
+    hash, the hash assigns an export shard and orders documents WITHIN
+    the shard. Readers consume shards round-robin and see a fixed
+    pseudo-random global order; changing SHUFFLE_SALT (one constant)
+    yields an independent permutation for the next epoch — the
+    determinism property training reproducibility demands, which
+    df.orderBy(rand()) cannot give (and which a global ROW_NUMBER
+    would serialize).
+
+    Scale shape: the hash and shard are pure projections; the only
+    non-projection work is a per-shard window — {SHUFFLE_SHARDS}-way
+    parallel, each sorting corpus/shards rows, never one global sort.
+    Shard count = writer parallelism (same knob as pack_sequences'
+    shards). Hash-uniform shards are skew-free by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    rnd = F.md5(F.concat(F.lit(f"{SHUFFLE_SALT}|"), F.col("doc_id").cast("string")))
+    h = docs.select(
+        "doc_id",
+        rnd.alias("rnd"),
+        (F.conv(F.substring(rnd, 1, 15), 16, 10).cast("long") % SHUFFLE_SHARDS).alias(
+            "shard"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("rnd", "doc_id")
+    return h.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
