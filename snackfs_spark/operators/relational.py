@@ -1684,3 +1684,60 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").cast("double").alias("max_val"),
         )
     )
+
+
+# Skew diagnosis thresholds: a key is a heavy hitter when its row share
+# exceeds 1/(4 * shuffle partitions of the target job) — roughly "this
+# key alone would overfill a reducer's fair share".
+SKEW_TOP_K = 20
+
+
+@register(
+    "skew_key_profile",
+    oracle=f"""
+    WITH k AS (
+      SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT)
+                   AS n_keys FROM k)
+    SELECT key, n,
+           CAST(n AS DOUBLE) / total AS share,
+           CAST(n AS DOUBLE) * n_keys / total AS x_uniform
+    FROM k, t
+    ORDER BY n DESC, key LIMIT {SKEW_TOP_K}
+    """,
+)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of a prospective shuffle key: the top keys
+    by row count, each with its share of the table and its multiple of
+    the uniform expectation (x_uniform = n * n_keys / total; 1.0 =
+    perfectly even). This is the DIAGNOSIS step that decides between a
+    plain shuffle join, AQE skew split, and manual salting
+    (rel_salted_skew_join) — at 100 TB you run this on a sample of the
+    join key BEFORE burning a cluster-day on a join that funnels one
+    key into one reducer.
+
+    Scale shape: one map-side-combined groupBy on the key, a 1-row
+    global total joined back (broadcast singleton), and a
+    TakeOrderedAndProject top-k — per-partition heaps, never a global
+    sort. The profile's own shuffle is the cheapest possible probe of
+    the expensive join's shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.groupBy(F.col("user_id").alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    t = k.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        k.crossJoin(t)
+        .select(
+            "key",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+            (F.col("n").cast("double") * F.col("n_keys") / F.col("total")).alias(
+                "x_uniform"
+            ),
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(SKEW_TOP_K)
+    )
