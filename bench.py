@@ -85,6 +85,9 @@ HEADLINE_R6 = [
     "dedup_source_matrix",
     "pack_length_buckets",
     "fs_compaction_plan",
+    "bpe_learn_merges",
+    "table_profile",
+    "training_order_shuffle",
 ]
 
 

@@ -1133,3 +1133,150 @@ def text_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "token_a", "token_b")
         .limit(COOC_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge LEARNING (the trainer, not just the pair census): K rounds
+# of count-adjacent-pairs -> take the most frequent pair -> merge it
+# everywhere, run entirely as a declarative plan in BOTH engines.
+
+BPE_ROUNDS = 5
+
+# The greedy left-to-right merge as a string fold. acc holds the
+# re-segmented word (symbols joined by single spaces, symbols never
+# contain spaces); merging pair (pa, pb) replaces a trailing symbol pa
+# followed by incoming pb with the fused symbol pa+pb. Both engines run
+# the IDENTICAL fold logic, so segmentations match byte-for-byte.
+_MERGE_SPARK = (
+    "aggregate(split(repr, ' '), '', (acc, x) -> CASE "
+    "WHEN acc = '' THEN x "
+    "WHEN substring_index(acc, ' ', -1) = pa AND x = pb THEN "
+    "  left(acc, length(acc) - length(pa)) || pa || '+' || pb "
+    "ELSE acc || ' ' || x END)"
+)
+_MERGE_DUCK = (
+    "list_reduce(string_split(repr, ' '), (acc, x) -> CASE "
+    "WHEN regexp_extract(acc, '[^ ]*$') = pa AND x = pb THEN "
+    "  acc[1:len(acc) - len(pa)] || pa || '+' || pb "
+    "ELSE acc || ' ' || x END)"
+)
+
+
+def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+    ctes = [
+        """words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    )""",
+        "w0 AS (SELECT array_to_string(string_split(word, ''), ' ') AS repr, n FROM words)",
+    ]
+    selects = []
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""p{r} AS (
+      SELECT s[i] AS pa, s[i + 1] AS pb, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM (
+        SELECT string_split(repr, ' ') AS s, n,
+               unnest(range(1, len(string_split(repr, ' ')))) AS i
+        FROM w{r - 1}
+      ) GROUP BY s[i], s[i + 1]
+    )""")
+        ctes.append(
+            f"b{r} AS (SELECT pa, pb, cnt FROM p{r} "
+            "ORDER BY cnt DESC, pa, pb LIMIT 1)"
+        )
+        if r < rounds:
+            ctes.append(
+                f"w{r} AS (SELECT {_MERGE_DUCK} AS repr, n FROM w{r - 1}, b{r})"
+            )
+        selects.append(
+            f"SELECT {r} AS round, pa AS pair_a, pb AS pair_b, cnt FROM b{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)
+
+
+@register("bpe_learn_merges", oracle=_bpe_oracle())
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, K rounds, as one declarative plan: each
+    round counts adjacent symbol pairs over the current segmentation
+    (weighted by word frequency), takes the argmax pair (count desc,
+    then lexicographic — the deterministic tie-break), and re-segments
+    every word by the greedy left-to-right merge fold. Output = the
+    learned merge table (round, pair, count), i.e. the artifact a BPE
+    tokenizer ships.
+
+    The data-dependent control flow (round r+1's expression depends on
+    round r's argmax) stays INSIDE the plan: the 1-row argmax cross-joins
+    back in (Spark broadcasts it), and the merge is a higher-order
+    aggregate fold referencing those columns — no driver collect()
+    between rounds, so the whole K-round trainer is one lazy DAG.
+
+    Scale shape: the corpus-sized work is EXACTLY ONE word-count
+    shuffle; every round after that operates on the word-frequency
+    table (vocab-sized, ~sqrt of corpus tokens by Heaps' law) — the
+    standard trick that makes BPE training tractable at 100 TB.
+    Per-round cost: one vocab-sized pair explode + a <=vocab-keyed
+    aggregate + a 1-row sort. The argmax fan-in is the only global
+    point, and it carries one row. Determinism: integer counts, string
+    folds — both engines agree bit-for-bit (same fold logic, pinned by
+    the oracle)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # Checkpoint the vocab table: K rounds each trigger an action, and
+    # without truncation every round re-runs the corpus-sized word-count
+    # shuffle; with it the corpus is scanned ONCE and all rounds operate
+    # on the materialized vocab (the at-scale contract in the docstring).
+    w = words.select(
+        F.array_join(F.split("word", ""), " ").alias("repr"), "n"
+    ).localCheckpoint(eager=False)
+    outs = []
+    for r in range(1, BPE_ROUNDS + 1):
+        s = F.split("repr", " ")
+        pairs = (
+            w.select(
+                F.explode(
+                    # sequence(1, 0) is DESCENDING [1, 0], not empty (same
+                    # guard as shingles_df): 1-symbol words yield no pairs
+                    F.expr(
+                        "transform(CASE WHEN size(split(repr, ' ')) >= 2 "
+                        "THEN sequence(1, size(split(repr, ' ')) - 1) "
+                        "ELSE array() END, "
+                        "i -> struct(element_at(split(repr, ' '), i) AS pa, "
+                        "element_at(split(repr, ' '), i + 1) AS pb))"
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "pa", "pb").limit(1)
+        # localCheckpoint: round r+1's DAG references best TWICE (merge +
+        # output) and each round otherwise re-derives every prior round.
+        best = best.localCheckpoint(eager=False)
+        outs.append(
+            best.select(
+                F.lit(r).alias("round"),
+                F.col("pa").alias("pair_a"),
+                F.col("pb").alias("pair_b"),
+                "cnt",
+            )
+        )
+        if r < BPE_ROUNDS:
+            # per-round checkpoint: keeps round r+1's lineage at the
+            # re-segmented vocab instead of re-folding rounds 1..r
+            w = (
+                w.crossJoin(F.broadcast(best.select("pa", "pb")))
+                .select(F.expr(_MERGE_SPARK).alias("repr"), "n")
+                .localCheckpoint(eager=False)
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -39,6 +39,9 @@ PROBES = [
     # and the integer-sqrt temperature weights (single exact double div)
     "dedup_source_matrix",
     "mixture_temperature",
+    # the K-round BPE trainer: argmax ties broken lexicographically,
+    # fold re-segmentation — the riskiest new iterative path
+    "bpe_learn_merges",
 ]
 
 
