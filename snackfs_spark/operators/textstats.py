@@ -1162,16 +1162,18 @@ _MERGE_DUCK = (
 )
 
 
-def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+def _bpe_ctes(rounds: int = BPE_ROUNDS) -> str:
+    """The shared K-round CTE chain (words, w0..wK, p/b per round),
+    carrying the word column so consumers can join back to the corpus."""
     ctes = [
         """words AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS n
       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       WHERE word <> '' GROUP BY word
     )""",
-        "w0 AS (SELECT array_to_string(string_split(word, ''), ' ') AS repr, n FROM words)",
+        "w0 AS (SELECT word, array_to_string(string_split(word, ''), ' ') "
+        "AS repr, n FROM words)",
     ]
-    selects = []
     for r in range(1, rounds + 1):
         ctes.append(
             f"""p{r} AS (
@@ -1186,14 +1188,19 @@ def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
             f"b{r} AS (SELECT pa, pb, cnt FROM p{r} "
             "ORDER BY cnt DESC, pa, pb LIMIT 1)"
         )
-        if r < rounds:
-            ctes.append(
-                f"w{r} AS (SELECT {_MERGE_DUCK} AS repr, n FROM w{r - 1}, b{r})"
-            )
-        selects.append(
-            f"SELECT {r} AS round, pa AS pair_a, pb AS pair_b, cnt FROM b{r}"
+        ctes.append(
+            f"w{r} AS (SELECT word, {_MERGE_DUCK} AS repr, n "
+            f"FROM w{r - 1}, b{r})"
         )
-    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)
+    return "WITH " + ",\n".join(ctes)
+
+
+def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+    selects = [
+        f"SELECT {r} AS round, pa AS pair_a, pb AS pair_b, cnt FROM b{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return _bpe_ctes(rounds) + "\n" + " UNION ALL ".join(selects)
 
 
 @register("bpe_learn_merges", oracle=_bpe_oracle())
@@ -1221,6 +1228,17 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     point, and it carries one row. Determinism: integer counts, string
     folds — both engines agree bit-for-bit (same fold logic, pinned by
     the oracle)."""
+    merges, _vocab = _bpe_chain(spark, sf_dir)
+    out = merges[0]
+    for o in merges[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _bpe_chain(spark: SparkSession, sf_dir: str):
+    """Shared K-round BPE chain: returns ([per-round merge rows], final
+    re-segmented vocab (word, repr, n)). Both the trainer's output and
+    the corpus segmenter hang off this one lazy DAG."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -1233,11 +1251,10 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle; with it the corpus is scanned ONCE and all rounds operate
     # on the materialized vocab (the at-scale contract in the docstring).
     w = words.select(
-        F.array_join(F.split("word", ""), " ").alias("repr"), "n"
+        "word", F.array_join(F.split("word", ""), " ").alias("repr"), "n"
     ).localCheckpoint(eager=False)
     outs = []
     for r in range(1, BPE_ROUNDS + 1):
-        s = F.split("repr", " ")
         pairs = (
             w.select(
                 F.explode(
@@ -1268,15 +1285,63 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cnt",
             )
         )
-        if r < BPE_ROUNDS:
-            # per-round checkpoint: keeps round r+1's lineage at the
-            # re-segmented vocab instead of re-folding rounds 1..r
-            w = (
-                w.crossJoin(F.broadcast(best.select("pa", "pb")))
-                .select(F.expr(_MERGE_SPARK).alias("repr"), "n")
-                .localCheckpoint(eager=False)
-            )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+        # per-round checkpoint: keeps round r+1's lineage at the
+        # re-segmented vocab instead of re-folding rounds 1..r (the
+        # final round's merge feeds the segmenter, so all K apply)
+        w = (
+            w.crossJoin(F.broadcast(best.select("pa", "pb")))
+            .select("word", F.expr(_MERGE_SPARK).alias("repr"), "n")
+            .localCheckpoint(eager=False)
+        )
+    return outs, w
+
+
+def _bpe_segment_oracle(rounds: int = BPE_ROUNDS) -> str:
+    return (
+        _bpe_ctes(rounds)
+        + f""",
+    tok AS (
+      SELECT word, CAST(len(string_split(repr, ' ')) AS BIGINT) AS n_sub
+      FROM w{rounds}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS n_subtokens
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ) dw JOIN tok USING (word)
+    WHERE word <> ''
+    GROUP BY doc_id"""
+    )
+
+
+@register("bpe_segment_corpus", oracle=_bpe_segment_oracle())
+def bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus: per document,
+    the word count and the SUBTOKEN count under the K-round merge table
+    — the tokenizer-application half of the loop (bpe_learn_merges is
+    the training half; both hang off the same lazy chain), and the
+    number a sequence-packing/budgeting step actually consumes.
+
+    Scale shape: segmentation happens on the VOCAB (each distinct word
+    re-segmented once, vocab-sized fold work), and the corpus-sized
+    work is one exploded word join against that (word, n_subtokens) map
+    plus a doc_id roll-up — the corpus is never folded row-by-row. The
+    join carries no broadcast hint: vocab is corpus-dependent, AQE
+    broadcasts when it is actually small."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    _merges, vocab = _bpe_chain(spark, sf_dir)
+    tok = vocab.select(
+        "word", F.size(F.split("repr", " ")).cast("long").alias("n_sub")
+    )
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        dw.join(tok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_subtokens"),
+        )
+    )

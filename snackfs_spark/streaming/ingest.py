@@ -312,3 +312,38 @@ def streaming_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_df(
         spark, deduped.select("content_hash"), mode="append"
     )
+
+
+TAIL_PATH = "/data/src2/doc_42.txt"
+
+
+def _tail_oracle() -> str:
+    from snackfs_spark.sources.fsmodel import fs_sql
+
+    return fs_sql(
+        "SELECT path, sub_offset, length, payload FROM content "
+        f"WHERE path = '{TAIL_PATH}'",
+        "content",
+    )
+
+
+@register("streaming_tail_follow", oracle=_tail_oracle())
+def streaming_tail_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-follow of one store path through the connector's streaming
+    source (SnackStoreTailReader) drained to completion: the reference's
+    `snackfs -tail -f` / fs/stream surface as a Structured Streaming
+    query. The drained rows must equal the path's batch content chunks
+    (the oracle) — the stream is just the incremental delivery of the
+    same committed sub-blocks, which is exactly what the high-water-mark
+    offset design guarantees (DESIGN.md 'Streaming tail-follow
+    offsets')."""
+    from snackfs_spark.sources.snackstore import store_for
+
+    root = store_for(spark, sf_dir)
+    stream = (
+        spark.readStream.format("snackstore")
+        .option("store_dir", root)
+        .option("path", TAIL_PATH)
+        .load()
+    )
+    return run_stream_to_df(spark, stream, mode="append")
