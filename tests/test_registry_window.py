@@ -59,6 +59,7 @@ CLASSES = {
     "streaming": "streaming_hourly_rollup",
     "connector": "fs_connector_roundtrip",
     "connector limit pushdown": "fs_ls_limited",
+    "tokenizer training (iterative)": "bpe_learn_merges",
 }
 
 
