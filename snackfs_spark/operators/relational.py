@@ -1741,3 +1741,119 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "key")
         .limit(SKEW_TOP_K)
     )
+
+
+# Count-Min sketch shape: d independent hash rows x w buckets. Error
+# bound: est - exact <= total/w per row; min over d rows makes the
+# overshoot probability (1/2)^d-ish. 4x1024 = 4 KB of counters for ANY
+# key cardinality.
+CM_DEPTH = 4
+CM_WIDTH = 1024
+CM_TOP_K = 20
+
+
+def _cm_bucket_sql(i: int, key: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{i}|' || CAST({key} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {CM_WIDTH} AS BIGINT)"
+    )
+
+
+@register(
+    "heavy_hitters_countmin",
+    oracle=f"""
+    WITH cells AS (
+      SELECT i, {_cm_bucket_sql('i', 'user_id').replace("'i|'", "CAST(i AS VARCHAR) || '|'")} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events, (SELECT unnest(range(0, {CM_DEPTH})) AS i)
+      GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    est AS (
+      SELECT k.user_id AS key, MIN(c.n) AS est_count
+      FROM keys k, (SELECT unnest(range(0, {CM_DEPTH})) AS i) d
+      JOIN cells c
+        ON c.i = d.i
+       AND c.bucket = {_cm_bucket_sql('d.i', 'k.user_id').replace("'d.i|'", "CAST(d.i AS VARCHAR) || '|'")}
+      GROUP BY k.user_id
+    )
+    SELECT key, est_count FROM est
+    ORDER BY est_count DESC, key LIMIT {CM_TOP_K}
+    """,
+)
+def heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a Count-Min sketch: the constant-memory
+    complement of skew_key_profile. The sketch is {CM_DEPTH} hash rows x
+    {CM_WIDTH} buckets — 4 KB of counters REGARDLESS of key cardinality
+    — built in one pass with a map-side-combined groupBy on (row,
+    bucket): at 100 TB this is how you bound heavy-hitter state when
+    the key domain itself doesn't fit anywhere (IPs, URLs, session
+    ids). Estimates (min over the key's {CM_DEPTH} cells) only ever
+    OVER-count, so the sketch's top-k is a superset-biased view of the
+    true top-k; the fixed-size cell table broadcasts to the estimate
+    join for free.
+
+    Deterministic md5 bucket hashing makes the whole sketch — cells and
+    estimates — bit-identical in both engines, so even the approximate
+    structure is oracle-checkable (the same trick as the minhash
+    pipeline: engine-portable hashes instead of engine-private ones)."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(CM_DEPTH)])
+    ).alias("i")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("i").cast("string"),
+                        F.lit("|"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CM_WIDTH
+    )
+    cells = (
+        ev.select(F.col("user_id"), rows)
+        .select("i", bucket.alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    keys = ev.select("user_id").distinct()
+    probes = keys.select(
+        F.col("user_id").alias("key"), rows
+    ).select(
+        "key",
+        "i",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("i").cast("string"),
+                            F.lit("|"),
+                            F.col("key").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CM_WIDTH
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("key")
+        .agg(F.min("n").alias("est_count"))
+        .orderBy(F.desc("est_count"), "key")
+        .limit(CM_TOP_K)
+    )

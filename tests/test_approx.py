@@ -91,3 +91,31 @@ def test_sketches_merge_correctly_under_repartition(spark, exact):
         row = li.agg(*_approx_aggs()).collect()[0].asDict()
         assert {k: row[k] for k in GOLDEN_HLL} == GOLDEN_HLL, parts
         _assert_rank_bound(exact, row)
+
+
+def test_countmin_never_underestimates(spark):
+    """Count-Min guarantee: every reported estimate >= the key's exact
+    count (hash collisions only ADD), and within total/CM_WIDTH per the
+    single-row error bound times a small slack for the fixture."""
+    from pyspark.sql import functions as F
+
+    from snackfs_spark.operators.relational import CM_WIDTH
+    from snackfs_spark.registry import load_all
+
+    reg = load_all()
+    est = {
+        r["key"]: r["est_count"]
+        for r in reg["heavy_hitters_countmin"].fn(spark, SF_ORACLE).collect()
+    }
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    total = ev.count()
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert est, "sketch reported no keys"
+    for k, e in est.items():
+        assert e >= exact[k], f"under-estimate for {k}: {e} < {exact[k]}"
+        assert e - exact[k] <= max(4 * total // CM_WIDTH, 8), (
+            f"overshoot beyond CM bound for {k}: est {e}, exact {exact[k]}"
+        )
