@@ -80,7 +80,9 @@ HEADLINE_R5 = [
 ]
 
 # Round-6 additions: chunk-level source dup-attribution matrix, length-
-# bucketed batching report, and the directory compaction planner.
+# bucketed batching report, the directory compaction planner, the
+# K-round BPE trainer, the one-pass table profiler, and the
+# reproducible training-order shuffle.
 HEADLINE_R6 = [
     "dedup_source_matrix",
     "pack_length_buckets",

@@ -631,7 +631,7 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.explode(
-                F.expr("transform(sequence(0, size(toks) - 1, 64), s -> s)")
+                F.expr("sequence(0, size(toks) - 1, 64)")
             ).alias("chunk_start"),
             "toks",
         )
@@ -772,12 +772,11 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split(F.col("text"), " ")
     chunks = (
-        docs.select("doc_id", "source", toks.alias("toks"))
+        docs.select("source", toks.alias("toks"))
         .select(
-            "doc_id",
             "source",
             F.explode(
-                F.expr("transform(sequence(0, size(toks) - 1, 64), s -> s)")
+                F.expr("sequence(0, size(toks) - 1, 64)")
             ).alias("chunk_start"),
             "toks",
         )

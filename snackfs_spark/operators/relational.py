@@ -1686,9 +1686,11 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Skew diagnosis thresholds: a key is a heavy hitter when its row share
-# exceeds 1/(4 * shuffle partitions of the target job) — roughly "this
-# key alone would overfill a reducer's fair share".
+# Skew diagnosis report size. The query reports the top keys with
+# their share and x_uniform; the CALLER applies their job's cutoff
+# (e.g. share > 1/(4 * shuffle partitions) — a key overfilling one
+# reducer's fair share) — the report itself is unfiltered so the same
+# probe serves jobs with different partition counts.
 SKEW_TOP_K = 20
 
 
@@ -1797,48 +1799,16 @@ def heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates — bit-identical in both engines, so even the approximate
     structure is oracle-checkable (the same trick as the minhash
     pipeline: engine-portable hashes instead of engine-private ones)."""
-    ev = load_table(spark, sf_dir, "events")
-    rows = F.explode(
-        F.array(*[F.lit(i) for i in range(CM_DEPTH)])
-    ).alias("i")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("i").cast("string"),
-                        F.lit("|"),
-                        F.col("user_id").cast("string"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % CM_WIDTH
-    )
-    cells = (
-        ev.select(F.col("user_id"), rows)
-        .select("i", bucket.alias("bucket"))
-        .groupBy("i", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    keys = ev.select("user_id").distinct()
-    probes = keys.select(
-        F.col("user_id").alias("key"), rows
-    ).select(
-        "key",
-        "i",
-        (
+    def _cm_bucket_col(key):
+        # ONE definition for cell building and probing: the sketch is
+        # only correct if both sides hash identically, so the expression
+        # exists exactly once (mirrors _cm_bucket_sql on the oracle side)
+        return (
             F.conv(
                 F.substring(
                     F.md5(
                         F.concat(
-                            F.col("i").cast("string"),
-                            F.lit("|"),
-                            F.col("key").cast("string"),
+                            F.col("i").cast("string"), F.lit("|"), key.cast("string")
                         )
                     ),
                     1,
@@ -1848,8 +1818,23 @@ def heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
                 10,
             ).cast("long")
             % CM_WIDTH
-        ).alias("bucket"),
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(CM_DEPTH)])
+    ).alias("i")
+    bucket = _cm_bucket_col(F.col("user_id"))
+    cells = (
+        ev.select(F.col("user_id"), rows)
+        .select("i", bucket.alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
+    keys = ev.select("user_id").distinct()
+    probes = keys.select(
+        F.col("user_id").alias("key"), rows
+    ).select("key", "i", _cm_bucket_col(F.col("key")).alias("bucket"))
     return (
         probes.join(F.broadcast(cells), ["i", "bucket"])
         .groupBy("key")

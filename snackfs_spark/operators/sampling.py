@@ -903,10 +903,13 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # proportional to size^alpha with alpha = 0.5 — the multilingual/
 # multi-domain "temperature sampling" recipe (upweight small sources,
 # damp huge ones). alpha = 0.5 is computed as an INTEGER sqrt so both
-# engines agree bit-for-bit: isqrt = floor(sqrt(chars)) is exact for
-# any bigint < 2^53 (IEEE sqrt is correctly rounded), the denominator
-# is a bigint sum of isqrts, and the final weight/allocation divisions
-# are single exact double/integer ops.
+# engines agree bit-for-bit: floor(sqrt(chars)) can be off by one for
+# chars ≳ 2^52 (sqrt is correctly rounded but its floor is not the
+# integer sqrt at that magnitude — counterexamples start around
+# 4.5e15 chars, i.e. multi-PB per-source totals), so a ±1 clamp makes
+# isqrt exact for EVERY bigint; the denominator is a bigint sum of
+# isqrts, and the final weight/allocation divisions are single exact
+# double/integer ops.
 
 MIX_TEMP_BUDGET = 10_000_000  # total char budget the weights allocate
 
@@ -920,9 +923,15 @@ MIX_TEMP_BUDGET = 10_000_000  # total char budget the weights allocate
              CAST(SUM(n_chars) AS BIGINT) AS chars
       FROM documents GROUP BY source
     ),
+    i0 AS (
+      SELECT *, CAST(FLOOR(SQRT(CAST(chars AS DOUBLE))) AS BIGINT) AS r FROM s
+    ),
     i AS (
-      SELECT *, CAST(FLOOR(SQRT(CAST(chars AS DOUBLE))) AS BIGINT) AS isqrt_chars
-      FROM s
+      SELECT source, n_docs, chars,
+             CASE WHEN r * r > chars THEN r - 1
+                  WHEN (r + 1) * (r + 1) <= chars THEN r + 1
+                  ELSE r END AS isqrt_chars
+      FROM i0
     ),
     t AS (SELECT CAST(SUM(isqrt_chars) AS BIGINT) AS tot FROM i)
     SELECT source, n_docs, chars, isqrt_chars,
@@ -943,17 +952,22 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rows = #sources, a constant), then a 1-row global sum joined back —
     Spark broadcasts the singleton automatically. Zero corpus-sized
     shuffles; the corpus is touched exactly once. Determinism: all
-    accumulation is bigint; sqrt/floor/division are single correctly-
-    rounded IEEE ops on exact inputs, so Spark and DuckDB agree
-    bit-for-bit regardless of partitioning."""
+    accumulation is bigint; the ±1-clamped integer sqrt is exact for
+    every bigint (see the constant block above), and the final
+    divisions are single IEEE ops on exact inputs, so Spark and DuckDB
+    agree bit-for-bit regardless of partitioning."""
     docs = load_table(spark, sf_dir, "documents")
     s = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars"),
     )
-    i = s.withColumn(
-        "isqrt_chars", F.floor(F.sqrt(F.col("chars").cast("double"))).cast("long")
-    )
+    r = F.floor(F.sqrt(F.col("chars").cast("double"))).cast("long")
+    i = s.withColumn("r", r).withColumn(
+        "isqrt_chars",
+        F.when(F.col("r") * F.col("r") > F.col("chars"), F.col("r") - 1)
+        .when((F.col("r") + 1) * (F.col("r") + 1) <= F.col("chars"), F.col("r") + 1)
+        .otherwise(F.col("r")),
+    ).drop("r")
     tot = i.agg(F.sum("isqrt_chars").alias("tot"))
     return i.crossJoin(tot).select(
         "source",

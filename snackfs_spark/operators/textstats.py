@@ -1147,17 +1147,25 @@ BPE_ROUNDS = 5
 # contain spaces); merging pair (pa, pb) replaces a trailing symbol pa
 # followed by incoming pb with the fused symbol pa+pb. Both engines run
 # the IDENTICAL fold logic, so segmentations match byte-for-byte.
+# Fused symbols are joined with a control char (\x01) that the word
+# filter excludes from the corpus: joining with a printable char like
+# '+' would CONFLATE distinct merges on corpora containing it (merging
+# ('a+','b') and ('a','+b') would both name the symbol 'a++b', and the
+# later rounds would count and re-segment the wrong unit — identically
+# in both engines, so the oracle could never catch it).
+BPE_FUSE = "\x01"
+
 _MERGE_SPARK = (
     "aggregate(split(repr, ' '), '', (acc, x) -> CASE "
     "WHEN acc = '' THEN x "
     "WHEN substring_index(acc, ' ', -1) = pa AND x = pb THEN "
-    "  left(acc, length(acc) - length(pa)) || pa || '+' || pb "
+    f"  left(acc, length(acc) - length(pa)) || pa || '' || pb "
     "ELSE acc || ' ' || x END)"
 )
 _MERGE_DUCK = (
     "list_reduce(string_split(repr, ' '), (acc, x) -> CASE "
     "WHEN regexp_extract(acc, '[^ ]*$') = pa AND x = pb THEN "
-    "  acc[1:len(acc) - len(pa)] || pa || '+' || pb "
+    f"  acc[1:len(acc) - len(pa)] || pa || '' || pb "
     "ELSE acc || ' ' || x END)"
 )
 
@@ -1166,10 +1174,10 @@ def _bpe_ctes(rounds: int = BPE_ROUNDS) -> str:
     """The shared K-round CTE chain (words, w0..wK, p/b per round),
     carrying the word column so consumers can join back to the corpus."""
     ctes = [
-        """words AS (
+        f"""words AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS n
       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-      WHERE word <> '' GROUP BY word
+      WHERE word <> '' AND strpos(word, '{BPE_FUSE}') = 0 GROUP BY word
     )""",
         "w0 AS (SELECT word, array_to_string(string_split(word, ''), ' ') "
         "AS repr, n FROM words)",
@@ -1242,7 +1250,7 @@ def _bpe_chain(spark: SparkSession, sf_dir: str):
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
+        .filter((F.col("word") != "") & ~F.col("word").contains(BPE_FUSE))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )

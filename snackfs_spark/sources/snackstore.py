@@ -291,21 +291,28 @@ class SnackStoreTailReader(SimpleDataSourceStreamReader):
     """Streaming tail-follow of ONE store path — the reference's
     tail/follow stream surface (fs/stream sequential readers;
     `snackfs -tail -f`, SnackFSShell.scala) as a Structured Streaming
-    source. Each micro-batch emits the sub-blocks appended since the
-    last offset; the offset is the path's high-water sub_offset.
+    source. The offset is the CONTIGUOUSLY-consumed char position
+    (`{"end": N}`): a micro-batch emits committed sub-blocks starting
+    exactly at N, advancing through each one, and STOPS at the first
+    gap — sequential-read semantics, you cannot tail past a hole.
 
-    Replay is exact by construction: sub-block blobs are immutable once
-    their inode fragment commits (appends only ever add NEW offsets), so
-    the rows between two recorded offsets are the same set forever —
-    `readBetweenOffsets` re-derives them from the store, which is what
+    Contiguity is what makes the offset safe under concurrent append
+    tasks: a multi-task append commits its inode fragments in arbitrary
+    order, so a later-offset fragment can become visible before an
+    earlier one. A max-visible-offset watermark would jump past the
+    missing range and lose it forever; the contiguous walk simply leaves
+    the out-of-order tail pending until the gap commits, then emits both
+    in order. Replay stays exact: blobs are immutable once committed, so
+    the chunk run covering [start.end, end.end) never changes —
+    `readBetweenOffsets` re-derives it from the store, which is what
     makes checkpoint recovery exactly-once without a WAL. A blob whose
-    task died before the inode fragment landed is invisible here for
-    the same reason it is invisible to batch readers (commit protocol),
-    so a partially-failed append can never half-appear in the stream.
+    task died before its inode fragment landed is invisible here for the
+    same reason it is invisible to batch readers (commit protocol).
 
     At scale the same design follows a DIRECTORY (offset = per-path
-    high-water map, one partition per bucket); the single-path form is
-    the reference's actual tail semantics and keeps the offset O(1)."""
+    consumed-position map, one partition per bucket); the single-path
+    form is the reference's actual tail semantics and keeps the offset
+    O(1)."""
 
     def __init__(self, options):
         self.root = options.get("store_dir")
@@ -319,12 +326,13 @@ class SnackStoreTailReader(SimpleDataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
-        return {"hwm": -1}  # follow from the start of the file
+        return {"end": 0}  # follow from the start of the file
 
-    def _committed_offsets(self) -> list[int]:
-        """sub_offsets of the path visible under the commit protocol
-        (listed from inode fragments, never by globbing blobs)."""
-        offs: set[int] = set()
+    def _committed_chunks(self) -> list[tuple[int, int]]:
+        """Sorted (sub_offset, length) pairs of the path visible under
+        the commit protocol (listed from inode fragments, never by
+        globbing blobs). Pre-r2 fragments lack lengths — stat the blob."""
+        chunks: dict[int, int | None] = {}
         if not os.path.isdir(self.bdir):
             return []
         for fn in sorted(os.listdir(self.bdir)):
@@ -332,31 +340,54 @@ class SnackStoreTailReader(SimpleDataSourceStreamReader):
                 with open(os.path.join(self.bdir, fn)) as f:
                     meta = json.load(f).get(self.path)
                 if meta:
-                    offs.update(off for off, _len in meta.get("chunks", []))
-                    offs.update(meta.get("offsets", []))
-        return sorted(offs)
-
-    def _rows(self, lo_exclusive: int, hi_inclusive: int | None):
+                    for off, length in meta.get("chunks", []):
+                        chunks[off] = length
+                    for off in meta.get("offsets", []):
+                        chunks.setdefault(off, None)
         ph = _path_hash(self.path)
-        for off in self._committed_offsets():
-            if off <= lo_exclusive:
-                continue
-            if hi_inclusive is not None and off > hi_inclusive:
-                continue
-            with open(os.path.join(self.bdir, f"sblock-{ph}-{off}.bin"), "rb") as f:
-                payload = f.read().decode("utf-8")
-            yield (self.path, off, len(payload), payload)
+        out = []
+        for off in sorted(chunks):
+            length = chunks[off]
+            if length is None:
+                length = os.path.getsize(
+                    os.path.join(self.bdir, f"sblock-{ph}-{off}.bin")
+                )
+            out.append((off, length))
+        return out
+
+    def _rows(self, chunks: list[tuple[int, int]], lo: int, hi: int):
+        """Rows for the given committed chunks with lo <= sub_offset < hi."""
+        ph = _path_hash(self.path)
+        for off, _length in chunks:
+            if lo <= off < hi:
+                with open(
+                    os.path.join(self.bdir, f"sblock-{ph}-{off}.bin"), "rb"
+                ) as f:
+                    payload = f.read().decode("utf-8")
+                yield (self.path, off, len(payload), payload)
 
     def read(self, start: dict):
-        offs = self._committed_offsets()
-        hwm = max([o for o in offs] or [start["hwm"]])
-        end = {"hwm": max(hwm, start["hwm"])}
+        # one fragment listing per micro-batch: advance through the
+        # contiguous committed run starting at the consumed position,
+        # stopping at the first gap
+        chunks = self._committed_chunks()
+        end_pos = start["end"]
+        for off, length in chunks:
+            if off < end_pos:
+                continue  # already consumed
+            if off > end_pos:
+                break  # gap — out-of-order commit still pending
+            end_pos = off + length
         # a list_iterator, not a generator: the engine caches the batch
         # for replay-until-commit via copy.copy, which generators refuse
-        return iter(list(self._rows(start["hwm"], end["hwm"]))), end
+        return iter(list(self._rows(chunks, start["end"], end_pos))), {
+            "end": end_pos
+        }
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(list(self._rows(start["hwm"], end["hwm"])))
+        return iter(
+            list(self._rows(self._committed_chunks(), start["end"], end["end"]))
+        )
 
 
 class SnackStoreDataSource(DataSource):

@@ -461,7 +461,9 @@ def test_stream_tail_follow_emits_appends_incrementally(spark, store):
 
 def test_stream_tail_replay_between_offsets_is_exact(spark, store):
     """readBetweenOffsets re-derives a closed batch exactly (checkpoint
-    recovery contract): rows between two high-water marks never change."""
+    recovery contract), and out-of-order commits stay PENDING until the
+    gap fills — a max-offset watermark would lose them (sequential tail
+    semantics, DESIGN.md 'Streaming tail-follow offsets')."""
     from snackfs_spark.sources.snackstore import SnackStoreTailReader
 
     root = str(VAR / "replaystore")
@@ -480,20 +482,29 @@ def test_stream_tail_replay_between_offsets_is_exact(spark, store):
     start = r.initialOffset()
     rows1, end = r.read(start)
     rows1 = list(rows1)
-    assert rows1 and end["hwm"] == max(o for _, o, _, _ in rows1)
+    assert rows1 and end["end"] == 200  # consumed the contiguous run
     # replay the same window: identical rows
     assert list(r.readBetweenOffsets(start, end)) == rows1
-    # a later append must NOT leak into the closed window
-    extra = spark.createDataFrame(
-        [("/log/r.txt", 1000, 5, "tail!")],
-        "path string, sub_offset long, length long, payload string",
-    )
-    (
-        extra.write.format("snackstore")
-        .option("store_dir", root)
-        .mode("append")
-        .save()
-    )
+    # an OUT-OF-ORDER commit (offset 260 while 200-259 is still missing)
+    # must neither leak into the closed window nor advance the offset
+    def _append(off, payload):
+        extra = spark.createDataFrame(
+            [("/log/r.txt", off, len(payload), payload)],
+            "path string, sub_offset long, length long, payload string",
+        )
+        (
+            extra.write.format("snackstore")
+            .option("store_dir", root)
+            .mode("append")
+            .save()
+        )
+
+    _append(260, "late!")
     assert list(r.readBetweenOffsets(start, end)) == rows1
     rows2, end2 = r.read(end)
-    assert [o for _, o, _, _ in rows2] == [1000] and end2["hwm"] == 1000
+    assert list(rows2) == [] and end2["end"] == 200  # gap: stays pending
+    # filling the gap releases BOTH chunks, in order
+    _append(200, "y" * 60)
+    rows3, end3 = r.read(end2)
+    assert [o for _, o, _, _ in rows3] == [200, 260]
+    assert end3["end"] == 265

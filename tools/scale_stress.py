@@ -52,13 +52,15 @@ QUERIES = [
     "dedup_source_matrix",
     "pack_length_buckets",
     "fs_compaction_plan",
-    # round-7 ops: the iterative BPE trainer, the one-pass profiler, the
-    # sharded shuffle, the histogram, and the skew probe
+    # later round-6 ops: the iterative BPE trainer, the one-pass
+    # profiler, the sharded shuffle, the histogram, and the skew probe
     "bpe_learn_merges",
     "table_profile",
     "training_order_shuffle",
     "events_value_histogram",
     "skew_key_profile",
+    "heavy_hitters_countmin",
+    "bpe_segment_corpus",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
