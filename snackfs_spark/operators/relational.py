@@ -1842,3 +1842,93 @@ def heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), "key")
         .limit(CM_TOP_K)
     )
+
+
+# Binned quantile sketch: 1024 equi-width bins over the value domain.
+# Mergeable (bin counts just add) and deterministic — the declarative
+# analog of a fixed-universe quantile sketch; error <= one bin width.
+QS_BINS = 1024
+QS_QUANTILES = (0.5, 0.9, 0.99)
+
+
+@register(
+    "events_quantiles_binned",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(FLOOR((value - {HIST_LO}) * {float(QS_BINS)}
+                        / ({HIST_HI} - {HIST_LO})) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE value >= {HIST_LO} AND value < {HIST_HI}
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, n,
+             SUM(n) OVER (ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum,
+             SUM(n) OVER () AS total
+      FROM b
+    )
+    SELECT q,
+           CAST(MIN(CASE WHEN cum >= CAST(CEIL(q * total) AS BIGINT)
+                         THEN bin END) + 1 AS DOUBLE)
+             * ({HIST_HI} - {HIST_LO}) / {float(QS_BINS)} AS est_upper
+    FROM c, (SELECT unnest([{', '.join(str(q) for q in QS_QUANTILES)}]) AS q)
+    GROUP BY q
+    """,
+)
+def events_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a fixed 1024-bin histogram — the
+    mergeable-sketch quantile path (bin counts from different
+    partitions/days just ADD, unlike exact sort-based quantiles), with
+    deterministic error <= one bin width (~0.49 here). Each estimate is
+    the upper edge of the first bin whose cumulative count reaches
+    ceil(q*n).
+
+    Scale shape: one map-side-combined groupBy onto <= 1024 keys (the
+    same bytes-per-task shuffle as events_value_histogram), then a
+    window over the 1024-row bin table — bounded state however large
+    the corpus. This is the declared alternative to percentile_approx
+    when cross-engine/bit-exact reproducibility matters: the sketch is
+    pure integer counts + one float edge expression, identical in both
+    engines, while GK/KLL sketches are engine-private. Exact
+    counterpart: quantile_battery."""
+    ev = load_table(spark, sf_dir, "events")
+    bins = (
+        ev.filter((F.col("value") >= HIST_LO) & (F.col("value") < HIST_HI))
+        .groupBy(
+            F.expr(
+                f"CAST(FLOOR((value - {HIST_LO}) * {float(QS_BINS)}"
+                f" / ({HIST_HI} - {HIST_LO})) AS BIGINT)"
+            ).alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    c = bins.select(
+        "bin",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    qs = c.crossJoin(
+        F.broadcast(
+            spark.range(1).select(
+                F.explode(
+                    F.array(*[F.lit(q) for q in QS_QUANTILES])
+                ).alias("q")
+            )
+        )
+    )
+    return (
+        qs.filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy("q")
+        .agg(
+            (
+                (F.min("bin") + 1).cast("double")
+                * (HIST_HI - HIST_LO)
+                / float(QS_BINS)
+            ).alias("est_upper")
+        )
+    )

@@ -119,3 +119,34 @@ def test_countmin_never_underestimates(spark):
         assert e - exact[k] <= max(4 * total // CM_WIDTH, 8), (
             f"overshoot beyond CM bound for {k}: est {e}, exact {exact[k]}"
         )
+
+
+def test_binned_quantiles_within_bin_width_of_exact(spark, exact):
+    """Sketch error contract: each binned estimate is within one bin
+    width ABOVE the exact quantile (upper-edge convention)."""
+    import duckdb
+
+    from snackfs_spark.operators.relational import (
+        HIST_HI,
+        HIST_LO,
+        QS_BINS,
+    )
+    from snackfs_spark.registry import load_all
+
+    reg = load_all()
+    est = {
+        round(r["q"], 3): r["est_upper"]
+        for r in reg["events_quantiles_binned"].fn(spark, SF_ORACLE).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/events.parquet')"
+    )
+    width = (HIST_HI - HIST_LO) / QS_BINS
+    for q, e in est.items():
+        (x,) = con.execute(
+            f"SELECT quantile_disc(value, {q}) FROM events "
+            f"WHERE value >= {HIST_LO} AND value < {HIST_HI}"
+        ).fetchone()
+        assert x <= e <= x + width + 1e-9, (q, x, e, width)

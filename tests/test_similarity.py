@@ -72,3 +72,48 @@ def test_kmeans_deeper_rounds_match_generated_oracle(spark, duck):
     want = sorted(map(tuple, duck.execute(_kmeans_oracle(iters=4)).fetchall()))
     assert len(got) == len(want) > 0
     assert [tuple(map(str, r)) for r in got] == [tuple(map(str, r)) for r in want]
+
+
+def test_prefix_filter_has_exact_recall(spark, duck):
+    """The prefix-filter lemma: candidates generated from df-ordered
+    prefixes of length |d|-ceil(t|d|)+1 MISS NO pair with Jaccard >= t.
+    Pin it against brute-force all-pairs Jaccard (no prefix pruning)."""
+    from snackfs_spark.operators.dedup import PREFIX_JACCARD_T, SHINGLES_CTE
+    from snackfs_spark.registry import load_all
+    from tests.conftest import SF_SMALL
+
+    reg = load_all()
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in reg["dedup_prefix_filter"].fn(spark, SF_SMALL).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    brute = con.execute(
+        "WITH " + SHINGLES_CTE + f""",
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM shingles a JOIN shingles b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {PREFIX_JACCARD_T}
+        """
+    ).fetchall()
+    want = {(a, b): j for a, b, j in brute}
+    assert set(got) == set(want), (
+        f"recall broken: missing {set(want) - set(got)}, "
+        f"spurious {set(got) - set(want)}"
+    )
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
