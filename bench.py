@@ -93,6 +93,15 @@ HEADLINE_R6 = [
 ]
 
 
+# Round-7 additions: exact-recall prefix-filter similarity join,
+# Count-Min heavy hitters, and the binned quantile sketch.
+HEADLINE_R7 = [
+    "dedup_prefix_filter",
+    "heavy_hitters_countmin",
+    "events_quantiles_binned",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -114,7 +123,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in (
         HEADLINE + HEADLINE_R2 + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5
-        + HEADLINE_R6
+        + HEADLINE_R6 + HEADLINE_R7
     ):
         # best of 3: the first run pays one-time codegen/plan compilation
         # for the query's unique expressions; later runs are steady state
@@ -170,6 +179,18 @@ def main() -> None:
                         + HEADLINE_R3
                         + HEADLINE_R4
                         + HEADLINE_R5
+                    ),
+                    3,
+                ),
+                "r06_comparable_subtotal": round(
+                    sum(
+                        timings[n]
+                        for n in HEADLINE
+                        + HEADLINE_R2
+                        + HEADLINE_R3
+                        + HEADLINE_R4
+                        + HEADLINE_R5
+                        + HEADLINE_R6
                     ),
                     3,
                 ),

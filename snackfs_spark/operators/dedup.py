@@ -890,7 +890,16 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles_df(spark, sf_dir, distinct=True).localCheckpoint(eager=False)
     from pyspark.sql import Window
 
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # shuffle_hash, never broadcast: df_counts is shingle-cardinality —
+    # corpus-proportional, ~GBs deserialized at sf10+ (a broadcast
+    # attempt OOMed the 100x sweep; compressed shuffle stats under-
+    # estimate it past the 64 MB threshold). The shuffled join also
+    # lands on the SAME shingle key as the aggregate that produced
+    # df_counts, so the exchange is reused — the minhash band-join
+    # pattern.
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).hint(
+        "shuffle_hash"
+    )
     wdoc = Window.partitionBy("doc_id").orderBy("df", "shingle")
     ranked = (
         sh.join(df_counts, "shingle")

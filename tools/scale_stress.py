@@ -61,6 +61,8 @@ QUERIES = [
     "skew_key_profile",
     "heavy_hitters_countmin",
     "bpe_segment_corpus",
+    "dedup_prefix_filter",
+    "events_quantiles_binned",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
