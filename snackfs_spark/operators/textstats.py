@@ -1353,3 +1353,82 @@ def bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sub").alias("n_subtokens"),
         )
     )
+
+
+@register(
+    "source_vocab_similarity",
+    oracle="""
+    WITH tf AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY source, word
+    ),
+    norms AS (
+      SELECT source, CAST(SUM(c * c) AS BIGINT) AS nrm FROM tf GROUP BY source
+    ),
+    dots AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+      FROM tf a JOIN tf b ON a.word = b.word AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT d.source_a, d.source_b, d.dot,
+           CAST(d.dot AS DOUBLE)
+             / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE)))
+             AS cosine
+    FROM dots d
+    JOIN norms na ON na.source = d.source_a
+    JOIN norms nb ON nb.source = d.source_b
+    """,
+)
+def source_vocab_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary similarity between sources: cosine over
+    term-frequency vectors — the corpus-diagnostics view that says
+    which feeds SPEAK alike (complementing dedup_source_matrix, which
+    says which feeds COPY each other). High-cosine low-dup pairs are
+    same-domain distinct feeds (keep both); high-dup pairs are mirrors
+    (deduplicate).
+
+    Scale shape: the tf relation collapses map-side to (sources x
+    vocab) rows; the pairwise dot is an equi-join on the token key over
+    that collapsed relation — each token contributes |sources-present|²
+    pairs, so the join output is bounded by vocab x sources², never
+    corpus-sized. All accumulation is bigint (counts, squared norms,
+    dot products); the single float expression per output row divides
+    by the product of two correctly-rounded sqrts — identical op order
+    in both engines, so 300 cosines hash-match exactly."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    tf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    norms = tf.groupBy("source").agg(F.sum(F.col("c") * F.col("c")).alias("nrm"))
+    a = tf.select(F.col("source").alias("source_a"), "word", F.col("c").alias("ca"))
+    b = tf.select(F.col("source").alias("source_b"), "word", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "word")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(F.col("source").alias("source_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("source").alias("source_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
