@@ -197,6 +197,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def verify_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs —
+    the shared second stage of every candidate-generation strategy
+    (LSH bands, prefix filtering). One shingle pass, semi-joined down
+    to candidate docs BEFORE any per-pair work: the shingle volume that
+    reaches the pair join is O(candidate docs), not O(corpus).
+    collect_set dedups shingles, so the distinct shuffle is skipped.
+    No forced broadcast anywhere: candidate count is corpus-
+    proportional on near-dup-heavy crawls, so AQE picks the strategy
+    (it still broadcasts when a side is actually small, and falls back
+    to a skew-safe shuffled hash join when it is not)."""
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        shingles_df(spark, sf_dir, distinct=False)
+        .join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+        .select("doc_id", "sh", F.size("sh").alias("n"))
+    )
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=(
@@ -241,44 +282,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint lands on the first action. Non-reliable on executor
     # loss — a real pipeline persists the candidate table to storage.
     cand = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=False)
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    # One shingle pass, semi-joined down to candidate docs BEFORE any
-    # per-pair work: the shingle volume that reaches the pair join is
-    # O(candidate docs), not O(corpus). collect_set dedups shingles, so
-    # the distinct shuffle is skipped too. No forced broadcast even on
-    # this IDs-only side: candidate count is corpus-proportional on
-    # near-dup-heavy crawls, so AQE picks the strategy (it still
-    # broadcasts when the set is actually small).
-    sets = (
-        shingles_df(spark, sf_dir, distinct=False)
-        .join(cand_docs, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh"))
-        .select("doc_id", "sh", F.size("sh").alias("n"))
-    )
-    a = sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
-    )
-    b = sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
-    # No explicit broadcast of the shingle-set sides: at 100 TB the
-    # candidate set is corpus-proportional (millions of docs x hundreds
-    # of shingles), so forcing a broadcast would OOM. Plain equi-joins
-    # let AQE pick — it still broadcasts when a side is actually small,
-    # and falls back to a skew-safe shuffled hash join when it is not.
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.2)
-    )
+    return verify_jaccard_pairs(spark, sf_dir, cand, threshold=0.2)
 
 
 @register(
@@ -923,29 +927,4 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    sets = (
-        sh.join(
-            cand.select(F.col("doc_a").alias("doc_id"))
-            .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
-            .distinct(),
-            "doc_id",
-            "left_semi",
-        )
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh"))
-        .select("doc_id", "sh", F.size("sh").alias("n"))
-    )
-    aa = sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
-    )
-    bb = sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
-    return (
-        cand.join(aa, "doc_a")
-        .join(bb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= PREFIX_JACCARD_T)
-    )
+    return verify_jaccard_pairs(spark, sf_dir, cand, threshold=PREFIX_JACCARD_T)

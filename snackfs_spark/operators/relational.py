@@ -1870,7 +1870,7 @@ QS_QUANTILES = (0.5, 0.9, 0.99)
       FROM b
     )
     SELECT q,
-           CAST(MIN(CASE WHEN cum >= CAST(CEIL(q * total) AS BIGINT)
+           {HIST_LO} + CAST(MIN(CASE WHEN cum >= CAST(CEIL(q * total) AS BIGINT)
                          THEN bin END) + 1 AS DOUBLE)
              * ({HIST_HI} - {HIST_LO}) / {float(QS_BINS)} AS est_upper
     FROM c, (SELECT unnest([{', '.join(str(q) for q in QS_QUANTILES)}]) AS q)
@@ -1926,7 +1926,8 @@ def events_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q")
         .agg(
             (
-                (F.min("bin") + 1).cast("double")
+                F.lit(HIST_LO)
+                + (F.min("bin") + 1).cast("double")
                 * (HIST_HI - HIST_LO)
                 / float(QS_BINS)
             ).alias("est_upper")

@@ -1159,13 +1159,13 @@ _MERGE_SPARK = (
     "aggregate(split(repr, ' '), '', (acc, x) -> CASE "
     "WHEN acc = '' THEN x "
     "WHEN substring_index(acc, ' ', -1) = pa AND x = pb THEN "
-    f"  left(acc, length(acc) - length(pa)) || pa || '' || pb "
+    f"  left(acc, length(acc) - length(pa)) || pa || '{BPE_FUSE}' || pb "
     "ELSE acc || ' ' || x END)"
 )
 _MERGE_DUCK = (
     "list_reduce(string_split(repr, ' '), (acc, x) -> CASE "
     "WHEN regexp_extract(acc, '[^ ]*$') = pa AND x = pb THEN "
-    f"  acc[1:len(acc) - len(pa)] || pa || '' || pb "
+    f"  acc[1:len(acc) - len(pa)] || pa || '{BPE_FUSE}' || pb "
     "ELSE acc || ' ' || x END)"
 )
 

@@ -349,11 +349,32 @@ class SnackStoreTailReader(SimpleDataSourceStreamReader):
         for off in sorted(chunks):
             length = chunks[off]
             if length is None:
-                length = os.path.getsize(
-                    os.path.join(self.bdir, f"sblock-{ph}-{off}.bin")
-                )
+                # pre-r2 fragments lack lengths; the contiguity walk
+                # needs CHAR length (offsets are char positions), so
+                # decode — getsize would return bytes and a multi-byte
+                # payload would open a phantom gap that stalls the
+                # stream forever
+                with open(
+                    os.path.join(self.bdir, f"sblock-{ph}-{off}.bin"), "rb"
+                ) as f:
+                    length = len(f.read().decode("utf-8"))
             out.append((off, length))
         return out
+
+    def _pos(self, offset: dict) -> int:
+        """Consumed position from an offset dict, accepting the legacy
+        {"hwm": N} form (pre-contiguity checkpoints): old hwm = max
+        EMITTED sub_offset, so the consumed position is that chunk's
+        end (the old reader had emitted everything visible <= hwm)."""
+        if "end" in offset:
+            return offset["end"]
+        hwm = offset["hwm"]
+        if hwm < 0:
+            return 0
+        for off, length in self._committed_chunks():
+            if off == hwm:
+                return off + length
+        return hwm  # chunk vanished (vacuumed store): best effort
 
     def _rows(self, chunks: list[tuple[int, int]], lo: int, hi: int):
         """Rows for the given committed chunks with lo <= sub_offset < hi."""
@@ -371,7 +392,8 @@ class SnackStoreTailReader(SimpleDataSourceStreamReader):
         # contiguous committed run starting at the consumed position,
         # stopping at the first gap
         chunks = self._committed_chunks()
-        end_pos = start["end"]
+        start_pos = self._pos(start)
+        end_pos = start_pos
         for off, length in chunks:
             if off < end_pos:
                 continue  # already consumed
@@ -380,13 +402,17 @@ class SnackStoreTailReader(SimpleDataSourceStreamReader):
             end_pos = off + length
         # a list_iterator, not a generator: the engine caches the batch
         # for replay-until-commit via copy.copy, which generators refuse
-        return iter(list(self._rows(chunks, start["end"], end_pos))), {
+        return iter(list(self._rows(chunks, start_pos, end_pos))), {
             "end": end_pos
         }
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter(
-            list(self._rows(self._committed_chunks(), start["end"], end["end"]))
+            list(
+                self._rows(
+                    self._committed_chunks(), self._pos(start), self._pos(end)
+                )
+            )
         )
 
 

@@ -121,7 +121,7 @@ def test_countmin_never_underestimates(spark):
         )
 
 
-def test_binned_quantiles_within_bin_width_of_exact(spark, exact):
+def test_binned_quantiles_within_bin_width_of_exact(spark):
     """Sketch error contract: each binned estimate is within one bin
     width ABOVE the exact quantile (upper-edge convention)."""
     import duckdb

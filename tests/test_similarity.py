@@ -74,7 +74,7 @@ def test_kmeans_deeper_rounds_match_generated_oracle(spark, duck):
     assert [tuple(map(str, r)) for r in got] == [tuple(map(str, r)) for r in want]
 
 
-def test_prefix_filter_has_exact_recall(spark, duck):
+def test_prefix_filter_has_exact_recall(spark):
     """The prefix-filter lemma: candidates generated from df-ordered
     prefixes of length |d|-ceil(t|d|)+1 MISS NO pair with Jaccard >= t.
     Pin it against brute-force all-pairs Jaccard (no prefix pruning)."""

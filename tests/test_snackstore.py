@@ -508,3 +508,11 @@ def test_stream_tail_replay_between_offsets_is_exact(spark, store):
     rows3, end3 = r.read(end2)
     assert [o for _, o, _, _ in rows3] == [200, 260]
     assert end3["end"] == 265
+    # legacy {"hwm"} checkpoints (pre-contiguity) keep resolving: hwm =
+    # max EMITTED sub_offset maps to that chunk's end position
+    legacy = {"hwm": 260}
+    rows_l, end_l = r.read(legacy)
+    assert list(rows_l) == [] and end_l["end"] == 265
+    assert [o for _, o, _, _ in r.readBetweenOffsets({"hwm": -1}, end_l)] == [
+        o for o, in_ in []
+    ] + sorted(o for o, _l in r._committed_chunks())
