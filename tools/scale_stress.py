@@ -63,6 +63,7 @@ QUERIES = [
     "bpe_segment_corpus",
     "dedup_prefix_filter",
     "events_quantiles_binned",
+    "source_vocab_similarity",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
