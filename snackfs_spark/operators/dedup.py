@@ -905,14 +905,20 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shuffle_hash"
     )
     wdoc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    # per-doc set sizes come from a map-side-combined groupBy over the
+    # (already checkpointed) shingle relation, not a second Window exec:
+    # the count is order-free, so paying a sort-based window for it
+    # doubles the window stage for nothing; the sizes relation is
+    # doc-cardinality and joins back on the window's own partition key.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     ranked = (
         sh.join(df_counts, "shingle")
         .select(
             "doc_id",
             "shingle",
             F.row_number().over(wdoc).alias("rk"),
-            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("sz"),
         )
+        .join(sizes, "doc_id")
     )
     prefix = ranked.filter(
         F.col("rk")
