@@ -1933,3 +1933,85 @@ def events_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_upper")
         )
     )
+
+
+@register(
+    "events_trend_regression",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             -- explicit FLOOR: DuckDB's // is NOT floor division on
+             -- DOUBLE operands, and double->int CAST rounds
+             CAST(FLOOR(epoch(ts) / 3600)
+                  - FLOOR(epoch(TIMESTAMP '2024-01-01 00:00:00') / 3600)
+                  AS BIGINT) AS x,
+             CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx
+      FROM p GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(CAST(n * sxy - sx * sy AS DECIMAL(38, 0)) AS DOUBLE)
+             / CAST(CAST(n * sxx - sx * sx AS DECIMAL(38, 0)) AS DOUBLE)
+             AS slope_cents_per_hour
+    FROM s
+    """,
+)
+def events_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend: OLS slope of event value over time
+    for each event type — the 'is this metric drifting' primitive,
+    computed ENTIRELY from five integer lattice sums (n, Σx, Σy, Σxy,
+    Σx²) so the regression is one map-side-combined aggregate over one
+    scan: the textbook reduction of an ML-ish fit to a groupBy.
+
+    Determinism: x is whole hours since the fixture epoch, y is cents
+    (both engines round value*100 half-up for positive values
+    identically), so every sum is an exact integer; the slope's
+    numerator n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)² are computed
+    in 128-bit/decimal(38) integer space (they overflow int64 at
+    ~100M rows — the reason for the widening), and the single
+    double division at the end is one correctly-rounded IEEE op. At
+    100 TB this is the same 5-sums-per-group shuffle as any aggregate;
+    output cardinality = #groups."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp("ts") / 3600)
+            - F.floor(
+                F.unix_timestamp(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp")
+                )
+                / 3600
+            )
+        ).cast("long").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "decimal(38,0)"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "decimal(38,0)"
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (num.cast("double") / den.cast("double")).alias(
+            "slope_cents_per_hour"
+        ),
+    )
