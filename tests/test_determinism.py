@@ -42,6 +42,10 @@ PROBES = [
     # the K-round BPE trainer: argmax ties broken lexicographically,
     # fold re-segmentation — the riskiest new iterative path
     "bpe_learn_merges",
+    # float-emitting round-7 paths: cosine over bigint dots, OLS slope
+    # over decimal(38) lattice sums
+    "source_vocab_similarity",
+    "events_trend_regression",
 ]
 
 
