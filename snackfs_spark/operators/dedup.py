@@ -198,7 +198,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def verify_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, cand: DataFrame, threshold: float
+    spark: SparkSession,
+    sf_dir: str,
+    cand: DataFrame,
+    threshold: float,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs —
     the shared second stage of every candidate-generation strategy
@@ -215,9 +219,14 @@ def verify_jaccard_pairs(
         .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # callers that already materialized a shingle relation (e.g. the
+    # prefix filter's checkpointed distinct pass) hand it in; otherwise
+    # one duplicate-insensitive pass is built here (collect_set dedups)
+    sh = shingles if shingles is not None else shingles_df(
+        spark, sf_dir, distinct=False
+    )
     sets = (
-        shingles_df(spark, sf_dir, distinct=False)
-        .join(cand_docs, "doc_id", "left_semi")
+        sh.join(cand_docs, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("sh"))
         .select("doc_id", "sh", F.size("sh").alias("n"))
@@ -933,4 +942,6 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    return verify_jaccard_pairs(spark, sf_dir, cand, threshold=PREFIX_JACCARD_T)
+    return verify_jaccard_pairs(
+        spark, sf_dir, cand, threshold=PREFIX_JACCARD_T, shingles=sh
+    )
