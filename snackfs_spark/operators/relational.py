@@ -1995,12 +1995,17 @@ def events_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("x"),
         F.round(F.col("value") * 100).cast("long").alias("y"),
     )
+    # widen the SUMMANDS, not the finished sum: a 64-bit Sum wraps
+    # silently in non-ANSI mode before an outer cast could help, while
+    # a decimal-typed summand makes Spark accumulate in decimal —
+    # matching the oracle's 128-bit HUGEINT accumulation
+    dec = lambda c: c.cast("decimal(28,0)")  # noqa: E731
     s = p.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum("x").cast("decimal(38,0)").alias("sx"),
-        F.sum("y").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec(F.col("x"))).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("decimal(38,0)").alias("sxx"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
         "decimal(38,0)"
