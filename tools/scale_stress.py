@@ -64,6 +64,7 @@ QUERIES = [
     "dedup_prefix_filter",
     "events_quantiles_binned",
     "source_vocab_similarity",
+    "events_trend_regression",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
