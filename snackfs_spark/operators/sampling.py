@@ -860,8 +860,9 @@ def _bucket_case_sql() -> str:
     SELECT bucket_cap,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           CAST(COUNT(*) * bucket_cap AS BIGINT) AS padded_tokens,
-           CAST(SUM(n_tokens) AS DOUBLE) / (COUNT(*) * bucket_cap)
+           CAST(SUM(GREATEST(n_tokens, bucket_cap)) AS BIGINT)
+             AS padded_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / SUM(GREATEST(n_tokens, bucket_cap))
              AS pad_efficiency
     FROM b GROUP BY bucket_cap
     """,
@@ -887,14 +888,17 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in reversed(BUCKET_CAPS):
         cap = F.when(n_tokens <= c, F.lit(c)).otherwise(cap)
     b = docs.select(n_tokens.alias("n_tokens"), cap.cast("long").alias("bucket_cap"))
+    # Overflow-bucket docs can EXCEED the cap, so each doc pads to
+    # max(n_tokens, cap) — for every finite bucket that is just the cap
+    # (n_tokens <= cap by construction), and for the overflow bucket it
+    # keeps pad_efficiency <= 1.0 instead of overstating the padding
+    # budget (r4 ADVICE).
+    padded = F.sum(F.greatest(F.col("n_tokens"), F.col("bucket_cap")))
     return b.groupBy("bucket_cap").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        (F.count(F.lit(1)) * F.col("bucket_cap")).alias("padded_tokens"),
-        (
-            F.sum("n_tokens").cast("double")
-            / (F.count(F.lit(1)) * F.col("bucket_cap"))
-        ).alias("pad_efficiency"),
+        padded.alias("padded_tokens"),
+        (F.sum("n_tokens").cast("double") / padded).alias("pad_efficiency"),
     )
 
 

@@ -55,6 +55,7 @@ import hashlib
 import json
 import os
 import uuid
+import warnings
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
@@ -324,6 +325,11 @@ class SnackStoreTailReader(SimpleDataSourceStreamReader):
         self.bdir = os.path.join(
             self.root, f"bucket={_bucket_of(self.path, self.buckets)}"
         )
+        # sub_offset -> decoded char length for pre-r2 length-less
+        # fragments. Blobs are immutable once committed, so entries never
+        # invalidate; without this every micro-batch poll re-decodes the
+        # whole legacy payload just to measure it (r4 ADVICE).
+        self._legacy_len_cache: dict[int, int] = {}
 
     def initialOffset(self) -> dict:
         return {"end": 0}  # follow from the start of the file
@@ -353,11 +359,15 @@ class SnackStoreTailReader(SimpleDataSourceStreamReader):
                 # needs CHAR length (offsets are char positions), so
                 # decode — getsize would return bytes and a multi-byte
                 # payload would open a phantom gap that stalls the
-                # stream forever
-                with open(
-                    os.path.join(self.bdir, f"sblock-{ph}-{off}.bin"), "rb"
-                ) as f:
-                    length = len(f.read().decode("utf-8"))
+                # stream forever. Decode once per chunk, not per poll:
+                # blobs are immutable once committed.
+                length = self._legacy_len_cache.get(off)
+                if length is None:
+                    with open(
+                        os.path.join(self.bdir, f"sblock-{ph}-{off}.bin"), "rb"
+                    ) as f:
+                        length = len(f.read().decode("utf-8"))
+                    self._legacy_len_cache[off] = length
             out.append((off, length))
         return out
 
@@ -371,10 +381,32 @@ class SnackStoreTailReader(SimpleDataSourceStreamReader):
         hwm = offset["hwm"]
         if hwm < 0:
             return 0
-        for off, length in self._committed_chunks():
+        chunks = self._committed_chunks()
+        for off, length in chunks:
             if off == hwm:
                 return off + length
-        return hwm  # chunk vanished (vacuumed store): best effort
+        # The hwm chunk vanished (vacuumed legacy checkpoint). hwm is a
+        # chunk START, not a consumed end — returning it raw would make
+        # the next committed chunk (at hwm + len) look like a permanent
+        # gap and stall the stream. The legacy reader had emitted
+        # everything visible <= hwm, so resume from the END of the last
+        # surviving chunk at-or-below hwm; if none survive, from the
+        # next chunk's start (r4 ADVICE).
+        below = [(off, length) for off, length in chunks if off <= hwm]
+        pos = below[-1][0] + below[-1][1] if below else 0
+        if not any(off == pos for off, _length in chunks):
+            # the run following pos was vacuumed too; data in the hole is
+            # unrecoverable, so skip to the next surviving chunk rather
+            # than stalling on a gap that can never fill
+            later = [off for off, _length in chunks if off > pos]
+            if later:
+                pos = later[0]
+        warnings.warn(
+            f"snackstore tail {self.path}: legacy hwm {hwm} chunk was "
+            f"vacuumed; degraded recovery resumes at position {pos}",
+            stacklevel=2,
+        )
+        return pos
 
     def _rows(self, chunks: list[tuple[int, int]], lo: int, hi: int):
         """Rows for the given committed chunks with lo <= sub_offset < hi."""

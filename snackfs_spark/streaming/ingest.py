@@ -334,9 +334,11 @@ def streaming_tail_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     `snackfs -tail -f` / fs/stream surface as a Structured Streaming
     query. The drained rows must equal the path's batch content chunks
     (the oracle) — the stream is just the incremental delivery of the
-    same committed sub-blocks, which is exactly what the high-water-mark
-    offset design guarantees (DESIGN.md 'Streaming tail-follow
-    offsets')."""
+    same committed sub-blocks, which is exactly what the
+    contiguous-consumed-offset design guarantees (DESIGN.md 'Streaming
+    tail-follow offsets' — the offset is the consumed END position, and
+    the reader only advances through gap-free committed runs, so no
+    later-committed earlier chunk can be skipped)."""
     from snackfs_spark.sources.snackstore import store_for
 
     root = store_for(spark, sf_dir)

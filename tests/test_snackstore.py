@@ -516,3 +516,50 @@ def test_stream_tail_replay_between_offsets_is_exact(spark, store):
     assert [o for _, o, _, _ in r.readBetweenOffsets({"hwm": -1}, end_l)] == [
         o for o, in_ in []
     ] + sorted(o for o, _l in r._committed_chunks())
+
+
+def test_legacy_hwm_vacuumed_chunk_recovers_without_stall(spark, store):
+    """A legacy {"hwm"} checkpoint whose hwm chunk was vacuumed away must
+    NOT resume at the raw hwm (a chunk START) — that opens a phantom gap
+    and stalls the stream forever (r4 ADVICE). Recovery resumes at the
+    end of the last surviving chunk at-or-below hwm, or the next chunk
+    start when the hole itself was vacuumed."""
+    import pytest as _pytest
+
+    from snackfs_spark.sources.snackstore import SnackStoreTailReader
+
+    root = str(VAR / "vacuumedlegacy")
+    rows = [
+        ("/log/v.txt", 0, 100, "a" * 100),
+        ("/log/v.txt", 100, 100, "b" * 100),
+        ("/log/v.txt", 200, 65, "c" * 65),
+    ]
+    df = spark.createDataFrame(
+        rows, "path string, sub_offset long, length long, payload string"
+    )
+    (
+        df.write.format("snackstore")
+        .option("store_dir", root)
+        .option("buckets", 4)
+        .mode("append")
+        .save()
+    )
+    r = SnackStoreTailReader({"store_dir": root, "path": "/log/v.txt"})
+    # hwm=150 never matches a chunk start (simulates the hwm chunk being
+    # vacuumed): resume at the end of the chunk at 100 -> 200, so the
+    # chunk at 200 is re-emitted instead of stalling behind a fake gap
+    with _pytest.warns(UserWarning, match="degraded recovery"):
+        emitted, end = r.read({"hwm": 150})
+    assert [o for _, o, _, _ in emitted] == [200]
+    assert end["end"] == 265
+    # hwm below EVERY surviving chunk with position 0 vacuumed too:
+    # skip to the next surviving chunk start rather than stalling
+    r2 = SnackStoreTailReader({"store_dir": root, "path": "/log/v.txt"})
+    ph_chunks = r2._committed_chunks()
+    assert ph_chunks[0][0] == 0
+    # simulate vacuum of the first chunk by filtering it from the walk
+    r2._committed_chunks = lambda: [c for c in ph_chunks if c[0] >= 100]  # type: ignore[method-assign]
+    with _pytest.warns(UserWarning, match="degraded recovery"):
+        emitted2, end2 = r2.read({"hwm": 50})
+    assert [o for _, o, _, _ in emitted2] == [100, 200]
+    assert end2["end"] == 265
