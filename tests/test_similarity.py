@@ -117,3 +117,23 @@ def test_prefix_filter_has_exact_recall(spark):
     )
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_semdedup_fixed_k_refuses_above_pair_volume_bound(spark, monkeypatch):
+    """The fixed-cluster SemDeDup variant is measured superlinear
+    (SCALE.md: exponent 1.38/decade), so above the documented pair-volume
+    bound it must refuse loudly instead of planning a detonating
+    self-join; below the bound it runs as before."""
+    import pytest as _pytest
+
+    from snackfs_spark.operators import clustering
+
+    # pure guard arithmetic: 3 clusters of 4 -> 18 pairs
+    clustering._guard_pair_volume([4, 4, 4])  # under any real bound
+    with _pytest.raises(ValueError, match="dedup_semantic_scaled"):
+        monkeypatch.setattr(clustering, "SEMDEDUP_MAX_PAIRS", 10)
+        clustering._guard_pair_volume([4, 4, 4])
+    # end-to-end: the registered query itself trips the guard at sf0.001
+    monkeypatch.setattr(clustering, "SEMDEDUP_MAX_PAIRS", 1)
+    with _pytest.raises(ValueError, match="within-cluster pairs exceeds"):
+        clustering.dedup_semantic(spark, "/root/testdata/sf0.001").collect()
