@@ -102,6 +102,20 @@ HEADLINE_R7 = [
 ]
 
 
+# Round-8 additions (round 5 of the build): the completed TPC-H shape
+# battery's heavier new members, the bloom-filtered decontamination
+# (re-benched under its new plan via the R3 slot it already holds), and
+# the real-codec text decode.
+HEADLINE_R8 = [
+    "q9_product_profit",
+    "q21_straggler_suppliers",
+    "q16_part_supplier_variety",
+    "fs_text_decode",
+    "multimodal_decode_features",
+    "multimodal_resize",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -123,7 +137,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in (
         HEADLINE + HEADLINE_R2 + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5
-        + HEADLINE_R6 + HEADLINE_R7
+        + HEADLINE_R6 + HEADLINE_R7 + HEADLINE_R8
     ):
         # best of 3: the first run pays one-time codegen/plan compilation
         # for the query's unique expressions; later runs are steady state
@@ -194,6 +208,19 @@ def main() -> None:
                     ),
                     3,
                 ),
+                "r07_comparable_subtotal": round(
+                    sum(
+                        timings[n]
+                        for n in HEADLINE
+                        + HEADLINE_R2
+                        + HEADLINE_R3
+                        + HEADLINE_R4
+                        + HEADLINE_R5
+                        + HEADLINE_R6
+                        + HEADLINE_R7
+                    ),
+                    3,
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
@@ -224,6 +251,19 @@ def _alarm_on_subtotal_regressions(timings: dict[str, float], sf: str) -> None:
         + HEADLINE_R3
         + HEADLINE_R4
         + HEADLINE_R5,
+        "r06_comparable_subtotal": HEADLINE
+        + HEADLINE_R2
+        + HEADLINE_R3
+        + HEADLINE_R4
+        + HEADLINE_R5
+        + HEADLINE_R6,
+        "r07_comparable_subtotal": HEADLINE
+        + HEADLINE_R2
+        + HEADLINE_R3
+        + HEADLINE_R4
+        + HEADLINE_R5
+        + HEADLINE_R6
+        + HEADLINE_R7,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     prior: dict[str, tuple[str, float]] = {}

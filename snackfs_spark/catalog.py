@@ -104,6 +104,25 @@ class SnackCatalog:
             ),
         )
 
+    def count_quota(self, path: str) -> DataFrame:
+        """count -q (SnackFSShell.scala:536-548, qOption=true): Hadoop's
+        ContentSummary.toString(true) prepends QUOTA / REM_QUOTA /
+        SPACE_QUOTA / REM_SPACE_QUOTA to the count columns. The
+        reference never sets quotas (no setQuota path anywhere in
+        SnackFS), so the summary renders the unset markers — 'none' for
+        the quota, 'inf' for the remainder — exactly as HDFS does for
+        quota-less directories."""
+        return self.count(path).select(
+            F.lit("none").alias("quota"),
+            F.lit("inf").alias("rem_quota"),
+            F.lit("none").alias("space_quota"),
+            F.lit("inf").alias("rem_space_quota"),
+            "dir_count",
+            "file_count",
+            "content_size",
+            F.lit(path).alias("pathname"),
+        )
+
     def test_predicates(self, path: str) -> DataFrame:
         """test -e/-z/-d (SnackFSShell.scala:679-681)."""
         f = self.files.filter(F.col("path") == path)

@@ -197,3 +197,127 @@ def fs_ls_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("path", "sub_offset")
         .limit(LS_LIMIT)
     )
+
+
+# ---------------------------------------------------------------------------
+# `text` verb: decode-to-text of compressed streams (SnackFSShell.scala
+# textHelp — "allowed formats are zip and TextRecordInputStream", i.e.
+# Hadoop's Text command, which sniffs the payload's MAGIC bytes: 0x1f8b
+# -> gzip stream, 'SEQ' -> SequenceFile of Text records, else raw
+# passthrough). Re-expressed Spark-first: the fixture stores every odd
+# doc gzip-compressed and every even doc plain, and a mapInPandas codec
+# does the same magic-sniff + REAL gzip decode (zlib, stdlib — no
+# external dependency). The oracle is the ORIGINAL document text, a
+# fully independent path, so a wrong decode (or a wrong sniff) is a
+# hash mismatch, not a mirrored bug.
+# ---------------------------------------------------------------------------
+
+
+def text_payloads_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(path, payload) with odd doc_ids gzip-compressed (mtime=0 so the
+    container bytes are deterministic) — the storage side of the `text`
+    verb fixture. The compression runs in the same Arrow pipeline the
+    decode does; at scale these are bytes read from the store."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from snackfs_spark.sources.fsmodel import _doc_path
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        _doc_path().alias("path"), "doc_id", "text"
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def compress(batches):
+        import gzip
+
+        for pdf in batches:
+            payloads = [
+                gzip.compress(t.encode(), mtime=0) if d % 2 == 1 else t.encode()
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame({"path": pdf["path"], "payload": payloads})
+
+    from snackfs_spark.sources.tables import fan_out
+
+    return fan_out(docs, spark).mapInPandas(compress, schema=schema)
+
+
+_TEXT_SCHEMA = None  # built lazily to keep pyspark.sql.types import local
+
+
+def _decode_text(batches):
+    """REAL magic-sniffing decoder (Hadoop Text.forMagic semantics):
+    0x1f8b -> gzip.decompress; 'SEQ' -> SequenceFile (refused loudly --
+    the fixture never writes one, and silently mis-decoding it would be
+    worse than failing); anything else -> raw utf-8 passthrough."""
+    import gzip
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        paths, codecs, n_in, n_out, md5s = [], [], [], [], []
+        for path, payload in zip(pdf["path"], pdf["payload"]):
+            buf = bytes(payload)
+            if buf[:2] == b"\x1f\x8b":
+                decoded = gzip.decompress(buf)
+                codec = "gzip"
+            elif buf[:3] == b"SEQ":
+                raise ValueError(f"{path}: SequenceFile decode not supported")
+            else:
+                decoded = buf
+                codec = "plain"
+            paths.append(path)
+            codecs.append(codec)
+            n_in.append(len(buf))
+            n_out.append(len(decoded))
+            md5s.append(hashlib.md5(decoded).hexdigest())
+        yield pd.DataFrame(
+            {
+                "path": paths,
+                "codec": codecs,
+                "stored_bytes": pd.Series(n_in, dtype="int64"),
+                "text_bytes": pd.Series(n_out, dtype="int64"),
+                "text_md5": md5s,
+            }
+        )
+
+
+@register(
+    "fs_text_decode",
+    oracle=f"""
+    SELECT {_DOC_PATH_SQL} AS path,
+           CASE WHEN doc_id % 2 = 1 THEN 'gzip' ELSE 'plain' END AS codec,
+           CAST(octet_length(encode(text)) AS BIGINT) AS text_bytes,
+           md5(text) AS text_md5
+    FROM documents
+    """,
+)
+def fs_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shell's `text` verb end-to-end: magic-sniff + gzip decode of
+    stored payloads, hash-checked against the ORIGINAL text (decoded
+    md5 equals the source md5 only if the round-trip is exact).
+    stored_bytes is projected out of the registered query because
+    gzip output size is zlib-version-dependent — the decode contract
+    (codec choice, decoded length, decoded bytes) is what's pinned."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("stored_bytes", T.LongType()),
+            T.StructField("text_bytes", T.LongType()),
+            T.StructField("text_md5", T.StringType()),
+        ]
+    )
+    out = text_payloads_df(spark, sf_dir).mapInPandas(_decode_text, schema=schema)
+    return out.select("path", "codec", "text_bytes", "text_md5")

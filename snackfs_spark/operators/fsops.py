@@ -121,6 +121,27 @@ def fs_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fs_count_quota",
+    oracle=fs_sql(
+        """SELECT 'none' AS quota, 'inf' AS rem_quota,
+                  'none' AS space_quota, 'inf' AS rem_space_quota,
+                  CAST(SUM(CASE WHEN is_dir THEN 1 ELSE 0 END) AS BIGINT) AS dir_count,
+                  CAST(SUM(CASE WHEN is_dir THEN 0 ELSE 1 END) AS BIGINT) AS file_count,
+                  CAST(SUM(CASE WHEN is_dir THEN 0 ELSE size END) AS BIGINT) AS content_size,
+                  '/data' AS pathname
+           FROM files WHERE path LIKE '/data/%' OR path = '/data'""",
+        "files",
+    ),
+)
+def fs_count_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count -q: the quota-prefixed ContentSummary (SnackFSShell.scala
+    :536-548 with qOption) — same one-scan aggregate as fs_count, plus
+    the none/inf unset-quota markers SnackFS always reports (it has no
+    quota support)."""
+    return SnackCatalog(spark, sf_dir).count_quota("/data")
+
+
+@register(
     "fs_rename",
     oracle=fs_sql(
         f"""SELECT path AS old_path,
