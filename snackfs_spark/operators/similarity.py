@@ -504,3 +504,69 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+NEG_K = 4                  # negatives drawn per anchor
+NEG_MULT = 2654435761      # Knuth multiplicative hash (fits int64 products here)
+NEG_STEP = 40503
+
+
+@register(
+    "emb_negative_sampling",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+    draws AS (
+      SELECT e.vec_id, e.label, j,
+             (e.vec_id * {NEG_MULT} + j * {NEG_STEP}) % n.n AS neg_id
+      FROM embeddings e
+      CROSS JOIN n
+      CROSS JOIN (SELECT unnest(range(0, {NEG_K})) AS j)
+    )
+    SELECT d.vec_id,
+           CAST(d.j AS BIGINT) AS draw,
+           d.neg_id,
+           c.label AS neg_label,
+           CASE WHEN c.label <> d.label THEN 1 ELSE 0 END AS is_valid
+    FROM draws d
+    JOIN embeddings c ON c.vec_id = d.neg_id
+    """,
+)
+def emb_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor draws NEG_K pseudo-random candidate ids via a multiplicative
+    hash ring over the corpus size, resolved by an EQUI-JOIN back to the
+    embeddings table (never a random shuffle: the draw is a pure
+    function of (vec_id, j, corpus_size), so it is reproducible
+    run-to-run and recomputable per-anchor — the same properties the
+    hash-mod split guarantees). Same-label collisions are FLAGGED, not
+    silently re-drawn (re-draw loops are nondeterministic under
+    retries; training pipelines drop flagged rows). One tiny count
+    parameterizes the plan; the join shuffles on neg_id — at 100 TB
+    this is one hash join of two id-keyed relations, the minimal
+    possible plan for any negative-pairing strategy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    draws = (
+        emb.select("vec_id", "label")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "vec_id",
+            "label",
+            F.explode(F.array(*[F.lit(j) for j in range(NEG_K)])).alias("j"),
+            "n",
+        )
+        .withColumn(
+            "neg_id",
+            F.pmod(F.col("vec_id") * NEG_MULT + F.col("j") * NEG_STEP, F.col("n")),
+        )
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("label").alias("neg_label")
+    )
+    return draws.join(cand, draws["neg_id"] == cand["c_id"]).select(
+        "vec_id",
+        F.col("j").cast("long").alias("draw"),
+        "neg_id",
+        "neg_label",
+        F.when(F.col("neg_label") != F.col("label"), 1).otherwise(0).alias("is_valid"),
+    )

@@ -1432,3 +1432,148 @@ def source_vocab_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: retrieval passage chunking and the PII scrubbing
+# scan every corpus release runs.
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 64   # tokens per retrieval passage
+CHUNK_S = 48   # stride (16-token overlap between adjacent passages)
+
+
+@register(
+    "doc_chunk_sliding",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n, i AS chunk_idx,
+             list_slice(toks, i * {CHUNK_S} + 1,
+                        least(i * {CHUNK_S} + {CHUNK_W}, n)) AS ctoks
+      FROM (
+        SELECT doc_id, toks, n,
+               unnest(range(0, (n + {CHUNK_S} - 1) // {CHUNK_S})) AS i
+        FROM t
+      )
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * {CHUNK_S} AS BIGINT) AS start_tok,
+           CAST(len(ctoks) AS BIGINT) AS n_tok,
+           md5(array_to_string(ctoks, ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window passage chunking (the RAG / retrieval-index prep
+    step): {CHUNK_W}-token windows at stride {CHUNK_S} (adjacent
+    passages overlap by {CHUNK_W - CHUNK_S} tokens), every token covered,
+    trailing windows short. Pure per-row expressions — split once,
+    explode chunk indices, slice — so chunking runs at scan parallelism
+    with ZERO shuffles; at 100 TB this is a narrow map stage feeding the
+    embedding step. Each chunk is hash-checked (md5 of its re-joined
+    tokens), so off-by-one in window/stride arithmetic cannot hide."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_chunks = F.expr(f"(size(split(text, ' ')) + {CHUNK_S - 1}) div {CHUNK_S}")
+    d = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    # slice(start, length) with the tail clamped to n — same arithmetic
+    # as the oracle's list_slice bounds
+    ctoks = F.expr(
+        f"slice(toks, chunk_idx * {CHUNK_S} + 1, "
+        f"least(CAST({CHUNK_W} AS INT), CAST(n - chunk_idx * {CHUNK_S} AS INT)))"
+    )
+    return d.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx").cast("long") * CHUNK_S).alias("start_tok"),
+        F.size(ctoks).cast("long").alias("n_tok"),
+        F.md5(F.array_join(ctoks, " ").cast("binary")).alias("chunk_md5"),
+    )
+
+
+# The corpus text carries no natural PII (all-lowercase word salad), so
+# the scan operates on log lines SYNTHESIZED from the events table —
+# the point of the operator is the scrub pipeline itself: pattern
+# counting and global redaction with IDENTICAL semantics in Spark's
+# Java regex and the oracle's RE2 (a cross-engine contract that breaks
+# on lookarounds/backrefs — none used here by design).
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_DIGITS = r"\b[0-9]{6,}\b"
+_PII_TOKEN = r"sk-[0-9a-f]{8}"
+
+
+@register(
+    "events_pii_scan",
+    oracle=f"""
+    WITH lg AS (
+      SELECT event_id,
+             'evt ' || CAST(event_id AS VARCHAR)
+               || ' acct ' || CAST(100000 + user_id * 7919 AS VARCHAR)
+               || ' ip 10.' || CAST(user_id % 256 AS VARCHAR)
+               || '.' || CAST(event_id % 256 AS VARCHAR)
+               || '.' || CAST((user_id + event_id) % 256 AS VARCHAR)
+               || ' key sk-' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+               || ' type ' || event_type AS line
+      FROM events
+    )
+    SELECT event_id,
+           CAST(len(regexp_extract_all(line, '{_PII_IP}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(line, '{_PII_DIGITS}')) AS BIGINT) AS n_digit_runs,
+           CAST(len(regexp_extract_all(line, '{_PII_TOKEN}')) AS BIGINT) AS n_keys,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(
+                  line, '{_PII_TOKEN}', '[KEY]', 'g'),
+                  '{_PII_IP}', '[IP]', 'g'),
+                  '{_PII_DIGITS}', '[NUM]', 'g')) AS BIGINT) AS redacted_len,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+                 line, '{_PII_TOKEN}', '[KEY]', 'g'),
+                 '{_PII_IP}', '[IP]', 'g'),
+                 '{_PII_DIGITS}', '[NUM]', 'g')) AS redacted_md5
+    FROM lg
+    """,
+)
+def events_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing scan: count IP / long-digit / secret-key patterns
+    per record and emit the fully REDACTED line's length + md5 (the
+    redaction order — keys, then IPs, then digit runs — is part of the
+    contract: an IP's octets must not be half-eaten by the digit pass).
+    Everything is JVM regex expressions at scan parallelism, zero
+    shuffles, zero UDFs; at 100 TB this is the pre-release scrub pass
+    over every text/log column."""
+    ev = fan_out(load_table(spark, sf_dir, "events"), spark)
+    line = F.concat(
+        F.lit("evt "), F.col("event_id").cast("string"),
+        F.lit(" acct "), (F.lit(100000) + F.col("user_id") * 7919).cast("string"),
+        F.lit(" ip 10."), (F.col("user_id") % 256).cast("string"),
+        F.lit("."), (F.col("event_id") % 256).cast("string"),
+        F.lit("."), ((F.col("user_id") + F.col("event_id")) % 256).cast("string"),
+        F.lit(" key sk-"), F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+        F.lit(" type "), F.col("event_type"),
+    )
+    d = ev.select("event_id", line.alias("line"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("line"), _PII_TOKEN, "[KEY]"),
+            _PII_IP, "[IP]",
+        ),
+        _PII_DIGITS, "[NUM]",
+    )
+    return d.select(
+        "event_id",
+        F.regexp_count(F.col("line"), F.lit(_PII_IP)).cast("long").alias("n_ip"),
+        F.regexp_count(F.col("line"), F.lit(_PII_DIGITS)).cast("long").alias("n_digit_runs"),
+        F.regexp_count(F.col("line"), F.lit(_PII_TOKEN)).cast("long").alias("n_keys"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
