@@ -2352,9 +2352,13 @@ def q21_straggler_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     — EXISTS another supplier in the order (n_supp >= 2), NOT EXISTS a
     later-shipping line by anyone else (unique latest shipper). The
     fixture lacks commit/receipt dates, so lateness = shipping last,
-    strictly (ties disqualify — n_at_max = 1 IS the NOT EXISTS). Two
-    orderkey-grouped aggregates + one orderkey join: the exchange on
-    l_orderkey is reused across all three, so the fact shuffles once."""
+    strictly (ties disqualify — n_at_max = 1 IS the NOT EXISTS). The
+    order-level aggregate collapses to orders-cardinality (far below
+    the line count), so AQE broadcasts it back onto the fact locally
+    (the measured plan: two BroadcastHashJoins, zero sort-merge); at a
+    scale where it outgrows the broadcast threshold the same plan
+    degrades to an orderkey-co-partitioned hash join — either way the
+    fact never self-joins at line granularity."""
     li = fan_out(load_table(spark, sf_dir, "lineitem"), spark).select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )

@@ -46,6 +46,10 @@ PROBES = [
     # over decimal(38) lattice sums
     "source_vocab_similarity",
     "events_trend_regression",
+    # round 8 (build round 5): decimal profit rollup and the Q11
+    # HAVING-against-global-total (decimal sum x bigint count compare)
+    "q9_product_profit",
+    "q11_important_parts",
 ]
 
 

@@ -320,3 +320,46 @@ def test_contamination_check_bloom_prefilters_train_side(spark):
     # two word-lookup broadcast joins (one per hash function)
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert_no_cartesian(df)
+
+
+def test_q9_profit_all_dims_broadcast(spark):
+    """q9's three dims (supplier x nation, filtered part list) broadcast:
+    the only fact shuffle is the final (nation, year) aggregate."""
+    df = REG["q9_product_profit"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark):
+    """q16's NOT-IN supplier exclusion plans as a broadcast anti join,
+    never a shuffled set difference."""
+    df = REG["q16_part_supplier_variety"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_q21_no_line_granularity_self_join(spark):
+    """q21 joins the fact against ORDER-level aggregates (broadcast under
+    AQE at this scale) — a line-x-line sort-merge self-join would be the
+    O(lines^2-per-order) anti-pattern."""
+    df = REG["q21_straggler_suppliers"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_doc_chunk_sliding_zero_shuffle(spark):
+    """Passage chunking is a narrow map: no Exchange anywhere except the
+    fan_out repartition of the single-file scan (which disappears on
+    multi-file input)."""
+    df = REG["doc_chunk_sliding"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    # fan_out's round-robin is the only permitted exchange
+    # count tree nodes ("Exchange (N)"), not the per-node detail headers
+    n_exchanges = plan.count("Exchange (") - plan.count("ReusedExchange (")
+    assert n_exchanges <= 1, plan
+    assert "Generate" in plan, plan  # the explode

@@ -65,6 +65,18 @@ QUERIES = [
     "events_quantiles_binned",
     "source_vocab_similarity",
     "events_trend_regression",
+    # round-5-of-the-build ops: real WAV/BMP codecs, text-verb decode,
+    # the new TPC-H shapes' heavy members, passage chunking, PII scrub,
+    # and the negative-sampling join
+    "multimodal_decode_features",
+    "multimodal_resize",
+    "fs_text_decode",
+    "q9_product_profit",
+    "q21_straggler_suppliers",
+    "q16_part_supplier_variety",
+    "doc_chunk_sliding",
+    "events_pii_scan",
+    "emb_negative_sampling",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
