@@ -116,6 +116,38 @@ HEADLINE_R8 = [
 ]
 
 
+# Cumulative round groups: drives BOTH the emitted rNN_comparable_subtotal
+# keys and the regression-alarm baselines, so a new round group added here
+# is automatically reported AND gated (code-review r5: the hand-copied
+# lists drifted and left R8 ungated).
+ROUNDS = [
+    HEADLINE,
+    HEADLINE_R2,
+    HEADLINE_R3,
+    HEADLINE_R4,
+    HEADLINE_R5,
+    HEADLINE_R6,
+    HEADLINE_R7,
+    HEADLINE_R8,
+]
+
+
+def _round_groups() -> dict[str, list[str]]:
+    groups: dict[str, list[str]] = {}
+    acc: list[str] = []
+    for i, grp in enumerate(ROUNDS, start=1):
+        acc = acc + grp
+        groups[f"r{i:02d}_comparable_subtotal"] = acc
+    return groups
+
+
+def _subtotals(timings: dict[str, float]) -> dict[str, float]:
+    return {
+        key: round(sum(timings[n] for n in names if n in timings), 3)
+        for key, names in _round_groups().items()
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -162,65 +194,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "r01_comparable_subtotal": round(
-                    sum(timings[n] for n in HEADLINE), 3
-                ),
-                "r02_comparable_subtotal": round(
-                    sum(timings[n] for n in HEADLINE + HEADLINE_R2), 3
-                ),
-                "r03_comparable_subtotal": round(
-                    sum(
-                        timings[n]
-                        for n in HEADLINE + HEADLINE_R2 + HEADLINE_R3
-                    ),
-                    3,
-                ),
-                "r04_comparable_subtotal": round(
-                    sum(
-                        timings[n]
-                        for n in HEADLINE
-                        + HEADLINE_R2
-                        + HEADLINE_R3
-                        + HEADLINE_R4
-                    ),
-                    3,
-                ),
-                "r05_comparable_subtotal": round(
-                    sum(
-                        timings[n]
-                        for n in HEADLINE
-                        + HEADLINE_R2
-                        + HEADLINE_R3
-                        + HEADLINE_R4
-                        + HEADLINE_R5
-                    ),
-                    3,
-                ),
-                "r06_comparable_subtotal": round(
-                    sum(
-                        timings[n]
-                        for n in HEADLINE
-                        + HEADLINE_R2
-                        + HEADLINE_R3
-                        + HEADLINE_R4
-                        + HEADLINE_R5
-                        + HEADLINE_R6
-                    ),
-                    3,
-                ),
-                "r07_comparable_subtotal": round(
-                    sum(
-                        timings[n]
-                        for n in HEADLINE
-                        + HEADLINE_R2
-                        + HEADLINE_R3
-                        + HEADLINE_R4
-                        + HEADLINE_R5
-                        + HEADLINE_R6
-                        + HEADLINE_R7
-                    ),
-                    3,
-                ),
+                **_subtotals(timings),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
@@ -241,30 +215,7 @@ ALARM_RATIO = 1.1
 def _alarm_on_subtotal_regressions(timings: dict[str, float], sf: str) -> None:
     import glob
 
-    groups = {
-        "r01_comparable_subtotal": HEADLINE,
-        "r02_comparable_subtotal": HEADLINE + HEADLINE_R2,
-        "r03_comparable_subtotal": HEADLINE + HEADLINE_R2 + HEADLINE_R3,
-        "r04_comparable_subtotal": HEADLINE + HEADLINE_R2 + HEADLINE_R3 + HEADLINE_R4,
-        "r05_comparable_subtotal": HEADLINE
-        + HEADLINE_R2
-        + HEADLINE_R3
-        + HEADLINE_R4
-        + HEADLINE_R5,
-        "r06_comparable_subtotal": HEADLINE
-        + HEADLINE_R2
-        + HEADLINE_R3
-        + HEADLINE_R4
-        + HEADLINE_R5
-        + HEADLINE_R6,
-        "r07_comparable_subtotal": HEADLINE
-        + HEADLINE_R2
-        + HEADLINE_R3
-        + HEADLINE_R4
-        + HEADLINE_R5
-        + HEADLINE_R6
-        + HEADLINE_R7,
-    }
+    groups = _round_groups()
     here = os.path.dirname(os.path.abspath(__file__))
     prior: dict[str, tuple[str, float]] = {}
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):

@@ -223,8 +223,9 @@ def text_payloads_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     from snackfs_spark.sources.fsmodel import _doc_path
+    from snackfs_spark.sources.tables import load_table
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = load_table(spark, sf_dir, "documents").select(
         _doc_path().alias("path"), "doc_id", "text"
     )
 
@@ -248,9 +249,6 @@ def text_payloads_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from snackfs_spark.sources.tables import fan_out
 
     return fan_out(docs, spark).mapInPandas(compress, schema=schema)
-
-
-_TEXT_SCHEMA = None  # built lazily to keep pyspark.sql.types import local
 
 
 def _decode_text(batches):

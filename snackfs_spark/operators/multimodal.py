@@ -257,8 +257,9 @@ FRAME_STRIDE = 64
 def frame_sample_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing for video-like payloads: slice each binary
     payload into fixed-stride 'frames' (explode over computed offsets) —
-    (asset_id, frame_idx, frame_bytes). The real decoder is the stub
-    above; the partitioning/explode shape is what matters at scale."""
+    (asset_id, frame_idx, frame_bytes). Frames stay opaque byte ranges
+    here (a video container codec is the one format numpy can't parse);
+    the partitioning/explode shape is what matters at scale."""
     assets = fan_out(binary_assets_df(spark, sf_dir), spark)
     return (
         assets.select(
@@ -329,7 +330,7 @@ _BMP_CONST1 = (
     (0).to_bytes(4, "little")                 # reserved
     + _BMP_PIX_OFF.to_bytes(4, "little")      # pixel-data offset
     + (40).to_bytes(4, "little")              # BITMAPINFOHEADER size
-    + (32).to_bytes(4, "little")              # width = IMG_W
+    + IMG_W.to_bytes(4, "little")             # width
 )
 _BMP_CONST2 = (
     (1).to_bytes(2, "little")                 # planes
@@ -576,8 +577,9 @@ def _pcm_frame_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction through the REAL decode path: int16-LE
     PCM parsing (numpy frombuffer over Arrow batches) + per-frame
-    energy/peak — unlike the codec stubs, nothing here is faked, because
-    PCM needs no external library. mapInPandas preserves partitioning
+    energy/peak — headerless raw PCM, the simplest member of the same
+    real-codec family as the WAV/BMP container paths above (nothing
+    faked; PCM needs no external library). mapInPandas preserves partitioning
     (decode parallelism = scan parallelism, zero shuffle); per-frame
     rows explode AFTER decode, inside the same task. Integer outputs
     make the whole chain bit-exact against the oracle. At 100 TB this

@@ -317,7 +317,16 @@ def bloom_prefilter(
 ) -> DataFrame:
     """Keep only rows whose column MIGHT be in the bitmap's keyset: two
     broadcast word lookups + bit tests, zero shuffles on `df`. Rows
-    whose word is absent (null bits) fail the test, as they must."""
+    whose word is absent (null bits) fail the test, as they must.
+
+    The bitmap feeds BOTH lookup joins, and Spark does not dedupe
+    broadcast subtrees — without a cut point the corpus-proportional
+    bitmap build would plan and EXECUTE twice (caught by plan audit:
+    two independent bit_or aggregates, zero ReusedExchange). The lazy
+    localCheckpoint makes the second broadcast read the materialized
+    bitmap instead of recomputing it; in a persistent pipeline the
+    bitmap is a stored table, same as the shingle relation."""
+    bitmap = bitmap.localCheckpoint(eager=False)
     h1, h2 = _bloom_positions(F.col(colname), nbits)
     d = df.withColumn("_p1", h1).withColumn("_p2", h2)
     b1 = bitmap.select(F.col("w").alias("_w1"), F.col("bits").alias("_b1"))

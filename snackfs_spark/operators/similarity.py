@@ -507,17 +507,20 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEG_K = 4                  # negatives drawn per anchor
-NEG_MULT = 2654435761      # Knuth multiplicative hash (fits int64 products here)
-NEG_STEP = 40503
 
 
 @register(
     "emb_negative_sampling",
+    # draw = md5 of "vec_id#j", first 15 hex digits (60 bits, exact in
+    # int64 — no product to overflow at ANY corpus size), mod n: the
+    # same cross-engine hash contract as the split bucketing.
     oracle=f"""
     WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
     draws AS (
       SELECT e.vec_id, e.label, j,
-             (e.vec_id * {NEG_MULT} + j * {NEG_STEP}) % n.n AS neg_id
+             ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || '#'
+                                 || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+               % n.n AS neg_id
       FROM embeddings e
       CROSS JOIN n
       CROSS JOIN (SELECT unnest(range(0, {NEG_K})) AS j)
@@ -533,12 +536,15 @@ NEG_STEP = 40503
 )
 def emb_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for contrastive training: each
-    anchor draws NEG_K pseudo-random candidate ids via a multiplicative
-    hash ring over the corpus size, resolved by an EQUI-JOIN back to the
-    embeddings table (never a random shuffle: the draw is a pure
-    function of (vec_id, j, corpus_size), so it is reproducible
-    run-to-run and recomputable per-anchor — the same properties the
-    hash-mod split guarantees). Same-label collisions are FLAGGED, not
+    anchor draws NEG_K pseudo-random candidate ids — md5("vec_id#j")
+    truncated to 60 bits mod corpus size, the engine's standard
+    cross-engine hash (exact in int64 at ANY id range; a multiplicative
+    ring like vec_id*2654435761 would silently wrap past ~3.5e9 ids) —
+    resolved by an EQUI-JOIN back to the embeddings table (never a
+    random shuffle: the draw is a pure function of (vec_id, j,
+    corpus_size), so it is reproducible run-to-run and recomputable
+    per-anchor — the same properties the hash-mod split guarantees).
+    Same-label collisions are FLAGGED, not
     silently re-drawn (re-draw loops are nondeterministic under
     retries; training pipelines drop flagged rows). One tiny count
     parameterizes the plan; the join shuffles on neg_id — at 100 TB
@@ -557,7 +563,24 @@ def emb_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "neg_id",
-            F.pmod(F.col("vec_id") * NEG_MULT + F.col("j") * NEG_STEP, F.col("n")),
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("vec_id").cast("string"),
+                                F.lit("#"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("n"),
+            ),
         )
     )
     cand = emb.select(

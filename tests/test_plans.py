@@ -315,11 +315,22 @@ def test_contamination_check_bloom_prefilters_train_side(spark):
     broadcast joins and the bit_or bitmap build appears in the plan."""
     df = REG["split_contamination_check"].fn(spark, SF_ORACLE)
     plan = formatted_plan(df)
-    assert "bit_or" in plan, plan
+    # the probe-side bit tests are inline expressions; the bitmap BUILD
+    # is behind a localCheckpoint cut (so it executes once, not once per
+    # lookup join — code-review r5) and thus surfaces as an ExistingRDD
+    # scan rather than a bit_or aggregate subtree
     assert "shiftleft" in plan, plan
+    assert "ExistingRDD" in plan, plan
     # two word-lookup broadcast joins (one per hash function)
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert_no_cartesian(df)
+    # the build itself (explode -> word-grouped bit_or) stays pinned on
+    # the bitmap dataframe, pre-checkpoint
+    from snackfs_spark.operators.dedup import shingles_df
+    from snackfs_spark.operators.sampling import bloom_bitmap
+
+    bplan = formatted_plan(bloom_bitmap(shingles_df(spark, SF_ORACLE, distinct=True), "shingle"))
+    assert "bit_or" in bplan, bplan
 
 
 def test_q9_profit_all_dims_broadcast(spark):
