@@ -107,6 +107,7 @@ HEADLINE_R7 = [
 # (re-benched under its new plan via the R3 slot it already holds), and
 # the real-codec text decode.
 HEADLINE_R8 = [
+    "approx_distinct_hll",
     "q9_product_profit",
     "q21_straggler_suppliers",
     "q16_part_supplier_variety",

@@ -2389,3 +2389,209 @@ def q21_straggler_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with EXPLICIT registers — the mergeable-sketch twin of
+# heavy_hitters_countmin. Spark's approx_count_distinct is engine-
+# private (its sketch bytes can't be oracle-checked); this builds the
+# same structure from public primitives, bit-exactly reproducible in
+# both engines: 60-bit md5 hash -> top-8 bits pick one of m=256
+# registers, rank = leading-zero count of the low 52 bits (via bin()
+# string length — no floats), register = MAX rank. The estimate's
+# denominator sum(2^-r) is kept on an INTEGER lattice (sum of
+# 2^(53-r) <= 256*2^53 < int64 max), so the only float ops are the
+# final alpha*m^2*2^53/S expression — identical IEEE ops in identical
+# order in both engines.
+# ---------------------------------------------------------------------------
+
+HLL_M = 256          # registers (b = 8 index bits)
+HLL_WBITS = 52       # rank window: 60-bit hash minus 8 index bits
+_HLL_ALPHA = "(0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0))"  # alpha_256 in forced-
+                                                  # DOUBLE literals (bare
+                                                  # decimals parse as DECIMAL
+                                                  # in both engines, with
+                                                  # different scale rules)
+
+
+@register(
+    "approx_distinct_hll",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS v
+      FROM events
+    ),
+    ranks AS (
+      SELECT event_type,
+             v >> {HLL_WBITS} AS bucket,
+             CASE WHEN (v & {(1 << HLL_WBITS) - 1}) > 0
+                  THEN {HLL_WBITS + 1} - length(bin(v & {(1 << HLL_WBITS) - 1}))
+                  ELSE {HLL_WBITS + 1} END AS r
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, bucket, MAX(r) AS reg
+      FROM ranks GROUP BY event_type, bucket
+    ),
+    sk AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_used,
+             CAST(SUM(1::BIGINT << ({HLL_WBITS + 1} - reg)) AS BIGINT)
+               AS used_lattice
+      FROM regs GROUP BY event_type
+    ),
+    x AS (
+      SELECT event_type, n_used,
+             used_lattice
+               + ({HLL_M} - n_used) * (1::BIGINT << {HLL_WBITS + 1}) AS s
+      FROM sk
+    ),
+    ex AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT x.event_type,
+           CAST({HLL_M} - x.n_used AS BIGINT) AS n_empty,
+           x.s AS lattice_sum,
+           ({_HLL_ALPHA} * {HLL_M * HLL_M}e0)
+             * {1 << (HLL_WBITS + 1)}e0 / CAST(x.s AS DOUBLE)
+             AS raw_estimate,
+           ex.exact_distinct
+    FROM x JOIN ex ON ex.event_type = x.event_type
+    """,
+)
+def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HyperLogLog distinct-count sketch with explicit,
+    MERGEABLE registers (merge = elementwise MAX — the same algebra
+    that lets map-side partial aggregation build this sketch with one
+    shuffle of <= m rows per group at any corpus size). No corrections
+    are applied (linear counting needs ln); the raw estimate plus the
+    empty-register count lets any consumer apply them — and the exact
+    distinct rides along as the quality reference. The whole pipeline
+    is integer arithmetic until one final float expression, so the
+    driver hash-checks a FLOAT estimate across engines — the property
+    approx_count_distinct's private sketch can never offer."""
+    ev = fan_out(load_table(spark, sf_dir, "events"), spark)
+    v = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    w = F.col("v").bitwiseAND(F.lit((1 << HLL_WBITS) - 1))
+    r = F.when(w > 0, F.lit(HLL_WBITS + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(HLL_WBITS + 1)
+    )
+    ranks = ev.select(
+        "event_type", v.alias("v")
+    ).select(
+        "event_type",
+        F.shiftright(F.col("v"), HLL_WBITS).alias("bucket"),
+        r.alias("r"),
+    )
+    regs = ranks.groupBy("event_type", "bucket").agg(F.max("r").alias("reg"))
+    sk = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(F.expr(f"shiftleft(1L, CAST({HLL_WBITS + 1} - reg AS INT))")).alias(
+            "used_lattice"
+        ),
+    )
+    x = sk.select(
+        "event_type",
+        "n_used",
+        (
+            F.col("used_lattice")
+            + (F.lit(HLL_M) - F.col("n_used")) * F.lit(1 << (HLL_WBITS + 1))
+        ).alias("s"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    est = F.expr(
+        f"({_HLL_ALPHA} * {HLL_M * HLL_M}e0)"
+        f" * {1 << (HLL_WBITS + 1)}e0 / CAST(s AS DOUBLE)"
+    )
+    return (
+        x.join(ex, "event_type")
+        .select(
+            "event_type",
+            (F.lit(HLL_M) - F.col("n_used")).cast("long").alias("n_empty"),
+            F.col("s").alias("lattice_sum"),
+            est.alias("raw_estimate"),
+            "exact_distinct",
+        )
+    )
+
+
+@register(
+    "approx_distinct_hll_merged",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS v
+      FROM events
+    ),
+    ranks AS (
+      SELECT event_type,
+             v >> {HLL_WBITS} AS bucket,
+             CASE WHEN (v & {(1 << HLL_WBITS) - 1}) > 0
+                  THEN {HLL_WBITS + 1} - length(bin(v & {(1 << HLL_WBITS) - 1}))
+                  ELSE {HLL_WBITS + 1} END AS r
+      FROM h
+    ),
+    per_group AS (
+      SELECT event_type, bucket, MAX(r) AS reg
+      FROM ranks GROUP BY event_type, bucket
+    ),
+    merged AS (
+      SELECT bucket, MAX(reg) AS reg FROM per_group GROUP BY bucket
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+             CAST(SUM(1::BIGINT << ({HLL_WBITS + 1} - reg)) AS BIGINT)
+               AS used_lattice
+      FROM merged
+    )
+    SELECT CAST({HLL_M} - n_used AS BIGINT) AS n_empty,
+           used_lattice
+             + ({HLL_M} - n_used) * (1::BIGINT << {HLL_WBITS + 1}) AS lattice_sum,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
+             AS exact_distinct
+    FROM s
+    """,
+)
+def approx_distinct_hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE path, pinned end-to-end: per-group sketches union into
+    one global sketch by elementwise register MAX — the property that
+    makes HLL shippable (each partition/day/source keeps m registers;
+    the global count is a MAX-merge away, no rescan). The merged
+    sketch's lattice sum is hash-checked against an independent
+    derivation, alongside the global exact count."""
+    ev = fan_out(load_table(spark, sf_dir, "events"), spark)
+    v = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    w = F.col("v").bitwiseAND(F.lit((1 << HLL_WBITS) - 1))
+    r = F.when(w > 0, F.lit(HLL_WBITS + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(HLL_WBITS + 1)
+    )
+    ranks = ev.select("event_type", v.alias("v")).select(
+        "event_type",
+        F.shiftright(F.col("v"), HLL_WBITS).alias("bucket"),
+        r.alias("r"),
+    )
+    per_group = ranks.groupBy("event_type", "bucket").agg(F.max("r").alias("reg"))
+    merged = per_group.groupBy("bucket").agg(F.max("reg").alias("reg"))
+    s = merged.agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(F.expr(f"shiftleft(1L, CAST({HLL_WBITS + 1} - reg AS INT))")).alias(
+            "used_lattice"
+        ),
+    )
+    exact = ev.agg(F.count_distinct("user_id").cast("long").alias("exact_distinct"))
+    return s.crossJoin(exact).select(
+        (F.lit(HLL_M) - F.col("n_used")).cast("long").alias("n_empty"),
+        (
+            F.col("used_lattice")
+            + (F.lit(HLL_M) - F.col("n_used")) * F.lit(1 << (HLL_WBITS + 1))
+        ).alias("lattice_sum"),
+        "exact_distinct",
+    )

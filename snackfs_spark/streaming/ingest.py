@@ -349,3 +349,56 @@ def streaming_tail_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return run_stream_to_df(spark, stream, mode="append")
+
+
+def enrichment_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join: the streaming fact joins a batch
+    dimension table — the canonical streaming lookup pattern (Spark
+    re-plans the static side per micro-batch; a small dim stays a
+    broadcast hash join inside every batch, so enrichment adds zero
+    shuffles to the stream). Customers here, a feature store or dim
+    snapshot at scale; the watermarked tumbling aggregate keeps state
+    bounded exactly as the plain rollup does."""
+    from snackfs_spark.sources.tables import load_table
+
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    return (
+        ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"])
+        .groupBy(
+            F.window("ts", "1 day").alias("win"),
+            "c_mktsegment",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("day_start"),
+            "c_mktsegment",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "streaming_enrichment_join",
+    oracle="""
+    SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d %H:%M:%S.%f') AS day_start,
+           c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY date_trunc('day', e.ts), c.c_mktsegment
+    """,
+)
+def streaming_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-static enrichment join drained to completion — must
+    equal the equivalent batch join+rollup (the oracle)."""
+    out = run_stream_to_df(spark, enrichment_join_stream(spark, sf_dir))
+    return out.withColumn("day_start", ts_str("day_start"))

@@ -64,6 +64,11 @@ CLASSES = {
     # in-repo oracle replica (their families stay represented above)
     "exact-recall similarity join": "dedup_prefix_filter",
     "mergeable quantile sketch": "events_quantiles_binned",
+    # round-5 swap: the explicit-register HLL replaces approx_aggregates
+    # as the approximate-aggregates rep — same family, but hash-checked
+    # (its registers and estimate are engine-portable); approx_aggregates
+    # stays registered post-window with golden pins
+    "approx distinct (mergeable HLL)": "approx_distinct_hll",
 }
 
 
@@ -83,11 +88,9 @@ def test_window_order_and_span():
 
 
 def test_window_is_oracle_checked():
-    """Everything in the window is hash-checked except the approximate
-    aggregates (sketches differ between engines by design)."""
+    """EVERYTHING in the window is hash-checked (since round 5: the
+    explicit-register HLL replaced the engine-private-sketch query, so
+    even the approximate-aggregates slot carries an oracle)."""
     reg = load_all()
-    allowed_rows_only = {"approx_aggregates"}
     for name in list(reg)[:WINDOW]:
-        if name in allowed_rows_only:
-            continue
         assert reg[name].oracle is not None, f"{name} has no oracle in the window"
