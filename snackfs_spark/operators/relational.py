@@ -2595,3 +2595,124 @@ def approx_distinct_hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lattice_sum"),
         "exact_distinct",
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized (clipped) robust statistics, COMPOSED from the mergeable
+# binned-quantile sketch: per-group p05/p95 thresholds come from the
+# 1024-bin histogram (bin edges are dyadic rationals — 500/1024 =
+# 0.48828125 exactly — so the thresholds are bit-identical floats in
+# both engines), and the clipped mean accumulates on a x25600 integer
+# lattice (100 for the 2-decimal values x 256 for the dyadic edges), so
+# the only float ops are the shared threshold expression and one final
+# division. The outlier-robust per-group mean every metrics pipeline
+# wants, with none of percentile_approx's engine-private sketch.
+# ---------------------------------------------------------------------------
+
+WINSOR_LO_Q = 0.05
+WINSOR_HI_Q = 0.95
+_WINSOR_EDGE = "(CAST(bin + 1 AS DOUBLE) * (500e0 / 1024e0))"
+
+
+@register(
+    "events_winsorized_stats",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1024e0 / 500e0) AS BIGINT) AS bin,
+             COUNT(*) AS n
+      FROM events WHERE value >= 0 AND value < 500
+      GROUP BY event_type, CAST(FLOOR(value * 1024e0 / 500e0) AS BIGINT)
+    ),
+    c AS (
+      SELECT event_type, bin,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM b
+    ),
+    thr AS (
+      SELECT event_type,
+             MIN(CASE WHEN cum >= CEIL({WINSOR_LO_Q} * total)
+                      THEN {_WINSOR_EDGE} END) AS lo_thr,
+             MIN(CASE WHEN cum >= CEIL({WINSOR_HI_Q} * total)
+                      THEN {_WINSOR_EDGE} END) AS hi_thr
+      FROM c GROUP BY event_type
+    )
+    SELECT e.event_type,
+           thr.lo_thr, thr.hi_thr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN e.value < thr.lo_thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_lo,
+           CAST(SUM(CASE WHEN e.value > thr.hi_thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_hi,
+           CAST(SUM(CAST(ROUND(LEAST(GREATEST(e.value, thr.lo_thr), thr.hi_thr)
+                               * 25600e0) AS BIGINT)) AS DOUBLE)
+             / (25600e0 * COUNT(*)) AS winsorized_mean
+    FROM events e JOIN thr ON thr.event_type = e.event_type
+    GROUP BY e.event_type, thr.lo_thr, thr.hi_thr
+    """,
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorized mean: clip every value to the group's
+    [p05, p95] (thresholds from the mergeable 1024-bin sketch — bounded
+    state at any corpus size, bin-width-deterministic error) and average
+    the clipped values on an integer lattice. Two scans of the fact
+    (one to build the tiny histogram, one to clip) with the per-group
+    thresholds broadcast between them — the exact two-pass shape a
+    robust-metrics job runs at 100 TB, where a sort-based exact
+    percentile would be a corpus-wide shuffle."""
+    ev = fan_out(load_table(spark, sf_dir, "events"), spark)
+    bins = (
+        ev.filter((F.col("value") >= 0) & (F.col("value") < 500))
+        .groupBy(
+            "event_type",
+            F.expr("CAST(FLOOR(value * 1024e0 / 500e0) AS BIGINT)").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    wcum = W.partitionBy("event_type").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    c = bins.select(
+        "event_type",
+        "bin",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(W.partitionBy("event_type")).alias("total"),
+    )
+    edge = F.expr(_WINSOR_EDGE)
+    thr = c.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(WINSOR_LO_Q) * F.col("total")), edge)
+        ).alias("lo_thr"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(WINSOR_HI_Q) * F.col("total")), edge)
+        ).alias("hi_thr"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo_thr")), F.col("hi_thr"))
+    lat = F.expr(
+        "CAST(ROUND(LEAST(GREATEST(value, lo_thr), hi_thr) * 25600e0) AS BIGINT)"
+    )
+    return (
+        ev.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type", "lo_thr", "hi_thr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("value") < F.col("lo_thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(F.col("value") > F.col("hi_thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_hi"),
+            (F.sum(lat).cast("double") / (F.lit(25600.0) * F.count(F.lit(1)))).alias(
+                "winsorized_mean"
+            ),
+        )
+        .select(
+            "event_type", "lo_thr", "hi_thr", "n", "n_clipped_lo", "n_clipped_hi",
+            "winsorized_mean",
+        )
+    )

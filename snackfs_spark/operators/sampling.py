@@ -1121,3 +1121,84 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff — dataset versioning's core primitive: given two
+# corpus versions, classify every document as unchanged / modified /
+# deleted / added by full-outer-joining on the stable key and comparing
+# content hashes. v2 here is derived deterministically from v1 (drop
+# doc_id % 17 == 0, revise % 13 == 0, add a disjoint-id batch), so both
+# engines reconstruct the identical pair of snapshots; in production v2
+# is simply the next snapshot's table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, text FROM documents),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT -doc_id - 1 AS doc_id, text || ' new' AS text
+      FROM documents WHERE doc_id % 19 = 0
+    ),
+    d AS (
+      SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'deleted'
+                  WHEN md5(v1.text) <> md5(v2.text) THEN 'modified'
+                  ELSE 'unchanged' END AS status,
+             COALESCE(v2.text, v1.text) AS text
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars
+    FROM d GROUP BY status
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff summary: one id-keyed FULL OUTER join + content-hash
+    compare, the plan every table-format time-travel diff reduces to. At
+    100 TB both snapshots shuffle once on the key (or zero times if
+    stored bucketed by doc_id — the layout the writer's save_bucketed
+    path exists for); the hash compare is per-row. The change classes
+    feed incremental reprocessing: only 'added'/'modified' re-enter the
+    dedup/quality/embedding pipeline."""
+    v1 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = load_table(spark, sf_dir, "documents")
+    kept = base.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" rev2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = base.filter(F.col("doc_id") % 19 == 0).select(
+        (-F.col("doc_id") - 1).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" new")).alias("text"),
+    )
+    v2 = kept.unionAll(added)
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "deleted")
+        .when(F.md5(F.col("a.text").cast("binary")) != F.md5(F.col("b.text").cast("binary")), "modified")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce(F.col("b.text"), F.col("a.text")).alias("text"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+    )

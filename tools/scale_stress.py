@@ -77,6 +77,9 @@ QUERIES = [
     "doc_chunk_sliding",
     "events_pii_scan",
     "emb_negative_sampling",
+    "approx_distinct_hll",
+    "events_winsorized_stats",
+    "corpus_snapshot_diff",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
