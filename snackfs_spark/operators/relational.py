@@ -2716,3 +2716,136 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_mean",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality rule battery (the Deequ-style validation
+# pass a pipeline runs before promoting a snapshot): null checks, range
+# checks, key uniqueness, and referential integrity — each rule one
+# aggregate (or one anti-join count), unioned into a single report.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_check_battery",
+    oracle="""
+    SELECT 'customer.c_acctbal_not_null' AS rule, 'customer' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM customer
+    UNION ALL
+    SELECT 'lineitem.l_quantity_positive', 'lineitem',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_discount_in_unit_range', 'lineitem',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders.o_custkey_ri_customer', 'orders',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'documents.doc_id_unique', 'documents',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'events.ts_not_null', 'events',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    """,
+)
+def dq_check_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality validation report: every rule collapses to one
+    map-side-combined aggregate over its table (nulls, ranges,
+    uniqueness) or one broadcast ANTI-join count (referential
+    integrity), unioned into a 6-row report. At 100 TB each table is
+    scanned exactly once per rule group and nothing but counts ever
+    shuffles — the shape Deequ/Great-Expectations-class checkers
+    compile to. A snapshot promotes only when n_violations = 0 for
+    every gating rule."""
+    cust = load_table(spark, sf_dir, "customer")
+    li = fan_out(load_table(spark, sf_dir, "lineitem"), spark)
+    orders = load_table(spark, sf_dir, "orders")
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+
+    def report(rule: str, table: str, checked, violations) -> DataFrame:
+        return checked.select(
+            F.lit(rule).alias("rule"),
+            F.lit(table).alias("table_name"),
+            F.col("n_checked").cast("long"),
+            violations.cast("long").alias("n_violations"),
+        )
+
+    r1 = cust.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(F.col("c_acctbal").isNull(), 1).otherwise(0)).alias("v"),
+    ).select(
+        F.lit("customer.c_acctbal_not_null").alias("rule"),
+        F.lit("customer").alias("table_name"),
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("v").cast("long").alias("n_violations"),
+    )
+    r2 = li.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("v"),
+    ).select(
+        F.lit("lineitem.l_quantity_positive").alias("rule"),
+        F.lit("lineitem").alias("table_name"),
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("v").cast("long").alias("n_violations"),
+    )
+    r3 = li.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        ).alias("v"),
+    ).select(
+        F.lit("lineitem.l_discount_in_unit_range").alias("rule"),
+        F.lit("lineitem").alias("table_name"),
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("v").cast("long").alias("n_violations"),
+    )
+    orphans = orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders["o_custkey"] == cust["c_custkey"],
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("v"))
+    r4 = (
+        orders.agg(F.count(F.lit(1)).alias("n_checked"))
+        .crossJoin(orphans)
+        .select(
+            F.lit("orders.o_custkey_ri_customer").alias("rule"),
+            F.lit("orders").alias("table_name"),
+            F.col("n_checked").cast("long").alias("n_checked"),
+            F.col("v").cast("long").alias("n_violations"),
+        )
+    )
+    r5 = docs.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.count_distinct("doc_id")).alias("v"),
+    ).select(
+        F.lit("documents.doc_id_unique").alias("rule"),
+        F.lit("documents").alias("table_name"),
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("v").cast("long").alias("n_violations"),
+    )
+    r6 = ev.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).alias("v"),
+    ).select(
+        F.lit("events.ts_not_null").alias("rule"),
+        F.lit("events").alias("table_name"),
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("v").cast("long").alias("n_violations"),
+    )
+    return r1.unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5).unionAll(r6)
