@@ -2849,3 +2849,84 @@ def dq_check_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("long").alias("n_violations"),
     )
     return r1.unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5).unionAll(r6)
+
+
+@register(
+    "join_size_estimate_cm",
+    oracle=f"""
+    WITH a AS (
+      SELECT i, {_cm_bucket_sql('i', 'user_id').replace("'i|'", "CAST(i AS VARCHAR) || '|'")} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events, (SELECT unnest(range(0, {CM_DEPTH})) AS i)
+      GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT i, {_cm_bucket_sql('i', 'o_custkey').replace("'i|'", "CAST(i AS VARCHAR) || '|'")} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders, (SELECT unnest(range(0, {CM_DEPTH})) AS i)
+      GROUP BY 1, 2
+    ),
+    dots AS (
+      SELECT a.i, CAST(SUM(a.n * b.n) AS BIGINT) AS dot
+      FROM a JOIN b ON b.i = a.i AND b.bucket = a.bucket
+      GROUP BY a.i
+    )
+    SELECT CAST(MIN(dot) AS BIGINT) AS cm_estimate,
+           CAST((SELECT COUNT(*) FROM events e
+                 JOIN orders o ON o.o_custkey = e.user_id) AS BIGINT)
+             AS exact_join_size
+    FROM dots
+    """,
+)
+def join_size_estimate_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from Count-Min sketch INNER PRODUCTS
+    — the optimizer-statistics primitive: |A join B on k| = sum_k
+    a_k*b_k, estimated as min over depths of the sketch-row dot product
+    (always an OVER-estimate, like the point estimates). Each side
+    collapses to a {CM_DEPTH}x{CM_WIDTH} counter table in ONE pass —
+    at 100 TB you estimate a petabyte join's size by dotting two 4 KB
+    sketches built map-side, without touching the join itself. The
+    exact join count rides along as the quality reference, and the md5
+    bucket hashing makes the whole estimate bit-identical in both
+    engines."""
+    def cells(df: DataFrame, key: str) -> DataFrame:
+        d = df.select(
+            F.col(key).alias("k"),
+            F.explode(F.array(*[F.lit(i) for i in range(CM_DEPTH)])).alias("i"),
+        )
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("i").cast("string"), F.lit("|"), F.col("k").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CM_WIDTH
+        )
+        return d.groupBy("i", bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    ev = fan_out(load_table(spark, sf_dir, "events"), spark)
+    orders = load_table(spark, sf_dir, "orders")
+    a = cells(ev, "user_id")
+    b = cells(orders, "o_custkey").select(
+        F.col("i").alias("bi"), F.col("bucket").alias("bb"), F.col("n").alias("bn")
+    )
+    dots = (
+        a.join(b, (F.col("i") == F.col("bi")) & (F.col("bucket") == F.col("bb")))
+        .groupBy("i")
+        .agg(F.sum(F.col("n") * F.col("bn")).alias("dot"))
+    )
+    est = dots.agg(F.min("dot").cast("long").alias("cm_estimate"))
+    exact = (
+        ev.join(orders, ev["user_id"] == orders["o_custkey"])
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_join_size"))
+    )
+    return est.crossJoin(exact)

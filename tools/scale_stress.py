@@ -80,6 +80,8 @@ QUERIES = [
     "approx_distinct_hll",
     "events_winsorized_stats",
     "corpus_snapshot_diff",
+    "dq_check_battery",
+    "join_size_estimate_cm",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
