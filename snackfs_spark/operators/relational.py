@@ -2362,24 +2362,32 @@ def q21_straggler_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = fan_out(load_table(spark, sf_dir, "lineitem"), spark).select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
+    # Collapse to one row per (order, supplier) FIRST: every downstream
+    # count-distinct becomes a plain count (no Expand doubling the
+    # aggregate input) and the max-ship join probes supplier-level rows,
+    # not raw lines — the sweep measured this the steepest new path
+    # (0.58 exp/decade) in its count_distinct form.
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("s_max")
+    )
     o = (
-        li.groupBy("l_orderkey")
+        per_supp.groupBy("l_orderkey")
         .agg(
-            F.max("l_shipdate").alias("max_ship"),
-            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.max("s_max").alias("max_ship"),
+            F.count(F.lit(1)).alias("n_supp"),
         )
         .withColumnRenamed("l_orderkey", "o_key")
     )
     straggler = (
-        li.join(
+        per_supp.join(
             o.filter(F.col("n_supp") >= 2),
             (F.col("l_orderkey") == F.col("o_key"))
-            & (F.col("l_shipdate") == F.col("max_ship")),
+            & (F.col("s_max") == F.col("max_ship")),
         )
         .groupBy("l_orderkey")
         .agg(
             F.min("l_suppkey").alias("supp"),
-            F.count_distinct("l_suppkey").alias("n_at_max"),
+            F.count(F.lit(1)).alias("n_at_max"),
         )
         .filter(F.col("n_at_max") == 1)
     )
