@@ -204,10 +204,11 @@ def fs_ls_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
 # textHelp — "allowed formats are zip and TextRecordInputStream", i.e.
 # Hadoop's Text command, which sniffs the payload's MAGIC bytes: 0x1f8b
 # -> gzip stream, 'SEQ' -> SequenceFile of Text records, else raw
-# passthrough). Re-expressed Spark-first: the fixture stores every odd
-# doc gzip-compressed and every even doc plain, and a mapInPandas codec
-# does the same magic-sniff + REAL gzip decode (zlib, stdlib — no
-# external dependency). The oracle is the ORIGINAL document text, a
+# passthrough). Re-expressed Spark-first: the fixture stores odd docs
+# gzip-compressed, doc_id % 4 == 2 docs as single-entry ZIP archives,
+# and the rest plain; a mapInPandas codec does the same magic-sniff +
+# REAL gzip/zip decode (zlib/zipfile, stdlib — no external
+# dependency). The oracle is the ORIGINAL document text, a
 # fully independent path, so a wrong decode (or a wrong sniff) is a
 # hash mismatch, not a mirrored bug.
 # ---------------------------------------------------------------------------
@@ -238,10 +239,23 @@ def text_payloads_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def compress(batches):
         import gzip
+        import io
+        import zipfile
+
+        def as_zip(t: str) -> bytes:
+            # deterministic archive: fixed entry name/date, STORED (no
+            # compressor-version drift in the bytes)
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                info = zipfile.ZipInfo("doc.txt", date_time=(1980, 1, 1, 0, 0, 0))
+                zf.writestr(info, t)
+            return buf.getvalue()
 
         for pdf in batches:
             payloads = [
-                gzip.compress(t.encode(), mtime=0) if d % 2 == 1 else t.encode()
+                gzip.compress(t.encode(), mtime=0)
+                if d % 2 == 1
+                else (as_zip(t) if d % 4 == 2 else t.encode())
                 for d, t in zip(pdf["doc_id"], pdf["text"])
             ]
             yield pd.DataFrame({"path": pdf["path"], "payload": payloads})
@@ -252,12 +266,17 @@ def text_payloads_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decode_text(batches):
-    """REAL magic-sniffing decoder (Hadoop Text.forMagic semantics):
-    0x1f8b -> gzip.decompress; 'SEQ' -> SequenceFile (refused loudly --
-    the fixture never writes one, and silently mis-decoding it would be
-    worse than failing); anything else -> raw utf-8 passthrough."""
+    """REAL magic-sniffing decoder (Hadoop Text.forMagic semantics —
+    the reference's textHelp names "zip and TextRecordInputStream"):
+    0x1f8b -> gzip.decompress; 'PK\x03\x04' -> ZIP archive (all entries
+    decoded and concatenated in archive order, stdlib zipfile); 'SEQ'
+    -> SequenceFile (refused loudly — the fixture never writes one, and
+    silently mis-decoding it would be worse than failing); anything
+    else -> raw utf-8 passthrough."""
     import gzip
     import hashlib
+    import io
+    import zipfile
 
     import pandas as pd
 
@@ -268,6 +287,10 @@ def _decode_text(batches):
             if buf[:2] == b"\x1f\x8b":
                 decoded = gzip.decompress(buf)
                 codec = "gzip"
+            elif buf[:4] == b"PK\x03\x04":
+                with zipfile.ZipFile(io.BytesIO(buf)) as zf:
+                    decoded = b"".join(zf.read(n) for n in zf.namelist())
+                codec = "zip"
             elif buf[:3] == b"SEQ":
                 raise ValueError(f"{path}: SequenceFile decode not supported")
             else:
@@ -293,7 +316,9 @@ def _decode_text(batches):
     "fs_text_decode",
     oracle=f"""
     SELECT {_DOC_PATH_SQL} AS path,
-           CASE WHEN doc_id % 2 = 1 THEN 'gzip' ELSE 'plain' END AS codec,
+           CASE WHEN doc_id % 2 = 1 THEN 'gzip'
+                WHEN doc_id % 4 = 2 THEN 'zip'
+                ELSE 'plain' END AS codec,
            CAST(octet_length(encode(text)) AS BIGINT) AS text_bytes,
            md5(text) AS text_md5
     FROM documents

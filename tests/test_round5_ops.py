@@ -26,13 +26,18 @@ def test_text_decode_refuses_sequencefile():
 
 
 def test_text_decode_codec_split(spark):
-    """Odd doc_ids stored gzip, even stored plain — and the decoded
-    output is identical either way (the whole point of the verb)."""
+    """Odd doc_ids stored gzip, doc_id % 4 == 2 as ZIP archives, the
+    rest plain — and the decoded output is identical in every case (the
+    whole point of the verb)."""
     out = REG["fs_text_decode"].fn(spark, SF_SMALL).collect()
     assert out
+    seen = set()
     for r in out:
         doc_id = int(r["path"].rsplit("_", 1)[1].removesuffix(".txt"))
-        assert r["codec"] == ("gzip" if doc_id % 2 == 1 else "plain")
+        want = "gzip" if doc_id % 2 == 1 else ("zip" if doc_id % 4 == 2 else "plain")
+        assert r["codec"] == want
+        seen.add(r["codec"])
+    assert seen == {"gzip", "zip", "plain"}
 
 
 def test_snapshot_diff_classes_conserve_documents(spark):
