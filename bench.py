@@ -117,6 +117,16 @@ HEADLINE_R8 = [
 ]
 
 
+# Round-9 additions (late round 5 of the build): the offline fsck scan
+# (two passes + one path-keyed full-outer join) and the span-level
+# exact-substring dedup (rolling k-gram positions + islands merge) —
+# both token/metadata-proportional shuffles worth watching at scale.
+HEADLINE_R9 = [
+    "fs_fsck",
+    "dedup_span_ngrams",
+]
+
+
 # Cumulative round groups: drives BOTH the emitted rNN_comparable_subtotal
 # keys and the regression-alarm baselines, so a new round group added here
 # is automatically reported AND gated (code-review r5: the hand-copied
@@ -130,6 +140,7 @@ ROUNDS = [
     HEADLINE_R6,
     HEADLINE_R7,
     HEADLINE_R8,
+    HEADLINE_R9,
 ]
 
 
@@ -168,10 +179,7 @@ def main() -> None:
     fsmodel.locks_df(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for name in (
-        HEADLINE + HEADLINE_R2 + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5
-        + HEADLINE_R6 + HEADLINE_R7 + HEADLINE_R8
-    ):
+    for name in (n for grp in ROUNDS for n in grp):
         # best of 3: the first run pays one-time codegen/plan compilation
         # for the query's unique expressions; later runs are steady state
         # (three samples because host timing variance on shared boxes is

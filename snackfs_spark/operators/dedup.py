@@ -945,3 +945,143 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_jaccard_pairs(
         spark, sf_dir, cand, threshold=PREFIX_JACCARD_T, shingles=sh
     )
+
+
+# ------------------------------------------------- span-level exact dedup ----
+#
+# Lee et al., "Deduplicating Training Data Makes Language Models Better"
+# (ACL 2022) deduplicate at the SUBSTRING level with a suffix array: any
+# 50-token span appearing twice in the corpus is a duplicate, even when
+# the containing documents differ. A suffix array is a single-machine
+# construction; the Spark-first equivalent is rolling k-gram positions +
+# a hash-partitioned group-by — same detection guarantee for spans >= K
+# tokens, linear in corpus size, no global structure:
+#
+#   positions (doc_id, i, md5(gram))   — O(total tokens) rows, generated
+#                                        inside the scan project;
+#   duplicated grams                   — ONE shuffle keyed by the
+#                                        uniformly distributed gram hash;
+#   per-doc span merge                 — gaps-and-islands window
+#                                        PARTITIONED BY doc, over the
+#                                        duplicated positions only
+#                                        (bounded by doc length — never a
+#                                        global window).
+#
+# K is 5 words here (the fixture's docs are ~50 tokens; 50 would find
+# nothing); the algorithm is K-independent.
+
+SPAN_K = 5  # span-duplicate gram width, in whitespace tokens
+
+
+def _gram_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, i, g=md5(k-gram)) for every k-gram start position. Same
+    guarded-sequence shape as shingles_df (Spark's sequence(0, -1) is a
+    descending two-element array, not empty)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("toks") >= SPAN_K,
+                    F.sequence(F.lit(0), F.size("toks") - SPAN_K),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.array_join(F.slice(F.col("toks"), F.col("i") + 1, SPAN_K), " ")).alias(
+                "g"
+            ),
+        )
+    )
+
+
+@register(
+    "dedup_span_ngrams",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, i,
+             md5(array_to_string(
+                 list_slice(string_split(text, ' '), i + 1, i + {SPAN_K}), ' ')) AS g
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(0, greatest(len(string_split(text, ' ')) - {SPAN_K - 1}, 0))) AS i
+        FROM documents
+      )
+    ),
+    dup AS (SELECT g FROM pos GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    dp AS (SELECT doc_id, i FROM pos WHERE g IN (SELECT g FROM dup)),
+    isl AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN prev IS NULL OR i - prev > {SPAN_K} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM (SELECT doc_id, i,
+                   lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+            FROM dp)
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(i) AS s, MAX(i) + {SPAN_K - 1} AS e
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT sp.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(sp.e - sp.s + 1) AS BIGINT) AS dup_tokens,
+           CAST(SUM(sp.e - sp.s + 1) AS DOUBLE)
+             / CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dup_frac
+    FROM spans sp JOIN documents d ON sp.doc_id = d.doc_id
+    GROUP BY sp.doc_id, d.text
+    """,
+)
+def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring duplication (Lee et al. 2022, suffix-
+    array dedup re-expressed Spark-first): every K-token span occurring in
+    >= 2 distinct documents is duplicated; overlapping/adjacent duplicated
+    spans merge into maximal spans per document (gaps-and-islands). Output
+    is the per-doc duplication report a filtering pass keys on:
+    (n_dup_spans, dup_tokens, dup_frac)."""
+    pos = _gram_positions(spark, sf_dir)
+    dup = (
+        pos.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    dp = pos.join(dup, "g", "left_semi").select("doc_id", "i")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("i")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = dp.withColumn("prev", F.lag("i").over(w)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | ((F.col("i") - F.col("prev")) > SPAN_K), 1
+            ).otherwise(0)
+        ).over(run),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("i").alias("s"), (F.max("i") + (SPAN_K - 1)).alias("e")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+    )
+    return per_doc.join(docs, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_spans",
+        "dup_tokens",
+        (F.col("dup_tokens").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "dup_frac"
+        ),
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from snackfs_spark.catalog import SnackCatalog
 from snackfs_spark.registry import register
-from snackfs_spark.sources.fsmodel import files_df, fs_sql
+from snackfs_spark.sources.fsmodel import content_df, files_df, fs_sql
 from snackfs_spark.functions import ts_str
 from snackfs_spark.sources.tables import load_table
 
@@ -464,5 +464,126 @@ def fs_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("size").alias("group_bytes"),
             F.min("name").alias("first_file"),
             F.max("name").alias("last_file"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ fsck ----
+#
+# The reference's write path commits sblock content BEFORE the INode row
+# (FileSystemOutputStream.scala:103-120), so a crashed writer leaks
+# orphaned sblocks; a lost metadata commit after an append leaves the
+# INode size stale; a dropped sblock mutation loses a chunk while the
+# INode still claims the bytes. `fs_fsck` is the offline consistency
+# scan a 100 TB store needs: ONE pass over the metadata relation, ONE
+# pass over the chunk index, one hash-partitioned full-outer join on
+# path — no point reads, no driver loops.
+#
+# The derived store is consistent by construction, so the checker is
+# exercised through deterministic fault injection (md5-bucket selections
+# applied IDENTICALLY in both engines); the classifier itself is written
+# independently per engine, so a wrong classification is an oracle hash
+# mismatch, not a mirrored bug.
+
+FSCK_STALE_SHRINK = 37  # bytes "lost" by a stale-INode append
+
+
+def _md5_bucket(col, modulus: int):
+    """First 60 bits of md5 as a non-negative int64, mod `modulus` —
+    bit-identical to DuckDB's ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % modulus
+
+
+@register(
+    "fs_fsck",
+    oracle=fs_sql(
+        f"""
+        , inodes AS (
+            SELECT path,
+                   CASE WHEN ('0x' || substr(md5(path), 1, 15))::BIGINT % 19 = 11
+                        THEN greatest(size - {FSCK_STALE_SHRINK}, 0)
+                        ELSE size END AS recorded
+            FROM files
+            WHERE NOT is_dir
+              AND ('0x' || substr(md5(path), 1, 15))::BIGINT % 13 <> 3
+        ), chunks AS (
+            SELECT path,
+                   COUNT(*) AS n_chunks,
+                   SUM(length) AS chunk_bytes
+            FROM content
+            WHERE ('0x' || substr(md5(path || '#' || CAST(sub_offset AS VARCHAR)),
+                                  1, 15))::BIGINT % 17 <> 5
+            GROUP BY path
+        )
+        SELECT COALESCE(i.path, c.path) AS path,
+               CASE WHEN i.path IS NULL THEN 'ORPHAN_CONTENT'
+                    WHEN COALESCE(c.chunk_bytes, 0) < i.recorded THEN 'MISSING_CHUNK'
+                    ELSE 'UNTRACKED_APPEND' END AS finding,
+               CAST(COALESCE(c.n_chunks, 0) AS BIGINT) AS n_chunks,
+               CAST(CASE WHEN i.path IS NULL THEN c.chunk_bytes
+                         ELSE abs(COALESCE(c.chunk_bytes, 0) - i.recorded)
+                    END AS BIGINT) AS bytes
+        FROM inodes i
+        FULL OUTER JOIN chunks c ON i.path = c.path
+        WHERE i.path IS NULL OR COALESCE(c.chunk_bytes, 0) <> i.recorded
+        """,
+        "files",
+        "content",
+    ),
+)
+def fs_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline fsck over the INode/sblock store: orphaned content (sblocks
+    whose INode commit never landed), missing chunks (INode claims more
+    bytes than the surviving sblocks hold), and untracked appends (sblocks
+    exceed the recorded size). Faults are injected deterministically so
+    every class appears; the scan is two single passes + one equi-join,
+    the shape that holds at any metadata scale."""
+    inodes = (
+        files_df(spark, sf_dir)
+        .filter(~F.col("is_dir"))
+        .filter(_md5_bucket(F.col("path"), 13) != 3)
+        .select(
+            "path",
+            F.when(
+                _md5_bucket(F.col("path"), 19) == 11,
+                F.greatest(F.col("size") - FSCK_STALE_SHRINK, F.lit(0).cast("long")),
+            )
+            .otherwise(F.col("size"))
+            .alias("recorded"),
+        )
+    )
+    chunks = (
+        content_df(spark, sf_dir)
+        .filter(
+            _md5_bucket(
+                F.concat(F.col("path"), F.lit("#"), F.col("sub_offset").cast("string")),
+                17,
+            )
+            != 5
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("length").alias("chunk_bytes"),
+        )
+    )
+    j = inodes.alias("i").join(
+        chunks.alias("c"), F.col("i.path") == F.col("c.path"), "full_outer"
+    )
+    inode_missing = F.col("i.path").isNull()
+    have = F.coalesce(F.col("c.chunk_bytes"), F.lit(0).cast("long"))
+    return (
+        j.filter(inode_missing | (have != F.col("i.recorded")))
+        .select(
+            F.coalesce(F.col("i.path"), F.col("c.path")).alias("path"),
+            F.when(inode_missing, F.lit("ORPHAN_CONTENT"))
+            .when(have < F.col("i.recorded"), F.lit("MISSING_CHUNK"))
+            .otherwise(F.lit("UNTRACKED_APPEND"))
+            .alias("finding"),
+            F.coalesce(F.col("c.n_chunks"), F.lit(0).cast("long")).alias("n_chunks"),
+            F.when(inode_missing, F.col("c.chunk_bytes"))
+            .otherwise(F.abs(have - F.col("i.recorded")))
+            .cast("long")
+            .alias("bytes"),
         )
     )

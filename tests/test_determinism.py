@@ -50,6 +50,9 @@ PROBES = [
     # HAVING-against-global-total (decimal sum x bigint count compare)
     "q9_product_profit",
     "q11_important_parts",
+    # round 9 (late build round 5): the span-merge islands window (order
+    # by position within doc) and the single-division dup_frac double
+    "dedup_span_ngrams",
 ]
 
 

@@ -374,3 +374,31 @@ def test_doc_chunk_sliding_zero_shuffle(spark):
     n_exchanges = plan.count("Exchange (") - plan.count("ReusedExchange (")
     assert n_exchanges <= 1, plan
     assert "Generate" in plan, plan  # the explode
+
+
+def test_fsck_full_outer_on_path_no_cartesian(spark):
+    """fsck is ONE path-keyed full-outer join of two aggregated single
+    passes — the chunk aggregate must collapse before the join (the
+    shuffle carries #files rows, not #chunks) and nothing degenerates to
+    a nested-loop/cartesian."""
+    df = REG["fs_fsck"].fn(spark, SF_ORACLE)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "FullOuter" in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_span_dedup_no_global_window_no_cartesian(spark):
+    """The islands merge must be windowed per document (partition spec on
+    doc_id) — a global window over the corpus-wide positions table is the
+    at-scale failure mode — and candidate generation is equi-join work."""
+    df = REG["dedup_span_ngrams"].fn(spark, SF_ORACLE)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    # every window spec in the plan partitions by doc_id first
+    import re
+
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs, plan
+    for first_col in specs:
+        assert first_col == "doc_id", (first_col, plan)

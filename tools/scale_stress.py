@@ -82,6 +82,10 @@ QUERIES = [
     "corpus_snapshot_diff",
     "dq_check_battery",
     "join_size_estimate_cm",
+    # late round-5 ops: the offline fsck join and the token-proportional
+    # span-dedup shuffle
+    "fs_fsck",
+    "dedup_span_ngrams",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
