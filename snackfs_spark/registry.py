@@ -82,8 +82,12 @@ PRIORITY: tuple[str, ...] = (
     "q6_revenue_forecast",
     "q3_shipping_priority",
     "q5_regional_revenue",
-    "q7_nation_volume",
-    "q10_returned_items",
+    # q7/q10 (join+agg shapes also exercised by q3/q5/q13) yield their
+    # slots to the late-round-5 flagships: the offline fsck scan (full-
+    # outer join — a shape no other window query has) and the span-level
+    # exact-substring dedup; q7/q10 stay repo-oracle green
+    "fs_fsck",
+    "dedup_span_ngrams",
     "q13_customer_distribution",
     # q14 (filter+agg ratio — q6's family) yields its slot to the BPE
     # trainer so the iterative tokenizer path gets a driver-checked row;

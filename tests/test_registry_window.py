@@ -69,6 +69,12 @@ CLASSES = {
     # (its registers and estimate are engine-portable); approx_aggregates
     # stays registered post-window with golden pins
     "approx distinct (mergeable HLL)": "approx_distinct_hll",
+    # late-round-5 rotation: q7/q10 (families covered by q3/q5/q13)
+    # yield slots to the two newest flagships — the store consistency
+    # scan (the window's only FULL OUTER JOIN shape) and span-level
+    # exact-substring dedup (a dedup granularity no other query has)
+    "consistency scan (fsck)": "fs_fsck",
+    "span-level dedup": "dedup_span_ngrams",
 }
 
 
