@@ -124,6 +124,7 @@ HEADLINE_R8 = [
 HEADLINE_R9 = [
     "fs_fsck",
     "dedup_span_ngrams",
+    "dedup_entity_resolution",
 ]
 
 

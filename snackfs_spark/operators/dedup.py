@@ -1085,3 +1085,123 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_frac"
         ),
     )
+
+
+# --------------------------------------------- entity resolution (records) ----
+#
+# Record linkage / entity resolution: the relational-dedup counterpart of
+# the document battery above. The classic scalable shape (Fellegi-Sunter
+# via blocking): candidate pairs come from an EQUI-JOIN on a cheap
+# blocking key — never an all-pairs comparison — and only blocked pairs
+# pay the edit-distance verify. At 100 TB the blocking join shuffles on a
+# uniform key and block sizes bound the per-task verify work.
+#
+# TPC-H customers are synthetic-clean, so dirty registrations are
+# injected deterministically (same md5-bucket selections in both
+# engines): a typo'd duplicate for one bucket of customers (edit
+# distance 1 — must link) and a same-block DECOY identity for another
+# (shares the blocking key, far name — must NOT link). The
+# blocking+verify pipeline itself is written independently per engine.
+
+ER_LEV_MAX = 2  # verify threshold: link iff levenshtein(name_a, name_b) <= 2
+
+
+@register(
+    "dedup_entity_resolution",
+    oracle=f"""
+    WITH regs AS (
+      SELECT c_custkey AS reg_id, c_custkey AS entity_hint, c_name,
+             c_nationkey, c_mktsegment
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000000, c_custkey,
+             replace(c_name, 'Customer#', 'Customer #'),
+             c_nationkey, c_mktsegment
+      FROM customer
+      WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 7 = 2
+      UNION ALL
+      SELECT c_custkey + 2000000000, c_custkey,
+             'Client#' || substr(c_name, 10),
+             c_nationkey, c_mktsegment
+      FROM customer
+      WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 11 = 4
+    ),
+    blocked AS (
+      SELECT CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment || '|'
+               || substr(c_name, -4) AS blk,
+             reg_id, c_name
+      FROM regs
+    )
+    SELECT a.reg_id AS reg_a, b.reg_id AS reg_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.reg_id < b.reg_id
+    WHERE levenshtein(a.c_name, b.c_name) <= {ER_LEV_MAX}
+    """,
+)
+def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over customer registrations: block on
+    (nationkey, mktsegment, name-suffix), equi-self-join within blocks,
+    link iff edit distance <= 2. Injected typo-duplicates must all link;
+    injected same-block decoys must all be rejected (pinned in
+    tests/test_round5_ops.py)."""
+    cust = load_table(spark, sf_dir, "customer")
+    bucket7 = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 7
+    )
+    bucket11 = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 11
+    )
+    base = cust.select(
+        F.col("c_custkey").cast("long").alias("reg_id"),
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    typo = (
+        cust.filter(bucket7 == 2)
+        .select(
+            (F.col("c_custkey") + 1000000000).cast("long").alias("reg_id"),
+            F.regexp_replace("c_name", "Customer#", "Customer #").alias("c_name"),
+            "c_nationkey",
+            "c_mktsegment",
+        )
+    )
+    decoy = (
+        cust.filter(bucket11 == 4)
+        .select(
+            (F.col("c_custkey") + 2000000000).cast("long").alias("reg_id"),
+            F.concat(F.lit("Client#"), F.expr("substring(c_name, 10)")).alias("c_name"),
+            "c_nationkey",
+            "c_mktsegment",
+        )
+    )
+    regs = base.unionByName(typo).unionByName(decoy)
+    blocked = regs.select(
+        F.concat_ws(
+            "|",
+            F.col("c_nationkey").cast("string"),
+            F.col("c_mktsegment"),
+            F.expr("substring(c_name, -4)"),
+        ).alias("blk"),
+        "reg_id",
+        "c_name",
+    )
+    a = blocked.select(
+        F.col("blk"), F.col("reg_id").alias("reg_a"), F.col("c_name").alias("name_a")
+    )
+    b = blocked.select(
+        F.col("blk"), F.col("reg_id").alias("reg_b"), F.col("c_name").alias("name_b")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("reg_a") < F.col("reg_b"))
+        .withColumn("lev", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("lev") <= ER_LEV_MAX)
+        .select("reg_a", "reg_b", "name_a", "name_b", "lev")
+    )

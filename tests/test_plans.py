@@ -402,3 +402,13 @@ def test_span_dedup_no_global_window_no_cartesian(spark):
     assert specs, plan
     for first_col in specs:
         assert first_col == "doc_id", (first_col, plan)
+
+
+def test_entity_resolution_blocked_equi_join_no_cartesian(spark):
+    """Candidate generation must be an equi-join on the blocking key —
+    an un-blocked name comparison degenerates to a nested loop over all
+    registration pairs."""
+    df = REG["dedup_entity_resolution"].fn(spark, SF_ORACLE)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "blk" in plan, plan

@@ -200,3 +200,25 @@ def test_span_dedup_crafted_corpus(spark, tmp_path):
     assert out[2]["n_dup_spans"] == 1
     assert out[2]["dup_tokens"] == 4 + SPAN_K - 1 == 8
     assert out[2]["n_tokens"] == 14
+
+
+def test_entity_resolution_links_typos_rejects_decoys(spark):
+    """Every injected typo-duplicate must link to its base registration;
+    no injected same-block decoy may link to anything (blocking recall +
+    verify precision, re-derived independently here)."""
+    pairs = REG["dedup_entity_resolution"].fn(spark, SF_SMALL).collect()
+    assert pairs
+    linked = {(r["reg_a"], r["reg_b"]) for r in pairs}
+
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    b7 = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 7
+    )
+    typo_keys = [r["c_custkey"] for r in cust.filter(b7 == 2).collect()]
+    assert typo_keys
+    for ck in typo_keys:
+        assert (ck, ck + 1000000000) in linked, f"typo dup of {ck} not linked"
+    decoys = {r for pair in linked for r in pair if r >= 2000000000}
+    assert not decoys, f"decoy registrations linked: {decoys}"

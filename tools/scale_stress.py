@@ -86,6 +86,7 @@ QUERIES = [
     # span-dedup shuffle
     "fs_fsck",
     "dedup_span_ngrams",
+    "dedup_entity_resolution",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
