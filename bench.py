@@ -125,6 +125,8 @@ HEADLINE_R9 = [
     "fs_fsck",
     "dedup_span_ngrams",
     "dedup_entity_resolution",
+    "corpus_incremental_stats",
+    "fs_replica_sets",
 ]
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from snackfs_spark.catalog import SnackCatalog
 from snackfs_spark.registry import register
-from snackfs_spark.sources.fsmodel import fs_sql
+from snackfs_spark.sources.fsmodel import RING_NODES, RING_STEP, fs_sql
 from snackfs_spark.sources.tables import load_table
 
 
@@ -124,3 +124,89 @@ def fs_block_locations_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         (b["token"] > r["tok_start"]) | (b["token"] <= r["tok_end"])
     )
     return b.join(r, normal | wrap).select("path", "block_idx", "host")
+
+
+# ----------------------------------------------------------- replica sets ----
+
+REPLICATION_FACTOR = 3  # Cassandra SimpleStrategy: owner + RF-1 ring successors
+
+
+@register(
+    "fs_replica_sets",
+    oracle=fs_sql(
+        f"""
+        , owners AS (
+            SELECT b.path, b.block_idx,
+                   CAST(r.tok_start / {RING_STEP} AS BIGINT) AS owner_key
+            FROM blocks b JOIN ring r
+              ON (r.tok_start < r.tok_end AND b.token > r.tok_start AND b.token <= r.tok_end)
+              OR (r.tok_start >= r.tok_end AND (b.token > r.tok_start OR b.token <= r.tok_end))
+        ),
+        placed AS (
+            SELECT o.path, o.block_idx, rk.rank,
+                   (o.owner_key + rk.rank) % {RING_NODES} AS replica_key
+            FROM owners o, (SELECT unnest(range(0, {REPLICATION_FACTOR})) AS rank) rk
+        )
+        SELECT n.n_name AS host,
+               CAST(SUM(CASE WHEN p.rank = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_primary,
+               CAST(SUM(CASE WHEN p.rank > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_replica,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM placed p JOIN nation n ON p.replica_key = n.n_nationkey
+        GROUP BY n.n_name
+        """,
+        "blocks",
+        "ring",
+    ),
+)
+def fs_replica_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica placement audit: every block's RF=3 replica set under the
+    reference store's SimpleStrategy (owner range + the next RF-1 ring
+    successors — Cassandra's placement, which describe_ring at
+    ThriftStore.scala:543-605 exposes), rolled up to a per-host balance
+    report. The ring is broadcast (as the reference broadcasts
+    describe_ring to clients); the explode is x3; the rollup is 25 keys —
+    block-count-proportional work, host-count-proportional output."""
+    from snackfs_spark.sources.fsmodel import blocks_df, ring_df
+
+    b = blocks_df(spark, sf_dir)
+    r = F.broadcast(ring_df(spark, sf_dir))
+    normal = (
+        (r["tok_start"] < r["tok_end"])
+        & (b["token"] > r["tok_start"])
+        & (b["token"] <= r["tok_end"])
+    )
+    wrap = (r["tok_start"] >= r["tok_end"]) & (
+        (b["token"] > r["tok_start"]) | (b["token"] <= r["tok_end"])
+    )
+    owners = b.join(r, normal | wrap).select(
+        "path",
+        "block_idx",
+        (F.col("tok_start") / RING_STEP).cast("long").alias("owner_key"),
+    )
+    placed = owners.select(
+        "path",
+        "block_idx",
+        F.explode(F.sequence(F.lit(0), F.lit(REPLICATION_FACTOR - 1))).alias("rank"),
+        "owner_key",
+    ).select(
+        "path",
+        "block_idx",
+        "rank",
+        ((F.col("owner_key") + F.col("rank")) % RING_NODES).alias("replica_key"),
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        placed.join(nation, placed["replica_key"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("host"))
+        .agg(
+            F.sum(F.when(F.col("rank") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_primary"),
+            F.sum(F.when(F.col("rank") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_replica"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+    )

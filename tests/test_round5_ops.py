@@ -222,3 +222,33 @@ def test_entity_resolution_links_typos_rejects_decoys(spark):
         assert (ck, ck + 1000000000) in linked, f"typo dup of {ck} not linked"
     decoys = {r for pair in linked for r in pair if r >= 2000000000}
     assert not decoys, f"decoy registrations linked: {decoys}"
+
+
+def test_incremental_stats_totals_match_diff_classes(spark):
+    """Sum of per-source doc counts must equal the v2 cardinality implied
+    by the snapshot-diff classes (added + modified + unchanged)."""
+    stats = REG["corpus_incremental_stats"].fn(spark, SF_SMALL).collect()
+    assert stats
+    for r in stats:
+        assert r["n_tokens"] >= r["n_docs"] > 0
+        assert r["n_chars"] >= r["n_tokens"]
+    diff = {r["status"]: r["n_docs"] for r in REG["corpus_snapshot_diff"].fn(spark, SF_SMALL).collect()}
+    v2_docs = diff.get("added", 0) + diff.get("modified", 0) + diff.get("unchanged", 0)
+    assert sum(r["n_docs"] for r in stats) == v2_docs
+
+
+def test_replica_sets_conservation_and_balance(spark):
+    """Every block places exactly RF replicas: per-host totals sum to
+    RF x #blocks, primaries sum to #blocks, and the LCG token dispersion
+    must put load on every host."""
+    from snackfs_spark.operators.interval_join import REPLICATION_FACTOR
+    from snackfs_spark.sources.fsmodel import RING_NODES, blocks_df
+
+    rows = REG["fs_replica_sets"].fn(spark, SF_SMALL).collect()
+    n_blocks = blocks_df(spark, SF_SMALL).count()
+    assert len(rows) == RING_NODES
+    assert sum(r["n_primary"] for r in rows) == n_blocks
+    assert sum(r["n_total"] for r in rows) == REPLICATION_FACTOR * n_blocks
+    for r in rows:
+        assert r["n_total"] == r["n_primary"] + r["n_replica"]
+        assert r["n_total"] > 0, f"host {r['host']} has no replicas"

@@ -87,6 +87,8 @@ QUERIES = [
     "fs_fsck",
     "dedup_span_ngrams",
     "dedup_entity_resolution",
+    "corpus_incremental_stats",
+    "fs_replica_sets",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
