@@ -127,6 +127,7 @@ HEADLINE_R9 = [
     "dedup_entity_resolution",
     "corpus_incremental_stats",
     "fs_replica_sets",
+    "corpus_takedown_audit",
 ]
 
 

@@ -1272,3 +1272,120 @@ def corpus_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 0)
     )
+
+
+# ------------------------------------------------------- takedown cascade ----
+#
+# Right-to-be-forgotten / takedown compliance: a deletion request for a
+# set of documents must cascade through every DERIVED artifact the
+# pipeline materialized from them — the raw rows, the chunked store
+# content, the inverted-index postings, and the shingle tables the dedup
+# stack keys on. At 100 TB each leg is a semi-join from the (tiny,
+# broadcastable) takedown list into one artifact — never a scan-and-
+# filter of anything but the artifact itself, and the audit output is
+# one row per artifact class.
+
+TAKEDOWN_BUCKET = 23  # md5(doc_id) % 23 == 7 -> doc is under takedown
+
+
+@register(
+    "corpus_takedown_audit",
+    oracle=f"""
+    WITH takedown AS (
+      SELECT doc_id, source, text, n_chars FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {TAKEDOWN_BUCKET} = 7
+    ),
+    chunk_rows AS (
+      SELECT doc_id,
+             CAST(ceil(n_chars / 64.0) AS BIGINT) AS n_chunks,
+             CAST(n_chars AS BIGINT) AS chunk_bytes
+      FROM takedown
+    ),
+    postings AS (
+      SELECT COUNT(*) AS n, SUM(octet_length(encode(token))) AS b
+      FROM (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM takedown
+      )
+    ),
+    shingle_rows AS (
+      SELECT COUNT(*) AS n, SUM(octet_length(encode(shingle))) AS b
+      FROM (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' ') AS shingle
+        FROM (
+          SELECT doc_id, text,
+                 unnest(range(0, greatest(len(string_split(text, ' ')) - 2, 0))) AS i
+          FROM takedown
+        )
+      )
+    )
+    SELECT 'documents' AS artifact,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+    FROM takedown
+    UNION ALL
+    SELECT 'content_chunks', CAST(SUM(n_chunks) AS BIGINT), CAST(SUM(chunk_bytes) AS BIGINT)
+    FROM chunk_rows
+    UNION ALL
+    SELECT 'index_postings', CAST(n AS BIGINT), CAST(b AS BIGINT) FROM postings
+    UNION ALL
+    SELECT 'shingle_rows', CAST(n AS BIGINT), CAST(b AS BIGINT) FROM shingle_rows
+    """,
+)
+def corpus_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown cascade audit: for the docs under deletion request
+    (deterministic md5 bucket standing in for the request list), the row
+    and byte counts to purge from each derived artifact — raw documents,
+    the chunked content store (fsmodel sub-blocks), inverted-index
+    postings, and the dedup shingle table. Every leg is driven from the
+    takedown list side; artifact scans stay semi-join-prunable (at scale:
+    broadcast the request list, partition-prune by doc/path key)."""
+    from snackfs_spark.operators.dedup import shingles_df
+    from snackfs_spark.sources.fsmodel import content_df, _doc_path
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % TAKEDOWN_BUCKET
+        == 7
+    )
+    doc_row = target.agg(
+        F.lit("documents").alias("artifact"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("n_bytes"),
+    )
+    # content chunks: semi-join the chunk store on the takedown paths
+    paths = target.select(_doc_path().alias("path"))
+    chunks = content_df(spark, sf_dir).join(F.broadcast(paths), "path", "left_semi")
+    chunk_row = chunks.agg(
+        F.lit("content_chunks").alias("artifact"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("length").cast("long").alias("n_bytes"),
+    )
+    # inverted-index postings: distinct (doc, token) for takedown docs
+    postings = (
+        target.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    posting_row = postings.agg(
+        F.lit("index_postings").alias("artifact"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.octet_length("token")).cast("long").alias("n_bytes"),
+    )
+    # shingle table: distinct 3-gram rows for takedown docs (semi-join
+    # into the same derivation the dedup stack uses)
+    sh = shingles_df(spark, sf_dir).join(
+        F.broadcast(target.select("doc_id")), "doc_id", "left_semi"
+    )
+    shingle_row = sh.agg(
+        F.lit("shingle_rows").alias("artifact"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.octet_length("shingle")).cast("long").alias("n_bytes"),
+    )
+    return (
+        doc_row.unionByName(chunk_row)
+        .unionByName(posting_row)
+        .unionByName(shingle_row)
+    )

@@ -252,3 +252,19 @@ def test_replica_sets_conservation_and_balance(spark):
     for r in rows:
         assert r["n_total"] == r["n_primary"] + r["n_replica"]
         assert r["n_total"] > 0, f"host {r['host']} has no replicas"
+
+
+def test_takedown_cascade_conservation(spark):
+    """The chunk store must account for every takedown byte exactly
+    (sub-block lengths partition the doc text), and each artifact leg is
+    non-empty at fixture scale."""
+    rows = {r["artifact"]: r for r in REG["corpus_takedown_audit"].fn(spark, SF_SMALL).collect()}
+    assert set(rows) == {"documents", "content_chunks", "index_postings", "shingle_rows"}
+    assert rows["documents"]["n_rows"] > 0
+    assert rows["content_chunks"]["n_bytes"] == rows["documents"]["n_bytes"]
+    # 64-char sub-blocks: chunk rows within [bytes/64, bytes/64 + n_docs]
+    lo = rows["documents"]["n_bytes"] // 64
+    hi = lo + rows["documents"]["n_rows"]
+    assert lo <= rows["content_chunks"]["n_rows"] <= hi
+    assert rows["index_postings"]["n_rows"] > 0
+    assert rows["shingle_rows"]["n_rows"] > 0

@@ -89,6 +89,7 @@ QUERIES = [
     "dedup_entity_resolution",
     "corpus_incremental_stats",
     "fs_replica_sets",
+    "corpus_takedown_audit",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
