@@ -128,6 +128,7 @@ HEADLINE_R9 = [
     "corpus_incremental_stats",
     "fs_replica_sets",
     "corpus_takedown_audit",
+    "pit_feature_join",
 ]
 
 

@@ -460,3 +460,109 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma"),
         )
     )
+
+
+# -------------------------------------------------- point-in-time join ----
+#
+# Feature-store correctness workhorse: join each fact row to the
+# dimension VERSION valid at the fact's timestamp (no leakage from
+# future versions, no stale reads past a change). The naive form is a
+# non-equi range join (fact.ts BETWEEN valid_from AND valid_to) — a
+# shuffle-heavy interval join at scale. The scalable Spark form used
+# here is union + window: version rows and fact rows share one shuffle
+# keyed by the entity, sorted by (ts, kind), and the valid attribute
+# propagates forward with last(ignorenulls) — O(one shuffle), no range
+# predicate. The DuckDB oracle IS the naive range join (valid_to via
+# lead()), so the hash match is a cross-algorithm proof, not a mirror.
+
+PIT_EPOCH = "1990-01-01"   # every entity's version-1 start
+PIT_V2_BASE = "1996-01-01"  # bucketed entities change mid-history
+
+
+@register(
+    "pit_feature_join",
+    oracle=f"""
+    WITH versions AS (
+      SELECT c_custkey, c_mktsegment AS seg, DATE '{PIT_EPOCH}' AS valid_from
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'NEW-' || c_mktsegment,
+             DATE '{PIT_V2_BASE}' + INTERVAL (c_custkey % 48) MONTH
+      FROM customer
+      WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 3 = 1
+    ),
+    ranged AS (
+      SELECT c_custkey, seg, valid_from,
+             COALESCE(lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from),
+                      DATE '9999-12-31') AS valid_to
+      FROM versions
+    )
+    SELECT r.seg AS seg_at_order,
+           CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN ranged r
+      ON o.o_custkey = r.c_custkey
+     AND CAST(o.o_orderdate AS DATE) >= r.valid_from
+     AND CAST(o.o_orderdate AS DATE) <  r.valid_to
+    GROUP BY r.seg, year(o.o_orderdate)
+    """,
+)
+def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) join of orders against a versioned customer
+    dimension, rolled up by the segment valid AT ORDER TIME x year.
+    Implemented as union + per-entity window (ONE shuffle on custkey);
+    the oracle is the equivalent range join — different algorithm, same
+    answer. Version 2 rows are injected deterministically (md5 bucket,
+    per-entity change date) so both leak directions are exercised."""
+    from snackfs_spark.functions import dsum
+
+    cust = load_table(spark, sf_dir, "customer")
+    v1 = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.lit(PIT_EPOCH).cast("date").alias("ts"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    bucket3 = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 3
+    )
+    v2 = cust.filter(bucket3 == 1).select(
+        F.col("c_custkey").alias("k"),
+        F.add_months(F.lit(PIT_V2_BASE).cast("date"), F.col("c_custkey") % 48).alias(
+            "ts"
+        ),
+        F.concat(F.lit("NEW-"), F.col("c_mktsegment")).alias("seg"),
+    )
+    versions = v1.unionByName(v2).select(
+        "k", "ts", F.lit(0).alias("kind"), "seg", F.lit(None).cast("double").alias("price")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("ts"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("string").alias("seg"),
+        F.col("o_totalprice").alias("price"),
+    )
+    merged = versions.unionByName(orders)
+    # version rows sort before fact rows on the same date (kind 0 < 1):
+    # a version effective on the order date applies to that order
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_seg = merged.withColumn("seg_at", F.last("seg", ignorenulls=True).over(w))
+    return (
+        with_seg.filter(F.col("kind") == 1)
+        .groupBy(
+            F.col("seg_at").alias("seg_at_order"),
+            F.year("ts").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum(money("price"), "revenue"),
+        )
+    )

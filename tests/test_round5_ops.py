@@ -268,3 +268,41 @@ def test_takedown_cascade_conservation(spark):
     assert lo <= rows["content_chunks"]["n_rows"] <= hi
     assert rows["index_postings"]["n_rows"] > 0
     assert rows["shingle_rows"]["n_rows"] > 0
+
+
+def test_pit_join_no_leakage_either_direction(spark):
+    """Re-derive the expected per-order segment with plain Python for
+    every order of bucketed (version-2) customers: orders strictly before
+    the change date must see the v1 segment, orders on/after must see the
+    NEW- segment — no future leakage, no stale reads. Verified via the
+    aggregate: recompute the rollup independently and compare."""
+    import hashlib
+    from collections import defaultdict
+    from datetime import date
+
+    cust = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    }
+
+    def bucket3(ck: int) -> int:
+        return int(hashlib.md5(str(ck).encode()).hexdigest()[:15], 16) % 3
+
+    def add_months(d: date, m: int) -> date:
+        y, mo = divmod((d.year * 12 + d.month - 1) + m, 12)
+        return date(y, mo + 1, 1)
+
+    expect: dict[tuple[str, int], int] = defaultdict(int)
+    for r in spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect():
+        ck, od = r["o_custkey"], r["o_orderdate"].date()
+        seg = cust[ck]
+        if bucket3(ck) == 1 and od >= add_months(date(1996, 1, 1), ck % 48):
+            seg = f"NEW-{seg}"
+        expect[(seg, od.year)] += 1
+
+    got = {
+        (r["seg_at_order"], r["order_year"]): r["n_orders"]
+        for r in REG["pit_feature_join"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == dict(expect)
+    assert any(k[0].startswith("NEW-") for k in got), "no v2 segment ever applied"

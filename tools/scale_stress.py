@@ -90,6 +90,7 @@ QUERIES = [
     "corpus_incremental_stats",
     "fs_replica_sets",
     "corpus_takedown_audit",
+    "pit_feature_join",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
