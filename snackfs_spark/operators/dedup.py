@@ -932,12 +932,47 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.filter(
         F.col("rk")
         <= F.col("sz") - F.ceil(PREFIX_JACCARD_T * F.col("sz")) + 1
-    ).select("doc_id", "shingle")
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
+    ).select(
+        "doc_id",
+        "shingle",
+        F.col("rk").cast("int").alias("rk"),
+        F.col("sz").cast("int").alias("sz"),
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        F.col("rk").alias("rk_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    # the prefix relation is corpus-proportional: like df_counts above it
+    # must NEVER be broadcast (the rk/sz columns made it look small
+    # enough post-filter that AQE tried at the 100x scale and OOMed
+    # deserializing the hashed relation) — pin the shuffled strategy
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        "shingle",
+        F.col("rk").alias("rk_b"),
+        F.col("sz").alias("sz_b"),
+    ).hint("shuffle_hash")
+    # PPJoin's two EXACT candidate prunes (recall-preserving, so the
+    # brute-force-equality test still holds), in integer arithmetic so no
+    # float rounding can drop a borderline true pair at t = 1/2:
+    #   length filter   J >= t  =>  min(sz)/max(sz) >= t
+    #   positional      overlap <= 1 + min(remaining suffix) on the FIRST
+    #                   common ordered shingle, which for a true pair must
+    #                   reach ceil(t/(1+t) * (sz_a + sz_b))
+    length_ok = (2 * F.col("sz_a") >= F.col("sz_b")) & (
+        2 * F.col("sz_b") >= F.col("sz_a")
+    )
+    min_overlap = (F.col("sz_a") + F.col("sz_b") + 2).cast("long") / 3
+    ubound = 1 + F.least(
+        F.col("sz_a") - F.col("rk_a"), F.col("sz_b") - F.col("rk_b")
+    )
     cand = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(length_ok)
+        .filter(ubound >= F.floor(min_overlap))
         .select("doc_a", "doc_b")
         .distinct()
         .localCheckpoint(eager=False)
