@@ -60,3 +60,12 @@ def ts_str(col: str | Column) -> Column:
 def ts_str_sql(expr: str) -> str:
     """DuckDB twin of ts_str for oracle strings."""
     return f"strftime({expr}, '{TS_FMT_DUCK}')"
+
+
+def md5_bucket(col: Column, modulus: int) -> Column:
+    """First 60 bits of md5 as a non-negative int64, mod `modulus` —
+    bit-identical to DuckDB's ('0x' || substr(md5(x), 1, 15))::BIGINT %
+    m. The ONE cross-engine hash-bucket expression (deterministic fault
+    injection, sampling rings, split assignment live on it); change it
+    nowhere without changing every oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % modulus

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from snackfs_spark.functions import md5_bucket
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import fan_out, load_table
 
@@ -834,6 +835,11 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sets with Jaccard >= t MUST share at least one element among each
 # other's prefixes under a single global element order.
 PREFIX_JACCARD_T = 0.5
+# The same threshold as an exact rational, for the integer-arithmetic
+# candidate prunes (length + positional filters) — keep in sync with
+# PREFIX_JACCARD_T or recall silently drops below the threshold.
+PREFIX_T_NUM, PREFIX_T_DEN = 1, 2
+assert PREFIX_T_NUM / PREFIX_T_DEN == PREFIX_JACCARD_T
 
 
 @register(
@@ -956,15 +962,25 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).hint("shuffle_hash")
     # PPJoin's two EXACT candidate prunes (recall-preserving, so the
     # brute-force-equality test still holds), in integer arithmetic so no
-    # float rounding can drop a borderline true pair at t = 1/2:
+    # float rounding can drop a borderline true pair. Both derive from
+    # the rational form of the threshold (t = NUM/DEN):
     #   length filter   J >= t  =>  min(sz)/max(sz) >= t
+    #                   <=> DEN*min(sz) >= NUM*max(sz)
     #   positional      overlap <= 1 + min(remaining suffix) on the FIRST
     #                   common ordered shingle, which for a true pair must
-    #                   reach ceil(t/(1+t) * (sz_a + sz_b))
-    length_ok = (2 * F.col("sz_a") >= F.col("sz_b")) & (
-        2 * F.col("sz_b") >= F.col("sz_a")
+    #                   reach ceil(t/(1+t)*(sa+sb)) = ceil(NUM*(sa+sb) /
+    #                   (NUM+DEN)), i.e. (NUM*(sa+sb) + NUM+DEN-1) div
+    #                   (NUM+DEN) in exact integers
+    length_ok = (
+        PREFIX_T_DEN * F.least(F.col("sz_a"), F.col("sz_b"))
+        >= PREFIX_T_NUM * F.greatest(F.col("sz_a"), F.col("sz_b"))
     )
-    min_overlap = (F.col("sz_a") + F.col("sz_b") + 2).cast("long") / 3
+    nd = PREFIX_T_NUM + PREFIX_T_DEN
+    # sz values are doc shingle counts (< 2^26 even at absurd doc sizes),
+    # so the double division is exact and floor() is the integer div
+    min_overlap = F.floor(
+        (PREFIX_T_NUM * (F.col("sz_a") + F.col("sz_b")) + (nd - 1)) / nd
+    )
     ubound = 1 + F.least(
         F.col("sz_a") - F.col("rk_a"), F.col("sz_b") - F.col("rk_b")
     )
@@ -972,7 +988,7 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(length_ok)
-        .filter(ubound >= F.floor(min_overlap))
+        .filter(ubound >= min_overlap)
         .select("doc_a", "doc_b")
         .distinct()
         .localCheckpoint(eager=False)
@@ -1080,7 +1096,12 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans merge into maximal spans per document (gaps-and-islands). Output
     is the per-doc duplication report a filtering pass keys on:
     (n_dup_spans, dup_tokens, dup_frac)."""
-    pos = _gram_positions(spark, sf_dir)
+    # checkpoint the O(total tokens) positions relation: it feeds BOTH
+    # the dup-gram aggregate and the semi-join probe side, and without
+    # the cut the tokenize+md5 projection runs twice (code-review r5:
+    # three parquet scans, zero reuse — same fix as dedup_prefix_filter's
+    # shingle checkpoint)
+    pos = _gram_positions(spark, sf_dir).localCheckpoint(eager=False)
     dup = (
         pos.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -1182,16 +1203,8 @@ def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     injected same-block decoys must all be rejected (pinned in
     tests/test_round5_ops.py)."""
     cust = load_table(spark, sf_dir, "customer")
-    bucket7 = (
-        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        % 7
-    )
-    bucket11 = (
-        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        % 11
-    )
+    bucket7 = md5_bucket(F.col("c_custkey").cast("string"), 7)
+    bucket11 = md5_bucket(F.col("c_custkey").cast("string"), 11)
     base = cust.select(
         F.col("c_custkey").cast("long").alias("reg_id"),
         "c_name",

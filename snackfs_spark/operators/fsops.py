@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from snackfs_spark.catalog import SnackCatalog
 from snackfs_spark.registry import register
 from snackfs_spark.sources.fsmodel import content_df, files_df, fs_sql
-from snackfs_spark.functions import ts_str
+from snackfs_spark.functions import md5_bucket, ts_str
 from snackfs_spark.sources.tables import load_table
 
 STAT_PATH = "/data/src2/doc_42.txt"
@@ -489,9 +489,9 @@ FSCK_STALE_SHRINK = 37  # bytes "lost" by a stale-INode append
 
 
 def _md5_bucket(col, modulus: int):
-    """First 60 bits of md5 as a non-negative int64, mod `modulus` —
-    bit-identical to DuckDB's ('0x' || substr(md5(x),1,15))::BIGINT."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % modulus
+    """Back-compat local name for functions.md5_bucket (tests import it
+    from here); one shared cross-engine expression, defined once."""
+    return md5_bucket(col, modulus)
 
 
 @register(

@@ -137,10 +137,12 @@ REPLICATION_FACTOR = 3  # Cassandra SimpleStrategy: owner + RF-1 ring successors
         f"""
         , owners AS (
             SELECT b.path, b.block_idx,
-                   CAST(r.tok_start / {RING_STEP} AS BIGINT) AS owner_key
-            FROM blocks b JOIN ring r
+                   CAST(n0.n_nationkey AS BIGINT) AS owner_key
+            FROM blocks b
+            JOIN ring r
               ON (r.tok_start < r.tok_end AND b.token > r.tok_start AND b.token <= r.tok_end)
               OR (r.tok_start >= r.tok_end AND (b.token > r.tok_start OR b.token <= r.tok_end))
+            JOIN nation n0 ON r.host = n0.n_name
         ),
         placed AS (
             SELECT o.path, o.block_idx, rk.rank,
@@ -178,10 +180,20 @@ def fs_replica_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrap = (r["tok_start"] >= r["tok_end"]) & (
         (b["token"] > r["tok_start"]) | (b["token"] <= r["tok_end"])
     )
-    owners = b.join(r, normal | wrap).select(
-        "path",
-        "block_idx",
-        (F.col("tok_start") / RING_STEP).cast("long").alias("owner_key"),
+    # the owner's node key comes from the HOST IDENTITY (join back to
+    # nation), not from dividing tok_start by RING_STEP: the division is
+    # exact only while ranges start at exact multiples, and Spark's cast
+    # truncates where DuckDB's rounds — a silent one-host shift the
+    # moment the ring layout changes (code-review r5)
+    owner_keys = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_name").alias("host"), F.col("n_nationkey").alias("owner_key")
+        )
+    )
+    owners = (
+        b.join(r, normal | wrap)
+        .join(owner_keys, "host")
+        .select("path", "block_idx", F.col("owner_key").cast("long").alias("owner_key"))
     )
     placed = owners.select(
         "path",

@@ -1345,11 +1345,10 @@ def corpus_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from snackfs_spark.sources.fsmodel import content_df, _doc_path
 
     docs = load_table(spark, sf_dir, "documents")
+    from snackfs_spark.functions import md5_bucket
+
     target = docs.filter(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        % TAKEDOWN_BUCKET
-        == 7
+        md5_bucket(F.col("doc_id").cast("string"), TAKEDOWN_BUCKET) == 7
     )
     doc_row = target.agg(
         F.lit("documents").alias("artifact"),

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from snackfs_spark.functions import money
+from snackfs_spark.functions import md5_bucket, money
 from snackfs_spark.catalog import SnackCatalog
 from snackfs_spark.functions import ts_str
 from snackfs_spark.registry import register
@@ -524,11 +524,7 @@ def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(PIT_EPOCH).cast("date").alias("ts"),
         F.col("c_mktsegment").alias("seg"),
     )
-    bucket3 = (
-        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        % 3
-    )
+    bucket3 = md5_bucket(F.col("c_custkey").cast("string"), 3)
     v2 = cust.filter(bucket3 == 1).select(
         F.col("c_custkey").alias("k"),
         F.add_months(F.lit(PIT_V2_BASE).cast("date"), F.col("c_custkey") % 48).alias(
