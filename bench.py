@@ -129,6 +129,7 @@ HEADLINE_R9 = [
     "fs_replica_sets",
     "corpus_takedown_audit",
     "pit_feature_join",
+    "events_drift_tv",
 ]
 
 

@@ -2938,3 +2938,100 @@ def join_size_estimate_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("exact_join_size"))
     )
     return est.crossJoin(exact)
+
+
+# ---------------------------------------------------------- drift monitor ----
+#
+# Distribution-drift monitoring: the production guard that catches a
+# source changing under the pipeline (schema'd the same, distributed
+# differently). Drift score = total-variation distance between each
+# week's value histogram and that event type's FIRST week, computed as
+# an exact integer lattice: TV = sum_i |o_i*Nb - b_i*Nw| / (2*Nw*Nb),
+# where the numerator is a sum of INTEGERS (bit-identical in any
+# engine, any partitioning) and only the final normalization divides.
+# PSI/KL need log() — libm territory, banned from hash-checked paths
+# (DESIGN.md float rules); TV is the log-free drift metric with the
+# same monotone "bigger = more drift" contract.
+
+DRIFT_EPOCH = "2024-01-01"  # week 0 anchor (events fixture range)
+_WEEK_SQL = f"date_diff('day', DATE '{DRIFT_EPOCH}', CAST(ts AS DATE)) // 7"
+_WEEK_SPARK = f"(datediff(CAST(ts AS DATE), DATE'{DRIFT_EPOCH}') div 7)"
+
+
+@register(
+    "events_drift_tv",
+    oracle=f"""
+    WITH o AS (
+      SELECT event_type, CAST({_WEEK_SQL} AS BIGINT) AS week,
+             {_HIST_BUCKET_SQL} AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    b AS (SELECT event_type, bucket, n AS bn FROM o WHERE week = 0),
+    weeks AS (SELECT event_type, week, CAST(SUM(n) AS BIGINT) AS nw FROM o GROUP BY 1, 2),
+    base_tot AS (SELECT event_type, CAST(SUM(bn) AS BIGINT) AS nb FROM b GROUP BY 1),
+    allb AS (
+      SELECT DISTINCT event_type, bucket FROM o
+      UNION SELECT event_type, bucket FROM b
+    ),
+    grid AS (
+      SELECT a.event_type, w.week, a.bucket, w.nw, bt.nb,
+             COALESCE(oo.n, 0) AS o_n, COALESCE(bb.bn, 0) AS b_n
+      FROM allb a
+      JOIN weeks w ON w.event_type = a.event_type
+      JOIN base_tot bt ON bt.event_type = a.event_type
+      LEFT JOIN o oo ON oo.event_type = a.event_type AND oo.week = w.week AND oo.bucket = a.bucket
+      LEFT JOIN b bb ON bb.event_type = a.event_type AND bb.bucket = a.bucket
+    )
+    SELECT event_type, week,
+           CAST(MAX(nw) AS BIGINT) AS n_events,
+           CAST(SUM(abs(o_n * nb - b_n * nw)) AS BIGINT) AS tv_numer,
+           CAST(SUM(abs(o_n * nb - b_n * nw)) AS DOUBLE)
+             / (2.0e0 * MAX(nw) * MAX(nb)) AS tv_distance
+    FROM grid GROUP BY event_type, week
+    """,
+)
+def events_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly value-distribution drift per event type: exact
+    total-variation distance against that type's week-0 histogram.
+    ONE scan builds the (type, week, bucket) counts; everything after is
+    arithmetic over <= types x weeks x 22 bucket rows — at 100 TB the
+    monitor costs one histogram pass, and the integer TV numerator makes
+    the score bit-reproducible for alerting thresholds."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.groupBy(
+        "event_type",
+        F.expr(_WEEK_SPARK).cast("long").alias("week"),
+        F.expr(_HIST_BUCKET_SQL).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    o = o.localCheckpoint(eager=False)
+    b = o.filter(F.col("week") == 0).select("event_type", "bucket", F.col("n").alias("bn"))
+    weeks = o.groupBy("event_type", "week").agg(F.sum("n").cast("long").alias("nw"))
+    base_tot = b.groupBy("event_type").agg(F.sum("bn").cast("long").alias("nb"))
+    allb = (
+        o.select("event_type", "bucket")
+        .unionByName(b.select("event_type", "bucket"))
+        .distinct()
+    )
+    grid = (
+        allb.join(weeks, "event_type")
+        .join(base_tot, "event_type")
+        .join(o.select("event_type", "week", "bucket", "n"), ["event_type", "week", "bucket"], "left")
+        .join(b, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "week",
+            "nw",
+            "nb",
+            F.coalesce(F.col("n"), F.lit(0)).alias("o_n"),
+            F.coalesce(F.col("bn"), F.lit(0)).alias("b_n"),
+        )
+    )
+    lattice = F.abs(F.col("o_n") * F.col("nb") - F.col("b_n") * F.col("nw"))
+    return grid.groupBy("event_type", "week").agg(
+        F.max("nw").cast("long").alias("n_events"),
+        F.sum(lattice).cast("long").alias("tv_numer"),
+        (
+            F.sum(lattice).cast("double")
+            / (F.lit(2.0) * F.max("nw") * F.max("nb"))
+        ).alias("tv_distance"),
+    )

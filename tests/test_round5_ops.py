@@ -310,3 +310,18 @@ def test_pit_join_no_leakage_either_direction(spark):
     }
     assert got == dict(expect)
     assert any(k[0].startswith("NEW-") for k in got), "no v2 segment ever applied"
+
+
+def test_drift_tv_bounds_and_self_distance(spark):
+    """TV is a metric on distributions: week 0 vs itself must be EXACTLY
+    zero (integer numerator, not epsilon-zero), and every distance lies
+    in [0, 1]."""
+    rows = REG["events_drift_tv"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    week0 = [r for r in rows if r["week"] == 0]
+    assert week0
+    for r in week0:
+        assert r["tv_numer"] == 0 and r["tv_distance"] == 0.0
+    for r in rows:
+        assert 0.0 <= r["tv_distance"] <= 1.0
+        assert r["n_events"] > 0

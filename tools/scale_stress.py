@@ -91,6 +91,7 @@ QUERIES = [
     "fs_replica_sets",
     "corpus_takedown_audit",
     "pit_feature_join",
+    "events_drift_tv",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
