@@ -130,6 +130,7 @@ HEADLINE_R9 = [
     "corpus_takedown_audit",
     "pit_feature_join",
     "events_drift_tv",
+    "approx_overlap_hll",
 ]
 
 

@@ -3035,3 +3035,159 @@ def events_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2.0) * F.max("nw") * F.max("nb"))
         ).alias("tv_distance"),
     )
+
+
+@register(
+    "approx_overlap_hll",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS v
+      FROM events
+    ),
+    ranks AS (
+      SELECT event_type,
+             v >> {HLL_WBITS} AS bucket,
+             CASE WHEN (v & {(1 << HLL_WBITS) - 1}) > 0
+                  THEN {HLL_WBITS + 1} - length(bin(v & {(1 << HLL_WBITS) - 1}))
+                  ELSE {HLL_WBITS + 1} END AS r
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, bucket, MAX(r) AS reg
+      FROM ranks GROUP BY event_type, bucket
+    ),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b ON a.event_type < b.event_type
+    ),
+    union_regs AS (
+      SELECT p.ta, p.tb, r.bucket, MAX(r.reg) AS reg
+      FROM pairs p JOIN regs r ON r.event_type IN (p.ta, p.tb)
+      GROUP BY p.ta, p.tb, r.bucket
+    ),
+    lat AS (
+      SELECT event_type,
+             CAST(SUM(1::BIGINT << ({HLL_WBITS + 1} - reg)) AS BIGINT)
+               + ({HLL_M} - COUNT(*)) * (1::BIGINT << {HLL_WBITS + 1}) AS s
+      FROM regs GROUP BY event_type
+    ),
+    ulat AS (
+      SELECT ta, tb,
+             CAST(SUM(1::BIGINT << ({HLL_WBITS + 1} - reg)) AS BIGINT)
+               + ({HLL_M} - COUNT(*)) * (1::BIGINT << {HLL_WBITS + 1}) AS s
+      FROM union_regs GROUP BY ta, tb
+    ),
+    ex AS (
+      SELECT p.ta, p.tb, CAST(COUNT(*) AS BIGINT) AS exact_overlap
+      FROM pairs p
+      JOIN (SELECT DISTINCT event_type, user_id FROM events) ua ON ua.event_type = p.ta
+      JOIN (SELECT DISTINCT event_type, user_id FROM events) ub
+        ON ub.event_type = p.tb AND ub.user_id = ua.user_id
+      GROUP BY p.ta, p.tb
+    )
+    SELECT u.ta AS type_a, u.tb AS type_b,
+           u.s AS union_lattice,
+           ({_HLL_ALPHA} * {HLL_M * HLL_M}e0) * {1 << (HLL_WBITS + 1)}e0
+             / CAST(la.s AS DOUBLE)
+           + ({_HLL_ALPHA} * {HLL_M * HLL_M}e0) * {1 << (HLL_WBITS + 1)}e0
+             / CAST(lb.s AS DOUBLE)
+           - ({_HLL_ALPHA} * {HLL_M * HLL_M}e0) * {1 << (HLL_WBITS + 1)}e0
+             / CAST(u.s AS DOUBLE) AS overlap_estimate,
+           ex.exact_overlap
+    FROM ulat u
+    JOIN lat la ON la.event_type = u.ta
+    JOIN lat lb ON lb.event_type = u.tb
+    JOIN ex ON ex.ta = u.ta AND ex.tb = u.tb
+    """,
+)
+def approx_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA on the explicit-register HLL: the union sketch
+    of two groups is the elementwise register MAX (the mergeability the
+    explicit representation exists for), and the pairwise audience
+    overlap estimate follows by inclusion-exclusion — no second corpus
+    pass, no pairwise user join. At 100 TB the per-group sketches are
+    <= m rows each; every pair estimate is arithmetic over merged
+    registers. The exact overlap (one distinct-pair join) rides along as
+    the quality reference at test scale."""
+    ev = fan_out(load_table(spark, sf_dir, "events"), spark)
+    v = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    w = F.col("v").bitwiseAND(F.lit((1 << HLL_WBITS) - 1))
+    r = F.when(w > 0, F.lit(HLL_WBITS + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(HLL_WBITS + 1)
+    )
+    regs = (
+        ev.select("event_type", v.alias("v"))
+        .select(
+            "event_type",
+            F.shiftright(F.col("v"), HLL_WBITS).alias("bucket"),
+            r.alias("r"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("reg"))
+        .localCheckpoint(eager=False)
+    )
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .join(types.select(F.col("event_type").alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    union_regs = (
+        F.broadcast(pairs)
+        .join(regs, regs["event_type"].isin(F.col("ta"), F.col("tb")) == F.lit(True))
+        .groupBy("ta", "tb", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+
+    def lattice(df: DataFrame, keys: list[str]) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            (
+                F.sum(
+                    F.expr(f"shiftleft(1L, CAST({HLL_WBITS + 1} - reg AS INT))")
+                )
+                + (F.lit(HLL_M) - F.count(F.lit(1)))
+                * F.lit(1 << (HLL_WBITS + 1))
+            )
+            .cast("long")
+            .alias("s")
+        )
+
+    lat = lattice(regs, ["event_type"])
+    ulat = lattice(union_regs, ["ta", "tb"])
+    users = ev.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
+    ex = (
+        F.broadcast(pairs.select(F.col("ta").alias("xta"), F.col("tb").alias("xtb")))
+        .join(users.select(F.col("event_type").alias("xta"), "user_id"), "xta")
+        .join(
+            users.select(F.col("event_type").alias("xtb"), F.col("user_id").alias("u2")),
+            "xtb",
+        )
+        .filter(F.col("user_id") == F.col("u2"))
+        .groupBy("xta", "xtb")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+    )
+    est = (
+        f"({_HLL_ALPHA} * {HLL_M * HLL_M}e0) * {1 << (HLL_WBITS + 1)}e0"
+        " / CAST({s} AS DOUBLE)"
+    )
+    out = (
+        ulat.join(lat.select(F.col("event_type").alias("ta"), F.col("s").alias("sa")), "ta")
+        .join(lat.select(F.col("event_type").alias("tb"), F.col("s").alias("sb")), "tb")
+        .join(
+            ex,
+            (F.col("ta") == F.col("xta")) & (F.col("tb") == F.col("xtb")),
+        )
+    )
+    return out.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("s").alias("union_lattice"),
+        F.expr(
+            est.format(s="sa") + " + " + est.format(s="sb") + " - " + est.format(s="s")
+        ).alias("overlap_estimate"),
+        "exact_overlap",
+    )

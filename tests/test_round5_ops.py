@@ -325,3 +325,19 @@ def test_drift_tv_bounds_and_self_distance(spark):
     for r in rows:
         assert 0.0 <= r["tv_distance"] <= 1.0
         assert r["n_events"] > 0
+
+
+def test_hll_overlap_sketch_algebra(spark):
+    """Union-by-register-MAX must dominate both members: the union
+    lattice sum is <= either member's (higher registers shrink the sum),
+    and the inclusion-exclusion estimate stays below est_a + est_b."""
+    singles = {
+        r["event_type"]: r["lattice_sum"]
+        for r in REG["approx_distinct_hll"].fn(spark, SF_ORACLE).collect()
+    }
+    pairs = REG["approx_overlap_hll"].fn(spark, SF_ORACLE).collect()
+    assert pairs
+    for r in pairs:
+        assert r["union_lattice"] <= singles[r["type_a"]]
+        assert r["union_lattice"] <= singles[r["type_b"]]
+        assert r["exact_overlap"] >= 0

@@ -92,6 +92,7 @@ QUERIES = [
     "corpus_takedown_audit",
     "pit_feature_join",
     "events_drift_tv",
+    "approx_overlap_hll",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
