@@ -131,6 +131,7 @@ HEADLINE_R9 = [
     "pit_feature_join",
     "events_drift_tv",
     "approx_overlap_hll",
+    "events_attribution",
 ]
 
 

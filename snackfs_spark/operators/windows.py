@@ -562,3 +562,156 @@ def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(money("price"), "revenue"),
         )
     )
+
+
+# ------------------------------------------------ multi-touch attribution ----
+#
+# Marketing-style attribution as a window/join workload: each purchase
+# credits the user's clicks in the trailing 7 days under three standard
+# models — first-touch, last-touch, and linear (credit split across all
+# touchpoints). Scale shape: the touchpoint match is a user-keyed
+# EQUI-join with a time filter (the sessionize shape — per-user event
+# counts bound the pair fan-out; never a global range join), and each
+# model then collapses to a channel-keyed rollup.
+#
+# Determinism: first/last picks use a lexicographic (epoch_us, event_id,
+# channel) string key (portable argmax — struct/tuple MAX orderings are
+# engine-specific); linear credit is computed on an INTEGER lattice
+# (micro-cents, truncating div by the touch count) so the per-channel
+# sums are bit-exact under any partitioning in both engines.
+
+ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback, microseconds
+
+
+@register(
+    "events_attribution",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, epoch_us(ts) AS e, event_id,
+             'ch' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS VARCHAR) AS channel
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, epoch_us(ts) AS e, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touched AS (
+      SELECT p.event_id AS pid, p.cents, c.channel,
+             lpad(CAST(c.e AS VARCHAR), 20, '0') || '|'
+               || lpad(CAST(c.event_id AS VARCHAR), 12, '0') || '|' || c.channel AS ck
+      FROM purchases p
+      JOIN clicks c ON c.user_id = p.user_id
+       AND c.e <= p.e AND c.e > p.e - {ATTR_WINDOW_US}
+    ),
+    per_purchase AS (
+      SELECT pid, cents,
+             MIN(ck) AS first_ck, MAX(ck) AS last_ck,
+             CAST(COUNT(*) AS BIGINT) AS n_touch
+      FROM touched GROUP BY pid, cents
+    ),
+    linear_credit AS (
+      SELECT t.channel,
+             SUM((pp.cents * 10000) // pp.n_touch) AS micro
+      FROM touched t JOIN per_purchase pp ON pp.pid = t.pid
+      GROUP BY t.channel
+    ),
+    ft AS (
+      SELECT split_part(first_ck, '|', 3) AS channel,
+             CAST(COUNT(*) AS BIGINT) AS n_first,
+             CAST(SUM(cents) AS BIGINT) AS ft_cents
+      FROM per_purchase GROUP BY 1
+    ),
+    lt AS (
+      SELECT split_part(last_ck, '|', 3) AS channel,
+             CAST(COUNT(*) AS BIGINT) AS n_last,
+             CAST(SUM(cents) AS BIGINT) AS lt_cents
+      FROM per_purchase GROUP BY 1
+    )
+    SELECT lc.channel,
+           COALESCE(ft.n_first, 0) AS n_first,
+           CAST(COALESCE(ft.ft_cents, 0) AS DOUBLE) / 100.0e0 AS first_touch_revenue,
+           COALESCE(lt.n_last, 0) AS n_last,
+           CAST(COALESCE(lt.lt_cents, 0) AS DOUBLE) / 100.0e0 AS last_touch_revenue,
+           CAST(lc.micro AS BIGINT) AS linear_micro,
+           CAST(lc.micro AS DOUBLE) / 1000000.0e0 AS linear_revenue
+    FROM linear_credit lc
+    LEFT JOIN ft ON ft.channel = lc.channel
+    LEFT JOIN lt ON lt.channel = lc.channel
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: purchases credit trailing-7-day clicks
+    per user under first-touch, last-touch, and linear models. Every
+    channel that touched at least one purchase appears (linear credit is
+    the anchor); first/last columns are zero-filled where that model
+    never picked the channel."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("e"),
+        "event_id",
+        F.concat(
+            F.lit("ch"),
+            (F.get_json_object("props", "$.k").cast("long") % 5).cast("string"),
+        ).alias("channel"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("pe"),
+        F.col("event_id").alias("pid"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ck = F.concat(
+        F.lpad(F.col("e").cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.lit("|"),
+        F.col("channel"),
+    )
+    touched = (
+        purchases.join(clicks, purchases["p_user"] == clicks["user_id"])
+        .filter((F.col("e") <= F.col("pe")) & (F.col("e") > F.col("pe") - ATTR_WINDOW_US))
+        .select("pid", "cents", "channel", ck.alias("ck"))
+        .localCheckpoint(eager=False)
+    )
+    per_purchase = touched.groupBy("pid", "cents").agg(
+        F.min("ck").alias("first_ck"),
+        F.max("ck").alias("last_ck"),
+        F.count(F.lit(1)).cast("long").alias("n_touch"),
+    )
+    linear = (
+        touched.join(per_purchase.select("pid", "n_touch"), "pid")
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.floor((F.col("cents") * 10000) / F.col("n_touch")).cast("long")
+            ).alias("micro")
+        )
+    )
+    chan_of = lambda col: F.substring_index(F.col(col), "|", -1)
+    ft = per_purchase.groupBy(chan_of("first_ck").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_first"),
+        F.sum("cents").cast("long").alias("ft_cents"),
+    )
+    lt = per_purchase.groupBy(chan_of("last_ck").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_last"),
+        F.sum("cents").cast("long").alias("lt_cents"),
+    )
+    return (
+        linear.join(ft, "channel", "left")
+        .join(lt, "channel", "left")
+        .select(
+            "channel",
+            F.coalesce(F.col("n_first"), F.lit(0)).cast("long").alias("n_first"),
+            (F.coalesce(F.col("ft_cents"), F.lit(0)).cast("double") / 100.0).alias(
+                "first_touch_revenue"
+            ),
+            F.coalesce(F.col("n_last"), F.lit(0)).cast("long").alias("n_last"),
+            (F.coalesce(F.col("lt_cents"), F.lit(0)).cast("double") / 100.0).alias(
+                "last_touch_revenue"
+            ),
+            F.col("micro").cast("long").alias("linear_micro"),
+            (F.col("micro").cast("double") / 1000000.0).alias("linear_revenue"),
+        )
+    )

@@ -341,3 +341,21 @@ def test_hll_overlap_sketch_algebra(spark):
         assert r["union_lattice"] <= singles[r["type_a"]]
         assert r["union_lattice"] <= singles[r["type_b"]]
         assert r["exact_overlap"] >= 0
+
+
+def test_attribution_conserves_revenue_across_models(spark):
+    """First-touch and last-touch each assign every touched purchase to
+    exactly one channel, so their totals must be identical; linear credit
+    totals the same revenue minus only integer-div truncation (< 1
+    micro-cent per touchpoint)."""
+    rows = REG["events_attribution"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    ft_total = round(sum(r["first_touch_revenue"] for r in rows), 2)
+    lt_total = round(sum(r["last_touch_revenue"] for r in rows), 2)
+    assert ft_total == lt_total > 0
+    assert sum(r["n_first"] for r in rows) == sum(r["n_last"] for r in rows)
+    linear_micro = sum(r["linear_micro"] for r in rows)
+    total_micro = int(ft_total * 100) * 10000
+    assert linear_micro <= total_micro
+    # truncation loses < 1 microcent per (purchase, touch) pair
+    assert total_micro - linear_micro < 10_000_000

@@ -93,6 +93,7 @@ QUERIES = [
     "pit_feature_join",
     "events_drift_tv",
     "approx_overlap_hll",
+    "events_attribution",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
