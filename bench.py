@@ -132,6 +132,7 @@ HEADLINE_R9 = [
     "events_drift_tv",
     "approx_overlap_hll",
     "events_attribution",
+    "corpus_funnel_report",
 ]
 
 

@@ -537,7 +537,10 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 FLUENCY_MIN = 32_000_000_000  # min avg bigram lattice prob (~0.032 * 1e12)
 
 
-def _corpus_v2_oracle() -> str:
+def _corpus_v2_ctes() -> str:
+    """The corpus-v2 gate signals as a reusable DuckDB CTE block —
+    shared by the capstone count and the funnel report so the two
+    oracles can never drift apart."""
     from snackfs_spark.operators.clustering import (
         N_LABELS,
         SEMDEDUP_TAU,
@@ -602,7 +605,11 @@ def _corpus_v2_oracle() -> str:
       HAVING SUM(CAST(round_even((CAST(bc.c2 AS DOUBLE) / uc.c1) * 1e12, 0)
                       AS BIGINT)) // COUNT(*) >= {FLUENCY_MIN}
     )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+"""
+
+
+def _corpus_v2_oracle() -> str:
+    return _corpus_v2_ctes() + f"""    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS ws_tokens
     FROM documents d
     JOIN keepers k ON k.doc_id = d.doc_id
@@ -1387,4 +1394,95 @@ def corpus_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_row.unionByName(chunk_row)
         .unionByName(posting_row)
         .unionByName(shingle_row)
+    )
+
+
+def _funnel_oracle() -> str:
+    stages = f"""
+    , s1 AS (SELECT k.doc_id FROM keepers k),
+    s2 AS (SELECT s1.doc_id FROM s1 JOIN quality q ON q.doc_id = s1.doc_id),
+    s3 AS (SELECT s2.doc_id FROM s2 JOIN fluent f ON f.doc_id = s2.doc_id),
+    s4 AS (SELECT s3.doc_id FROM s3 LEFT JOIN sem_dropped sd
+           ON sd.vec_id = s3.doc_id WHERE sd.vec_id IS NULL),
+    s5 AS (SELECT doc_id FROM s4 WHERE {_BUCKET_SQL} < {TRAIN_PCT}),
+    counts AS (
+      SELECT 0 AS stage_idx, 'raw' AS stage,
+             (SELECT COUNT(*) FROM documents) AS n_docs
+      UNION ALL SELECT 1, 'exact_dedup', (SELECT COUNT(*) FROM s1)
+      UNION ALL SELECT 2, 'quality', (SELECT COUNT(*) FROM s2)
+      UNION ALL SELECT 3, 'fluency', (SELECT COUNT(*) FROM s3)
+      UNION ALL SELECT 4, 'semantic_dedup', (SELECT COUNT(*) FROM s4)
+      UNION ALL SELECT 5, 'train_split', (SELECT COUNT(*) FROM s5)
+    )
+    SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(COALESCE(lag(n_docs) OVER (ORDER BY stage_idx) - n_docs, 0)
+                AS BIGINT) AS n_rejected
+    FROM counts
+    """
+    return _corpus_v2_ctes() + stages
+
+
+@register("corpus_funnel_report", oracle=_funnel_oracle())
+def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: the corpus-build funnel as per-stage
+    cumulative survivor and rejection counts (raw -> exact dedup ->
+    quality -> fluency -> semantic dedup -> train split) — the dataset-
+    card / lineage table every production corpus ships with. Re-derives
+    the SAME gate signals as corpus_build_v2 (shared oracle CTEs, shared
+    Spark helpers), so the funnel can never disagree with the capstone;
+    each stage count is a key-only semi-join chain and the report itself
+    is six rows."""
+    from snackfs_spark.operators.clustering import semantic_scaled_dropped
+    from snackfs_spark.operators.textstats import text_bigram_prob
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id").localCheckpoint(eager=False)
+    toks = F.split(F.col("text"), " ")
+    quality = docs.filter(
+        F.col("n_chars").between(100, 500) & (F.size(toks) >= 20)
+    ).select("doc_id")
+    s2 = s1.join(quality, "doc_id", "left_semi").localCheckpoint(eager=False)
+    fluent = (
+        text_bigram_prob(spark, sf_dir)
+        .filter(F.expr(f"prob_lattice_sum div n_bigrams") >= F.lit(FLUENCY_MIN))
+        .select("doc_id")
+    )
+    s3 = s2.join(fluent, "doc_id", "left_semi").localCheckpoint(eager=False)
+    _, sem_dropped = semantic_scaled_dropped(spark, sf_dir)
+    s4 = s3.join(
+        F.broadcast(sem_dropped.withColumnRenamed("vec_id", "doc_id")),
+        "doc_id",
+        "left_anti",
+    ).localCheckpoint(eager=False)
+    s5 = s4.filter(_bucket(F.col("doc_id")) < TRAIN_PCT)
+
+    stages = [
+        ("raw", docs.select("doc_id")),
+        ("exact_dedup", s1),
+        ("quality", s2),
+        ("fluency", s3),
+        ("semantic_dedup", s4),
+        ("train_split", s5),
+    ]
+    counts = None
+    for i, (name, df) in enumerate(stages):
+        row = df.agg(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("stage_idx")
+    return counts.select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        F.coalesce(F.lag("n_docs").over(w) - F.col("n_docs"), F.lit(0))
+        .cast("long")
+        .alias("n_rejected"),
     )

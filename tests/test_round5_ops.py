@@ -359,3 +359,21 @@ def test_attribution_conserves_revenue_across_models(spark):
     assert linear_micro <= total_micro
     # truncation loses < 1 microcent per (purchase, touch) pair
     assert total_micro - linear_micro < 10_000_000
+
+
+def test_funnel_agrees_with_capstone_and_is_monotone(spark):
+    """The funnel's last stage must equal corpus_build_v2's n_docs
+    exactly (shared gate signals), counts never increase, and rejections
+    reconcile adjacent stages."""
+    rows = sorted(
+        REG["corpus_funnel_report"].fn(spark, SF_ORACLE).collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "raw", "exact_dedup", "quality", "fluency", "semantic_dedup", "train_split",
+    ]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_docs"] <= prev["n_docs"]
+        assert cur["n_rejected"] == prev["n_docs"] - cur["n_docs"]
+    capstone = REG["corpus_build_v2"].fn(spark, SF_ORACLE).collect()[0]
+    assert rows[-1]["n_docs"] == capstone["n_docs"]

@@ -94,6 +94,7 @@ QUERIES = [
     "events_drift_tv",
     "approx_overlap_hll",
     "events_attribution",
+    "corpus_funnel_report",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
