@@ -621,6 +621,43 @@ def _corpus_v2_oracle() -> str:
     """
 
 
+def _corpus_v2_gates(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The v2 gate signals as key-only DataFrames (keepers, quality,
+    fluent, sem_dropped-as-doc_id) — the single Spark-side source of
+    truth, shared by corpus_build_v2 and corpus_funnel_report exactly
+    as _corpus_v2_ctes is shared on the oracle side, so the capstone
+    and the funnel cannot drift apart on either engine."""
+    from snackfs_spark.operators.clustering import semantic_scaled_dropped
+    from snackfs_spark.operators.textstats import text_bigram_prob
+
+    keepers = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    toks = F.split(F.col("text"), " ")
+    quality = docs.filter(
+        F.col("n_chars").between(100, 500) & (F.size(toks) >= 20)
+    ).select("doc_id")
+    fluent = (
+        text_bigram_prob(spark, sf_dir)
+        .filter(F.expr("prob_lattice_sum div n_bigrams") >= F.lit(FLUENCY_MIN))
+        .select("doc_id")
+    )
+    _, sem_dropped = semantic_scaled_dropped(spark, sf_dir)
+    # The drop set scales with corpus duplicate density, so it is
+    # corpus-proportional in the worst case — never broadcast it
+    # (same OOM hazard the 100x sweep measured on the prefix-filter
+    # b-side); the anti-join shares the semi-join chain's doc_id
+    # partitioning, so the pin only shuffles the small drop set.
+    sem_dropped = sem_dropped.withColumnRenamed("vec_id", "doc_id").hint(
+        "shuffle_hash"
+    )
+    return keepers, quality, fluent, sem_dropped
+
+
 @register("corpus_build_v2", oracle=_corpus_v2_oracle())
 def corpus_build_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 corpus-build capstone: the v1 recipe (exact dedup ∩
@@ -635,34 +672,14 @@ def corpus_build_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters stack. The same composition at 100 TB materializes each
     signal as a column once and AND-s them — which is exactly this
     plan's shape."""
-    from snackfs_spark.operators.clustering import semantic_scaled_dropped
-    from snackfs_spark.operators.textstats import text_bigram_prob
-
     docs = load_table(spark, sf_dir, "documents")
-    keepers = docs.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
+    keepers, quality, fluent, sem_dropped = _corpus_v2_gates(spark, sf_dir, docs)
     toks = F.split(F.col("text"), " ")
-    quality = docs.filter(
-        F.col("n_chars").between(100, 500) & (F.size(toks) >= 20)
-    ).select("doc_id")
-    fluent = (
-        text_bigram_prob(spark, sf_dir)
-        .filter(
-            F.expr(f"prob_lattice_sum div n_bigrams") >= F.lit(FLUENCY_MIN)
-        )
-        .select("doc_id")
-    )
-    _, sem_dropped = semantic_scaled_dropped(spark, sf_dir)
     kept = (
-        docs.join(keepers.select("doc_id"), "doc_id", "left_semi")
+        docs.join(keepers, "doc_id", "left_semi")
         .join(quality, "doc_id", "left_semi")
         .join(fluent, "doc_id", "left_semi")
-        .join(
-            F.broadcast(sem_dropped.withColumnRenamed("vec_id", "doc_id")),
-            "doc_id",
-            "left_anti",
-        )
+        .join(sem_dropped, "doc_id", "left_anti")
         .filter(_bucket(F.col("doc_id")) < TRAIN_PCT)
     )
     return kept.agg(
@@ -1114,8 +1131,6 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shard count = writer parallelism (same knob as pack_sequences'
     shards). Hash-uniform shards are skew-free by construction."""
     docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
     rnd = F.md5(F.concat(F.lit(f"{SHUFFLE_SALT}|"), F.col("doc_id").cast("string")))
     h = docs.select(
         "doc_id",
@@ -1433,30 +1448,12 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark helpers), so the funnel can never disagree with the capstone;
     each stage count is a key-only semi-join chain and the report itself
     is six rows."""
-    from snackfs_spark.operators.clustering import semantic_scaled_dropped
-    from snackfs_spark.operators.textstats import text_bigram_prob
-
     docs = load_table(spark, sf_dir, "documents")
-    s1 = docs.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
-    ).select("doc_id").localCheckpoint(eager=False)
-    toks = F.split(F.col("text"), " ")
-    quality = docs.filter(
-        F.col("n_chars").between(100, 500) & (F.size(toks) >= 20)
-    ).select("doc_id")
+    keepers, quality, fluent, sem_dropped = _corpus_v2_gates(spark, sf_dir, docs)
+    s1 = keepers.localCheckpoint(eager=False)
     s2 = s1.join(quality, "doc_id", "left_semi").localCheckpoint(eager=False)
-    fluent = (
-        text_bigram_prob(spark, sf_dir)
-        .filter(F.expr(f"prob_lattice_sum div n_bigrams") >= F.lit(FLUENCY_MIN))
-        .select("doc_id")
-    )
     s3 = s2.join(fluent, "doc_id", "left_semi").localCheckpoint(eager=False)
-    _, sem_dropped = semantic_scaled_dropped(spark, sf_dir)
-    s4 = s3.join(
-        F.broadcast(sem_dropped.withColumnRenamed("vec_id", "doc_id")),
-        "doc_id",
-        "left_anti",
-    ).localCheckpoint(eager=False)
+    s4 = s3.join(sem_dropped, "doc_id", "left_anti").localCheckpoint(eager=False)
     s5 = s4.filter(_bucket(F.col("doc_id")) < TRAIN_PCT)
 
     stages = [
@@ -1475,8 +1472,6 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
         )
         counts = row if counts is None else counts.unionByName(row)
-    from pyspark.sql import Window
-
     w = Window.orderBy("stage_idx")
     return counts.select(
         "stage_idx",
