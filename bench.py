@@ -136,6 +136,13 @@ HEADLINE_R9 = [
 ]
 
 
+# Round-10 additions (final stretch of build round 5): the z-order
+# data-skipping report (one fact scan + tiny-table algebra).
+HEADLINE_R10 = [
+    "layout_zorder_skipping",
+]
+
+
 # Cumulative round groups: drives BOTH the emitted rNN_comparable_subtotal
 # keys and the regression-alarm baselines, so a new round group added here
 # is automatically reported AND gated (code-review r5: the hand-copied
@@ -150,6 +157,7 @@ ROUNDS = [
     HEADLINE_R7,
     HEADLINE_R8,
     HEADLINE_R9,
+    HEADLINE_R10,
 ]
 
 

@@ -1,0 +1,195 @@
+"""Storage-layout analytics: quantify data-skipping effectiveness.
+
+`sources/zorder.py` provides the Morton-curve writer (the Delta
+OPTIMIZE ZORDER analog). This module closes the loop with an
+oracle-checked QUERY that measures what the layout buys: for a workload
+of 2-D range predicates, how many file-sized buckets must be read under
+a single-column (linear) sort versus a z-ordered sort. This is the
+report a table-maintenance service runs before deciding whether a
+100 TB re-cluster pays for itself — the whole analysis is one scan plus
+arithmetic over a few hundred bucket-stat rows.
+
+Everything is integer arithmetic (scaling, bit interleave, bucket ids,
+rectangle intersection), so the comparison is bit-identical in any
+engine at any partitioning — no float in sight.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snackfs_spark.registry import register
+from snackfs_spark.sources.tables import load_table
+from snackfs_spark.sources.zorder import Z_BITS, zorder_key
+
+# 256 buckets per layout = the "file" granularity of the model: bucket
+# stats play the role of parquet footer min/max. 2^8 buckets over a
+# 2^16 scaled domain means a z bucket covers a 4096x4096 rectangle
+# (8 high z bits = 4 from each dimension) while a linear bucket covers
+# a 256-wide full-height slab.
+LAYOUT_BUCKET_BITS = 8
+_SPAN = (1 << Z_BITS) - 1  # 65535
+
+# Workload: a 4x4 grid of query rectangles, each 1/8 of the scaled
+# domain per dimension (~1.6% selectivity) — selective enough that
+# skipping matters, spread so both dimensions' extremes are probed.
+_Q_W = 1 << (Z_BITS - 3)  # 8192
+_QUERIES = [
+    (q, (q % 4) * (_SPAN + 1) // 4, (q % 4) * (_SPAN + 1) // 4 + _Q_W - 1,
+     (q // 4) * (_SPAN + 1) // 4, (q // 4) * (_SPAN + 1) // 4 + _Q_W - 1)
+    for q in range(16)
+]
+
+
+def _morton_sql(sa: str, sb: str, bits: int = Z_BITS) -> str:
+    """The zorder_key bit interleave as portable SQL (DuckDB oracle)."""
+    # CAST: a bare literal or narrow column is INT32 in DuckDB and the
+    # high interleave bits overflow a 32-bit shift.
+    a, b = f"CAST({sa} AS BIGINT)", f"CAST({sb} AS BIGINT)"
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def _layout_oracle() -> str:
+    values = ", ".join(
+        f"({q}, {alo}, {ahi}, {blo}, {bhi})" for q, alo, ahi, blo, bhi in _QUERIES
+    )
+    zshift = 2 * Z_BITS - LAYOUT_BUCKET_BITS
+    lshift = Z_BITS - LAYOUT_BUCKET_BITS
+    return f"""
+    WITH stats AS (
+      SELECT MIN(l_orderkey) AS a_min, MAX(l_orderkey) AS a_max,
+             MIN(l_partkey) AS b_min, MAX(l_partkey) AS b_max
+      FROM lineitem
+    ),
+    scaled AS (
+      SELECT ((l_orderkey - a_min) * {_SPAN}) // greatest(a_max - a_min, 1) AS sa,
+             ((l_partkey - b_min) * {_SPAN}) // greatest(b_max - b_min, 1) AS sb
+      FROM lineitem CROSS JOIN stats
+    ),
+    keyed AS (
+      SELECT sa, sb, ({_morton_sql("sa", "sb")}) AS z FROM scaled
+    ),
+    layouts AS (
+      SELECT 'linear' AS layout, sa >> {lshift} AS bucket, sa, sb FROM keyed
+      UNION ALL
+      SELECT 'zorder' AS layout, z >> {zshift} AS bucket, sa, sb FROM keyed
+    ),
+    bstats AS (
+      SELECT layout, bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(sa) AS min_a, MAX(sa) AS max_a,
+             MIN(sb) AS min_b, MAX(sb) AS max_b
+      FROM layouts GROUP BY layout, bucket
+    ),
+    totals AS (
+      SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_buckets_total
+      FROM bstats GROUP BY layout
+    ),
+    queries(query_id, a_lo, a_hi, b_lo, b_hi) AS (VALUES {values}),
+    reads AS (
+      SELECT s.layout, q.query_id,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets_read,
+             CAST(SUM(s.n_rows) AS BIGINT) AS n_rows_read
+      FROM bstats s CROSS JOIN queries q
+      WHERE NOT (s.max_a < q.a_lo OR s.min_a > q.a_hi
+                 OR s.max_b < q.b_lo OR s.min_b > q.b_hi)
+      GROUP BY s.layout, q.query_id
+    )
+    SELECT t.layout, CAST(q.query_id AS BIGINT) AS query_id,
+           t.n_buckets_total,
+           COALESCE(r.n_buckets_read, 0) AS n_buckets_read,
+           COALESCE(r.n_rows_read, 0) AS n_rows_read
+    FROM totals t CROSS JOIN queries q
+    LEFT JOIN reads r ON r.layout = t.layout AND r.query_id = q.query_id
+    """
+
+
+@register("layout_zorder_skipping", oracle=_layout_oracle())
+def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping comparison: for 16 two-dimensional range queries
+    over (l_orderkey, l_partkey), how many of 256 file-sized buckets
+    each layout must read, judged by per-bucket min/max stats exactly
+    as a parquet reader prunes row groups by footer stats. 'linear'
+    buckets the sort order a single-column layout produces; 'zorder'
+    buckets the Morton key `sources/zorder.py` writes. The z layout
+    should read far fewer buckets on queries constraining BOTH columns
+    — this query is the measurement that justifies (or rejects) paying
+    the one-time re-cluster sort at 100 TB.
+
+    Scale: one fact scan computes scaled keys and the Morton interleave
+    as pure codegen'd bit arithmetic; the only shuffle is the
+    (layout, bucket) aggregate onto 512 keys, fully map-side combined.
+    Bucket stats (512 rows) cross the 16-query workload driver-free;
+    everything after the scan is O(buckets x queries), independent of
+    table size."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    stats = li.agg(
+        F.min("l_orderkey").alias("a_min"),
+        F.max("l_orderkey").alias("a_max"),
+        F.min("l_partkey").alias("b_min"),
+        F.max("l_partkey").alias("b_max"),
+    )
+    scaled = li.join(F.broadcast(stats)).selectExpr(
+        f"((l_orderkey - a_min) * {_SPAN}) div greatest(a_max - a_min, 1) AS sa",
+        f"((l_partkey - b_min) * {_SPAN}) div greatest(b_max - b_min, 1) AS sb",
+    )
+    keyed = scaled.withColumn("z", zorder_key("sa", "sb"))
+    lin_bucket = F.shiftrightunsigned(F.col("sa"), Z_BITS - LAYOUT_BUCKET_BITS)
+    z_bucket = F.shiftrightunsigned(F.col("z"), 2 * Z_BITS - LAYOUT_BUCKET_BITS)
+    both = keyed.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("linear").alias("layout"), lin_bucket.alias("bucket")),
+                F.struct(F.lit("zorder").alias("layout"), z_bucket.alias("bucket")),
+            )
+        ).alias("lb"),
+        "sa",
+        "sb",
+    ).select("lb.layout", "lb.bucket", "sa", "sb")
+    bstats = both.groupBy("layout", "bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("sa").alias("min_a"),
+        F.max("sa").alias("max_a"),
+        F.min("sb").alias("min_b"),
+        F.max("sb").alias("max_b"),
+    )
+    # 512 bucket-stat rows: everything below is driver-free tiny-table
+    # algebra, so pin it once instead of recomputing the scan per leg.
+    bstats = bstats.localCheckpoint(eager=False)
+    totals = bstats.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_buckets_total")
+    )
+    queries = spark.createDataFrame(
+        _QUERIES, "query_id long, a_lo long, a_hi long, b_lo long, b_hi long"
+    )
+    reads = (
+        bstats.crossJoin(F.broadcast(queries))
+        .filter(
+            ~(
+                (F.col("max_a") < F.col("a_lo"))
+                | (F.col("min_a") > F.col("a_hi"))
+                | (F.col("max_b") < F.col("b_lo"))
+                | (F.col("min_b") > F.col("b_hi"))
+            )
+        )
+        .groupBy("layout", "query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets_read"),
+            F.sum("n_rows").alias("n_rows_read"),
+        )
+    )
+    return (
+        totals.crossJoin(F.broadcast(queries.select("query_id")))
+        .join(reads, ["layout", "query_id"], "left")
+        .select(
+            "layout",
+            F.col("query_id").cast("long").alias("query_id"),
+            "n_buckets_total",
+            F.coalesce("n_buckets_read", F.lit(0)).cast("long").alias("n_buckets_read"),
+            F.coalesce("n_rows_read", F.lit(0)).cast("long").alias("n_rows_read"),
+        )
+    )

@@ -159,6 +159,7 @@ def load_all() -> dict[str, Query]:
         functions_battery,
         graph,
         interval_join,
+        layout,
         multimodal,
         relational,
         sampling,

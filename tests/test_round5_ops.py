@@ -377,3 +377,62 @@ def test_funnel_agrees_with_capstone_and_is_monotone(spark):
         assert cur["n_rejected"] == prev["n_docs"] - cur["n_docs"]
     capstone = REG["corpus_build_v2"].fn(spark, SF_ORACLE).collect()[0]
     assert rows[-1]["n_docs"] == capstone["n_docs"]
+
+
+def test_zorder_skipping_beats_linear_on_two_column_queries(spark):
+    """The layout report's whole claim: on rectangles constraining BOTH
+    key columns, the Morton layout reads fewer buckets than the linear
+    layout on aggregate, every query's reads are within [0, total], and
+    rows_read covers at least the rows actually matching the rectangle
+    (min/max pruning is conservative, never lossy)."""
+    rows = REG["layout_zorder_skipping"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 32  # 2 layouts x 16 queries
+    by = {(r["layout"], r["query_id"]): r for r in rows}
+    lin = sum(by[("linear", q)]["n_buckets_read"] for q in range(16))
+    zor = sum(by[("zorder", q)]["n_buckets_read"] for q in range(16))
+    assert 0 < zor < lin
+    for r in rows:
+        assert 0 <= r["n_buckets_read"] <= r["n_buckets_total"] <= 256
+        assert r["n_rows_read"] >= 0
+    # pruning is conservative: reading the flagged buckets can never
+    # miss a matching row, so rows_read >= exact selectivity count
+    from snackfs_spark.operators.layout import _QUERIES, _SPAN
+    from snackfs_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    stats = li.agg(
+        F.min("l_orderkey").alias("a_min"), F.max("l_orderkey").alias("a_max"),
+        F.min("l_partkey").alias("b_min"), F.max("l_partkey").alias("b_max"),
+    )
+    scaled = li.join(F.broadcast(stats)).selectExpr(
+        f"((l_orderkey - a_min) * {_SPAN}) div greatest(a_max - a_min, 1) AS sa",
+        f"((l_partkey - b_min) * {_SPAN}) div greatest(b_max - b_min, 1) AS sb",
+    )
+    q0, a_lo, a_hi, b_lo, b_hi = _QUERIES[0]
+    exact = scaled.filter(
+        F.col("sa").between(a_lo, a_hi) & F.col("sb").between(b_lo, b_hi)
+    ).count()
+    for layout in ("linear", "zorder"):
+        assert by[(layout, q0)]["n_rows_read"] >= exact
+
+
+def test_morton_sql_matches_spark_interleave(spark):
+    """The oracle's generated bit-interleave SQL and the Spark-side
+    zorder_key must be the same function on raw probe values."""
+    import duckdb
+
+    from snackfs_spark.operators.layout import _morton_sql
+    from snackfs_spark.sources.zorder import zorder_key
+
+    probes = [(0, 0), (1, 0), (0, 1), (65535, 0), (0, 65535), (12345, 54321)]
+    con = duckdb.connect()
+    for a, b in probes:
+        want = con.execute(
+            f"SELECT {_morton_sql(str(a), str(b))}"
+        ).fetchone()[0]
+        got = (
+            spark.range(1)
+            .select(zorder_key(F.lit(a), F.lit(b)).alias("z"))
+            .collect()[0]["z"]
+        )
+        assert got == want, (a, b)

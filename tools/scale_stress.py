@@ -95,6 +95,8 @@ QUERIES = [
     "approx_overlap_hll",
     "events_attribution",
     "corpus_funnel_report",
+    # layout analytics: one fact scan -> 512 bucket-stat rows
+    "layout_zorder_skipping",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
