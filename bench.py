@@ -137,9 +137,12 @@ HEADLINE_R9 = [
 
 
 # Round-10 additions (final stretch of build round 5): the z-order
-# data-skipping report (one fact scan + tiny-table algebra).
+# data-skipping report (one fact scan + tiny-table algebra), the
+# CCNet-style sort-free perplexity tertiles, and the k-anonymity audit.
 HEADLINE_R10 = [
     "layout_zorder_skipping",
+    "text_perplexity_buckets",
+    "privacy_k_anonymity",
 ]
 
 

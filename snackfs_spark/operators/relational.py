@@ -2859,6 +2859,76 @@ def dq_check_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r1.unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5).unionAll(r6)
 
 
+# ------------------------------------------------------- privacy audit ----
+#
+# k-anonymity: a released/training dataset is k-anonymous when every
+# combination of quasi-identifier values (attributes that re-identify a
+# person when joined against an external source) is shared by at least
+# k rows. The audit reports the k-class distribution — how many QI
+# groups exist at each group size and how many rows sit in groups below
+# the threshold — which is the go/no-go number a privacy review reads
+# before a corpus ships. Companion to the direct-identifier scrubbers
+# (events_pii_scan, text_redact): those remove identifiers, this
+# measures the re-identification risk that REMAINS in the quasis.
+
+K_ANON_THRESHOLD = 5
+# acctbal bands of 1000.00: two-decimal money -> exact cents via the
+# shared half-even rounding rule, shifted by +100000 cents so the band
+# division never sees a negative operand (Spark `div` truncates toward
+# zero, DuckDB `//` floors — they agree only on non-negative inputs).
+_ACCTBAL_BAND_SQL = (
+    "(CAST(round_even(c_acctbal * 100, 0) AS BIGINT) + 100000) // 100000"
+)
+_ACCTBAL_BAND_SPARK = (
+    "(CAST(bround(c_acctbal * 100, 0) AS BIGINT) + 100000) div 100000"
+)
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             {_ACCTBAL_BAND_SQL} AS acctbal_band,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT k AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           k < {K_ANON_THRESHOLD} AS at_risk
+    FROM qi GROUP BY k
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer table with quasi-identifiers
+    (nation, market segment, account-balance band): the distribution of
+    QI group sizes, flagging every group below the k threshold. Rows in at_risk
+    groups are the re-identifiable population a release must generalize
+    or suppress first.
+
+    Scale: one scan, one map-side-combined aggregate at QI cardinality
+    (bounded: |nations| x |segments| x |bands| regardless of row
+    count), then a second aggregate over that bounded relation onto
+    <= max(k) keys. Nothing row-proportional ever shuffles, so the
+    audit costs a scan at any table size."""
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(_ACCTBAL_BAND_SPARK).alias("acctbal_band"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    return qi.groupBy(F.col("k").alias("group_size")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("k").cast("long").alias("n_rows"),
+    ).select(
+        "group_size",
+        "n_groups",
+        "n_rows",
+        (F.col("group_size") < K_ANON_THRESHOLD).alias("at_risk"),
+    )
+
+
 @register(
     "join_size_estimate_cm",
     oracle=f"""

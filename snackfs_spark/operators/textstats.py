@@ -857,6 +857,118 @@ def text_bigram_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CCNet-style corpus partitioning (Wenzek et al., "CCNet: Extracting
+# high quality monolingual datasets from web crawl data"): score every
+# document with the corpus LM, split the corpus into head/middle/tail
+# thirds by score, and train preferentially on the head. The classic
+# implementation sorts all documents by perplexity to find tertiles — a
+# global sort of the corpus. Here the tertile boundaries come from a
+# BOUNDED score histogram instead: the per-doc lattice score divides
+# into <= 1001 fixed-width cells, cell counts aggregate map-side, and a
+# <= 1001-row cumulative window yields a cell -> bucket map that
+# broadcasts back. No global sort at any corpus size; boundaries are
+# cell-granular (documents sharing a cell share a bucket), which is the
+# deterministic, engine-portable contract.
+PPL_CELL = 10**9  # histogram cell width on the 1e12 bigram-prob lattice
+
+
+def _ppl_buckets_oracle() -> str:
+    return f"""
+    WITH scores AS ({_bigram_oracle()}),
+    docs2 AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             COALESCE(s.prob_lattice_sum // s.n_bigrams, -1) AS avg_q
+      FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id
+    ),
+    cells AS (
+      SELECT CASE WHEN avg_q < 0 THEN -1 ELSE avg_q // {PPL_CELL} END AS cell,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM docs2 GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    ranked AS (
+      SELECT cell,
+             CAST(SUM(cnt) OVER (ORDER BY cell DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - cnt AS BIGINT) AS cum_before
+      FROM cells
+    ),
+    cell_bucket AS (
+      SELECT r.cell,
+             CASE WHEN 3 * r.cum_before < t.n THEN 'head'
+                  WHEN 3 * r.cum_before < 2 * t.n THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM ranked r CROSS JOIN tot t
+    )
+    SELECT d.source, b.bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(d.avg_q) AS BIGINT) AS min_q,
+           CAST(MAX(d.avg_q) AS BIGINT) AS max_q
+    FROM docs2 d
+    JOIN cell_bucket b
+      ON b.cell = (CASE WHEN d.avg_q < 0 THEN -1 ELSE d.avg_q // {PPL_CELL} END)
+    GROUP BY d.source, b.bucket
+    """
+
+
+@register("text_perplexity_buckets", oracle=_ppl_buckets_oracle())
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partitioning by bigram-LM
+    score, reported per source (the dataset-mixture planning view:
+    which sources contribute fluent text, which contribute tail).
+    Higher mean bigram probability = more fluent = head. Documents too
+    short to score (< 2 tokens) carry avg_q = -1 and land in the tail.
+
+    Scale: the LM scoring is text_bigram_prob's plan (broadcast count
+    tables, one token-proportional shuffle). The tertile split does NOT
+    sort the corpus: scores histogram onto <= 1001 lattice cells
+    map-side, the cumulative split runs over that tiny relation, and
+    the cell -> bucket map broadcasts back — the CCNet global
+    perplexity sort replaced by two fixed-size aggregates."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    scores = text_bigram_prob(spark, sf_dir)
+    scored = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(scores, "doc_id", "left")
+        .withColumn(
+            "avg_q", F.expr("coalesce(prob_lattice_sum div n_bigrams, -1)")
+        )
+        .withColumn(
+            "cell",
+            F.expr(f"CASE WHEN avg_q < 0 THEN -1 ELSE avg_q div {PPL_CELL} END"),
+        )
+    )
+    cells = scored.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    # <= 1001 rows: the single-partition window is over the histogram,
+    # never the corpus.
+    w = Window.orderBy(F.col("cell").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cell_bucket = (
+        cells.withColumn("cum_before", F.sum("cnt").over(w) - F.col("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            F.when(3 * F.col("cum_before") < F.col("n"), "head")
+            .when(3 * F.col("cum_before") < 2 * F.col("n"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+    return (
+        scored.join(F.broadcast(cell_bucket), "cell")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("avg_q").cast("long").alias("min_q"),
+            F.max("avg_q").cast("long").alias("max_q"),
+        )
+    )
+
+
 BM25_K1_NUM, BM25_K1_DEN = 12, 10   # k1 = 1.2 as an exact rational
 BM25_B_NUM, BM25_B_DEN = 3, 4       # b = 0.75
 BM25_QUERY = ("table", "scan", "join")  # fixed query terms

@@ -436,3 +436,44 @@ def test_morton_sql_matches_spark_interleave(spark):
             .collect()[0]["z"]
         )
         assert got == want, (a, b)
+
+
+def test_perplexity_buckets_partition_corpus_and_order(spark):
+    """head/middle/tail must partition the corpus exactly, bucket score
+    ranges must be disjoint and ordered (cell-granular boundaries:
+    every head score > every middle score > every tail score), and the
+    head must hold roughly a third of documents."""
+    from snackfs_spark.sources.tables import load_table
+
+    rows = REG["text_perplexity_buckets"].fn(spark, SF_ORACLE).collect()
+    n_total = load_table(spark, SF_ORACLE, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    by_bucket = {}
+    for r in rows:
+        lo, hi, n = by_bucket.get(r["bucket"], (None, None, 0))
+        by_bucket[r["bucket"]] = (
+            r["min_q"] if lo is None else min(lo, r["min_q"]),
+            r["max_q"] if hi is None else max(hi, r["max_q"]),
+            n + r["n_docs"],
+        )
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert by_bucket["head"][0] > by_bucket["middle"][1]
+    assert by_bucket["middle"][0] > by_bucket["tail"][1]
+    head_frac = by_bucket["head"][2] / n_total
+    assert 0.15 < head_frac < 0.5
+
+
+def test_k_anonymity_partitions_rows_and_flags_correctly(spark):
+    """The k-class distribution must account for every customer row
+    exactly once (n_rows = group_size * n_groups, totals match the
+    table), and at_risk must be group_size < 5 precisely."""
+    from snackfs_spark.operators.relational import K_ANON_THRESHOLD
+    from snackfs_spark.sources.tables import load_table
+
+    rows = REG["privacy_k_anonymity"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    total = load_table(spark, SF_ORACLE, "customer").count()
+    assert sum(r["n_rows"] for r in rows) == total
+    for r in rows:
+        assert r["n_rows"] == r["group_size"] * r["n_groups"]
+        assert r["at_risk"] == (r["group_size"] < K_ANON_THRESHOLD)

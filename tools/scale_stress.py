@@ -97,6 +97,10 @@ QUERIES = [
     "corpus_funnel_report",
     # layout analytics: one fact scan -> 512 bucket-stat rows
     "layout_zorder_skipping",
+    # sort-free CCNet tertiles (bigram LM + bounded histogram split)
+    "text_perplexity_buckets",
+    # bounded-QI privacy audit
+    "privacy_k_anonymity",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
