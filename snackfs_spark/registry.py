@@ -88,7 +88,11 @@ PRIORITY: tuple[str, ...] = (
     # exact-substring dedup; q7/q10 stay repo-oracle green
     "fs_fsck",
     "dedup_span_ngrams",
-    "q13_customer_distribution",
+    # q13 (outer-join + conditional count) yields its slot to the
+    # z-order data-skipping report — the window's only storage-layout
+    # analytics row; the outer-join shape stays hash-checked via
+    # fs_fsck's FULL OUTER JOIN and q13 stays repo-oracle green
+    "layout_zorder_skipping",
     # q14 (filter+agg ratio — q6's family) yields its slot to the BPE
     # trainer so the iterative tokenizer path gets a driver-checked row;
     # q14 stays covered by the in-repo oracle replica
@@ -98,8 +102,12 @@ PRIORITY: tuple[str, ...] = (
     # VERDICT rotation directive; q18 stays repo-oracle green
     "events_quantiles_binned",
     "q22_idle_customers",
-    # declared operator families beyond the TPC-H shapes
-    "rel_price_band_join",
+    # declared operator families beyond the TPC-H shapes. The non-equi
+    # family's second rep (rel_price_band_join) yields its slot to the
+    # CCNet perplexity-tertile partitioner (sort-free corpus split — a
+    # training-pipeline class no other window query shows); the
+    # interval-join family stays hash-checked via fs_block_locations
+    "text_perplexity_buckets",
     "topk_orders",
     "setops_customer_years",
     "rollup_pricing",
@@ -122,7 +130,11 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_semantic_scaled",
-    "dedup_embedding_cosine",
+    # embedding-cosine near-dup yields its slot to entity-resolution
+    # record linkage (blocking + edit-distance verify — an algorithm
+    # class no other window query has); the embedding-similarity family
+    # stays hash-checked via dedup_semantic_scaled and the ANN slots
+    "dedup_entity_resolution",
     # §2.C similarity search + clustering (IVF probe registers after the
     # window; k-means is the iterative-algorithm representative)
     "ann_bruteforce_topk",

@@ -34,7 +34,10 @@ FAMILIES = {
     "filter/projection": "q6_revenue_forecast",
     "equi-join+agg": "q3_shipping_priority",
     "broadcast dims": "q5_regional_revenue",
-    "non-equi join": "rel_price_band_join",
+    # rel_price_band_join yielded its window slot to the round-5
+    # rotation; the family's hash-checked rep is the Q-BLOCKLOC
+    # broadcast interval join (token-ring ranges with wraparound)
+    "non-equi join": "fs_block_locations",
     "window ranking": "win_topk_orders_per_customer",
     "running sum": "win_running_order_total",
     "sort+limit": "topk_orders",
@@ -75,6 +78,13 @@ CLASSES = {
     # exact-substring dedup (a dedup granularity no other query has)
     "consistency scan (fsck)": "fs_fsck",
     "span-level dedup": "dedup_span_ngrams",
+    # final round-5 rotation: q13 / rel_price_band_join /
+    # dedup_embedding_cosine (families still represented — see the
+    # PRIORITY comments) yield slots to the storage-layout report, the
+    # sort-free CCNet corpus partitioner, and entity-resolution linkage
+    "storage layout / data skipping": "layout_zorder_skipping",
+    "corpus partitioning (CCNet)": "text_perplexity_buckets",
+    "record linkage (entity resolution)": "dedup_entity_resolution",
 }
 
 
