@@ -143,6 +143,7 @@ HEADLINE_R10 = [
     "layout_zorder_skipping",
     "text_perplexity_buckets",
     "privacy_k_anonymity",
+    "dedup_lsh_tuning",
 ]
 
 

@@ -118,27 +118,33 @@ bands AS (
 )
 
 
-def minhash_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, band_sig): LSH band signatures from a 16-hash
-    MinHash signature, 4 rows per band."""
-    # min() ignores duplicates, so the shingle-distinct shuffle is skipped
-    # entirely. All 16 permutation mins are computed as COLUMNS of one
-    # doc_id-keyed aggregate — no 16x row explode, ONE shuffle for the
-    # whole signature, and partial aggregation collapses each task's
-    # shingles to a single 16-column row before it ships. Band signatures
-    # are then pure projections; the 4 band rows appear only after the
-    # heavy aggregate (x4 of #docs, not x16 of #shingles).
+def minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh15): the 16-permutation MinHash signature.
+    min() ignores duplicates, so the shingle-distinct shuffle is skipped
+    entirely. All 16 permutation mins are computed as COLUMNS of one
+    doc_id-keyed aggregate — no 16x row explode, ONE shuffle for the
+    whole signature, and partial aggregation collapses each task's
+    shingles to a single 16-column row before it ships."""
     sh = shingles_df(spark, sf_dir, distinct=False)
     h31 = (
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
         % 2147483647
     )
-    sig = sh.groupBy("doc_id").agg(
+    return sh.groupBy("doc_id").agg(
         *[
             F.min((((2 * p + 3) * h31) + 99991 * p) % 2147483647).alias(f"mh{p}")
             for p in range(N_PERMS)
         ]
     )
+
+
+def minhash_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_sig): LSH band signatures from a 16-hash
+    MinHash signature, 4 rows per band. Band signatures are pure
+    projections over the signature aggregate; the 4 band rows appear
+    only after the heavy aggregate (x4 of #docs, not x16 of
+    #shingles)."""
+    sig = minhash_signature_df(spark, sf_dir)
     bands = F.array(
         *[
             F.struct(
@@ -995,6 +1001,189 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return verify_jaccard_pairs(
         spark, sf_dir, cand, threshold=PREFIX_JACCARD_T, shingles=sh
+    )
+
+
+# ----------------------------------------------------- LSH tuning report ----
+#
+# Choosing (bands, rows) is THE MinHash-LSH deployment decision: more
+# bands of fewer rows lowers the match threshold (recall up, precision
+# down), fewer bands of more rows the reverse. The classic guidance is
+# the S-curve formula 1-(1-s^r)^b — a model. This report measures the
+# real thing: each banding of the SAME 16-hash signature generates its
+# candidate set, scored against the EXACT-recall truth set the prefix
+# filter produces at J >= PREFIX_T_NUM/PREFIX_T_DEN. Configs bracket
+# the truth threshold: b8r2 matches near s=(1/8)^(1/2)~0.35 (recall
+# high), b4r4 ~0.71, b2r8 ~0.92 (precision high).
+LSH_CONFIGS = ((8, 2), (4, 4), (2, 8))  # (bands, rows), bands*rows = N_PERMS
+
+
+def _lsh_tuning_oracle() -> str:
+    cfg_selects = []
+    for nb, r in LSH_CONFIGS:
+        cfg_selects.append(f"""
+      SELECT 'b{nb}r{r}' AS config, doc_id, p // {r} AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY p)) AS band_sig
+      FROM minhash GROUP BY doc_id, p // {r}""")
+    cfg_bands = "\n      UNION ALL".join(cfg_selects)
+    cfg_values = ", ".join(f"('b{nb}r{r}', {nb}, {r})" for nb, r in LSH_CONFIGS)
+    return (
+        "WITH "
+        + _MINHASH_CTE
+        + f""",
+    cfg_bands AS ({cfg_bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.config, a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM cfg_bands a JOIN cfg_bands b
+        ON a.config = b.config AND a.band = b.band
+       AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM shingles a
+      JOIN shingles b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    -- exact truth at J >= NUM/DEN as an integer comparison:
+    -- i/(sa+sb-i) >= N/D  <=>  D*i >= N*(sa+sb-i). Equivalent to the
+    -- float form the prefix-filter oracle uses (rational gaps around
+    -- the threshold are >= 1/(2*union) >> ulp), but provably exact.
+    truth AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE {PREFIX_T_DEN} * i.i >= {PREFIX_T_NUM} * (sa.n + sb.n - i.i)
+    ),
+    tcount AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM truth),
+    configs(config, bands, rows_per_band) AS (VALUES {cfg_values}),
+    per_cfg AS (
+      SELECT c.config,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_true_found
+      FROM cand c
+      LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+      GROUP BY c.config
+    )
+    SELECT cf.config, CAST(cf.bands AS BIGINT) AS bands,
+           CAST(cf.rows_per_band AS BIGINT) AS rows_per_band,
+           COALESCE(p.n_candidates, 0) AS n_candidates,
+           COALESCE(p.n_true_found, 0) AS n_true_found,
+           tc.n_true_pairs,
+           CASE WHEN COALESCE(p.n_candidates, 0) = 0 THEN 0.0e0
+                ELSE CAST(p.n_true_found AS DOUBLE) / p.n_candidates
+           END AS precision,
+           CASE WHEN tc.n_true_pairs = 0 THEN 0.0e0
+                ELSE CAST(COALESCE(p.n_true_found, 0) AS DOUBLE)
+                     / tc.n_true_pairs
+           END AS recall
+    FROM configs cf
+    CROSS JOIN tcount tc
+    LEFT JOIN per_cfg p ON p.config = cf.config
+    """
+    )
+
+
+@register("dedup_lsh_tuning", oracle=_lsh_tuning_oracle())
+def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH parameter tuning: precision and recall of each
+    (bands, rows) banding of the shared 16-hash MinHash signature
+    against the prefix filter's exact-recall truth set at
+    J >= 1/2 — the empirical S-curve a deployment reads instead of
+    trusting the 1-(1-s^r)^b model. One row per config.
+
+    Scale: the signature aggregate is computed ONCE (the same one-pass
+    16-column plan as dedup_minhash_lsh) and checkpointed; every
+    config's bands are projections of it, unioned so ALL configs share
+    one band-keyed self-join shuffle. The truth side reuses the prefix
+    filter's adaptive candidate generation (exact recall, candidate
+    volume tracks data rarity — never all-pairs). Candidate and truth
+    relations are corpus-proportional: joined shuffled, never
+    broadcast (the 100x-sweep OOM rule)."""
+    sig = minhash_signature_df(spark, sf_dir).localCheckpoint(eager=False)
+    cfg_bands = None
+    for nb, r in LSH_CONFIGS:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{p}").cast("string")
+                                for p in range(b * r, (b + 1) * r)
+                            ],
+                        )
+                    ).alias("band_sig"),
+                )
+                for b in range(nb)
+            ]
+        )
+        one = sig.select(
+            F.lit(f"b{nb}r{r}").alias("config"),
+            "doc_id",
+            F.explode(bands).alias("bs"),
+        ).select("config", "doc_id", "bs.band", "bs.band_sig")
+        cfg_bands = one if cfg_bands is None else cfg_bands.unionByName(one)
+    right = cfg_bands.select(
+        F.col("config"),
+        F.col("doc_id").alias("doc_b"),
+        "band",
+        "band_sig",
+    ).hint("shuffle_hash")
+    cand = (
+        cfg_bands.select(
+            "config", F.col("doc_id").alias("doc_a"), "band", "band_sig"
+        )
+        .join(right, ["config", "band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("config", "doc_a", "doc_b")
+        .distinct()
+    )
+    truth = (
+        dedup_prefix_filter(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    tcount = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    per_cfg = (
+        cand.join(truth.withColumn("is_true", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .groupBy("config")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.coalesce("is_true", F.lit(0))).alias("n_true_found"),
+        )
+    )
+    configs = spark.createDataFrame(
+        [(f"b{nb}r{r}", nb, r) for nb, r in LSH_CONFIGS],
+        "config string, bands long, rows_per_band long",
+    )
+    return (
+        configs.crossJoin(F.broadcast(tcount))
+        .join(per_cfg, "config", "left")
+        .select(
+            "config",
+            "bands",
+            "rows_per_band",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("n_true_found", F.lit(0)).cast("long").alias("n_true_found"),
+            F.col("n_true_pairs").cast("long").alias("n_true_pairs"),
+            F.when(F.coalesce("n_candidates", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_true_found").cast("double") / F.col("n_candidates")
+            )
+            .alias("precision"),
+            F.when(F.col("n_true_pairs") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("n_true_found", F.lit(0)).cast("double")
+                / F.col("n_true_pairs")
+            )
+            .alias("recall"),
+        )
     )
 
 

@@ -477,3 +477,25 @@ def test_k_anonymity_partitions_rows_and_flags_correctly(spark):
     for r in rows:
         assert r["n_rows"] == r["group_size"] * r["n_groups"]
         assert r["at_risk"] == (r["group_size"] < K_ANON_THRESHOLD)
+
+
+def test_lsh_tuning_nested_configs_and_bounds(spark):
+    """The three bandings refine each other (an r=8 band match implies
+    both r=4 sub-band matches, etc.), so candidates and true-finds must
+    be monotone in the band count; all ratios bounded; truth count
+    config-independent."""
+    rows = {r["config"]: r for r in REG["dedup_lsh_tuning"].fn(spark, SF_ORACLE).collect()}
+    assert set(rows) == {"b8r2", "b4r4", "b2r8"}
+    truth_counts = {r["n_true_pairs"] for r in rows.values()}
+    assert len(truth_counts) == 1 and truth_counts.pop() > 0
+    order = ["b2r8", "b4r4", "b8r2"]  # increasing bands -> looser threshold
+    for lo, hi in zip(order, order[1:]):
+        assert rows[lo]["n_candidates"] <= rows[hi]["n_candidates"]
+        assert rows[lo]["n_true_found"] <= rows[hi]["n_true_found"]
+        assert rows[lo]["recall"] <= rows[hi]["recall"]
+    for r in rows.values():
+        assert 0 <= r["precision"] <= 1 and 0 <= r["recall"] <= 1
+        assert r["n_true_found"] <= min(r["n_candidates"], r["n_true_pairs"])
+    # the measured S-curve: the loosest banding must reach full recall
+    # on this corpus (its threshold ~0.35 sits below the truth J>=0.5)
+    assert rows["b8r2"]["recall"] == 1.0

@@ -101,6 +101,8 @@ QUERIES = [
     "text_perplexity_buckets",
     # bounded-QI privacy audit
     "privacy_k_anonymity",
+    # measured LSH S-curve (3 bandings vs exact-recall truth)
+    "dedup_lsh_tuning",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
