@@ -138,7 +138,8 @@ HEADLINE_R9 = [
 
 # Round-10 additions (final stretch of build round 5): the z-order
 # data-skipping report (one fact scan + tiny-table algebra), the
-# CCNet-style sort-free perplexity tertiles, and the k-anonymity audit.
+# CCNet-style sort-free perplexity tertiles, the k-anonymity audit,
+# and the measured LSH S-curve tuning report.
 HEADLINE_R10 = [
     "layout_zorder_skipping",
     "text_perplexity_buckets",

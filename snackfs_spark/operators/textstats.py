@@ -864,8 +864,8 @@ def text_bigram_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # implementation sorts all documents by perplexity to find tertiles — a
 # global sort of the corpus. Here the tertile boundaries come from a
 # BOUNDED score histogram instead: the per-doc lattice score divides
-# into <= 1001 fixed-width cells, cell counts aggregate map-side, and a
-# <= 1001-row cumulative window yields a cell -> bucket map that
+# into <= 1002 fixed-width cells, cell counts aggregate map-side, and a
+# <= 1002-row cumulative window yields a cell -> bucket map that
 # broadcasts back. No global sort at any corpus size; boundaries are
 # cell-granular (documents sharing a cell share a bucket), which is the
 # deterministic, engine-portable contract.
@@ -922,7 +922,7 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the LM scoring is text_bigram_prob's plan (broadcast count
     tables, one token-proportional shuffle). The tertile split does NOT
-    sort the corpus: scores histogram onto <= 1001 lattice cells
+    sort the corpus: scores histogram onto <= 1002 lattice cells
     map-side, the cumulative split runs over that tiny relation, and
     the cell -> bucket map broadcasts back — the CCNet global
     perplexity sort replaced by two fixed-size aggregates."""
@@ -939,9 +939,14 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CASE WHEN avg_q < 0 THEN -1 ELSE avg_q div {PPL_CELL} END"),
         )
     )
+    # the LM scoring pass is the dominant cost and BOTH the histogram
+    # branch and the final bucket join consume `scored` — pin it so the
+    # token-proportional pipeline runs once (reliable checkpoint dir on
+    # a real cluster).
+    scored = scored.localCheckpoint(eager=False)
     cells = scored.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))
     tot = docs.agg(F.count(F.lit(1)).alias("n"))
-    # <= 1001 rows: the single-partition window is over the histogram,
+    # <= 1002 rows: the single-partition window is over the histogram,
     # never the corpus.
     w = Window.orderBy(F.col("cell").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
