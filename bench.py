@@ -145,6 +145,7 @@ HEADLINE_R10 = [
     "text_perplexity_buckets",
     "privacy_k_anonymity",
     "dedup_lsh_tuning",
+    "eval_quality_auc",
 ]
 
 

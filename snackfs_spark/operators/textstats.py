@@ -1694,3 +1694,177 @@ def events_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(redacted).cast("long").alias("redacted_len"),
         F.md5(redacted.cast("binary")).alias("redacted_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter-calibration eval: exact AUC + PR curve without a global sort.
+#
+# The training-pipeline question this answers: "how well does my CHEAP
+# quality heuristic predict the EXPENSIVE quality signal?" (the
+# CCNet/FineWeb calibration step — you only deploy the cheap filter at
+# 100 TB if it tracks the signal you actually care about). Here the
+# cheap score is the stopword permille of text_quality_score's battery
+# and the reference label is membership in the bigram-LM head tertile
+# (text_perplexity_buckets' CCNet split). Both are engine-portable
+# integer lattices, so the WHOLE evaluation — per-threshold confusion
+# counts and the ROC AUC itself — is exact integer arithmetic.
+#
+# The scale trick is the same bounded-histogram move as the perplexity
+# tertiles: the score takes <= 1001 distinct values, so ranking-based
+# AUC (the Mann-Whitney U statistic, ties counted half) needs only the
+# per-cell (pos, neg) histogram, never a corpus sort:
+#     2U = sum_cells pos_c * (2 * neg_below_c + neg_c)
+#     AUC = U / (P * N)   — reported as the exact rational
+#     (auc_num, auc_den) = (2U, 2 P N) because the quotient is not a
+#     dyadic rational and a double would be division-order lore; any
+#     consumer gets IEEE-identical auc_num / auc_den in one division.
+
+
+def _auc_oracle() -> str:
+    return f"""
+    WITH scores AS ({_bigram_oracle()}),
+    labeled AS (
+      SELECT d.doc_id,
+             (1000 * len(list_filter(string_split(d.text, ' '),
+                         t -> t IN ('the', 'a', 'and', 'with', 'of', 'in'))))
+               // len(string_split(d.text, ' ')) AS score_cell,
+             CASE WHEN COALESCE(s.prob_lattice_sum // s.n_bigrams, -1) < 0 THEN -1
+                  ELSE COALESCE(s.prob_lattice_sum // s.n_bigrams, -1) // {PPL_CELL}
+             END AS cell
+      FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id
+    ),
+    cells AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cnt FROM labeled GROUP BY cell),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    ranked AS (
+      SELECT cell,
+             CAST(SUM(cnt) OVER (ORDER BY cell DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+                  AS BIGINT) AS cum_before
+      FROM cells
+    ),
+    cell_label AS (
+      SELECT r.cell, CASE WHEN 3 * r.cum_before < t.n THEN 1 ELSE 0 END AS label
+      FROM ranked r CROSS JOIN tot t
+    ),
+    hist AS (
+      SELECT l.score_cell,
+             CAST(SUM(cl.label) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(cl.label) AS BIGINT) AS neg
+      FROM labeled l JOIN cell_label cl ON cl.cell = l.cell
+      GROUP BY l.score_cell
+    ),
+    curve AS (
+      SELECT score_cell, pos, neg,
+             CAST(SUM(neg) OVER (ORDER BY score_cell
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - neg
+                  AS BIGINT) AS cum_neg_below,
+             CAST(SUM(pos) OVER (ORDER BY score_cell DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+             CAST(SUM(neg) OVER (ORDER BY score_cell DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+      FROM hist
+    ),
+    tots AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS p_tot,
+             CAST(SUM(neg) AS BIGINT) AS n_tot,
+             CAST(SUM(pos * (2 * cum_neg_below + neg)) AS BIGINT) AS auc_num
+      FROM curve
+    )
+    SELECT c.score_cell AS threshold,
+           c.tp,
+           c.fp,
+           CAST(t.p_tot - c.tp AS BIGINT) AS fn,
+           CAST(t.n_tot - c.fp AS BIGINT) AS tn,
+           t.auc_num,
+           CAST(2 * t.p_tot * t.n_tot AS BIGINT) AS auc_den
+    FROM curve c CROSS JOIN tots t
+    """
+
+
+@register("eval_quality_auc", oracle=_auc_oracle())
+def eval_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter calibration: exact ROC AUC and per-threshold
+    confusion counts of the cheap stopword-permille score against the
+    bigram-LM head-tertile label, one row per occupied score cell
+    (threshold = "predict positive at score_cell >= t"). AUC is the
+    tie-aware Mann-Whitney statistic as the exact rational
+    auc_num / auc_den = 2U / 2PN, constant across rows.
+
+    Scale: the only corpus-proportional work is the bigram scoring pass
+    (broadcast count tables) and two map-side histogram collapses — the
+    score has <= 1001 cells, so the ranking statistic, the cumulative
+    confusion counts, and the tertile boundaries all run on bounded
+    relations with broadcast map-backs. No global sort at any corpus
+    size; the classic per-doc rank assignment never happens."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    labeled = docs.select(
+        "doc_id",
+        F.expr(
+            "(1000 * size(filter(split(text, ' '),"
+            " t -> t IN ('the', 'a', 'and', 'with', 'of', 'in'))))"
+            " div size(split(text, ' '))"
+        ).alias("score_cell"),
+    ).join(text_bigram_prob(spark, sf_dir), "doc_id", "left")
+    labeled = labeled.select(
+        "doc_id",
+        "score_cell",
+        F.expr(
+            "CASE WHEN coalesce(prob_lattice_sum div n_bigrams, -1) < 0 THEN -1"
+            f" ELSE coalesce(prob_lattice_sum div n_bigrams, -1) div {PPL_CELL} END"
+        ).alias("cell"),
+    )
+    # The bigram pass is the dominant cost and feeds BOTH the tertile
+    # histogram and the score/label join — pin it so it runs once.
+    labeled = labeled.localCheckpoint(eager=False)
+    cells = labeled.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    wd = Window.orderBy(F.col("cell").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cell_label = (
+        cells.withColumn("cum_before", F.sum("cnt").over(wd) - F.col("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            F.when(3 * F.col("cum_before") < F.col("n"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("label"),
+        )
+    )
+    hist = (
+        labeled.join(F.broadcast(cell_label), "cell")
+        .groupBy("score_cell")
+        .agg(
+            F.sum("label").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("label")).alias("neg"),
+        )
+    )
+    # <= 1001 rows from here on: the single-partition windows are over
+    # the score histogram, never the corpus.
+    wa = Window.orderBy("score_cell").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wdesc = Window.orderBy(F.col("score_cell").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        hist.withColumn("cum_neg_below", F.sum("neg").over(wa) - F.col("neg"))
+        .withColumn("tp", F.sum("pos").over(wdesc))
+        .withColumn("fp", F.sum("neg").over(wdesc))
+    )
+    tots = curve.agg(
+        F.sum("pos").alias("p_tot"),
+        F.sum("neg").alias("n_tot"),
+        F.sum(F.col("pos") * (2 * F.col("cum_neg_below") + F.col("neg"))).alias(
+            "auc_num"
+        ),
+    )
+    return curve.crossJoin(F.broadcast(tots)).select(
+        F.col("score_cell").cast("long").alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        (F.col("p_tot") - F.col("tp")).cast("long").alias("fn"),
+        (F.col("n_tot") - F.col("fp")).cast("long").alias("tn"),
+        F.col("auc_num").cast("long").alias("auc_num"),
+        (2 * F.col("p_tot") * F.col("n_tot")).cast("long").alias("auc_den"),
+    )

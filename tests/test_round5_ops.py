@@ -499,3 +499,42 @@ def test_lsh_tuning_nested_configs_and_bounds(spark):
     # the measured S-curve: the loosest banding must reach full recall
     # on this corpus (its threshold ~0.35 sits below the truth J>=0.5)
     assert rows["b8r2"]["recall"] == 1.0
+
+
+def test_auc_matches_bruteforce_pair_count(spark):
+    """The histogram Mann-Whitney AUC equals the brute-force pairwise
+    count (positives ranked above negatives, ties half) on the small
+    corpus, and the confusion counts obey the curve identities."""
+    rows = REG["eval_quality_auc"].fn(spark, SF_SMALL).collect()
+    assert rows
+    auc_num = {r["auc_num"] for r in rows}
+    auc_den = {r["auc_den"] for r in rows}
+    assert len(auc_num) == 1 and len(auc_den) == 1  # constant rational
+    auc_num, auc_den = auc_num.pop(), auc_den.pop()
+
+    # Reconstruct the per-cell histogram from the curve: pos/neg deltas
+    # between consecutive thresholds (descending tp/fp cumulative).
+    curve = sorted(rows, key=lambda r: -r["threshold"])
+    hist = []
+    prev_tp = prev_fp = 0
+    for r in curve:
+        hist.append((r["threshold"], r["tp"] - prev_tp, r["fp"] - prev_fp))
+        prev_tp, prev_fp = r["tp"], r["fp"]
+    p_tot, n_tot = prev_tp, prev_fp
+    assert all(r["fn"] == p_tot - r["tp"] for r in curve)
+    assert all(r["tn"] == n_tot - r["fp"] for r in curve)
+    # tp/fp cumulative counts are monotone as the threshold drops
+    assert all(a >= 0 and b >= 0 for _, a, b in hist)
+
+    # Brute force 2U over the reconstructed per-cell counts: every
+    # (pos, neg) pair contributes 2 if pos scored higher, 1 on a tie.
+    two_u = 0
+    for t_p, pos_p, _ in hist:
+        for t_n, _, neg_n in hist:
+            if t_p > t_n:
+                two_u += 2 * pos_p * neg_n
+            elif t_p == t_n:
+                two_u += pos_p * neg_n
+    assert auc_num == two_u
+    assert auc_den == 2 * p_tot * n_tot
+    assert 0 <= auc_num <= auc_den

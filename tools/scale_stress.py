@@ -103,6 +103,8 @@ QUERIES = [
     "privacy_k_anonymity",
     # measured LSH S-curve (3 bandings vs exact-recall truth)
     "dedup_lsh_tuning",
+    # sort-free exact AUC / PR curve (bounded score histogram)
+    "eval_quality_auc",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
