@@ -146,6 +146,7 @@ HEADLINE_R10 = [
     "privacy_k_anonymity",
     "dedup_lsh_tuning",
     "eval_quality_auc",
+    "corpus_pareto_front",
 ]
 
 

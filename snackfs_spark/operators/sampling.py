@@ -1481,3 +1481,85 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_rejected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto-front (skyline) data selection.
+#
+# "Which documents are not strictly worse than any other document?" —
+# the dominance query of preference-based data selection: keep doc d
+# unless some d' is >= on EVERY objective and > on at least one.
+# Objectives here: the stopword-permille fluency proxy (maximize) and
+# document length (maximize) — the docs a budgeted selection would
+# never discard first.
+#
+# The textbook skyline is the quadratic NOT EXISTS self-join — that IS
+# the DuckDB oracle (cross-algorithm check, like corpus_incremental_
+# stats). The engine side exploits the bounded first objective instead:
+# with <= 1001 score cells, a doc survives iff it holds its cell's max
+# length AND beats the running max length of all strictly-better cells,
+# so the whole skyline needs one map-side per-cell max, one window over
+# a <= 1001-row relation, and one broadcast map-back. No self-join at
+# any corpus size.
+
+_PERMILLE_SPARK = (
+    "(1000 * size(filter(split(text, ' '),"
+    " t -> t IN ('the', 'a', 'and', 'with', 'of', 'in'))))"
+    " div size(split(text, ' '))"
+)
+_PERMILLE_SQL = (
+    "(1000 * len(list_filter(string_split(text, ' '),"
+    " t -> t IN ('the', 'a', 'and', 'with', 'of', 'in'))))"
+    " // len(string_split(text, ' '))"
+)
+
+
+@register(
+    "corpus_pareto_front",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_PERMILLE_SQL} AS score_cell, n_chars FROM documents
+    )
+    SELECT d.doc_id, d.score_cell, d.n_chars
+    FROM d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM d d2
+      WHERE d2.score_cell >= d.score_cell AND d2.n_chars >= d.n_chars
+        AND (d2.score_cell > d.score_cell OR d2.n_chars > d.n_chars)
+    )
+    """,
+)
+def corpus_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of the corpus on (stopword-permille quality, n_chars),
+    both maximized: the Pareto-optimal documents no budgeted selection
+    would discard first. Dominance is >= on both objectives and > on at
+    least one; ties on both objectives all survive.
+
+    Scale: the oracle's NOT EXISTS self-join is quadratic — the engine
+    never runs it. The quality score has <= 1001 cells, so a document
+    is Pareto-optimal iff (a) it holds its cell's max n_chars and
+    (b) that max strictly exceeds the running max over strictly-higher
+    cells: one map-side per-cell aggregate, one single-partition window
+    over the bounded histogram, one broadcast join back. The fact pass
+    is one projected scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.expr(_PERMILLE_SPARK).alias("score_cell"),
+        "n_chars",
+    )
+    cellmax = d.groupBy("score_cell").agg(F.max("n_chars").alias("cmax"))
+    # running max of strictly-better cells (rows precede = higher score)
+    w = Window.orderBy(F.col("score_cell").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky_cells = (
+        cellmax.withColumn("above", F.max("cmax").over(w))
+        .filter(F.col("above").isNull() | (F.col("cmax") > F.col("above")))
+        .select("score_cell", "cmax")
+    )
+    return (
+        d.join(F.broadcast(sky_cells), "score_cell")
+        .filter(F.col("n_chars") == F.col("cmax"))
+        .select("doc_id", "score_cell", "n_chars")
+    )

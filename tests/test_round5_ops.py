@@ -538,3 +538,37 @@ def test_auc_matches_bruteforce_pair_count(spark):
     assert auc_num == two_u
     assert auc_den == 2 * p_tot * n_tot
     assert 0 <= auc_num <= auc_den
+
+
+def test_pareto_front_matches_bruteforce_dominance(spark):
+    """The bounded-histogram skyline equals the quadratic dominance
+    definition on the small corpus, and every non-survivor is dominated
+    by some survivor."""
+    rows = REG["corpus_pareto_front"].fn(spark, SF_SMALL).collect()
+    from snackfs_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    base = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id",
+        F.expr(
+            "(1000 * size(filter(split(text, ' '),"
+            " t -> t IN ('the', 'a', 'and', 'with', 'of', 'in'))))"
+            " div size(split(text, ' '))"
+        ).alias("q"),
+        "n_chars",
+    ).collect()
+    pts = [(r["doc_id"], r["q"], r["n_chars"]) for r in base]
+
+    def dominated(p):
+        return any(
+            o[1] >= p[1] and o[2] >= p[2] and (o[1] > p[1] or o[2] > p[2])
+            for o in pts
+        )
+
+    brute = {p[0] for p in pts if not dominated(p)}
+    got = {r["doc_id"] for r in rows}
+    assert got == brute
+    sky = [(r["score_cell"], r["n_chars"]) for r in rows]
+    for p in pts:
+        if p[0] not in got:
+            assert any(s[0] >= p[1] and s[1] >= p[2] for s in sky)

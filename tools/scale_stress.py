@@ -105,6 +105,8 @@ QUERIES = [
     "dedup_lsh_tuning",
     # sort-free exact AUC / PR curve (bounded score histogram)
     "eval_quality_auc",
+    # bounded-histogram skyline (oracle is the quadratic NOT EXISTS)
+    "corpus_pareto_front",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
