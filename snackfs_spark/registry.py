@@ -128,7 +128,12 @@ PRIORITY: tuple[str, ...] = (
     # production form the window showcases)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
+    # n-gram Jaccard yields its slot to the quality-filter calibration
+    # eval (exact histogram AUC — a model-eval class no other window
+    # query has); Jaccard-threshold semantics stay hash-checked via
+    # dedup_prefix_filter's exact-recall similarity join, and
+    # dedup_ngram_jaccard stays repo-oracle green
+    "eval_quality_auc",
     "dedup_semantic_scaled",
     # embedding-cosine near-dup yields its slot to entity-resolution
     # record linkage (blocking + edit-distance verify — an algorithm
@@ -138,7 +143,12 @@ PRIORITY: tuple[str, ...] = (
     # §2.C similarity search + clustering (IVF probe registers after the
     # window; k-means is the iterative-algorithm representative)
     "ann_bruteforce_topk",
-    "ann_lsh_bucketed",
+    # the LSH-bucketed ANN variant yields its slot to the Pareto-front
+    # selection (bounded-histogram skyline vs quadratic-dominance oracle
+    # — a preference-query class no other window query has); the
+    # similarity-search family stays hash-checked via ann_bruteforce_topk
+    # and ann_lsh_bucketed stays repo-oracle green
+    "corpus_pareto_front",
     "emb_kmeans_assign",
     # §2.C text analysis (one-scan composition of the four scoring ops)
     "text_profile",
