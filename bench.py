@@ -147,6 +147,7 @@ HEADLINE_R10 = [
     "dedup_lsh_tuning",
     "eval_quality_auc",
     "corpus_pareto_front",
+    "basket_frequent_pairs",
 ]
 
 

@@ -1,0 +1,114 @@
+"""Frequent-pattern mining over order baskets (SURVEY.md §2.C extension
+surface): A-priori frequent 2-itemsets — the classic market-basket
+shape, re-expressed as two hash aggregations and one key-bounded
+self-join.
+
+The A-priori downward-closure lever: a pair can only reach min-support
+if BOTH its items do, so the item-support pass runs first and the
+basket relation is semi-join-pruned to frequent items before any pair
+is generated. Pair generation self-joins the pruned baskets on the
+basket key — the fan-out per basket is C(items, 2) with basket size
+bounded by the data model (TPC-H orders hold ~4-7 lineitems), so the
+shuffle is a constant factor of the basket relation, never quadratic
+in the catalog.
+
+Reference parity note: the reference (a Cassandra-backed filesystem;
+SURVEY.md §2.A) has no mining surface; this extends the engine's
+training-pipeline side the same way the graph and sketch operators do.
+
+Determinism: supports are exact integers; no floats anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snackfs_spark.registry import register
+from snackfs_spark.sources.tables import load_table
+
+# Standard absolute min-support knob. On the uniform synthetic baskets
+# a corpus-relative threshold is degenerate (expected pair support is
+# ~constant in sf because the part catalog scales with the fact table),
+# so the knob is absolute, as in the classic A-priori formulation.
+BASKET_MINSUP = 3
+
+
+@register(
+    "basket_frequent_pairs",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM li),
+    item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS support FROM li GROUP BY l_partkey
+    ),
+    freq AS (SELECT l_partkey, support FROM item WHERE support >= {BASKET_MINSUP}),
+    b AS (SELECT li.l_orderkey, li.l_partkey FROM li JOIN freq USING (l_partkey)),
+    pairs AS (
+      SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS pair_support
+      FROM b x JOIN b y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b, p.pair_support,
+           fa.support AS support_a, fb.support AS support_b,
+           n.n_baskets
+    FROM pairs p
+    JOIN freq fa ON fa.l_partkey = p.part_a
+    JOIN freq fb ON fb.l_partkey = p.part_b
+    CROSS JOIN n
+    WHERE p.pair_support >= {BASKET_MINSUP}
+    """,
+)
+def basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 2-itemsets over order baskets at min-support
+    {BASKET_MINSUP}: part pairs bought together, with per-item supports
+    and the basket universe size (confidence = pair_support/support_a
+    and lift = pair_support*n_baskets/(support_a*support_b) are one
+    exact-integer division away for any consumer).
+
+    Scale: item supports collapse map-side to catalog size. The
+    downward-closure prune semi-joins baskets to frequent items BEFORE
+    pair generation, and the pair self-join shuffles on the basket key
+    with per-basket fan-out bounded by basket size — both relations are
+    basket-proportional, never catalog². Support joins at the end run
+    key-hashed (the frequent-item relation is catalog-proportional, so
+    it is never broadcast — the 100x-sweep OOM lesson)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("support"))
+    freq = item.filter(F.col("support") >= BASKET_MINSUP)
+    b = li.join(freq.hint("shuffle_hash").select("l_partkey"), "l_partkey")
+    x = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    y = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        x.join(y, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_support"))
+        .filter(F.col("pair_support") >= BASKET_MINSUP)
+    )
+    fa = freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("support").alias("support_a")
+    )
+    fb = freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("support").alias("support_b")
+    )
+    return (
+        pairs.join(fa.hint("shuffle_hash"), "part_a")
+        .join(fb.hint("shuffle_hash"), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_support",
+            "support_a",
+            "support_b",
+            "n_baskets",
+        )
+    )

@@ -182,6 +182,7 @@ def load_all() -> dict[str, Query]:
         graph,
         interval_join,
         layout,
+        mining,
         multimodal,
         relational,
         sampling,

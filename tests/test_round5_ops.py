@@ -572,3 +572,43 @@ def test_pareto_front_matches_bruteforce_dominance(spark):
     for p in pts:
         if p[0] not in got:
             assert any(s[0] >= p[1] and s[1] >= p[2] for s in sky)
+
+
+def test_frequent_pairs_downward_closure_and_bruteforce(spark):
+    """A-priori invariants: pair support never exceeds either item
+    support, every reported pair meets min-support, and the supports
+    match a brute-force recount of the small fixture."""
+    from itertools import combinations
+
+    from snackfs_spark.operators.mining import BASKET_MINSUP
+    from snackfs_spark.sources.tables import load_table
+
+    rows = REG["basket_frequent_pairs"].fn(spark, SF_SMALL).collect()
+    assert rows
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().collect()
+    baskets: dict[int, set[int]] = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    item_support: dict[int, int] = {}
+    pair_support: dict[tuple[int, int], int] = {}
+    for items in baskets.values():
+        for p in items:
+            item_support[p] = item_support.get(p, 0) + 1
+        for a, b in combinations(sorted(items), 2):
+            pair_support[(a, b)] = pair_support.get((a, b), 0) + 1
+    expect = {
+        k: v
+        for k, v in pair_support.items()
+        if v >= BASKET_MINSUP
+        and item_support[k[0]] >= BASKET_MINSUP
+        and item_support[k[1]] >= BASKET_MINSUP
+    }
+    got = {(r["part_a"], r["part_b"]): r["pair_support"] for r in rows}
+    assert got == expect
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert r["pair_support"] <= min(r["support_a"], r["support_b"])
+        assert r["support_a"] == item_support[r["part_a"]]
+        assert r["n_baskets"] == len(baskets)

@@ -107,6 +107,8 @@ QUERIES = [
     "eval_quality_auc",
     # bounded-histogram skyline (oracle is the quadratic NOT EXISTS)
     "corpus_pareto_front",
+    # A-priori frequent pairs (basket-key self-join, bounded fan-out)
+    "basket_frequent_pairs",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
