@@ -148,6 +148,7 @@ HEADLINE_R10 = [
     "eval_quality_auc",
     "corpus_pareto_front",
     "basket_frequent_pairs",
+    "events_markov_transitions",
 ]
 
 

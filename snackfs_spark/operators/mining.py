@@ -21,7 +21,7 @@ Determinism: supports are exact integers; no floats anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snackfs_spark.registry import register
@@ -111,4 +111,53 @@ def basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "support_b",
             "n_baskets",
         )
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total
+    FROM trans
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's
+    time-ordered event sequence: (from_type, to_type, n, from_total) —
+    the next-event model behind session simulation and anomalous-flow
+    detection; P(to|from) = n/from_total is one exact division away.
+
+    Scale: one shuffle on user_id feeds the LEAD window (the same
+    partitioning sessionization uses), transitions then collapse
+    map-side onto the type-pair key space (|types|^2, a constant), and
+    the row-total is a window over that bounded relation — so after the
+    sequence pass everything is O(|types|^2) state regardless of corpus
+    size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    trans = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type", "to_type", "n", F.sum("n").over(wt).alias("from_total")
     )

@@ -612,3 +612,20 @@ def test_frequent_pairs_downward_closure_and_bruteforce(spark):
         assert r["pair_support"] <= min(r["support_a"], r["support_b"])
         assert r["support_a"] == item_support[r["part_a"]]
         assert r["n_baskets"] == len(baskets)
+
+
+def test_markov_transitions_conserve_and_normalize(spark):
+    """Transition counts must sum to (n_events - n_users_with_events)
+    — every event except each user's last contributes exactly one
+    transition — and from_total must equal the sum of its row group."""
+    rows = REG["events_markov_transitions"].fn(spark, SF_SMALL).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in rows) == n_events - n_users
+    by_from: dict[str, int] = {}
+    for r in rows:
+        by_from[r["from_type"]] = by_from.get(r["from_type"], 0) + r["n"]
+    for r in rows:
+        assert r["from_total"] == by_from[r["from_type"]]

@@ -109,6 +109,8 @@ QUERIES = [
     "corpus_pareto_front",
     # A-priori frequent pairs (basket-key self-join, bounded fan-out)
     "basket_frequent_pairs",
+    # Markov next-event transitions (one user-keyed window pass)
+    "events_markov_transitions",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
