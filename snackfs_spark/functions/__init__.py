@@ -69,3 +69,20 @@ def md5_bucket(col: Column, modulus: int) -> Column:
     injection, sampling rings, split assignment live on it); change it
     nowhere without changing every oracle."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % modulus
+
+
+# The ONE stopword-permille quality score (cheap C4-style fluency
+# proxy, 0..1000): shared by the Pareto-front objective, the AUC
+# calibration eval, and their oracles/tests. Like md5_bucket, change it
+# nowhere without changing every consumer — drift between copies would
+# silently decouple operators that claim to score the same thing.
+STOPWORD_PERMILLE_SPARK = (
+    "(1000 * size(filter(split(text, ' '),"
+    " t -> t IN ('the', 'a', 'and', 'with', 'of', 'in'))))"
+    " div size(split(text, ' '))"
+)
+STOPWORD_PERMILLE_SQL = (
+    "(1000 * len(list_filter(string_split(text, ' '),"
+    " t -> t IN ('the', 'a', 'and', 'with', 'of', 'in'))))"
+    " // len(string_split(text, ' '))"
+)

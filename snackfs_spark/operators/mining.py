@@ -62,8 +62,8 @@ BASKET_MINSUP = 3
     """,
 )
 def basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent 2-itemsets over order baskets at min-support
-    {BASKET_MINSUP}: part pairs bought together, with per-item supports
+    """Frequent 2-itemsets over order baskets at BASKET_MINSUP
+    min-support: part pairs bought together, with per-item supports
     and the basket universe size (confidence = pair_support/support_a
     and lift = pair_support*n_baskets/(support_a*support_b) are one
     exact-integer division away for any consumer).

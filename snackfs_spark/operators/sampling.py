@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from snackfs_spark.functions import STOPWORD_PERMILLE_SPARK, STOPWORD_PERMILLE_SQL
 from snackfs_spark.operators.dedup import SHINGLES_CTE, shingles_df
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import load_table
@@ -1502,23 +1503,11 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a <= 1001-row relation, and one broadcast map-back. No self-join at
 # any corpus size.
 
-_PERMILLE_SPARK = (
-    "(1000 * size(filter(split(text, ' '),"
-    " t -> t IN ('the', 'a', 'and', 'with', 'of', 'in'))))"
-    " div size(split(text, ' '))"
-)
-_PERMILLE_SQL = (
-    "(1000 * len(list_filter(string_split(text, ' '),"
-    " t -> t IN ('the', 'a', 'and', 'with', 'of', 'in'))))"
-    " // len(string_split(text, ' '))"
-)
-
-
 @register(
     "corpus_pareto_front",
     oracle=f"""
     WITH d AS (
-      SELECT doc_id, {_PERMILLE_SQL} AS score_cell, n_chars FROM documents
+      SELECT doc_id, {STOPWORD_PERMILLE_SQL} AS score_cell, n_chars FROM documents
     )
     SELECT d.doc_id, d.score_cell, d.n_chars
     FROM d
@@ -1545,7 +1534,7 @@ def corpus_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
-        F.expr(_PERMILLE_SPARK).alias("score_cell"),
+        F.expr(STOPWORD_PERMILLE_SPARK).alias("score_cell"),
         "n_chars",
     )
     cellmax = d.groupBy("score_cell").agg(F.max("n_chars").alias("cmax"))

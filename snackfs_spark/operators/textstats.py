@@ -14,6 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from snackfs_spark.functions import STOPWORD_PERMILLE_SPARK, STOPWORD_PERMILLE_SQL
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import fan_out, load_table
 
@@ -872,18 +873,23 @@ def text_bigram_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
 PPL_CELL = 10**9  # histogram cell width on the 1e12 bigram-prob lattice
 
 
-def _ppl_buckets_oracle() -> str:
-    return f"""
-    WITH scores AS ({_bigram_oracle()}),
-    docs2 AS (
-      SELECT d.doc_id, d.source, d.n_chars,
-             COALESCE(s.prob_lattice_sum // s.n_bigrams, -1) AS avg_q
-      FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id
-    ),
-    cells AS (
-      SELECT CASE WHEN avg_q < 0 THEN -1 ELSE avg_q // {PPL_CELL} END AS cell,
-             CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM docs2 GROUP BY 1
+# The ONE fluency-cell definition (SQL side): per-doc average bigram
+# lattice score and its histogram cell. Shared verbatim by the CCNet
+# tertile partitioner and the AUC calibration eval so the two can never
+# drift apart on what "the LM score" means.
+_FLUENCY_AVG_Q_SQL = "COALESCE(s.prob_lattice_sum // s.n_bigrams, -1)"
+_FLUENCY_CELL_SQL = (
+    f"CASE WHEN {_FLUENCY_AVG_Q_SQL} < 0 THEN -1"
+    f" ELSE {_FLUENCY_AVG_Q_SQL} // {PPL_CELL} END"
+)
+
+
+def _fluency_rank_ctes(base: str) -> str:
+    """cells/tot/ranked CTE chain over a base relation carrying `cell`:
+    the bounded histogram and its strictly-better cumulative counts —
+    the shared substrate of every tertile-boundary decision."""
+    return f"""cells AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS cnt FROM {base} GROUP BY cell
     ),
     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
     ranked AS (
@@ -892,7 +898,19 @@ def _ppl_buckets_oracle() -> str:
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   - cnt AS BIGINT) AS cum_before
       FROM cells
+    )"""
+
+
+def _ppl_buckets_oracle() -> str:
+    return f"""
+    WITH scores AS ({_bigram_oracle()}),
+    docs2 AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             {_FLUENCY_AVG_Q_SQL} AS avg_q,
+             {_FLUENCY_CELL_SQL} AS cell
+      FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id
     ),
+    {_fluency_rank_ctes("docs2")},
     cell_bucket AS (
       SELECT r.cell,
              CASE WHEN 3 * r.cum_before < t.n THEN 'head'
@@ -906,10 +924,39 @@ def _ppl_buckets_oracle() -> str:
            CAST(MIN(d.avg_q) AS BIGINT) AS min_q,
            CAST(MAX(d.avg_q) AS BIGINT) AS max_q
     FROM docs2 d
-    JOIN cell_bucket b
-      ON b.cell = (CASE WHEN d.avg_q < 0 THEN -1 ELSE d.avg_q // {PPL_CELL} END)
+    JOIN cell_bucket b ON b.cell = d.cell
     GROUP BY d.source, b.bucket
     """
+
+
+def _with_fluency_cell(base: DataFrame, scores: DataFrame) -> DataFrame:
+    """Spark twin of _FLUENCY_AVG_Q_SQL/_FLUENCY_CELL_SQL: left-join the
+    bigram scores onto `base` (must carry doc_id) and derive avg_q and
+    its histogram cell. The one place the LM-score cell is computed."""
+    return (
+        base.join(scores, "doc_id", "left")
+        .withColumn("avg_q", F.expr("coalesce(prob_lattice_sum div n_bigrams, -1)"))
+        .withColumn(
+            "cell",
+            F.expr(f"CASE WHEN avg_q < 0 THEN -1 ELSE avg_q div {PPL_CELL} END"),
+        )
+        .drop("n_bigrams", "prob_lattice_sum")
+    )
+
+
+def _cell_cum_before(celled: DataFrame) -> DataFrame:
+    """Spark twin of _fluency_rank_ctes: per-cell counts plus the count
+    of documents in strictly-better cells (cum_before) and the corpus
+    total n — a <= 1002-row relation whatever the corpus size."""
+    cells = celled.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = celled.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("cell").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cells.withColumn("cum_before", F.sum("cnt").over(w) - F.col("cnt"))
+        .crossJoin(F.broadcast(tot))
+    )
 
 
 @register("text_perplexity_buckets", oracle=_ppl_buckets_oracle())
@@ -927,40 +974,23 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cell -> bucket map broadcasts back — the CCNet global
     perplexity sort replaced by two fixed-size aggregates."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    scores = text_bigram_prob(spark, sf_dir)
-    scored = (
-        docs.select("doc_id", "source", "n_chars")
-        .join(scores, "doc_id", "left")
-        .withColumn(
-            "avg_q", F.expr("coalesce(prob_lattice_sum div n_bigrams, -1)")
-        )
-        .withColumn(
-            "cell",
-            F.expr(f"CASE WHEN avg_q < 0 THEN -1 ELSE avg_q div {PPL_CELL} END"),
-        )
+    scored = _with_fluency_cell(
+        docs.select("doc_id", "source", "n_chars"),
+        text_bigram_prob(spark, sf_dir),
     )
     # the LM scoring pass is the dominant cost and BOTH the histogram
     # branch and the final bucket join consume `scored` — pin it so the
     # token-proportional pipeline runs once (reliable checkpoint dir on
     # a real cluster).
     scored = scored.localCheckpoint(eager=False)
-    cells = scored.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = docs.agg(F.count(F.lit(1)).alias("n"))
     # <= 1002 rows: the single-partition window is over the histogram,
     # never the corpus.
-    w = Window.orderBy(F.col("cell").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cell_bucket = (
-        cells.withColumn("cum_before", F.sum("cnt").over(w) - F.col("cnt"))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "cell",
-            F.when(3 * F.col("cum_before") < F.col("n"), "head")
-            .when(3 * F.col("cum_before") < 2 * F.col("n"), "middle")
-            .otherwise("tail")
-            .alias("bucket"),
-        )
+    cell_bucket = _cell_cum_before(scored).select(
+        "cell",
+        F.when(3 * F.col("cum_before") < F.col("n"), "head")
+        .when(3 * F.col("cum_before") < 2 * F.col("n"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
     )
     return (
         scored.join(F.broadcast(cell_bucket), "cell")
@@ -1714,10 +1744,11 @@ def events_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # AUC (the Mann-Whitney U statistic, ties counted half) needs only the
 # per-cell (pos, neg) histogram, never a corpus sort:
 #     2U = sum_cells pos_c * (2 * neg_below_c + neg_c)
-#     AUC = U / (P * N)   — reported as the exact rational
-#     (auc_num, auc_den) = (2U, 2 P N) because the quotient is not a
-#     dyadic rational and a double would be division-order lore; any
-#     consumer gets IEEE-identical auc_num / auc_den in one division.
+#     AUC = 2U / 2PN, accumulated in decimal(38,0) (the products wrap
+#     int64 once P*N passes ~4.6e18 — a few billion docs) and emitted
+#     as ONE double: the correctly-rounded quotient of the exact
+#     rational, identical in both engines because decimal->double and
+#     a single IEEE division are both correctly rounded.
 
 
 def _auc_oracle() -> str:
@@ -1725,23 +1756,11 @@ def _auc_oracle() -> str:
     WITH scores AS ({_bigram_oracle()}),
     labeled AS (
       SELECT d.doc_id,
-             (1000 * len(list_filter(string_split(d.text, ' '),
-                         t -> t IN ('the', 'a', 'and', 'with', 'of', 'in'))))
-               // len(string_split(d.text, ' ')) AS score_cell,
-             CASE WHEN COALESCE(s.prob_lattice_sum // s.n_bigrams, -1) < 0 THEN -1
-                  ELSE COALESCE(s.prob_lattice_sum // s.n_bigrams, -1) // {PPL_CELL}
-             END AS cell
+             {STOPWORD_PERMILLE_SQL} AS score_cell,
+             {_FLUENCY_CELL_SQL} AS cell
       FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id
     ),
-    cells AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cnt FROM labeled GROUP BY cell),
-    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-    ranked AS (
-      SELECT cell,
-             CAST(SUM(cnt) OVER (ORDER BY cell DESC
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
-                  AS BIGINT) AS cum_before
-      FROM cells
-    ),
+    {_fluency_rank_ctes("labeled")},
     cell_label AS (
       SELECT r.cell, CASE WHEN 3 * r.cum_before < t.n THEN 1 ELSE 0 END AS label
       FROM ranked r CROSS JOIN tot t
@@ -1767,7 +1786,8 @@ def _auc_oracle() -> str:
     tots AS (
       SELECT CAST(SUM(pos) AS BIGINT) AS p_tot,
              CAST(SUM(neg) AS BIGINT) AS n_tot,
-             CAST(SUM(pos * (2 * cum_neg_below + neg)) AS BIGINT) AS auc_num
+             SUM(CAST(pos AS DECIMAL(18,0))
+                 * CAST(2 * cum_neg_below + neg AS DECIMAL(19,0))) AS num_dec
       FROM curve
     )
     SELECT c.score_cell AS threshold,
@@ -1775,8 +1795,12 @@ def _auc_oracle() -> str:
            c.fp,
            CAST(t.p_tot - c.tp AS BIGINT) AS fn,
            CAST(t.n_tot - c.fp AS BIGINT) AS tn,
-           t.auc_num,
-           CAST(2 * t.p_tot * t.n_tot AS BIGINT) AS auc_den
+           CASE WHEN t.p_tot = 0 OR t.n_tot = 0 THEN NULL
+                ELSE CAST(t.num_dec AS DOUBLE)
+                     / CAST(CAST(t.p_tot AS DECIMAL(18,0))
+                            * CAST(t.n_tot AS DECIMAL(18,0))
+                            * CAST(2 AS DECIMAL(1,0)) AS DOUBLE)
+           END AS auc
     FROM curve c CROSS JOIN tots t
     """
 
@@ -1787,8 +1811,10 @@ def eval_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     confusion counts of the cheap stopword-permille score against the
     bigram-LM head-tertile label, one row per occupied score cell
     (threshold = "predict positive at score_cell >= t"). AUC is the
-    tie-aware Mann-Whitney statistic as the exact rational
-    auc_num / auc_den = 2U / 2PN, constant across rows.
+    tie-aware Mann-Whitney statistic 2U / 2PN, computed exactly in
+    decimal(38,0) integer space (int64 wraps past ~4.6e18 positive-
+    negative pairs) and emitted once as its correctly-rounded double,
+    constant across rows.
 
     Scale: the only corpus-proportional work is the bigram scoring pass
     (broadcast count tables) and two map-side histogram collapses — the
@@ -1797,39 +1823,20 @@ def eval_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     relations with broadcast map-backs. No global sort at any corpus
     size; the classic per-doc rank assignment never happens."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    labeled = docs.select(
-        "doc_id",
-        F.expr(
-            "(1000 * size(filter(split(text, ' '),"
-            " t -> t IN ('the', 'a', 'and', 'with', 'of', 'in'))))"
-            " div size(split(text, ' '))"
-        ).alias("score_cell"),
-    ).join(text_bigram_prob(spark, sf_dir), "doc_id", "left")
-    labeled = labeled.select(
-        "doc_id",
-        "score_cell",
-        F.expr(
-            "CASE WHEN coalesce(prob_lattice_sum div n_bigrams, -1) < 0 THEN -1"
-            f" ELSE coalesce(prob_lattice_sum div n_bigrams, -1) div {PPL_CELL} END"
-        ).alias("cell"),
-    )
+    labeled = _with_fluency_cell(
+        docs.select(
+            "doc_id", F.expr(STOPWORD_PERMILLE_SPARK).alias("score_cell")
+        ),
+        text_bigram_prob(spark, sf_dir),
+    ).select("doc_id", "score_cell", "cell")
     # The bigram pass is the dominant cost and feeds BOTH the tertile
     # histogram and the score/label join — pin it so it runs once.
     labeled = labeled.localCheckpoint(eager=False)
-    cells = labeled.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = docs.agg(F.count(F.lit(1)).alias("n"))
-    wd = Window.orderBy(F.col("cell").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cell_label = (
-        cells.withColumn("cum_before", F.sum("cnt").over(wd) - F.col("cnt"))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "cell",
-            F.when(3 * F.col("cum_before") < F.col("n"), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("label"),
-        )
+    cell_label = _cell_cum_before(labeled).select(
+        "cell",
+        F.when(3 * F.col("cum_before") < F.col("n"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label"),
     )
     hist = (
         labeled.join(F.broadcast(cell_label), "cell")
@@ -1852,12 +1859,21 @@ def eval_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tp", F.sum("pos").over(wdesc))
         .withColumn("fp", F.sum("neg").over(wdesc))
     )
+    # widen the SUMMANDS, not the finished sum (the OLS-trend lesson):
+    # a decimal-typed summand makes Spark accumulate in decimal(38,0),
+    # matching the oracle's exact accumulation.
     tots = curve.agg(
         F.sum("pos").alias("p_tot"),
         F.sum("neg").alias("n_tot"),
-        F.sum(F.col("pos") * (2 * F.col("cum_neg_below") + F.col("neg"))).alias(
-            "auc_num"
-        ),
+        F.sum(
+            F.col("pos").cast("decimal(18,0)")
+            * (2 * F.col("cum_neg_below") + F.col("neg")).cast("decimal(19,0)")
+        ).alias("num_dec"),
+    )
+    den_dec = (
+        F.col("p_tot").cast("decimal(18,0)")
+        * F.col("n_tot").cast("decimal(18,0)")
+        * F.lit(2).cast("decimal(1,0)")
     )
     return curve.crossJoin(F.broadcast(tots)).select(
         F.col("score_cell").cast("long").alias("threshold"),
@@ -1865,6 +1881,8 @@ def eval_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fp").cast("long").alias("fp"),
         (F.col("p_tot") - F.col("tp")).cast("long").alias("fn"),
         (F.col("n_tot") - F.col("fp")).cast("long").alias("tn"),
-        F.col("auc_num").cast("long").alias("auc_num"),
-        (2 * F.col("p_tot") * F.col("n_tot")).cast("long").alias("auc_den"),
+        F.when(
+            (F.col("p_tot") > 0) & (F.col("n_tot") > 0),
+            F.col("num_dec").cast("double") / den_dec.cast("double"),
+        ).alias("auc"),
     )

@@ -507,10 +507,9 @@ def test_auc_matches_bruteforce_pair_count(spark):
     corpus, and the confusion counts obey the curve identities."""
     rows = REG["eval_quality_auc"].fn(spark, SF_SMALL).collect()
     assert rows
-    auc_num = {r["auc_num"] for r in rows}
-    auc_den = {r["auc_den"] for r in rows}
-    assert len(auc_num) == 1 and len(auc_den) == 1  # constant rational
-    auc_num, auc_den = auc_num.pop(), auc_den.pop()
+    aucs = {r["auc"] for r in rows}
+    assert len(aucs) == 1  # constant across rows
+    auc = aucs.pop()
 
     # Reconstruct the per-cell histogram from the curve: pos/neg deltas
     # between consecutive thresholds (descending tp/fp cumulative).
@@ -535,9 +534,10 @@ def test_auc_matches_bruteforce_pair_count(spark):
                 two_u += 2 * pos_p * neg_n
             elif t_p == t_n:
                 two_u += pos_p * neg_n
-    assert auc_num == two_u
-    assert auc_den == 2 * p_tot * n_tot
-    assert 0 <= auc_num <= auc_den
+    # below 2^53 both engines' decimal->double + one division equal
+    # Python's correctly-rounded int/int true division exactly
+    assert auc == two_u / (2 * p_tot * n_tot)
+    assert 0.0 <= auc <= 1.0
 
 
 def test_pareto_front_matches_bruteforce_dominance(spark):
@@ -545,16 +545,13 @@ def test_pareto_front_matches_bruteforce_dominance(spark):
     definition on the small corpus, and every non-survivor is dominated
     by some survivor."""
     rows = REG["corpus_pareto_front"].fn(spark, SF_SMALL).collect()
+    from snackfs_spark.functions import STOPWORD_PERMILLE_SPARK
     from snackfs_spark.sources.tables import load_table
     from pyspark.sql import functions as F
 
     base = load_table(spark, SF_SMALL, "documents").select(
         "doc_id",
-        F.expr(
-            "(1000 * size(filter(split(text, ' '),"
-            " t -> t IN ('the', 'a', 'and', 'with', 'of', 'in'))))"
-            " div size(split(text, ' '))"
-        ).alias("q"),
+        F.expr(STOPWORD_PERMILLE_SPARK).alias("q"),
         "n_chars",
     ).collect()
     pts = [(r["doc_id"], r["q"], r["n_chars"]) for r in base]
@@ -618,9 +615,11 @@ def test_markov_transitions_conserve_and_normalize(spark):
     """Transition counts must sum to (n_events - n_users_with_events)
     — every event except each user's last contributes exactly one
     transition — and from_total must equal the sum of its row group."""
+    from snackfs_spark.sources.tables import load_table
+
     rows = REG["events_markov_transitions"].fn(spark, SF_SMALL).collect()
     assert rows
-    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    ev = load_table(spark, SF_SMALL, "events")
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert sum(r["n"] for r in rows) == n_events - n_users
