@@ -149,6 +149,7 @@ HEADLINE_R10 = [
     "corpus_pareto_front",
     "basket_frequent_pairs",
     "events_markov_transitions",
+    "eval_cluster_agreement",
 ]
 
 

@@ -479,3 +479,127 @@ def split_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eval_vec")
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering-quality eval: contingency purity + Rand index, exactly.
+#
+# "Did the unsupervised clusters recover the known labels?" — the
+# companion question to eval_quality_auc's (textstats.py) calibration
+# eval, asked of partitions instead of scores. Everything reduces to
+# the (cluster, label) contingency table, which is BOUNDED (k x
+# |labels|) however large the corpus — so after the k-means pass the
+# whole evaluation is tiny-relation algebra:
+#   purity = sum_clusters max_label n_ij / n
+#   Rand   = (agreeing pairs) / C(n,2), with the pair counts derived
+#            from the contingency margins: 2(a+d) = 2*s_ij2 + n(n-1)
+#            - s_i2 - s_j2 where s_*2 are sum x(x-1) over cells/margins.
+# Pair counts are quadratic in n and wrap int64 past ~4.3e9 rows, so
+# the x(x-1) products accumulate in decimal(38,0) (the OLS/AUC
+# widening pattern) and each metric is emitted as the correctly-
+# rounded double of its exact rational.
+
+
+def _cluster_agreement_oracle() -> str:
+    return f"""
+    WITH assign AS ({_kmeans_oracle()}),
+    cont AS (
+      SELECT a.cluster, e.label, CAST(COUNT(*) AS BIGINT) AS n_ij
+      FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_ij) AS BIGINT) AS n,
+             SUM(CAST(n_ij AS DECIMAL(18,0)) * CAST(n_ij - 1 AS DECIMAL(18,0))) AS s_ij2
+      FROM cont
+    ),
+    pur AS (
+      SELECT CAST(SUM(mx) AS BIGINT) AS pure_n
+      FROM (SELECT cluster, MAX(n_ij) AS mx FROM cont GROUP BY cluster)
+    ),
+    rs AS (
+      SELECT SUM(CAST(n_i AS DECIMAL(18,0)) * CAST(n_i - 1 AS DECIMAL(18,0))) AS s_i2
+      FROM (SELECT cluster, CAST(SUM(n_ij) AS BIGINT) AS n_i FROM cont GROUP BY cluster)
+    ),
+    cs AS (
+      SELECT SUM(CAST(n_j AS DECIMAL(18,0)) * CAST(n_j - 1 AS DECIMAL(18,0))) AS s_j2
+      FROM (SELECT label, CAST(SUM(n_ij) AS BIGINT) AS n_j FROM cont GROUP BY label)
+    )
+    SELECT c.cluster, c.label, c.n_ij,
+           CASE WHEN t.n = 0 THEN NULL
+                ELSE CAST(p.pure_n AS DOUBLE) / CAST(t.n AS DOUBLE) END AS purity,
+           CASE WHEN t.n < 2 THEN NULL
+                ELSE CAST(t.s_ij2 + t.s_ij2
+                          + CAST(t.n AS DECIMAL(18,0)) * CAST(t.n - 1 AS DECIMAL(18,0))
+                          - r.s_i2 - cs.s_j2 AS DOUBLE)
+                     / CAST(CAST(t.n AS DECIMAL(18,0))
+                            * CAST(t.n - 1 AS DECIMAL(18,0)) AS DOUBLE)
+           END AS rand_index
+    FROM cont c CROSS JOIN tot t CROSS JOIN pur p CROSS JOIN rs r CROSS JOIN cs
+    """
+
+
+@register("eval_cluster_agreement", oracle=_cluster_agreement_oracle())
+def eval_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-vs-labels agreement: the k-means (cluster, label)
+    contingency table with overall purity and the exact Rand index
+    constant on every row — pair counting done on the bounded
+    contingency margins in decimal(38,0), never over vector pairs.
+
+    Scale: the cost is emb_kmeans_assign's broadcast-assignment rounds;
+    the eval itself is one map-side-collapsing aggregate onto k x
+    |labels| cells plus 1-row margin algebra. No vector-pair join, no
+    sort, at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    assign = emb_kmeans_assign(spark, sf_dir).select("vec_id", "cluster")
+    cont = (
+        assign.join(emb, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n_ij"))
+    )
+    # the k-means rounds are the dominant cost and four margin branches
+    # consume the table — pin it (reliable checkpoint dir on a cluster).
+    cont = cont.localCheckpoint(eager=False)
+    dec = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    tot = cont.agg(
+        F.sum("n_ij").alias("n"),
+        F.sum(dec(F.col("n_ij")) * dec(F.col("n_ij") - 1)).alias("s_ij2"),
+    )
+    pur = (
+        cont.groupBy("cluster")
+        .agg(F.max("n_ij").alias("mx"))
+        .agg(F.sum("mx").alias("pure_n"))
+    )
+    rs = (
+        cont.groupBy("cluster")
+        .agg(F.sum("n_ij").alias("n_i"))
+        .agg(F.sum(dec(F.col("n_i")) * dec(F.col("n_i") - 1)).alias("s_i2"))
+    )
+    cs = (
+        cont.groupBy("label")
+        .agg(F.sum("n_ij").alias("n_j"))
+        .agg(F.sum(dec(F.col("n_j")) * dec(F.col("n_j") - 1)).alias("s_j2"))
+    )
+    nn1 = dec(F.col("n")) * dec(F.col("n") - 1)
+    stats = (
+        tot.crossJoin(F.broadcast(pur))
+        .crossJoin(F.broadcast(rs))
+        .crossJoin(F.broadcast(cs))
+        .select(
+            F.when(
+                F.col("n") > 0,
+                F.col("pure_n").cast("double") / F.col("n").cast("double"),
+            ).alias("purity"),
+            F.when(
+                F.col("n") >= 2,
+                (
+                    F.col("s_ij2") + F.col("s_ij2") + nn1
+                    - F.col("s_i2") - F.col("s_j2")
+                ).cast("double")
+                / nn1.cast("double"),
+            ).alias("rand_index"),
+        )
+    )
+    return cont.crossJoin(F.broadcast(stats)).select(
+        "cluster", "label", "n_ij", "purity", "rand_index"
+    )

@@ -628,3 +628,34 @@ def test_markov_transitions_conserve_and_normalize(spark):
         by_from[r["from_type"]] = by_from.get(r["from_type"], 0) + r["n"]
     for r in rows:
         assert r["from_total"] == by_from[r["from_type"]]
+
+
+def test_cluster_agreement_matches_sklearn_free_bruteforce(spark):
+    """Purity and Rand recomputed pairwise from the raw assignments on
+    the small fixture must equal the contingency-margin derivation."""
+    rows = REG["eval_cluster_agreement"].fn(spark, SF_SMALL).collect()
+    assert rows
+    purity = {r["purity"] for r in rows}.pop()
+    rand = {r["rand_index"] for r in rows}.pop()
+    pts = [
+        (r["cluster"], r["label"])
+        for r in rows
+        for _ in range(r["n_ij"])
+    ]
+    n = len(pts)
+    # purity brute force
+    from collections import Counter
+
+    by_cluster: dict[int, Counter] = {}
+    for c, l in pts:
+        by_cluster.setdefault(c, Counter())[l] += 1
+    assert purity == sum(max(cnt.values()) for cnt in by_cluster.values()) / n
+    # Rand brute force over all point pairs
+    agree = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            same_c = pts[i][0] == pts[j][0]
+            same_l = pts[i][1] == pts[j][1]
+            if same_c == same_l:
+                agree += 1
+    assert rand == agree / (n * (n - 1) // 2)

@@ -111,6 +111,8 @@ QUERIES = [
     "basket_frequent_pairs",
     # Markov next-event transitions (one user-keyed window pass)
     "events_markov_transitions",
+    # contingency purity + Rand index over the k-means assignment
+    "eval_cluster_agreement",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
