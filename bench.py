@@ -150,6 +150,7 @@ HEADLINE_R10 = [
     "basket_frequent_pairs",
     "events_markov_transitions",
     "eval_cluster_agreement",
+    "eval_retrieval_ranks",
 ]
 
 

@@ -1886,3 +1886,187 @@ def eval_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("num_dec").cast("double") / den_dec.cast("double"),
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval eval: per-query first-relevant rank + recall counts.
+#
+# Third member of the eval family (calibration AUC, clustering
+# agreement, now ranking): run the BM25 ranker over a fixed multi-query
+# workload and score it against a deterministic relevance set — a doc
+# is relevant to a query iff it contains ALL the query's terms (strict
+# AND; BM25 ranks the OR-candidates). Everything emitted is an integer
+# (ranks and counts), so the eval is engine-exact; MRR/recall@k are one
+# division away for any consumer.
+
+EVAL_RETRIEVAL_QUERIES: dict[str, tuple[str, ...]] = {
+    "q_table_scan_join": ("table", "scan", "join"),
+    "q_data_row_fast": ("data", "row", "fast"),
+    "q_spark_filter_value": ("spark", "filter", "value"),
+}
+
+
+def _retrieval_oracle() -> str:
+    qvals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, terms in EVAL_RETRIEVAL_QUERIES.items()
+        for t in terms
+    )
+    qsizes = ", ".join(
+        f"('{qid}', {len(terms)})" for qid, terms in EVAL_RETRIEVAL_QUERIES.items()
+    )
+    k1 = f"{BM25_K1_NUM}.0 / {BM25_K1_DEN}"
+    b = f"{BM25_B_NUM}.0 / {BM25_B_DEN}"
+    return f"""
+    WITH q(query_id, token) AS (VALUES {qvals}),
+    qsize(query_id, n_terms) AS (VALUES {qsizes}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+    tf AS (
+      SELECT q.query_id, t.doc_id, t.token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks t JOIN q ON q.token = t.token
+      GROUP BY 1, 2, 3
+    ),
+    df AS (SELECT query_id, token, CAST(COUNT(*) AS BIGINT) AS df
+           FROM tf GROUP BY 1, 2),
+    scored AS (
+      SELECT tf.query_id, tf.doc_id,
+             CAST(SUM(CAST(round_even(
+               ((CAST(n.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({k1} + 1))
+               / (tf.tf + ({k1})
+                  * (1 - {b} + ({b})
+                     * (dl.dl * n.n_docs / CAST(n.total_len AS DOUBLE))))
+               * 1e9, 0) AS BIGINT)) AS BIGINT) AS score_lattice
+      FROM tf
+      JOIN df ON df.query_id = tf.query_id AND df.token = tf.token
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN n
+      GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT query_id, doc_id, rn FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_lattice DESC, doc_id) AS rn
+        FROM scored
+      ) WHERE rn <= {BM25_TOP}
+    ),
+    rel AS (
+      SELECT tf.query_id, tf.doc_id
+      FROM tf JOIN qsize s ON s.query_id = tf.query_id
+      GROUP BY tf.query_id, tf.doc_id, s.n_terms
+      HAVING COUNT(DISTINCT tf.token) = s.n_terms
+    ),
+    nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+             FROM rel GROUP BY query_id)
+    SELECT s.query_id,
+           COALESCE(nr.n_rel, 0) AS n_rel,
+           CAST(COUNT(r.doc_id) AS BIGINT) AS rel_in_topk,
+           CAST(MIN(CASE WHEN r.doc_id IS NOT NULL THEN t.rn END)
+                AS BIGINT) AS first_rel_rank
+    FROM qsize s
+    LEFT JOIN topk t ON t.query_id = s.query_id
+    LEFT JOIN rel r ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+    LEFT JOIN nrel nr ON nr.query_id = s.query_id
+    GROUP BY s.query_id, nr.n_rel
+    """
+
+
+@register("eval_retrieval_ranks", oracle=_retrieval_oracle())
+def eval_retrieval_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking eval of the BM25 retriever over a fixed 3-query
+    workload: per query, the corpus relevant-doc count (docs containing
+    ALL query terms), how many relevant docs made the top-20, and the
+    rank of the first relevant hit (NULL if none) — the integer
+    substrate of MRR and recall@k.
+
+    Scale: one token scan feeds everything; per-query term stats are
+    query-sized broadcasts, only matching postings join, the per-query
+    ranking is a WindowGroupLimit top-k (partial per partition, never a
+    global sort of non-candidates), and the relevance set is an
+    AND-semi-join over the same postings. Output is |queries| rows."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    qterms = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, terms in EVAL_RETRIEVAL_QUERIES.items()
+            for t in terms
+        ],
+        "query_id string, token string",
+    )
+    qsize = spark.createDataFrame(
+        [(qid, len(terms)) for qid, terms in EVAL_RETRIEVAL_QUERIES.items()],
+        "query_id string, n_terms int",
+    )
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len"))
+    tf = (
+        toks.join(F.broadcast(qterms), "token")
+        .groupBy("query_id", "doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("query_id", "token").agg(F.count(F.lit(1)).alias("df"))
+    k1 = f"{BM25_K1_NUM}.0 / {BM25_K1_DEN}"
+    b = f"{BM25_B_NUM}.0 / {BM25_B_DEN}"
+    contrib = (
+        f"CAST(bround(((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))"
+        f" * (tf * ({k1} + 1))"
+        f" / (tf + ({k1}) * (1 - {b} + ({b}) * (dl * n_docs / CAST(total_len AS DOUBLE))))"
+        f" * 1e9, 0) AS BIGINT)"
+    )
+    # the postings relation feeds scoring AND the relevance semi-join —
+    # pin it so the token scan runs once.
+    tf = tf.localCheckpoint(eager=False)
+    scored = (
+        tf.join(F.broadcast(df), ["query_id", "token"])
+        .join(dl, "doc_id")
+        .join(F.broadcast(n))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.expr(contrib)).alias("score_lattice"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("score_lattice").desc(), F.col("doc_id")
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= BM25_TOP)
+        .select("query_id", "doc_id", "rn")
+    )
+    rel = (
+        tf.groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("token").alias("m"))
+        .join(F.broadcast(qsize), "query_id")
+        .filter(F.col("m") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    nrel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = topk.join(
+        rel.withColumn("is_rel", F.lit(1)), ["query_id", "doc_id"], "left"
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("is_rel"), F.lit(0)))
+        .cast("long")
+        .alias("rel_in_topk"),
+        F.min(F.when(F.col("is_rel") == 1, F.col("rn")))
+        .cast("long")
+        .alias("first_rel_rank"),
+    )
+    return (
+        qsize.select("query_id")
+        .join(per_q, "query_id", "left")
+        .join(F.broadcast(nrel), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+            F.coalesce(F.col("rel_in_topk"), F.lit(0))
+            .cast("long")
+            .alias("rel_in_topk"),
+            "first_rel_rank",
+        )
+    )

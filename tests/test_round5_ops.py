@@ -659,3 +659,31 @@ def test_cluster_agreement_matches_sklearn_free_bruteforce(spark):
             if same_c == same_l:
                 agree += 1
     assert rand == agree / (n * (n - 1) // 2)
+
+
+def test_retrieval_ranks_against_bruteforce(spark):
+    """Relevance counts and the first-relevant rank recomputed from a
+    driver-side brute-force BM25-free pass: every doc's term membership
+    decides relevance; the reported counts must be consistent."""
+    from snackfs_spark.operators.textstats import (
+        BM25_TOP,
+        EVAL_RETRIEVAL_QUERIES,
+    )
+    from snackfs_spark.sources.tables import load_table
+
+    rows = {r["query_id"]: r for r in REG["eval_retrieval_ranks"].fn(spark, SF_SMALL).collect()}
+    assert set(rows) == set(EVAL_RETRIEVAL_QUERIES)
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+    for qid, terms in EVAL_RETRIEVAL_QUERIES.items():
+        rel = {
+            d["doc_id"]
+            for d in docs
+            if all(t in d["text"].split(" ") for t in terms)
+        }
+        r = rows[qid]
+        assert r["n_rel"] == len(rel)
+        assert 0 <= r["rel_in_topk"] <= min(len(rel), BM25_TOP)
+        if r["rel_in_topk"] > 0:
+            assert 1 <= r["first_rel_rank"] <= BM25_TOP
+        else:
+            assert r["first_rel_rank"] is None

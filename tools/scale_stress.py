@@ -113,6 +113,8 @@ QUERIES = [
     "events_markov_transitions",
     # contingency purity + Rand index over the k-means assignment
     "eval_cluster_agreement",
+    # multi-query BM25 ranking eval (one token scan, bounded outputs)
+    "eval_retrieval_ranks",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
