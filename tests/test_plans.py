@@ -412,3 +412,54 @@ def test_entity_resolution_blocked_equi_join_no_cartesian(spark):
     assert_no_cartesian(df)
     plan = formatted_plan(df)
     assert "blk" in plan, plan
+
+
+def test_pareto_front_broadcasts_skyline_cells(spark):
+    """The skyline map-back must be a broadcast join (the cell relation
+    is <= 1001 rows) and the fact side must never sort globally."""
+    df = REG["corpus_pareto_front"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_frequent_pairs_no_forced_broadcast_of_catalog(spark):
+    """The frequent-item relation is catalog-proportional: the prune and
+    support joins must be shuffle-hash, never a planner-forced broadcast
+    that OOMs at 100x (the r4 sweep lesson), and the basket self-join
+    must not degenerate to a cartesian."""
+    df = REG["basket_frequent_pairs"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert_no_cartesian(df)
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_markov_single_user_shuffle_then_partial_agg(spark):
+    """One user-keyed exchange feeds the LEAD window; the transition
+    count must collapse map-side (partial_count before the final
+    exchange) because the key space is |types|^2."""
+    df = REG["events_markov_transitions"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "partial_count" in plan, plan
+
+
+def test_cluster_agreement_no_vector_pair_join(spark):
+    """Purity/Rand must come from the contingency margins: no cartesian
+    anywhere except the k-means broadcast-centroid assignment, and the
+    margin joins are 1-row broadcasts."""
+    df = REG["eval_cluster_agreement"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    # no vec_id-pair SortMergeJoin anywhere; the margin combination is
+    # 1-row broadcast nested loops (cross joins of scalar aggregates)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_retrieval_eval_group_limit_and_broadcast_stats(spark):
+    """The per-query top-20 must be a WindowGroupLimit (partial per
+    partition) and the per-query term stats must broadcast."""
+    df = REG["eval_retrieval_ranks"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
