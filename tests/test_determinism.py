@@ -53,6 +53,12 @@ PROBES = [
     # round 9 (late build round 5): the span-merge islands window (order
     # by position within doc) and the single-division dup_frac double
     "dedup_span_ngrams",
+    # round 10: the decimal(38)-accumulated Mann-Whitney AUC and the
+    # contingency-margin Rand index — both emit one correctly-rounded
+    # double from an exact rational; the division must not see
+    # partition-order-dependent operands
+    "eval_quality_auc",
+    "eval_cluster_agreement",
 ]
 
 
