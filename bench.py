@@ -151,6 +151,7 @@ HEADLINE_R10 = [
     "events_markov_transitions",
     "eval_cluster_agreement",
     "eval_retrieval_ranks",
+    "multimodal_phash_dedup",
 ]
 
 

@@ -672,3 +672,201 @@ def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         _tile_stats, schema=_TILE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup: the multimodal twin of the text dedup
+# family. Every BMP asset is decoded by the REAL codec and reduced to a
+# 64-bit average-hash (the image split into overlapping top/bottom
+# halves x 32 columns; bit b = "this region's mean brightness is above
+# the image mean"), then near-identical images pair up through a
+# 4 x 16-bit banded self-join with an exact-recall guarantee at
+# Hamming distance <= PHASH_MAX_HAMMING: 4 bands and <= 3 differing
+# bits force at least one identical band (pigeonhole), so no qualifying
+# pair can be missed — the LSH-style banding is a pure pruning device.
+#
+# Deterministic duplicate injection (the fs_fsck pattern): every
+# md5-bucketed 1-in-7 document is re-rendered as a second asset with an
+# offset id, so the operator has planted ground-truth pairs (hamming 0)
+# at every scale; organic near-dup images surface alongside them. The
+# oracle re-derives hashes from character codes and runs the same
+# band-join + bit-level Hamming verify.
+
+PHASH_MAX_HAMMING = 3       # 4 bands ⊢ exact recall for <= 3 bit flips
+PHASH_PLANT_MOD = 7         # 1-in-7 docs get a planted duplicate asset
+PHASH_PLANT_OFFSET = 1_000_000_000
+
+_PHASH_SCHEMA = T.StructType(
+    [T.StructField("asset_id", T.LongType())]
+    + [T.StructField(f"b{k}", T.LongType()) for k in range(4)]
+)
+
+
+def _ahash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL BMP decode (magic, parsed geometry, signed-height
+    orientation, stride) -> 64-bit aHash -> 4 x 16-bit band keys.
+    Overlapping halves (top = rows [0, ceil(h/2)), bottom =
+    [floor(h/2), h)) keep all 64 bits defined down to h = 1."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in ("asset_id", "b0", "b1", "b2", "b3")}
+        for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+            buf = bytes(payload)
+            if buf[:2] != b"BM":
+                raise ValueError(f"asset {aid}: not a BMP file")
+            pix_off = int.from_bytes(buf[10:14], "little")
+            width = int.from_bytes(buf[18:22], "little", signed=True)
+            height = int.from_bytes(buf[22:26], "little", signed=True)
+            h = abs(height)
+            stride = (width + 3) // 4 * 4
+            px = np.frombuffer(
+                buf[pix_off : pix_off + h * stride], dtype=np.uint8
+            ).reshape(h, stride)[:, :width]
+            if height > 0:
+                px = px[::-1]
+            top = px[: (h + 1) // 2].astype(np.int64)
+            bot = px[h // 2 :].astype(np.int64)
+            m = np.concatenate(
+                [top.sum(axis=0) // top.shape[0], bot.sum(axis=0) // bot.shape[0]]
+            )
+            bits = (64 * m > int(m.sum())).astype(np.int64)
+            out["asset_id"].append(aid)
+            for k in range(4):
+                out[f"b{k}"].append(
+                    int((bits[k * 16 : (k + 1) * 16] << np.arange(16)).sum())
+                )
+        yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+
+
+def _phash_oracle() -> str:
+    plant = (
+        f"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {PHASH_PLANT_MOD} = 0"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS asset_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {PHASH_PLANT_OFFSET}, text FROM documents WHERE {plant}
+    ),
+    g AS (SELECT asset_id, text, octet_length(encode(text)) // {IMG_W} AS h
+          FROM base),
+    px0 AS (
+      SELECT asset_id, h, i // {IMG_W} AS r, i % {IMG_W} AS c,
+             ascii(substr(text, CAST(i + 1 AS INT), 1)) AS v
+      FROM (SELECT asset_id, h, text, unnest(range(0, h * {IMG_W})) AS i FROM g)
+    ),
+    px AS (
+      SELECT asset_id, hv.half, c, v FROM px0
+      CROSS JOIN (SELECT unnest([0, 1]) AS half) hv
+      WHERE (hv.half = 0 AND r < (h + 1) // 2) OR (hv.half = 1 AND r >= h // 2)
+    ),
+    means AS (
+      SELECT asset_id, half * {IMG_W} + c AS b,
+             CAST(SUM(v) // COUNT(*) AS BIGINT) AS m
+      FROM px GROUP BY asset_id, half, c
+    ),
+    tot AS (SELECT asset_id, CAST(SUM(m) AS BIGINT) AS sm FROM means
+            GROUP BY asset_id),
+    bits AS (
+      SELECT means.asset_id, b, CASE WHEN 64 * m > sm THEN 1 ELSE 0 END AS bit
+      FROM means JOIN tot ON tot.asset_id = means.asset_id
+    ),
+    bands AS (
+      SELECT asset_id, b // 16 AS band_id,
+             CAST(SUM(bit * (1 << (b % 16))) AS BIGINT) AS val
+      FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT x.asset_id AS a, y.asset_id AS bb
+      FROM bands x JOIN bands y ON x.band_id = y.band_id AND x.val = y.val
+       AND x.asset_id < y.asset_id
+    ),
+    ham AS (
+      SELECT c.a, c.bb,
+             CAST(SUM(CASE WHEN xa.bit <> yb.bit THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hamming
+      FROM cand c
+      JOIN bits xa ON xa.asset_id = c.a
+      JOIN bits yb ON yb.asset_id = c.bb AND yb.b = xa.b
+      GROUP BY 1, 2
+    )
+    SELECT a AS asset_a, bb AS asset_b, hamming
+    FROM ham WHERE hamming <= {PHASH_MAX_HAMMING}
+    """
+
+
+@register("multimodal_phash_dedup", oracle=_phash_oracle())
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs by perceptual hash over real decoded
+    BMPs: (asset_a, asset_b, hamming <= PHASH_MAX_HAMMING), including
+    the deterministically planted duplicate assets (ground truth the
+    test asserts) and any organic near-dups.
+
+    Scale: decode + hash is one narrow mapInPandas pass (parallelism =
+    scan parallelism, 4 ints of state per image). Candidates come from
+    a 16-bit band-keyed self-join — corpus-proportional on BOTH sides,
+    so it runs shuffle-hashed, never broadcast (the 100x OOM lesson) —
+    and the Hamming verify touches candidates only, with the 4-band /
+    <= 3-bit pigeonhole making the prune lossless, not approximate."""
+    from snackfs_spark.functions import md5_bucket
+
+    assets = bmp_assets_df(spark, sf_dir)
+    planted = (
+        assets.filter(
+            md5_bucket(F.col("asset_id").cast("string"), PHASH_PLANT_MOD) == 0
+        )
+        .select(
+            (F.col("asset_id") + PHASH_PLANT_OFFSET).alias("asset_id"), "payload"
+        )
+    )
+    all_assets = fan_out(assets.unionByName(planted), spark)
+    wide = all_assets.select("asset_id", "payload").mapInPandas(
+        _ahash_bands, schema=_PHASH_SCHEMA
+    )
+    # the decode pass feeds the band join (twice) and both verify sides
+    wide = wide.localCheckpoint(eager=False)
+    bands = wide.select(
+        "asset_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"), F.col(f"b{k}").alias("val")
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("asset_id", "band.band_id", "band.val")
+    x = bands.select(
+        "band_id", "val", F.col("asset_id").alias("asset_a")
+    )
+    y = bands.select(
+        "band_id", "val", F.col("asset_id").alias("asset_b")
+    )
+    cand = (
+        x.join(y.hint("shuffle_hash"), ["band_id", "val"])
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .select("asset_a", "asset_b")
+        .distinct()
+    )
+    ha = wide.select(
+        F.col("asset_id").alias("asset_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+    )
+    hb = wide.select(
+        F.col("asset_id").alias("asset_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}"))) for k in range(4)
+    )
+    return (
+        cand.join(ha.hint("shuffle_hash"), "asset_a")
+        .join(hb.hint("shuffle_hash"), "asset_b")
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select("asset_a", "asset_b", "hamming")
+    )

@@ -687,3 +687,32 @@ def test_retrieval_ranks_against_bruteforce(spark):
             assert 1 <= r["first_rel_rank"] <= BM25_TOP
         else:
             assert r["first_rel_rank"] is None
+
+
+def test_phash_dedup_recovers_planted_duplicates(spark):
+    """Every planted duplicate asset must pair with its original at
+    hamming 0 (identical pixels -> identical hash -> a shared band ->
+    exact recall), and no reported pair may exceed the threshold."""
+    from snackfs_spark.functions import md5_bucket
+    from snackfs_spark.operators.multimodal import (
+        PHASH_MAX_HAMMING,
+        PHASH_PLANT_MOD,
+        PHASH_PLANT_OFFSET,
+    )
+    from snackfs_spark.sources.tables import load_table
+
+    rows = REG["multimodal_phash_dedup"].fn(spark, SF_SMALL).collect()
+    assert rows
+    pairs = {(r["asset_a"], r["asset_b"]): r["hamming"] for r in rows}
+    assert all(a < b for a, b in pairs)
+    assert all(0 <= h <= PHASH_MAX_HAMMING for h in pairs.values())
+    planted = {
+        r["doc_id"]
+        for r in load_table(spark, SF_SMALL, "documents")
+        .filter(md5_bucket(F.col("doc_id").cast("string"), PHASH_PLANT_MOD) == 0)
+        .select("doc_id")
+        .collect()
+    }
+    assert planted
+    for doc in planted:
+        assert pairs.get((doc, doc + PHASH_PLANT_OFFSET)) == 0

@@ -115,6 +115,8 @@ QUERIES = [
     "eval_cluster_agreement",
     # multi-query BM25 ranking eval (one token scan, bounded outputs)
     "eval_retrieval_ranks",
+    # real-decode aHash + banded Hamming join (planted dup truth)
+    "multimodal_phash_dedup",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
