@@ -152,6 +152,7 @@ HEADLINE_R10 = [
     "eval_cluster_agreement",
     "eval_retrieval_ranks",
     "multimodal_phash_dedup",
+    "corpus_jsonl_roundtrip",
 ]
 
 

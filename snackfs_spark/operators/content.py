@@ -344,3 +344,50 @@ def fs_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = text_payloads_df(spark, sf_dir).mapInPandas(_decode_text, schema=schema)
     return out.select("path", "codec", "text_bytes", "text_md5")
+
+
+def jsonl_shards_for(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per dataset) the corpus as gzip-compressed
+    JSONL shards under var/ — the standard training-data interchange
+    layout (one JSON object per line, N shards, gzip per shard).
+    Subsequent calls reuse the shards."""
+    import os
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"/root/repo/var/jsonl_{tag}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        from snackfs_spark.sources.tables import load_table
+
+        (
+            load_table(spark, sf_dir, "documents")
+            .repartition(8)
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .json(out)
+        )
+    return out
+
+
+@register(
+    "corpus_jsonl_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def corpus_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange-format roundtrip: export the corpus as gzipped JSONL
+    shards (the lingua franca of LLM training data) and read it back
+    through Spark's JSON source with an explicit schema — every field
+    must survive JSON escaping and the gzip codec byte-exact, which is
+    what the oracle (the original table) checks.
+
+    Scale: the JSON source splits per shard (gzip is not splittable —
+    the write controls shard count, which IS the read parallelism knob
+    a real pipeline turns), the explicit schema skips inference's extra
+    pass, and the roundtrip is embarrassingly parallel — no shuffle in
+    either direction beyond the sharding repartition."""
+    out = jsonl_shards_for(spark, sf_dir)
+    schema = (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    return spark.read.schema(schema).json(out).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )

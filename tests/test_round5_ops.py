@@ -716,3 +716,20 @@ def test_phash_dedup_recovers_planted_duplicates(spark):
     assert planted
     for doc in planted:
         assert pairs.get((doc, doc + PHASH_PLANT_OFFSET)) == 0
+
+
+def test_jsonl_shards_are_gzip_and_sharded(spark):
+    """The interchange layout contract: multiple .json.gz part files,
+    each a valid gzip stream of newline-delimited JSON objects."""
+    import glob
+    import gzip
+    import json as jsonlib
+
+    from snackfs_spark.operators.content import jsonl_shards_for
+
+    out = jsonl_shards_for(spark, SF_SMALL)
+    parts = sorted(glob.glob(f"{out}/part-*.json.gz"))
+    assert len(parts) > 1, parts
+    with gzip.open(parts[0], "rt") as f:
+        first = jsonlib.loads(f.readline())
+    assert set(first) == {"doc_id", "text", "lang", "source", "n_chars"}

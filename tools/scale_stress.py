@@ -117,6 +117,8 @@ QUERIES = [
     "eval_retrieval_ranks",
     # real-decode aHash + banded Hamming join (planted dup truth)
     "multimodal_phash_dedup",
+    # gzip JSONL interchange roundtrip (shard count = read parallelism)
+    "corpus_jsonl_roundtrip",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
