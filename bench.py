@@ -153,6 +153,7 @@ HEADLINE_R10 = [
     "eval_retrieval_ranks",
     "multimodal_phash_dedup",
     "corpus_jsonl_roundtrip",
+    "fs_repair_plan",
 ]
 
 

@@ -587,3 +587,136 @@ def fs_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Anti-entropy repair plan (the Cassandra primitive behind the
+# reference's store: replicas drift, a repair compares Merkle-style
+# digests and streams only the differing ranges — nodetool repair,
+# re-expressed relationally). Replica A is the content model; replica B
+# deterministically lost a ~0.5% chunk set (the fs_fsck injection
+# pattern). Each of the REPAIR_BUCKETS token-range buckets gets a
+# SET-HOMOMORPHIC digest — the SUM of per-chunk 60-bit fingerprints,
+# accumulated exactly in decimal — so the digest is order-independent,
+# aggregates map-side with O(1) state per bucket, and never
+# concatenates corpus-proportional strings the way a literal Merkle
+# leaf list would. Only buckets whose digests differ are drilled into;
+# the anti-join that enumerates missing chunks touches mismatched
+# buckets alone, which is the entire point of the tree.
+
+REPAIR_BUCKETS = 64
+REPAIR_LOSS_MOD = 199  # ~0.5% of replica B's chunks are lost
+_REPAIR_FP_SQL = (
+    "('0x' || substr(md5(path || '#' || CAST(sub_offset AS VARCHAR)"
+    " || '#' || md5(payload)), 1, 15))::BIGINT"
+)
+
+
+@register(
+    "fs_repair_plan",
+    oracle=fs_sql(
+        f"""
+        , chunks AS (
+            SELECT path, sub_offset, length,
+                   ('0x' || substr(md5(path), 1, 15))::BIGINT
+                     % {REPAIR_BUCKETS} AS bucket,
+                   {_REPAIR_FP_SQL} AS f,
+                   ('0x' || substr(md5(path || '#' || CAST(sub_offset AS VARCHAR)),
+                                   1, 15))::BIGINT % {REPAIR_LOSS_MOD} = 7 AS lost
+            FROM content
+        ),
+        da AS (
+            SELECT bucket, SUM(CAST(f AS DECIMAL(28,0))) AS digest,
+                   CAST(COUNT(*) AS BIGINT) AS n_chunks
+            FROM chunks GROUP BY bucket
+        ),
+        db AS (
+            SELECT bucket, SUM(CAST(f AS DECIMAL(28,0))) AS digest
+            FROM chunks WHERE NOT lost GROUP BY bucket
+        )
+        SELECT a.bucket, a.n_chunks,
+               CAST(COUNT(c.path) AS BIGINT) AS n_missing_chunks,
+               CAST(COALESCE(SUM(c.length), 0) AS BIGINT) AS missing_bytes
+        FROM da a
+        LEFT JOIN db b ON b.bucket = a.bucket
+        JOIN chunks c ON c.bucket = a.bucket AND c.lost
+        WHERE b.bucket IS NULL OR a.digest <> b.digest
+        GROUP BY a.bucket, a.n_chunks
+        """,
+        "content",
+    ),
+)
+def fs_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy repair plan between two replica views of the chunk
+    store: per mismatched token-range bucket, how many chunks and bytes
+    replica B must stream back. Digest comparison finds the buckets;
+    the chunk-level enumeration runs ONLY inside them.
+
+    Scale: the set-homomorphic bucket digest (exact decimal SUM of
+    60-bit chunk fingerprints) collapses map-side to REPAIR_BUCKETS
+    rows per replica — no sort, no string concatenation, no Merkle
+    recursion needed at this fan-out. The drill-down joins the chunk
+    relation against the <= REPAIR_BUCKETS mismatched-bucket ids
+    (broadcast) and only then inspects chunks."""
+    ch = content_df(spark, sf_dir).select(
+        "path",
+        "sub_offset",
+        "length",
+        md5_bucket(F.col("path"), REPAIR_BUCKETS).alias("bucket"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("path"),
+                        F.lit("#"),
+                        F.col("sub_offset").cast("string"),
+                        F.lit("#"),
+                        F.md5(F.col("payload").cast("binary")),
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("f"),
+        (
+            md5_bucket(
+                F.concat(
+                    F.col("path"), F.lit("#"), F.col("sub_offset").cast("string")
+                ),
+                REPAIR_LOSS_MOD,
+            )
+            == 7
+        ).alias("lost"),
+    )
+    # the chunk fingerprints feed both digests and the drill-down
+    ch = ch.localCheckpoint(eager=False)
+    dec = lambda c: c.cast("decimal(28,0)")  # noqa: E731
+    da = ch.groupBy("bucket").agg(
+        F.sum(dec(F.col("f"))).alias("digest_a"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+    )
+    db = ch.filter(~F.col("lost")).groupBy("bucket").agg(
+        F.sum(dec(F.col("f"))).alias("digest_b")
+    )
+    mismatched = (
+        da.join(db, "bucket", "left")
+        .filter(
+            F.col("digest_b").isNull()
+            | (F.col("digest_a") != F.col("digest_b"))
+        )
+        .select("bucket", "n_chunks")
+    )
+    return (
+        ch.filter(F.col("lost"))
+        .join(F.broadcast(mismatched), "bucket")
+        .groupBy("bucket", "n_chunks")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_missing_chunks"),
+            F.sum("length").cast("long").alias("missing_bytes"),
+        )
+        .select("bucket", "n_chunks", "n_missing_chunks", "missing_bytes")
+    )

@@ -733,3 +733,31 @@ def test_jsonl_shards_are_gzip_and_sharded(spark):
     with gzip.open(parts[0], "rt") as f:
         first = jsonlib.loads(f.readline())
     assert set(first) == {"doc_id", "text", "lang", "source", "n_chars"}
+
+
+def test_repair_plan_accounts_for_every_lost_chunk(spark):
+    """Positive fingerprints make a bucket's digests differ iff it lost
+    at least one chunk, so the plan's missing totals must equal the
+    injected loss exactly — no bucket silently skipped, none inflated."""
+    from snackfs_spark.functions import md5_bucket
+    from snackfs_spark.operators.fsops import REPAIR_LOSS_MOD
+    from snackfs_spark.sources.fsmodel import content_df
+
+    rows = REG["fs_repair_plan"].fn(spark, SF_SMALL).collect()
+    assert rows
+    lost = (
+        content_df(spark, SF_SMALL)
+        .filter(
+            md5_bucket(
+                F.concat(F.col("path"), F.lit("#"), F.col("sub_offset").cast("string")),
+                REPAIR_LOSS_MOD,
+            )
+            == 7
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("length").alias("b"))
+        .collect()[0]
+    )
+    assert sum(r["n_missing_chunks"] for r in rows) == lost["n"]
+    assert sum(r["missing_bytes"] for r in rows) == lost["b"]
+    for r in rows:
+        assert 1 <= r["n_missing_chunks"] <= r["n_chunks"]

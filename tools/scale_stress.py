@@ -119,6 +119,8 @@ QUERIES = [
     "multimodal_phash_dedup",
     # gzip JSONL interchange roundtrip (shard count = read parallelism)
     "corpus_jsonl_roundtrip",
+    # set-homomorphic Merkle digests + mismatched-bucket drill-down
+    "fs_repair_plan",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
