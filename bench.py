@@ -157,6 +157,16 @@ HEADLINE_R10 = [
 ]
 
 
+# Round-11 additions (round-5 continuation): the explicit runtime
+# bloom prune, the islands+prefix-sum sliding distinct count, and the
+# PQ/ADC compressed ANN path.
+HEADLINE_R11 = [
+    "rel_bloom_runtime_filter",
+    "win_sliding_distinct_users",
+    "ann_pq_adc",
+]
+
+
 # Cumulative round groups: drives BOTH the emitted rNN_comparable_subtotal
 # keys and the regression-alarm baselines, so a new round group added here
 # is automatically reported AND gated (code-review r5: the hand-copied
@@ -172,6 +182,7 @@ ROUNDS = [
     HEADLINE_R8,
     HEADLINE_R9,
     HEADLINE_R10,
+    HEADLINE_R11,
 ]
 
 

@@ -593,3 +593,175 @@ def emb_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_label",
         F.when(F.col("neg_label") != F.col("label"), 1).otherwise(0).alias("is_valid"),
     )
+
+
+# ---- Product quantization (PQ) + asymmetric distance (ADC) ----------
+#
+# The memory-scale path for ANN at 100 TB: vectors compress 64 floats
+# (256 B) -> 8 codes (8 B) against a 16-centroid codebook per 8-dim
+# subspace; queries score candidates via a 128-entry lookup table
+# instead of touching raw vectors (Jegou et al., "Product Quantization
+# for Nearest Neighbor Search", PAPERS.md). Codebook here is
+# hash-chosen (the 16 corpus vectors with smallest md5 fingerprint) so
+# BOTH engines derive the identical codebook declaratively — a k-means
+# refinement would reuse emb_kmeans_assign's broadcast-rounds pattern
+# without changing any plan shape below.
+PQ_SUB = 8          # subspaces
+PQ_SUBDIM = 8       # dims per subspace (PQ_SUB * PQ_SUBDIM = 64)
+PQ_K = 16           # centroids per subspace
+PQ_QUERIES = 5      # vec_id < 5 are the query vectors (as ann_*)
+
+# Squared-L2 of every (subspace s, centroid c) pair, j = s*16+c flat:
+# left-fold double arithmetic in index order, bit-identical twins.
+_PQ_DISTS_SPARK = (
+    "transform(sequence(0, 127), j -> aggregate("
+    "zip_with("
+    "slice(CAST(embedding AS ARRAY<DOUBLE>), CAST((j div 16) * 8 + 1 AS INT), 8), "
+    "element_at(cb, j + 1), "
+    "(x, y) -> (x - y) * (x - y)), "
+    "0D, (acc, v) -> acc + v))"
+)
+_PQ_DISTS_DUCK = (
+    "list_transform(range(0, 128), j -> list_reduce("
+    "list_transform(range(1, 9), i -> "
+    "(CAST(embedding[(j // 16) * 8 + i] AS DOUBLE) - cb[j + 1][i])"
+    " * (CAST(embedding[(j // 16) * 8 + i] AS DOUBLE) - cb[j + 1][i])), "
+    "(x, y) -> x + y))"
+)
+# Per-subspace argmin over the 16-slice of dists (ties -> smallest c).
+_PQ_CODES_SPARK = (
+    "transform(sequence(0, 7), s -> array_position("
+    "slice(dists, s * 16 + 1, 16), array_min(slice(dists, s * 16 + 1, 16))) - 1)"
+)
+_PQ_CODES_DUCK = (
+    "list_transform(range(0, 8), s -> list_position("
+    "list_slice(dists, s * 16 + 1, s * 16 + 16), "
+    "list_min(list_slice(dists, s * 16 + 1, s * 16 + 16))) - 1)"
+)
+# ADC estimate: sum the query's LUT entry for each stored code, s-order.
+_PQ_ADC_SPARK = (
+    "aggregate(zip_with(sequence(0, 7), codes, "
+    "(s, c) -> element_at(lut, CAST(s * 16 + c + 1 AS INT))), "
+    "0D, (acc, v) -> acc + v)"
+)
+_PQ_ADC_DUCK = (
+    "list_reduce(list_transform(range(0, 8), "
+    "s -> lut[s * 16 + codes[s + 1] + 1]), (x, y) -> x + y)"
+)
+
+
+@register(
+    "ann_pq_adc",
+    oracle=f"""
+    WITH h AS (
+      SELECT vec_id, embedding,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT embedding,
+             ROW_NUMBER() OVER (ORDER BY hh, vec_id) - 1 AS cidx
+      FROM h ORDER BY hh, vec_id LIMIT {PQ_K}
+    ),
+    subs AS (
+      SELECT sd.cidx, g.sp,
+             list_transform(range(g.sp * 8 + 1, g.sp * 8 + 9),
+                            i -> CAST(sd.embedding[i] AS DOUBLE)) AS cvec
+      FROM seeds sd CROSS JOIN (SELECT unnest(range(0, 8)) AS sp) g
+    ),
+    cbrow AS (SELECT list(cvec ORDER BY sp * 16 + cidx) AS cb FROM subs),
+    cdist AS (
+      SELECT e.vec_id, {_PQ_DISTS_DUCK} AS dists FROM embeddings e, cbrow
+    ),
+    codes AS (SELECT vec_id, {_PQ_CODES_DUCK} AS codes FROM cdist),
+    qlut AS (
+      SELECT e.vec_id AS query_id, {_PQ_DISTS_DUCK} AS lut
+      FROM embeddings e, cbrow WHERE e.vec_id < {PQ_QUERIES}
+    ),
+    cand AS (
+      SELECT q.query_id, c.vec_id, {_PQ_ADC_DUCK} AS adc
+      FROM codes c, qlut q WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, adc, rank FROM (
+      SELECT query_id, vec_id, adc,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc, vec_id) AS BIGINT) AS rank
+      FROM cand
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed top-k: encode the corpus to 8 subspace codes
+    against a hash-derived codebook, then answer each query from its
+    128-entry ADC lookup table — the classic memory-bound ANN layout
+    (8 B/vector resident instead of 256 B).
+
+    Scale: the codebook is a 16-row TakeOrdered + a 128-row broadcast;
+    ENCODING is one corpus scan with zero shuffle (single-row bitmap
+    crossJoin, all argmins inside codegen HOFs); SCORING is one pass
+    over the 8-byte codes with the 5-query LUT broadcast, then per-query
+    top-k via WindowGroupLimit. No corpus-sized shuffle anywhere — at
+    100 TB the codes relation is the only thing rescanned per query
+    batch, 32x smaller than the raw vectors. The oracle recomputes the
+    whole pipeline declaratively in DuckDB — codebook choice, encoding
+    argmins, LUT, ADC sums are bit-identical left-fold doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("hh"),
+        )
+        .orderBy("hh", "vec_id")
+        .limit(PQ_K)
+    )
+    wseed = Window.orderBy("hh", "vec_id")
+    seeds = seeds.withColumn("cidx", F.row_number().over(wseed) - 1)
+    subs = seeds.crossJoin(
+        spark.range(PQ_SUB).select(F.col("id").cast("int").alias("sp"))
+    ).select(
+        "cidx",
+        "sp",
+        F.expr(
+            "slice(CAST(embedding AS ARRAY<DOUBLE>), CAST(sp * 8 + 1 AS INT), 8)"
+        ).alias("cvec"),
+    )
+    cbrow = (
+        subs.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (F.col("sp") * 16 + F.col("cidx")).alias("j"),
+                        F.col("cvec").alias("v"),
+                    )
+                )
+            ).alias("arr")
+        )
+        .select(F.expr("transform(arr, e -> e.v)").alias("cb"))
+    )
+    codes = (
+        emb.crossJoin(F.broadcast(cbrow))
+        .withColumn("dists", F.expr(_PQ_DISTS_SPARK))
+        .select("vec_id", F.expr(_PQ_CODES_SPARK).alias("codes"))
+    )
+    qlut = (
+        emb.filter(F.col("vec_id") < PQ_QUERIES)
+        .crossJoin(F.broadcast(cbrow))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(_PQ_DISTS_SPARK).alias("lut"),
+        )
+    )
+    cand = (
+        codes.crossJoin(F.broadcast(qlut))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.expr(_PQ_ADC_SPARK).alias("adc"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "adc", "rank")
+    )

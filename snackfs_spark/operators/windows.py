@@ -715,3 +715,92 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("micro").cast("double") / 1000000.0).alias("linear_revenue"),
         )
     )
+
+
+# Trailing-window distinct counting. Spark has no COUNT(DISTINCT) OVER
+# a sliding frame (and a collect_set-over-window implementation holds
+# the whole user set per row — memory-quadratic on hot windows). The
+# declarative alternative: a user covers window-end day e iff they have
+# an event in [e-W+1, e]; per (type, user) merge event days into
+# islands separated by gaps > W-1 (an island [s, t] covers ends
+# [s, t+W-1]), convert islands to ±1 boundary deltas, and a prefix sum
+# over the per-type day axis materializes every window's distinct count
+# in one bounded window pass. State per shuffle key is days-per-user
+# (bounded by the calendar), never the user universe.
+SLIDING_DISTINCT_DAYS = 7
+
+
+@register(
+    "win_sliding_distinct_users",
+    oracle=f"""
+    WITH pd AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT event_type, day FROM pd)
+    SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users
+    FROM days d
+    JOIN pd p ON p.event_type = d.event_type
+             AND p.day BETWEEN d.day - {SLIDING_DISTINCT_DAYS - 1} AND d.day
+    GROUP BY d.event_type, d.day
+    """,
+)
+def win_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per event type, for every
+    observed day — the rolling-DAU/WAU shape. The oracle recomputes each
+    window from scratch with a range self-join + COUNT(DISTINCT); the
+    engine never does either (cross-algorithm check): it merges per-user
+    day islands and prefix-sums their ±1 coverage deltas.
+
+    Scale: one (type, user, day) dedup shuffle over the fact, one
+    (type, user) window whose partitions hold ≤ calendar-days rows, then
+    everything collapses onto the (type, day) lattice — aggregate and
+    prefix-sum state is |types| × |days|, scale-free in users and
+    events. The classic per-window COUNT(DISTINCT) re-touches every
+    event W times; this touches each once."""
+    w = SLIDING_DISTINCT_DAYS
+    pd_ = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    seq = Window.partitionBy("event_type", "user_id").orderBy("day")
+    islands = (
+        pd_.withColumn("prev", F.lag("day").over(seq))
+        .withColumn(
+            "newgrp",
+            F.when(
+                F.col("prev").isNull()
+                | (F.datediff("day", F.col("prev")) > w - 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("grp", F.sum("newgrp").over(seq))
+        .groupBy("event_type", "user_id", "grp")
+        .agg(F.min("day").alias("s"), F.max("day").alias("t"))
+    )
+    deltas = islands.select(
+        "event_type", F.col("s").alias("day"), F.lit(1).alias("d")
+    ).unionAll(
+        islands.select(
+            "event_type", F.date_add("t", w).alias("day"), F.lit(-1).alias("d")
+        )
+    )
+    axis = deltas.groupBy("event_type", "day").agg(F.sum("d").alias("net"))
+    run = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    counts = axis.withColumn("n_users", F.sum("net").over(run))
+    observed = pd_.select("event_type", "day").distinct()
+    return (
+        counts.join(observed, ["event_type", "day"])
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+    )

@@ -185,6 +185,7 @@ def load_all() -> dict[str, Query]:
         mining,
         multimodal,
         relational,
+        runtime_filter,
         sampling,
         similarity,
         textstats,

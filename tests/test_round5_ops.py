@@ -761,3 +761,102 @@ def test_repair_plan_accounts_for_every_lost_chunk(spark):
     assert sum(r["missing_bytes"] for r in rows) == lost["b"]
     for r in rows:
         assert 1 <= r["n_missing_chunks"] <= r["n_chunks"]
+
+
+def test_bloom_prune_is_superset_and_fp_bounded(spark):
+    """The bloom candidate set must contain every true match (losing a
+    true positive would corrupt the exact result) and, at fixture scale
+    where the bitmap is far from saturated, must not pass more than a
+    few percent of non-matching orders."""
+    from snackfs_spark.operators.runtime_filter import (
+        bloom_bitmap,
+        bloom_filter_candidates,
+    )
+    from snackfs_spark.sources.tables import load_table
+
+    dim = (
+        load_table(spark, SF_ORACLE, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") < 0))
+        .select("c_custkey")
+    )
+    orders = load_table(spark, SF_ORACLE, "orders").select("o_custkey")
+    bloom = bloom_bitmap(dim, "c_custkey")
+    cand = bloom_filter_candidates(orders, "o_custkey", bloom)
+    n_orders = orders.count()
+    n_cand = cand.count()
+    n_true = orders.join(dim, orders["o_custkey"] == dim["c_custkey"], "left_semi").count()
+    assert n_true <= n_cand <= n_orders
+    # fp among non-matching rows: with ~1.4e3 keys in 2^20 bits the
+    # expected rate is ~0; allow 2% slack for hash clustering.
+    assert (n_cand - n_true) <= 0.02 * max(n_orders - n_true, 1)
+
+
+def test_bloom_bitmap_is_broadcastable(spark):
+    """The bitmap stays one row of <= N_WORDS entries no matter the dim
+    cardinality — the broadcast-size contract of the design."""
+    from snackfs_spark.operators.runtime_filter import N_WORDS, bloom_bitmap
+    from snackfs_spark.sources.tables import load_table
+
+    dim = load_table(spark, SF_ORACLE, "customer").select("c_custkey")
+    rows = bloom_bitmap(dim, "c_custkey").collect()
+    assert len(rows) == 1
+    assert len(rows[0]["bloom"]) <= N_WORDS
+
+
+def test_sliding_distinct_matches_bruteforce_window(spark):
+    """The islands+prefix-sum counts must equal a per-day brute-force
+    recount over the raw events for every (type, day)."""
+    import datetime
+
+    got = {
+        (r["event_type"], r["day"]): r["n_users"]
+        for r in REG["win_sliding_distinct_users"].fn(spark, SF_ORACLE).collect()
+    }
+    from snackfs_spark.operators.windows import SLIDING_DISTINCT_DAYS
+    from snackfs_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, SF_ORACLE, "events")
+        .select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append((r["day"], r["user_id"]))
+    want = {}
+    for t, rows in by_type.items():
+        days = sorted({d for d, _ in rows})
+        for e in days:
+            lo = e - datetime.timedelta(days=SLIDING_DISTINCT_DAYS - 1)
+            want[(t, e.isoformat())] = len({u for d, u in rows if lo <= d <= e})
+    assert got == want
+
+
+def test_pq_adc_compresses_and_ranks_sanely(spark):
+    """PQ contract: every corpus vector encodes to exactly 8 codes in
+    [0, 16); each query returns exactly TOP_K ranked rows with
+    non-decreasing ADC distance; and ADC recall@10 vs the exact
+    bruteforce top-10 is well above random (the lossy-but-useful bar)."""
+    from snackfs_spark.operators.similarity import PQ_QUERIES, TOP_K
+
+    pq = REG["ann_pq_adc"].fn(spark, SF_ORACLE).collect()
+    by_q: dict[int, list] = {}
+    for r in pq:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == PQ_QUERIES
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert len(rows) == TOP_K
+        dists = [r["adc"] for r in rows]
+        assert dists == sorted(dists)
+    exact = REG["ann_bruteforce_topk"].fn(spark, SF_ORACLE).collect()
+    exact_by_q: dict[int, set] = {}
+    for r in exact:
+        exact_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # recall@10 of the 32x-compressed representation: >= 0.2 overall
+    # (random would be 10/500 = 0.02); hash-codebook PQ is lossy, the
+    # bar is "far better than chance", not parity with exact.
+    hits = sum(
+        len({r["vec_id"] for r in rows} & exact_by_q[q]) for q, rows in by_q.items()
+    )
+    assert hits >= 0.2 * PQ_QUERIES * TOP_K

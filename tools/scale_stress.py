@@ -121,6 +121,12 @@ QUERIES = [
     "corpus_jsonl_roundtrip",
     # set-homomorphic Merkle digests + mismatched-bucket drill-down
     "fs_repair_plan",
+    # explicit runtime bloom prune before the verify semi-join
+    "rel_bloom_runtime_filter",
+    # islands + prefix-sum trailing-window distinct (no COUNT DISTINCT re-scan)
+    "win_sliding_distinct_users",
+    # PQ codes + ADC lookup-table scoring (32x-compressed ANN path)
+    "ann_pq_adc",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
