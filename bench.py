@@ -164,6 +164,9 @@ HEADLINE_R11 = [
     "rel_bloom_runtime_filter",
     "win_sliding_distinct_users",
     "ann_pq_adc",
+    "corpus_merge_upsert",
+    "events_seasonal_profile",
+    "corpus_csv_roundtrip",
 ]
 
 

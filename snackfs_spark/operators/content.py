@@ -391,3 +391,55 @@ def corpus_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).json(out).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+
+
+def csv_shards_for(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per dataset) the corpus as UNCOMPRESSED,
+    space-delimited CSV shards under var/. Space as the delimiter is
+    deliberate: every text cell contains spaces, so the writer must
+    quote every one and the reader must unquote — the roundtrip
+    exercises the quote/escape path on 100% of rows instead of the 0%
+    a comma would touch on this corpus."""
+    import os
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"/root/repo/var/csv_{tag}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        from snackfs_spark.sources.tables import load_table
+
+        (
+            load_table(spark, sf_dir, "documents")
+            .repartition(4)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .option("sep", " ")
+            .option("quoteAll", "true")
+            .csv(out)
+        )
+    return out
+
+
+@register(
+    "corpus_csv_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def corpus_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange-format roundtrip #2: the corpus through quoted CSV
+    with a header row and back, hash-checked against the source table.
+    Complements `corpus_jsonl_roundtrip` on the axes that differ: CSV
+    quoting/escaping instead of JSON string escaping, and an
+    UNCOMPRESSED container — which, unlike the gzip shards, splits at
+    line boundaries, so read parallelism comes from
+    `spark.sql.files.maxPartitionBytes`, not the shard count chosen at
+    write time. The explicit schema skips inference's extra pass."""
+    out = csv_shards_for(spark, sf_dir)
+    schema = (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("sep", " ")
+        .csv(out)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )

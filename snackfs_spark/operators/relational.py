@@ -3261,3 +3261,140 @@ def approx_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("overlap_estimate"),
         "exact_overlap",
     )
+
+
+# ---- MERGE INTO / CDC-apply -----------------------------------------
+#
+# The missing mutation verb between fs_lww_snapshot (last-write-wins
+# collapse) and fs_scd2_history (full history): apply a change feed of
+# updates/deletes/inserts to a snapshot in ONE pass — the semantics of
+# ANSI MERGE and of Delta/Iceberg's MERGE INTO, expressed as a single
+# full-outer join + row-level CASE. The feed here is derived
+# deterministically from the corpus (md5 buckets) so both engines see
+# the identical feed without a side-channel fixture.
+MERGE_UPD_HI = 10    # bucket < 10  -> update (text gains a ' rev2' suffix)
+MERGE_DEL_HI = 15    # 10..14       -> delete
+MERGE_INS_HI = 18    # 15..17       -> insert as a brand-new doc_id
+
+
+@register(
+    "corpus_merge_upsert",
+    oracle=f"""
+    WITH b AS (
+      SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 100 AS bk
+      FROM documents
+    ),
+    src AS (
+      SELECT doc_id, 'U' AS op, text || ' rev2' AS new_text,
+             lang, source FROM b WHERE bk < {MERGE_UPD_HI}
+      UNION ALL
+      SELECT doc_id, 'D', NULL, lang, source
+      FROM b WHERE bk >= {MERGE_UPD_HI} AND bk < {MERGE_DEL_HI}
+      UNION ALL
+      SELECT doc_id + 1000000000, 'I', 'new ' || text, lang, 'feed'
+      FROM b WHERE bk >= {MERGE_DEL_HI} AND bk < {MERGE_INS_HI}
+    )
+    SELECT t.doc_id, t.lang, t.source,
+           CAST(t.n_chars AS BIGINT) AS n_chars, 'keep' AS action
+    FROM b t LEFT JOIN src s ON s.doc_id = t.doc_id
+    WHERE s.doc_id IS NULL
+    UNION ALL
+    SELECT t.doc_id, t.lang, t.source,
+           CAST(length(s.new_text) AS BIGINT), 'update'
+    FROM b t JOIN src s ON s.doc_id = t.doc_id WHERE s.op = 'U'
+    UNION ALL
+    SELECT s.doc_id, s.lang, s.source,
+           CAST(length(s.new_text) AS BIGINT), 'insert'
+    FROM src s LEFT JOIN b t ON t.doc_id = s.doc_id
+    WHERE t.doc_id IS NULL AND s.op = 'I'
+    """,
+)
+def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-MERGE semantics in one pass: WHEN MATCHED AND op='U' THEN
+    UPDATE, WHEN MATCHED AND op='D' THEN DELETE, WHEN NOT MATCHED AND
+    op='I' THEN INSERT, WHEN NOT MATCHED BY SOURCE THEN keep — the
+    post-merge snapshot with each row's action tag. The oracle builds
+    the same result as three set operations; the engine never does: ONE
+    key-keyed full-outer join and a row-level CASE decide every row's
+    fate (cross-algorithm check).
+
+    Scale: exactly one shuffle of each side on the merge key — the
+    shape Delta/Iceberg MERGE lowers to. The feed is corpus-derived
+    (corpus-proportional), so the join is shuffle-hashed, never
+    broadcast; at 100 TB the same plan holds with the snapshot bucketed
+    by doc_id, which deletes even that one target shuffle."""
+    from snackfs_spark.functions import md5_bucket
+
+    b = load_table(spark, sf_dir, "documents").withColumn(
+        "bk", md5_bucket(F.col("doc_id").cast("string"), 100)
+    )
+    src = (
+        b.filter(F.col("bk") < MERGE_UPD_HI).select(
+            "doc_id",
+            F.lit("U").alias("op"),
+            F.concat(F.col("text"), F.lit(" rev2")).alias("new_text"),
+            "lang",
+            "source",
+        )
+        .unionAll(
+            b.filter(
+                (F.col("bk") >= MERGE_UPD_HI) & (F.col("bk") < MERGE_DEL_HI)
+            ).select(
+                "doc_id",
+                F.lit("D").alias("op"),
+                F.lit(None).cast("string").alias("new_text"),
+                "lang",
+                "source",
+            )
+        )
+        .unionAll(
+            b.filter(
+                (F.col("bk") >= MERGE_DEL_HI) & (F.col("bk") < MERGE_INS_HI)
+            ).select(
+                (F.col("doc_id") + 1000000000).alias("doc_id"),
+                F.lit("I").alias("op"),
+                F.concat(F.lit("new "), F.col("text")).alias("new_text"),
+                "lang",
+                F.lit("feed").alias("source"),
+            )
+        )
+    )
+    t = b.select(
+        F.col("doc_id").alias("t_doc_id"),
+        F.col("lang").alias("t_lang"),
+        F.col("source").alias("t_source"),
+        F.col("n_chars").alias("t_n_chars"),
+    )
+    s = src.select(
+        F.col("doc_id").alias("s_doc_id"),
+        "op",
+        "new_text",
+        F.col("lang").alias("s_lang"),
+        F.col("source").alias("s_source"),
+    )
+    merged = t.join(
+        s.hint("shuffle_hash"), t["t_doc_id"] == s["s_doc_id"], "full_outer"
+    )
+    action = (
+        F.when(F.col("s_doc_id").isNull(), F.lit("keep"))
+        .when(F.col("t_doc_id").isNull() & (F.col("op") == "I"), F.lit("insert"))
+        .when(F.col("t_doc_id").isNotNull() & (F.col("op") == "U"), F.lit("update"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        merged.withColumn("action", action)
+        .filter(F.col("action").isNotNull())
+        .select(
+            F.coalesce(F.col("t_doc_id"), F.col("s_doc_id")).alias("doc_id"),
+            F.coalesce(F.col("t_lang"), F.col("s_lang")).alias("lang"),
+            F.when(F.col("action") == "insert", F.col("s_source"))
+            .otherwise(F.col("t_source"))
+            .alias("source"),
+            F.when(F.col("action") == "keep", F.col("t_n_chars"))
+            .otherwise(F.length("new_text"))
+            .cast("long")
+            .alias("n_chars"),
+            "action",
+        )
+    )

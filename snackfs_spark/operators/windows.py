@@ -804,3 +804,94 @@ def win_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_users").cast("long").alias("n_users"),
         )
     )
+
+
+# Seasonality: day-of-week x hour-of-day profile. The dow derivation is
+# deliberately portable — days since the Monday epoch 2024-01-01, mod 7
+# (0 = Monday) — because Spark's dayofweek() and DuckDB's dayofweek()
+# disagree on both origin and numbering. The seasonal-naive error is
+# |count - count same cell last week| summed over successive OBSERVED
+# weeks of the cell (on this corpus every cell observes every week; in
+# general, gap weeks are skipped by construction in BOTH engines).
+SEASON_EPOCH = "2024-01-01"
+
+
+@register(
+    "events_seasonal_profile",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             (CAST(ts AS DATE) - DATE '{SEASON_EPOCH}') AS d,
+             hour(ts) AS hr
+      FROM events
+    ),
+    pw AS (
+      SELECT event_type, d % 7 AS dow, hr, d // 7 AS wk,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM c GROUP BY 1, 2, 3, 4
+    ),
+    lagd AS (
+      SELECT *, LAG(n) OVER (PARTITION BY event_type, dow, hr ORDER BY wk) AS pn
+      FROM pw
+    ),
+    cell AS (
+      SELECT event_type, dow, hr AS hour,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(abs(n - pn)), 0) AS BIGINT) AS naive_abs_err
+      FROM lagd GROUP BY 1, 2, 3
+    )
+    SELECT event_type, dow, hour, n,
+           CAST((1000000 * n) // SUM(n) OVER (PARTITION BY event_type)
+                AS BIGINT) AS share_ppm,
+           naive_abs_err
+    FROM cell
+    """,
+)
+def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day seasonal profile per event type:
+    exact cell counts, each cell's ppm share of its type, and the
+    seasonal-naive week-over-week absolute error (the integer substrate
+    of a seasonality strength score — strong weekly seasonality shows
+    as low naive_abs_err relative to n).
+
+    Scale: ONE fact scan collapses map-side onto the
+    |types| x 7 x 24 x |weeks| lattice; everything after (lag window,
+    per-type totals, shares) is arithmetic over that bounded relation —
+    post-aggregation state is calendar-bounded, scale-free in events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit(SEASON_EPOCH).cast("date")).alias("d"),
+        F.hour("ts").alias("hr"),
+    )
+    pw = (
+        ev.select(
+            "event_type",
+            (F.col("d") % 7).alias("dow"),
+            "hr",
+            F.expr("d div 7").alias("wk"),
+        )
+        .groupBy("event_type", "dow", "hr", "wk")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wlag = Window.partitionBy("event_type", "dow", "hr").orderBy("wk")
+    cell = (
+        pw.withColumn("pn", F.lag("n").over(wlag))
+        .groupBy("event_type", "dow", F.col("hr").alias("hour"))
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.coalesce(F.sum(F.abs(F.col("n") - F.col("pn"))), F.lit(0))
+            .cast("long")
+            .alias("naive_abs_err"),
+        )
+    )
+    wtype = Window.partitionBy("event_type")
+    return (
+        cell.withColumn("_tot", F.sum("n").over(wtype))
+        .withColumn(
+            # exact int64 division — a double quotient rounding up to the
+            # next integer would silently diverge from DuckDB's `//`
+            "share_ppm",
+            F.expr("(1000000 * n) div _tot").cast("long"),
+        )
+        .select("event_type", "dow", "hour", "n", "share_ppm", "naive_abs_err")
+    )

@@ -860,3 +860,85 @@ def test_pq_adc_compresses_and_ranks_sanely(spark):
         len({r["vec_id"] for r in rows} & exact_by_q[q]) for q, rows in by_q.items()
     )
     assert hits >= 0.2 * PQ_QUERIES * TOP_K
+
+
+def test_csv_shards_are_uncompressed_quoted_and_headered(spark):
+    """Layout contract of the CSV interchange: plain .csv part files
+    (splittable — the point vs the gzip JSONL shards), a header row,
+    and every text cell quoted (space delimiter forces it)."""
+    import glob
+    import os
+
+    from snackfs_spark.operators.content import csv_shards_for
+
+    out = csv_shards_for(spark, SF_ORACLE)
+    parts = sorted(glob.glob(os.path.join(out, "part-*")))
+    assert parts and all(p.endswith(".csv") for p in parts)
+    with open(parts[0], encoding="utf-8") as fh:
+        header = fh.readline().rstrip("\n")
+        first = fh.readline()
+    assert header.split(" ")[0].strip('"') == "doc_id"
+    assert first.count('"') >= 2  # the text cell is quoted
+
+
+def test_merge_upsert_conserves_rows_and_applies_actions(spark):
+    """MERGE contract: |keep| + |update| + |delete| = |target|; every
+    insert is a brand-new key; updates grow n_chars by exactly the
+    ' rev2' suffix length against the pre-merge snapshot."""
+    from snackfs_spark.operators.relational import (
+        MERGE_DEL_HI,
+        MERGE_INS_HI,
+        MERGE_UPD_HI,
+    )
+    from snackfs_spark.functions import md5_bucket
+    from snackfs_spark.sources.tables import load_table
+
+    out = REG["corpus_merge_upsert"].fn(spark, SF_ORACLE).collect()
+    by_action: dict[str, list] = {}
+    for r in out:
+        by_action.setdefault(r["action"], []).append(r)
+    docs = load_table(spark, SF_ORACLE, "documents").withColumn(
+        "bk", md5_bucket(F.col("doc_id").cast("string"), 100)
+    )
+    buckets = {r["doc_id"]: (r["bk"], r["n_chars"]) for r in docs.collect()}
+    n_del = sum(1 for bk, _ in buckets.values() if MERGE_UPD_HI <= bk < MERGE_DEL_HI)
+    n_ins = sum(1 for bk, _ in buckets.values() if MERGE_DEL_HI <= bk < MERGE_INS_HI)
+    assert len(by_action.get("keep", [])) + len(by_action.get("update", [])) == (
+        len(buckets) - n_del
+    )
+    assert len(by_action.get("insert", [])) == n_ins
+    assert all(r["doc_id"] not in buckets for r in by_action.get("insert", []))
+    for r in by_action.get("update", []):
+        assert r["n_chars"] == buckets[r["doc_id"]][1] + len(" rev2")
+    deleted = {d for d, (bk, _) in buckets.items() if MERGE_UPD_HI <= bk < MERGE_DEL_HI}
+    assert not deleted & {r["doc_id"] for r in out}
+
+
+def test_seasonal_profile_conserves_counts_and_bounds(spark):
+    """Cell counts per type must sum to the type's event count, shares
+    must sum to ~1e6 per type (integer-division remainder only), and
+    the dow/hour lattice must stay in range."""
+    from snackfs_spark.sources.tables import load_table
+
+    out = REG["events_seasonal_profile"].fn(spark, SF_ORACLE).collect()
+    totals = {
+        r["event_type"]: r["cnt"]
+        for r in load_table(spark, SF_ORACLE, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    per_type_n: dict[str, int] = {}
+    per_type_share: dict[str, int] = {}
+    n_cells: dict[str, int] = {}
+    for r in out:
+        assert 0 <= r["dow"] <= 6 and 0 <= r["hour"] <= 23
+        assert r["naive_abs_err"] >= 0
+        per_type_n[r["event_type"]] = per_type_n.get(r["event_type"], 0) + r["n"]
+        per_type_share[r["event_type"]] = (
+            per_type_share.get(r["event_type"], 0) + r["share_ppm"]
+        )
+        n_cells[r["event_type"]] = n_cells.get(r["event_type"], 0) + 1
+    assert per_type_n == totals
+    for t, s in per_type_share.items():
+        assert 1000000 - n_cells[t] <= s <= 1000000

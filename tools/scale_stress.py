@@ -127,6 +127,12 @@ QUERIES = [
     "win_sliding_distinct_users",
     # PQ codes + ADC lookup-table scoring (32x-compressed ANN path)
     "ann_pq_adc",
+    # one full-outer-join MERGE apply (update/delete/insert in one pass)
+    "corpus_merge_upsert",
+    # dow x hour lattice profile + seasonal-naive error
+    "events_seasonal_profile",
+    # quoted uncompressed CSV interchange (splittable container)
+    "corpus_csv_roundtrip",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
