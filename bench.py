@@ -167,6 +167,9 @@ HEADLINE_R11 = [
     "corpus_merge_upsert",
     "events_seasonal_profile",
     "corpus_csv_roundtrip",
+    "graph_bfs_hops",
+    "fs_erasure_layout",
+    "sample_systematic_pps",
 ]
 
 

@@ -303,3 +303,71 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "token")
         .limit(TRI_TOP)
     )
+
+
+# BFS: the third classic distributed-graph shape (frontier expansion)
+# after scatter/gather PageRank and the triangle multi-way self-join.
+BFS_SEEDS = 3      # hash-chosen seed tokens (deterministic both engines)
+BFS_MAX_HOPS = 4   # fixed round budget => SQL-unrollable / CTE-boundable
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    seeds AS (
+      SELECT token FROM vocab
+      QUALIFY ROW_NUMBER() OVER (
+        ORDER BY ('0x' || substr(md5(token), 1, 15))::BIGINT, token
+      ) <= {BFS_SEEDS}
+    ),
+    bfs (token, dist) AS (
+      SELECT token, 0 FROM seeds
+      UNION
+      SELECT e.w2, b.dist + 1
+      FROM bfs b JOIN edges e ON e.w1 = b.token
+      WHERE b.dist < {BFS_MAX_HOPS}
+    )
+    SELECT token, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM bfs GROUP BY token
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from {BFS_SEEDS}
+    hash-chosen seed tokens to every token reachable within
+    {BFS_MAX_HOPS} hops of the bigram graph. The oracle explores ALL
+    (token, dist) pairs with a recursive CTE and takes MIN; the engine
+    never does — each round expands only the NEW frontier (anti-join
+    against settled nodes), which is the distributed-BFS invariant that
+    keeps round cost proportional to the frontier, not to the paths
+    explored (cross-algorithm check).
+
+    Scale: the corpus scan happens once inside _token_graph; every BFS
+    round is a frontier ⋈ edges join + anti-join over O(|V|)-bounded
+    relations, localCheckpointed so round k's lineage doesn't replay
+    rounds 1..k-1. Round count is the fixed hop budget — on a real
+    cluster each round is one tiny-key shuffle stage."""
+    vocab, edges, _ = _token_graph(spark, sf_dir)
+    fp = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
+    seeds = (
+        vocab.withColumn("fp", fp)
+        .orderBy("fp", "token")
+        .limit(BFS_SEEDS)
+        .select("token")
+    )
+    dist = seeds.select("token", F.lit(0).alias("dist")).localCheckpoint(
+        eager=False
+    )
+    frontier = dist.select("token")
+    for k in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["token"] == edges["w1"])
+            .select(F.col("w2").alias("token"))
+            .distinct()
+            .join(dist.select("token"), "token", "left_anti")
+            .withColumn("dist", F.lit(k))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("token")
+    return dist.select("token", F.col("dist").cast("long").alias("dist"))

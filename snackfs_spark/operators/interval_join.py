@@ -222,3 +222,87 @@ def fs_replica_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_total"),
         )
     )
+
+
+# Erasure-coding layout planner: RS(EC_K, EC_M) striping per file vs the
+# ring's RF=3 replication. Small stripes (4+2) because this filesystem's
+# files are block-scarce — exactly the regime where the EC-vs-replication
+# tradeoff needs auditing (parity overhead approaches replication for
+# sub-stripe files, and parity is useless without host diversity).
+EC_K = 4   # data units per stripe
+EC_M = 2   # parity units per stripe
+
+
+@register(
+    "fs_erasure_layout",
+    oracle=fs_sql(
+        f"""SELECT path, n_blocks, distinct_hosts,
+               (n_blocks + {EC_K - 1}) // {EC_K} AS stripes,
+               {EC_M} * ((n_blocks + {EC_K - 1}) // {EC_K}) AS parity_blocks,
+               n_blocks + {EC_M} * ((n_blocks + {EC_K - 1}) // {EC_K}) AS stored_ec,
+               3 * n_blocks AS stored_rf3,
+               3 * n_blocks
+                 - (n_blocks + {EC_M} * ((n_blocks + {EC_K - 1}) // {EC_K}))
+                 AS savings_blocks,
+               (1000 * (n_blocks + {EC_M} * ((n_blocks + {EC_K - 1}) // {EC_K})))
+                 // n_blocks AS overhead_permille
+           FROM (
+             SELECT b.path,
+                    CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                    CAST(COUNT(DISTINCT r.host) AS BIGINT) AS distinct_hosts
+             FROM blocks b JOIN ring r
+               ON (r.tok_start < r.tok_end AND b.token > r.tok_start AND b.token <= r.tok_end)
+               OR (r.tok_start >= r.tok_end AND (b.token > r.tok_start OR b.token <= r.tok_end))
+             GROUP BY b.path
+           )""",
+        "blocks",
+        "ring",
+    ),
+)
+def fs_erasure_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file erasure-coding plan: RS({EC_K},{EC_M}) stripe count,
+    parity units, stored blocks vs RF=3 replication, integer-exact
+    overhead permille, and the file's current owner-host diversity
+    (parity survives a host loss only if units spread hosts — a file
+    whose blocks all hash to one ring range is flagged by
+    distinct_hosts=1 regardless of the parity math).
+
+    Scale: the ring interval-match broadcasts the 25-range ring
+    (BroadcastNestedLoopJoin — no shuffle of blocks); the per-path
+    aggregate collapses map-side to one row per file; all stripe math
+    is post-aggregation int64 arithmetic. The sub-stripe small-file
+    penalty this surfaces is the real operational driver for packing
+    small files before EC (cf. HDFS EC policy guidance)."""
+    from snackfs_spark.sources.fsmodel import blocks_df, ring_df
+
+    b = blocks_df(spark, sf_dir)
+    r = F.broadcast(ring_df(spark, sf_dir))
+    wrapless = (
+        (r["tok_start"] < r["tok_end"])
+        & (b["token"] > r["tok_start"])
+        & (b["token"] <= r["tok_end"])
+    )
+    wrapping = (r["tok_start"] >= r["tok_end"]) & (
+        (b["token"] > r["tok_start"]) | (b["token"] <= r["tok_end"])
+    )
+    per_file = (
+        b.join(r, wrapless | wrapping)
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.count_distinct("host").cast("long").alias("distinct_hosts"),
+        )
+    )
+    return per_file.selectExpr(
+        "path",
+        "n_blocks",
+        "distinct_hosts",
+        f"(n_blocks + {EC_K - 1}) div {EC_K} AS stripes",
+        f"{EC_M} * ((n_blocks + {EC_K - 1}) div {EC_K}) AS parity_blocks",
+        f"n_blocks + {EC_M} * ((n_blocks + {EC_K - 1}) div {EC_K}) AS stored_ec",
+        "3 * n_blocks AS stored_rf3",
+        f"3 * n_blocks - (n_blocks + {EC_M} * ((n_blocks + {EC_K - 1}) div {EC_K}))"
+        " AS savings_blocks",
+        f"(1000 * (n_blocks + {EC_M} * ((n_blocks + {EC_K - 1}) div {EC_K})))"
+        " div n_blocks AS overhead_permille",
+    )

@@ -1552,3 +1552,65 @@ def corpus_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_chars") == F.col("cmax"))
         .select("doc_id", "score_cell", "n_chars")
     )
+
+
+# Systematic PPS (probability-proportional-to-size) sampling: walk each
+# stratum's cumulative character mass and take one pick at every
+# PPS_STEP characters — the classic survey-sampling design, and the
+# deterministic integer-exact cousin of weighted reservoir sampling
+# (which needs u^(1/w) floats). A doc's pick count = how many step
+# boundaries its [cum, cum + n_chars) interval straddles, so long docs
+# can be picked more than once (that multiplicity IS the PPS weight).
+PPS_STEP = 4096
+
+
+@register(
+    "sample_systematic_pps",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+             COALESCE(SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST((cum_before + n_chars) // {PPS_STEP}
+                - cum_before // {PPS_STEP} AS BIGINT) AS n_picks
+    FROM c
+    WHERE (cum_before + n_chars) // {PPS_STEP}
+          - cum_before // {PPS_STEP} >= 1
+    """,
+)
+def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sample per source stratum: docs whose cumulative
+    character interval contains a multiple of PPS_STEP, with the pick
+    multiplicity as the exact PPS weight. Expected picks per doc =
+    n_chars / PPS_STEP — size-proportional without any float in sight
+    (both quotients are non-negative, dodging the Spark-truncating vs
+    DuckDB-flooring signed-division divergence recorded in DESIGN.md).
+
+    Scale: ONE window pass per stratum. The per-source running sum is
+    the textbook two-phase prefix sum at cluster scale (per-partition
+    subtotals + broadcast offsets — the fs_suboff_prefix_sum pattern);
+    at this stratum count the single-pass window is the right plan."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("cum_before"),
+    )
+    picks = F.expr(
+        f"(cum_before + n_chars) div {PPS_STEP} - cum_before div {PPS_STEP}"
+    )
+    return (
+        c.withColumn("n_picks", picks.cast("long"))
+        .filter(F.col("n_picks") >= 1)
+        .select("source", "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "n_picks")
+    )

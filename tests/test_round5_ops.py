@@ -942,3 +942,71 @@ def test_seasonal_profile_conserves_counts_and_bounds(spark):
     assert per_type_n == totals
     for t, s in per_type_share.items():
         assert 1000000 - n_cells[t] <= s <= 1000000
+
+
+def test_bfs_seed_and_frontier_invariants(spark):
+    """Exactly BFS_SEEDS nodes at dist 0; every node at dist k > 0 has
+    an in-edge from some node at dist k-1 (the BFS level property); no
+    dist exceeds the hop budget."""
+    from snackfs_spark.operators.graph import BFS_MAX_HOPS, BFS_SEEDS, _token_graph
+
+    out = REG["graph_bfs_hops"].fn(spark, SF_ORACLE).collect()
+    dist = {r["token"]: r["dist"] for r in out}
+    assert sum(1 for d in dist.values() if d == 0) == BFS_SEEDS
+    assert max(dist.values()) <= BFS_MAX_HOPS
+    _, edges, _ = _token_graph(spark, SF_ORACLE)
+    preds: dict[str, set] = {}
+    for r in edges.collect():
+        preds.setdefault(r["w2"], set()).add(r["w1"])
+    for tok, d in dist.items():
+        if d > 0:
+            assert any(dist.get(p) == d - 1 for p in preds.get(tok, ()))
+
+
+def test_erasure_layout_stripe_algebra(spark):
+    """RS(4,2) invariants on every file row: stripe count is the
+    ceiling, stored = data + parity, savings close the RF3 identity,
+    and overhead_permille >= 1000 (parity never stores less than the
+    data itself)."""
+    from snackfs_spark.operators.interval_join import EC_K, EC_M
+
+    for r in REG["fs_erasure_layout"].fn(spark, SF_ORACLE).collect():
+        nb = r["n_blocks"]
+        assert r["stripes"] == -(-nb // EC_K)
+        assert r["parity_blocks"] == EC_M * r["stripes"]
+        assert r["stored_ec"] == nb + r["parity_blocks"]
+        assert r["stored_rf3"] == 3 * nb
+        assert r["savings_blocks"] == r["stored_rf3"] - r["stored_ec"]
+        assert r["overhead_permille"] >= 1000
+        assert 1 <= r["distinct_hosts"] <= min(nb, 25)
+
+
+def test_pps_sample_conserves_step_mass(spark):
+    """Systematic-sampling conservation: within each stratum the pick
+    multiplicities must sum to floor(total_chars / STEP) exactly, and
+    any doc spanning a full step is always picked."""
+    from snackfs_spark.operators.sampling import PPS_STEP
+    from snackfs_spark.sources.tables import load_table
+
+    out = REG["sample_systematic_pps"].fn(spark, SF_ORACLE).collect()
+    picks_by_source: dict[str, int] = {}
+    for r in out:
+        picks_by_source[r["source"]] = picks_by_source.get(r["source"], 0) + r["n_picks"]
+    totals = {
+        r["source"]: r["tot"]
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("tot"))
+        .collect()
+    }
+    assert picks_by_source == {
+        s: tot // PPS_STEP for s, tot in totals.items() if tot // PPS_STEP >= 1
+    }
+    sampled = {(r["source"], r["doc_id"]) for r in out}
+    big = (
+        load_table(spark, SF_ORACLE, "documents")
+        .filter(F.col("n_chars") >= PPS_STEP)
+        .select("source", "doc_id")
+        .collect()
+    )
+    assert all((r["source"], r["doc_id"]) in sampled for r in big)

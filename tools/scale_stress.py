@@ -133,6 +133,12 @@ QUERIES = [
     "events_seasonal_profile",
     # quoted uncompressed CSV interchange (splittable container)
     "corpus_csv_roundtrip",
+    # frontier-expansion BFS over the bounded token graph
+    "graph_bfs_hops",
+    # RS(4,2) stripe planner + ring host-diversity audit
+    "fs_erasure_layout",
+    # stratum-wise systematic PPS by cumulative character mass
+    "sample_systematic_pps",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
