@@ -101,7 +101,12 @@ PRIORITY: tuple[str, ...] = (
     # yields its slot to the mergeable binned-quantile sketch per the r4
     # VERDICT rotation directive; q18 stays repo-oracle green
     "events_quantiles_binned",
-    "q22_idle_customers",
+    # q22 (correlated-avg filter + anti-join — both shapes also inside
+    # corpus_build_v2's gate legs and split_contamination_check) yields
+    # its slot to the MERGE/CDC apply, the mutation verb class (update/
+    # delete/insert in one full-outer pass) no other window query has;
+    # q22 stays repo-oracle green
+    "corpus_merge_upsert",
     # declared operator families beyond the TPC-H shapes. The non-equi
     # family's second rep (rel_price_band_join) yields its slot to the
     # CCNet perplexity-tertile partitioner (sort-free corpus split — a
@@ -120,8 +125,17 @@ PRIORITY: tuple[str, ...] = (
     # tests/test_approx.py)
     "approx_distinct_hll",
     "scalar_function_battery",
-    "win_topk_orders_per_customer",
-    "win_running_order_total",
+    # the ranking-window family rep yields its slot to the sliding-
+    # window distinct count (islands + prefix-sum — a windowing class
+    # with no COUNT(DISTINCT)-over-frame equivalent anywhere in Spark);
+    # ranking windows stay hash-checked via ann_bruteforce_topk's
+    # row_number top-k and topk_orders' TakeOrderedAndProject
+    "win_sliding_distinct_users",
+    # the running-sum window family rep yields its slot to the explicit
+    # runtime bloom-filter join prune (scan-side semi-join pruning — a
+    # join-optimization class no other window query shows); running-sum
+    # windows stay hash-checked via fs_suboff_prefix_sum (Q-SUBOFF)
+    "rel_bloom_runtime_filter",
     # §2.C dedup battery (exact, minhash, jaccard, embedding, semantic;
     # simhash and the fixed-k SemDeDup register after the window — same
     # families, repo-checked; the size-adaptive variant is the

@@ -38,8 +38,13 @@ FAMILIES = {
     # rotation; the family's hash-checked rep is the Q-BLOCKLOC
     # broadcast interval join (token-ring ranges with wraparound)
     "non-equi join": "fs_block_locations",
-    "window ranking": "win_topk_orders_per_customer",
-    "running sum": "win_running_order_total",
+    # win_topk_orders_per_customer yielded its slot to the sliding-
+    # distinct rotation; ranking windows stay hash-checked via
+    # ann_bruteforce_topk's per-query row_number top-k
+    "window ranking": "ann_bruteforce_topk",
+    # win_running_order_total yielded its slot to the bloom-prune
+    # rotation; the running-sum shape is Q-SUBOFF's prefix sum
+    "running sum": "fs_suboff_prefix_sum",
     "sort+limit": "topk_orders",
     "set ops": "setops_customer_years",
     # rollup_pricing is the family rep; the groupingsets/cube variants
@@ -85,6 +90,13 @@ CLASSES = {
     "storage layout / data skipping": "layout_zorder_skipping",
     "corpus partitioning (CCNet)": "text_perplexity_buckets",
     "record linkage (entity resolution)": "dedup_entity_resolution",
+    # round-5 continuation rotation: q22 / win_topk / win_running_total
+    # (shapes still represented — see PRIORITY comments) yield slots to
+    # the MERGE mutation verb, the sliding-window distinct count, and
+    # the explicit runtime bloom-filter join prune
+    "merge / CDC apply": "corpus_merge_upsert",
+    "sliding-window distinct": "win_sliding_distinct_users",
+    "runtime join pruning": "rel_bloom_runtime_filter",
 }
 
 
