@@ -170,6 +170,9 @@ HEADLINE_R11 = [
     "graph_bfs_hops",
     "fs_erasure_layout",
     "sample_systematic_pps",
+    "dedup_tf_cosine",
+    "split_exact_stratified",
+    "text_collocation_lift",
 ]
 
 

@@ -1442,3 +1442,131 @@ def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lev") <= ER_LEV_MAX)
         .select("reg_a", "reg_b", "name_a", "name_b", "lev")
     )
+
+
+# Weighted similarity join: the tf-weighted cousin of the set-based
+# Jaccard verify. Threshold 0.6 compared RATIONALLY — cos >= 3/5 iff
+# 25·num² >= 9·‖a‖²·‖b‖² — so the gate is exact integer arithmetic and
+# the only float (the reported cosine) is one per-row sqrt + divide,
+# identical in both engines.
+TF_COS_T_NUM2 = 9    # threshold² numerator   (0.6² = 9/25)
+TF_COS_T_DEN2 = 25   # threshold² denominator
+
+
+@register(
+    "dedup_tf_cosine",
+    oracle=(
+        "WITH "
+        + _MINHASH_CTE
+        + """,
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    tfrel AS (
+      SELECT doc_id,
+             array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' ')
+               AS shingle,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(0, greatest(len(string_split(text, ' ')) - 2, 0))) AS i
+        FROM documents
+      )
+      GROUP BY 1, 2
+    ),
+    norms AS (SELECT doc_id, SUM(tf * tf) AS nrm FROM tfrel GROUP BY 1),
+    nums AS (
+      SELECT c.doc_a, c.doc_b, CAST(SUM(ta.tf * tb.tf) AS BIGINT) AS num
+      FROM cand c
+      JOIN tfrel ta ON ta.doc_id = c.doc_a
+      JOIN tfrel tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+      GROUP BY 1, 2
+    )
+    SELECT n.doc_a, n.doc_b, n.num,
+           CAST(n.num AS DOUBLE) / sqrt(CAST(na.nrm * nb.nrm AS DOUBLE)) AS cosine
+    FROM nums n
+    JOIN norms na ON na.doc_id = n.doc_a
+    JOIN norms nb ON nb.doc_id = n.doc_b
+    WHERE 25 * CAST(n.num AS HUGEINT) * n.num >= 9 * CAST(na.nrm AS HUGEINT) * nb.nrm
+    """
+    ),
+)
+def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by TF-WEIGHTED shingle cosine >= 0.6 over the
+    MinHash-LSH candidate set — repetition-sensitive where Jaccard is
+    not (a doc that repeats a shingle 10x is 'closer' to another
+    repeater than to a doc mentioning it once). The oracle computes
+    pair numerators with a shingle-keyed pair join; the engine never
+    joins on shingles for pairs — it folds each candidate pair's
+    broadcast-free map intersection in codegen (cross-algorithm).
+
+    Scale: tf vectors are built ONLY for candidate docs (semi-join
+    before any per-pair work, the verify_jaccard_pairs discipline);
+    the per-pair fold is O(|smaller doc vocabulary|) with int64 sums —
+    order-free, so partitioning can't flap the hash. The threshold
+    gate is exact rational arithmetic (25·num² vs 9·na·nb in
+    decimal), no float boundary anywhere."""
+    bands = minhash_bands_df(spark, sf_dir)
+    a_ = bands.alias("a")
+    b_ = bands.alias("b").hint("shuffle_hash")
+    cand = (
+        a_.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    tf = (
+        shingles_df(spark, sf_dir, distinct=False)
+        .join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vec = tf.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("shingle", "tf"))).alias("m"),
+        F.sum(F.col("tf") * F.col("tf")).alias("nrm"),
+    )
+    va = vec.select(
+        F.col("doc_id").alias("doc_a"), F.col("m").alias("ma"), F.col("nrm").alias("na")
+    )
+    vb = vec.select(
+        F.col("doc_id").alias("doc_b"), F.col("m").alias("mb"), F.col("nrm").alias("nb")
+    )
+    num = F.expr(
+        "aggregate(map_keys(ma), 0L,"
+        " (acc, k) -> acc + element_at(ma, k) * coalesce(element_at(mb, k), 0L))"
+    )
+    gate = (
+        F.lit(TF_COS_T_DEN2).cast("decimal(19,0)")
+        * F.col("num").cast("decimal(19,0)")
+        * F.col("num").cast("decimal(19,0)")
+    ) >= (
+        F.lit(TF_COS_T_NUM2).cast("decimal(19,0)")
+        * F.col("na").cast("decimal(19,0)")
+        * F.col("nb").cast("decimal(19,0)")
+    )
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("num", num)
+        .filter(gate)
+        .select(
+            "doc_a",
+            "doc_b",
+            "num",
+            (
+                F.col("num").cast("double")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+            ).alias("cosine"),
+        )
+    )

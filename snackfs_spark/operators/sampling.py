@@ -1614,3 +1614,65 @@ def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_picks") >= 1)
         .select("source", "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "n_picks")
     )
+
+
+# Exact-proportion stratified split (StratifiedShuffleSplit analog):
+# md5-rank every doc within its (lang, source) stratum and cut at
+# 80/90 permille — every stratum lands within 1 row of exact 80/10/10,
+# unlike the hash split (split_assign_hash) whose proportions are only
+# binomially close. The price is a per-stratum total order, so this is
+# the EVAL-SET splitter: use it where exactness matters (strata of
+# thousands-to-millions), and the shuffle-free hash split for the bulk
+# 100 TB train partition.
+SPLIT_TRAIN_P10 = 8   # tenths: [0, 8) train, [8, 9) val, [9, 10) test
+
+
+@register(
+    "split_exact_stratified",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                        doc_id
+             ) - 1 AS rnk,
+             COUNT(*) OVER (PARTITION BY lang, source) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang, source,
+           CASE WHEN 10 * rnk < {SPLIT_TRAIN_P10} * n THEN 'train'
+                WHEN 10 * rnk < {SPLIT_TRAIN_P10 + 1} * n THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    """,
+)
+def split_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-proportion stratified split: within each
+    (lang, source) stratum, docs are ranked by md5 fingerprint (a
+    seedless shuffle both engines reproduce bit-for-bit) and the rank
+    decides train/val/test at exact 80/10/10 cuts — 10·rank < 8·n is
+    pure integer arithmetic, no float boundary, no approximation.
+
+    Scale: one window pass per stratum. Exactness REQUIRES a
+    per-stratum total order, so stratum size is the knob: this is the
+    right tool for eval-set carving; the bulk train split at 100 TB
+    stays on the order-free md5-bucket split (split_assign_hash),
+    whose proportions converge binomially without any sort."""
+    fp = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    ws = Window.partitionBy("lang", "source").orderBy("fp", "doc_id")
+    wn = Window.partitionBy("lang", "source")
+    r = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", fp.alias("fp"))
+        .withColumn("rnk", F.row_number().over(ws) - 1)
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    split = (
+        F.when(10 * F.col("rnk") < SPLIT_TRAIN_P10 * F.col("n"), F.lit("train"))
+        .when(10 * F.col("rnk") < (SPLIT_TRAIN_P10 + 1) * F.col("n"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return r.select("doc_id", "lang", "source", split.alias("split"))

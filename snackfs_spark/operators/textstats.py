@@ -2070,3 +2070,101 @@ def eval_retrieval_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_rel_rank",
         )
     )
+
+
+# Collocation mining: rank adjacent-token pairs by LIFT — the log-free
+# substrate of PMI (PMI = log lift, and log is monotone, so ranking by
+# exact-integer lift IS ranking by PMI without touching libm, the
+# engine-portability rule from events_drift_tv). lift = P(w2|w1)/P(w2)
+# = c_xy·N / (c_x·c_y), held exact in decimal(38,0) / HUGEINT and
+# emitted as an integer ppm via truncating division (both engines
+# truncate non-negative quotients identically).
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP = 100
+
+
+@register(
+    "text_collocation_lift",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, i, words[i + 1] AS w
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS words,
+               unnest(range(0, len(string_split(text, ' ')))) AS i
+        FROM documents
+      )
+    ),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tk WHERE w <> '' GROUP BY 1),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
+    big AS (
+      SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      WHERE a.w <> '' AND b.w <> ''
+      GROUP BY 1, 2
+    )
+    SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y,
+           CAST((1000000 * CAST(c_xy AS HUGEINT) * n.n_uni)
+                // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS lift_ppm
+    FROM big
+    JOIN uni u1 ON u1.w = big.w1
+    JOIN uni u2 ON u2.w = big.w2
+    CROSS JOIN n
+    WHERE c_xy >= {COLLOC_MIN_COUNT}
+    QUALIFY ROW_NUMBER() OVER (ORDER BY lift_ppm DESC, w1, w2) <= {COLLOC_TOP}
+    """,
+)
+def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{COLLOC_TOP} collocations by exact-integer lift (the
+    monotone substrate of PMI — no libm): adjacent-token pairs whose
+    co-occurrence beats their unigram popularity, the phrase-mining
+    signal behind multi-word tokenizer entries and boilerplate
+    detection.
+
+    Scale: bigrams come from the zero-shuffle zip-with projection (no
+    positional self-join — the oracle does that; cross-algorithm);
+    unigram and bigram counts collapse map-side onto vocabulary-sized
+    keys. The two count joins run shuffle-hashed because vocabulary
+    grows with the corpus; the scalar token total broadcasts. The
+    final top-k is one TakeOrderedAndProject, never a global sort."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    words = F.split(F.col("text"), " ")
+    toks = docs.select(F.explode(words).alias("w")).filter(F.col("w") != "")
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni.agg(F.sum("c").cast("long").alias("n_uni"))
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(words) >= 2,
+                F.zip_with(
+                    F.slice(words, 1, F.size(words) - 1),
+                    F.slice(words, 2, F.size(words) - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    big = (
+        pairs.filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= COLLOC_MIN_COUNT)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    scored = (
+        big.join(u1.hint("shuffle_hash"), "w1")
+        .join(u2.hint("shuffle_hash"), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .withColumn(
+            "lift_ppm",
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * c_xy * n_uni)"
+                " div (CAST(c_x AS DECIMAL(38,0)) * c_y)"
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("lift_ppm").desc(), "w1", "w2")
+        .limit(COLLOC_TOP)
+        .select("w1", "w2", "c_xy", "c_x", "c_y", "lift_ppm")
+    )

@@ -1010,3 +1010,84 @@ def test_pps_sample_conserves_step_mass(spark):
         .collect()
     )
     assert all((r["source"], r["doc_id"]) in sampled for r in big)
+
+
+def test_tf_cosine_matches_bruteforce_on_pairs(spark):
+    """Recompute the tf-weighted cosine in Python for every returned
+    pair from the raw text: num, and the 0.6 rational gate, must agree
+    exactly; returned pairs must be a subset of the LSH candidates."""
+    from collections import Counter
+
+    from snackfs_spark.sources.tables import load_table
+
+    out = REG["dedup_tf_cosine"].fn(spark, SF_ORACLE).collect()
+    assert out, "fixture corpus has near-dup pairs"
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in REG["dedup_minhash_lsh"].fn(spark, SF_ORACLE).collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_ORACLE, "documents").collect()
+    }
+
+    def tfvec(t: str) -> Counter:
+        w = t.split(" ")
+        return Counter(
+            " ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 0))
+        )
+
+    for r in out:
+        assert (r["doc_a"], r["doc_b"]) in cands
+        va, vb = tfvec(texts[r["doc_a"]]), tfvec(texts[r["doc_b"]])
+        num = sum(c * vb.get(s, 0) for s, c in va.items())
+        na = sum(c * c for c in va.values())
+        nb = sum(c * c for c in vb.values())
+        assert num == r["num"]
+        assert 25 * num * num >= 9 * na * nb  # the 0.6 gate held
+        assert abs(r["cosine"] - num / (na * nb) ** 0.5) < 1e-12
+
+
+def test_exact_stratified_split_proportions(spark):
+    """Within every stratum the split sizes must hit the exact integer
+    cut formula (no binomial slack — the whole point vs the hash
+    split), and the assignment must be deterministic."""
+    out = REG["split_exact_stratified"].fn(spark, SF_ORACLE).collect()
+    strata: dict[tuple, list] = {}
+    for r in out:
+        strata.setdefault((r["lang"], r["source"]), []).append(r["split"])
+    for (lang, source), splits in strata.items():
+        n = len(splits)
+        want_train = sum(1 for r in range(n) if 10 * r < 8 * n)
+        want_val = sum(1 for r in range(n) if 8 * n <= 10 * r < 9 * n)
+        got = {s: splits.count(s) for s in ("train", "val", "test")}
+        assert got["train"] == want_train, (lang, source)
+        assert got["val"] == want_val
+        assert got["test"] == n - want_train - want_val
+
+
+def test_collocation_lift_recount_and_order(spark):
+    """The reported counts must equal a Python recount of unigrams and
+    adjacent bigrams; lift_ppm must be the floor-div formula and the
+    output ordered by (lift desc, pair)."""
+    from collections import Counter
+
+    from snackfs_spark.operators.textstats import COLLOC_MIN_COUNT, COLLOC_TOP
+    from snackfs_spark.sources.tables import load_table
+
+    out = REG["text_collocation_lift"].fn(spark, SF_ORACLE).collect()
+    assert 0 < len(out) <= COLLOC_TOP
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for r in load_table(spark, SF_ORACLE, "documents").collect():
+        w = [t for t in r["text"].split(" ")]
+        uni.update(t for t in w if t)
+        big.update((a, b) for a, b in zip(w, w[1:]) if a and b)
+    n_uni = sum(uni.values())
+    keys = []
+    for r in out:
+        assert r["c_xy"] == big[(r["w1"], r["w2"])] >= COLLOC_MIN_COUNT
+        assert r["c_x"] == uni[r["w1"]] and r["c_y"] == uni[r["w2"]]
+        assert r["lift_ppm"] == (1000000 * r["c_xy"] * n_uni) // (r["c_x"] * r["c_y"])
+        keys.append((-r["lift_ppm"], r["w1"], r["w2"]))
+    assert keys == sorted(keys)

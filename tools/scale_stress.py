@@ -139,6 +139,12 @@ QUERIES = [
     "fs_erasure_layout",
     # stratum-wise systematic PPS by cumulative character mass
     "sample_systematic_pps",
+    # tf-weighted cosine verify over LSH candidates (rational gate)
+    "dedup_tf_cosine",
+    # exact-proportion stratified split (md5-rank cut per stratum)
+    "split_exact_stratified",
+    # lift-ranked collocations (log-free PMI substrate)
+    "text_collocation_lift",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
