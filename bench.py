@@ -173,6 +173,7 @@ HEADLINE_R11 = [
     "dedup_tf_cosine",
     "split_exact_stratified",
     "text_collocation_lift",
+    "dedup_containment",
 ]
 
 

@@ -1570,3 +1570,147 @@ def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+# Asymmetric containment: |Sa ∩ Sb| / |Sa| — catches the small doc
+# COPIED INTO a big one, which symmetric Jaccard dilutes below any
+# usable threshold. Gate held rational (5·inter >= 4·|contained|), no
+# float boundary. Candidates come from the shared LSH bands; a
+# production containment pass over size-skewed corpora upgrades the
+# candidate stage to size-stratified banding (the dedup_lsh_tuning
+# machinery measures exactly that recall), and the verify below is
+# unchanged — the oracle runs the SAME candidate set, so parity checks
+# the verify semantics, not band recall.
+CONTAIN_T_NUM = 4   # threshold 4/5 = 0.8
+CONTAIN_T_DEN = 5
+
+
+@register(
+    "dedup_containment",
+    oracle=(
+        "WITH "
+        + _MINHASH_CTE
+        + """,
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY 1
+    ),
+    dirs AS (
+      SELECT i.doc_a AS contained_doc, i.doc_b AS container_doc,
+             i.inter, na.n AS n_contained, nb.n AS n_container
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc_a
+      JOIN sizes nb ON nb.doc_id = i.doc_b
+      WHERE 5 * i.inter >= 4 * na.n
+      UNION ALL
+      SELECT i.doc_b, i.doc_a, i.inter, nb.n, na.n
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc_a
+      JOIN sizes nb ON nb.doc_id = i.doc_b
+      WHERE 5 * i.inter >= 4 * nb.n
+    )
+    SELECT contained_doc, container_doc, inter, n_contained, n_container,
+           CAST((1000 * inter) // n_contained AS BIGINT) AS containment_permille
+    FROM dirs
+    """
+    ),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional near-subset pairs: (contained, container) where the
+    contained doc's distinct shingles are >= 80% present in the
+    container — both directions emitted when mutual. The asymmetric
+    score is what exact-substring and copy-paste dedup policies act on
+    (drop the contained doc, keep the container).
+
+    Scale: identical discipline to verify_jaccard_pairs — shingle sets
+    materialize only for candidate docs (semi-join first), the
+    per-pair intersection is one array_intersect in codegen, and the
+    direction fan-out is at most x2 of qualifying pairs. The gate is
+    exact integer arithmetic; the permille is truncating division,
+    identical in both engines."""
+    bands = minhash_bands_df(spark, sf_dir)
+    a_ = bands.alias("a")
+    b_ = bands.alias("b").hint("shuffle_hash")
+    cand = (
+        a_.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        shingles_df(spark, sf_dir, distinct=False)
+        .join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+        .select("doc_id", "sh", F.size("sh").cast("long").alias("n"))
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
+    )
+    paired = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+    )
+    a_in_b = 5 * F.col("inter") >= 4 * F.col("n_a")
+    b_in_a = 5 * F.col("inter") >= 4 * F.col("n_b")
+    dirs = F.array_compact(
+        F.array(
+            F.when(
+                a_in_b,
+                F.struct(
+                    F.col("doc_a").alias("contained_doc"),
+                    F.col("doc_b").alias("container_doc"),
+                    F.col("n_a").alias("n_contained"),
+                    F.col("n_b").alias("n_container"),
+                ),
+            ),
+            F.when(
+                b_in_a,
+                F.struct(
+                    F.col("doc_b").alias("contained_doc"),
+                    F.col("doc_a").alias("container_doc"),
+                    F.col("n_b").alias("n_contained"),
+                    F.col("n_a").alias("n_container"),
+                ),
+            ),
+        )
+    )
+    return (
+        paired.select("inter", F.explode(dirs).alias("d"))
+        .select(
+            F.col("d.contained_doc").alias("contained_doc"),
+            F.col("d.container_doc").alias("container_doc"),
+            "inter",
+            F.col("d.n_contained").alias("n_contained"),
+            F.col("d.n_container").alias("n_container"),
+            F.expr("(1000 * inter) div d.n_contained").cast("long").alias(
+                "containment_permille"
+            ),
+        )
+    )

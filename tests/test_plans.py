@@ -463,3 +463,74 @@ def test_retrieval_eval_group_limit_and_broadcast_stats(spark):
     plan = formatted_plan(df)
     assert "WindowGroupLimit" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bloom_prune_probes_scan_side_then_shuffle_hash_semi(spark):
+    """The bitmap reaches the fact as a one-row broadcast (nested-loop
+    on a single row, NOT a key-hashed broadcast of the dim), the verify
+    semi-join runs shuffle-hashed, and the dim is never broadcast-hash-
+    joined — the 100x OOM lesson."""
+    df = REG["rel_bloom_runtime_filter"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "ShuffledHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_pq_adc_zero_shuffle_encode_group_limit_topk(spark):
+    """Encoding and scoring are broadcast-only (no sort-merge join
+    anywhere); the per-query top-k must run as WindowGroupLimit so each
+    partition emits at most k rows before the query_id shuffle."""
+    df = REG["ann_pq_adc"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_merge_upsert_single_full_outer_no_broadcast(spark):
+    """MERGE lowers to ONE key-keyed full-outer join; both sides are
+    corpus-proportional so neither may be broadcast."""
+    df = REG["corpus_merge_upsert"].fn(spark, SF_ORACLE)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "FullOuter" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_sliding_distinct_windows_are_type_partitioned(spark):
+    """Both window passes must carry a partition spec (per (type,user)
+    islands, per type prefix sum) — no global window anywhere."""
+    import re
+
+    df = REG["win_sliding_distinct_users"].fn(spark, SF_ORACLE)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert "event_type" in spec, spec
+
+
+def test_collocation_take_ordered_not_global_sort(spark):
+    """The top-100 must be TakeOrderedAndProject (partial top-k per
+    partition), never a full Sort of the bigram relation."""
+    df = REG["text_collocation_lift"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_erasure_layout_broadcasts_ring(spark):
+    """The 25-range ring interval match must be a broadcast nested-loop
+    join — no shuffle of the blocks relation for the match."""
+    df = REG["fs_erasure_layout"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tf_cosine_and_containment_no_cartesian(spark):
+    """Candidate generation and verify are equi-join work end-to-end."""
+    for name in ("dedup_tf_cosine", "dedup_containment"):
+        df = REG[name].fn(spark, SF_ORACLE)
+        assert_no_cartesian(df)

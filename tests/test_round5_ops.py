@@ -1091,3 +1091,29 @@ def test_collocation_lift_recount_and_order(spark):
         assert r["lift_ppm"] == (1000000 * r["c_xy"] * n_uni) // (r["c_x"] * r["c_y"])
         keys.append((-r["lift_ppm"], r["w1"], r["w2"]))
     assert keys == sorted(keys)
+
+
+def test_containment_directions_and_bruteforce(spark):
+    """Recompute containment from raw shingle sets for every returned
+    direction; mutual pairs must appear twice (both directions), and
+    the 0.8 rational gate must hold exactly."""
+    from snackfs_spark.sources.tables import load_table
+
+    out = REG["dedup_containment"].fn(spark, SF_ORACLE).collect()
+    assert out
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_ORACLE, "documents").collect()
+    }
+
+    def shset(t: str) -> set:
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 0))}
+
+    for r in out:
+        sa, sb = shset(texts[r["contained_doc"]]), shset(texts[r["container_doc"]])
+        inter = len(sa & sb)
+        assert inter == r["inter"]
+        assert len(sa) == r["n_contained"] and len(sb) == r["n_container"]
+        assert 5 * inter >= 4 * len(sa)
+        assert r["containment_permille"] == (1000 * inter) // len(sa)

@@ -145,6 +145,8 @@ QUERIES = [
     "split_exact_stratified",
     # lift-ranked collocations (log-free PMI substrate)
     "text_collocation_lift",
+    # directional near-subset pairs (containment >= 0.8, rational gate)
+    "dedup_containment",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
