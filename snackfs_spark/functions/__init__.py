@@ -62,13 +62,20 @@ def ts_str_sql(expr: str) -> str:
     return f"strftime({expr}, '{TS_FMT_DUCK}')"
 
 
-def md5_bucket(col: Column, modulus: int) -> Column:
-    """First 60 bits of md5 as a non-negative int64, mod `modulus` —
-    bit-identical to DuckDB's ('0x' || substr(md5(x), 1, 15))::BIGINT %
-    m. The ONE cross-engine hash-bucket expression (deterministic fault
-    injection, sampling rings, split assignment live on it); change it
+def md5_fp(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative int64 — the modulus-free
+    engine-wide fingerprint, bit-identical to DuckDB's
+    ('0x' || substr(md5(x), 1, 15))::BIGINT. The ONE cross-engine hash
+    expression (md5_bucket is this mod m; BFS/PQ seed ranks, stratified
+    split ranks, and bloom bit positions all derive from it); change it
     nowhere without changing every oracle."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % modulus
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_bucket(col: Column, modulus: int) -> Column:
+    """md5_fp(col) % modulus — the bucketed form (deterministic fault
+    injection, sampling rings, split assignment live on it)."""
+    return md5_fp(col) % modulus
 
 
 # The ONE stopword-permille quality score (cheap C4-style fluency

@@ -1546,19 +1546,38 @@ def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(map_keys(ma), 0L,"
         " (acc, k) -> acc + element_at(ma, k) * coalesce(element_at(mb, k), 0L))"
     )
-    gate = (
+    # Spark decimals cap at 38 digits and non-ANSI overflow is NULL —
+    # which a filter would swallow as a silently dropped pair while the
+    # oracle's HUGEINT either holds the value or errors loudly. Guard:
+    # a NULL side can only mean overflow (inputs are non-null), so it
+    # raises instead of filtering (code-review r5c). Bound for comfort:
+    # both sides stay under 1e38 for any doc with <= ~3e8 tokens.
+    gl = (
         F.lit(TF_COS_T_DEN2).cast("decimal(19,0)")
         * F.col("num").cast("decimal(19,0)")
         * F.col("num").cast("decimal(19,0)")
-    ) >= (
+    )
+    gr = (
         F.lit(TF_COS_T_NUM2).cast("decimal(19,0)")
         * F.col("na").cast("decimal(19,0)")
         * F.col("nb").cast("decimal(19,0)")
     )
+    gate = F.when(
+        F.col("_gl").isNull() | F.col("_gr").isNull(),
+        F.assert_true(
+            F.lit(False),
+            F.lit(
+                "dedup_tf_cosine: rational gate exceeded decimal(38,0); "
+                "re-derive with wider limbs before trusting this corpus"
+            ),
+        ).cast("boolean"),
+    ).otherwise(F.col("_gl") >= F.col("_gr"))
     return (
         cand.join(va, "doc_a")
         .join(vb, "doc_b")
         .withColumn("num", num)
+        .withColumn("_gl", gl)
+        .withColumn("_gr", gr)
         .filter(gate)
         .select(
             "doc_a",

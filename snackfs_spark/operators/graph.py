@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from snackfs_spark.functions import md5_fp
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import fan_out, load_table
 
@@ -348,7 +349,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds 1..k-1. Round count is the fixed hop budget — on a real
     cluster each round is one tiny-key shuffle stage."""
     vocab, edges, _ = _token_graph(spark, sf_dir)
-    fp = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
+    fp = md5_fp(F.col("token"))
     seeds = (
         vocab.withColumn("fp", fp)
         .orderBy("fp", "token")

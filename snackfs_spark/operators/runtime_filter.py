@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from snackfs_spark.functions import dsum, money
+from snackfs_spark.functions import dsum, md5_fp, money
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import load_table
 
@@ -48,14 +48,12 @@ BLOOM_K = 4
 
 
 def _bit_positions(key: F.Column) -> list[F.Column]:
-    """k deterministic bit positions for a key: first 60 bits of
-    md5(key || ':' || salt) mod M_BITS — the engine-wide md5 fingerprint
-    family (snackfs_spark.functions.md5_bucket's construction, salted)."""
-    out = []
-    for salt in range(BLOOM_K):
-        h = F.md5(F.concat_ws(":", key.cast("string"), F.lit(str(salt))))
-        out.append(F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % M_BITS)
-    return out
+    """k deterministic bit positions for a key: the engine-wide md5
+    fingerprint (snackfs_spark.functions.md5_fp), salted, mod M_BITS."""
+    return [
+        md5_fp(F.concat_ws(":", key.cast("string"), F.lit(str(salt)))) % M_BITS
+        for salt in range(BLOOM_K)
+    ]
 
 
 def bloom_bitmap(keys: DataFrame, key_col: str) -> DataFrame:

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from snackfs_spark.functions import STOPWORD_PERMILLE_SPARK, STOPWORD_PERMILLE_SQL
+from snackfs_spark.functions import STOPWORD_PERMILLE_SPARK, STOPWORD_PERMILLE_SQL, md5_fp
 from snackfs_spark.operators.dedup import SHINGLES_CTE, shingles_df
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import load_table
@@ -1659,9 +1659,7 @@ def split_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     right tool for eval-set carving; the bulk train split at 100 TB
     stays on the order-free md5-bucket split (split_assign_hash),
     whose proportions converge binomially without any sort."""
-    fp = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    fp = md5_fp(F.col("doc_id").cast("string"))
     ws = Window.partitionBy("lang", "source").orderBy("fp", "doc_id")
     wn = Window.partitionBy("lang", "source")
     r = (

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from snackfs_spark.functions import md5_fp
 from snackfs_spark.operators.dedup import DOT_SPARK, _DOT_SQL_DUCK, _NORM_SQL_DUCK
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import load_table
@@ -710,9 +711,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(
             "vec_id",
             "embedding",
-            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
-            .cast("long")
-            .alias("hh"),
+            md5_fp(F.col("vec_id").cast("string")).alias("hh"),
         )
         .orderBy("hh", "vec_id")
         .limit(PQ_K)

@@ -758,7 +758,6 @@ def win_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-sum state is |types| × |days|, scale-free in users and
     events. The classic per-window COUNT(DISTINCT) re-touches every
     event W times; this touches each once."""
-    w = SLIDING_DISTINCT_DAYS
     pd_ = (
         load_table(spark, sf_dir, "events")
         .select(
@@ -768,6 +767,13 @@ def win_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return sliding_distinct_counts(pd_, SLIDING_DISTINCT_DAYS)
+
+
+def sliding_distinct_counts(pd_: DataFrame, w: int) -> DataFrame:
+    """Core islands + ±1-delta + prefix-sum machinery over a distinct
+    (event_type, day, user_id) relation — split out so the sparse-day
+    edge cases are unit-testable on in-memory frames."""
     seq = Window.partitionBy("event_type", "user_id").orderBy("day")
     islands = (
         pd_.withColumn("prev", F.lag("day").over(seq))
@@ -783,19 +789,26 @@ def win_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "user_id", "grp")
         .agg(F.min("day").alias("s"), F.max("day").alias("t"))
     )
-    deltas = islands.select(
-        "event_type", F.col("s").alias("day"), F.lit(1).alias("d")
-    ).unionAll(
-        islands.select(
-            "event_type", F.date_add("t", w).alias("day"), F.lit(-1).alias("d")
+    observed = pd_.select("event_type", "day").distinct()
+    # The prefix-sum axis must contain EVERY day the output reports, not
+    # just island boundaries: an observed day in the middle of a long
+    # island has no ±1 delta of its own, and a boundary-only axis would
+    # silently drop it from the inner join below (code-review r5c). The
+    # observed days ride along with net 0.
+    deltas = (
+        islands.select("event_type", F.col("s").alias("day"), F.lit(1).alias("d"))
+        .unionAll(
+            islands.select(
+                "event_type", F.date_add("t", w).alias("day"), F.lit(-1).alias("d")
+            )
         )
+        .unionAll(observed.select("event_type", "day", F.lit(0).alias("d")))
     )
     axis = deltas.groupBy("event_type", "day").agg(F.sum("d").alias("net"))
     run = Window.partitionBy("event_type").orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     counts = axis.withColumn("n_users", F.sum("net").over(run))
-    observed = pd_.select("event_type", "day").distinct()
     return (
         counts.join(observed, ["event_type", "day"])
         .select(
@@ -825,8 +838,12 @@ SEASON_EPOCH = "2024-01-01"
              hour(ts) AS hr
       FROM events
     ),
+    -- pre-epoch events make d negative; dow = ((d%7)+7)%7 is the
+    -- portable non-negative band (DESIGN.md rule 5), and wk divides the
+    -- already-dow-aligned d exactly, so trunc-vs-floor cannot diverge
     pw AS (
-      SELECT event_type, d % 7 AS dow, hr, d // 7 AS wk,
+      SELECT event_type, ((d % 7) + 7) % 7 AS dow, hr,
+             (d - (((d % 7) + 7) % 7)) // 7 AS wk,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM c GROUP BY 1, 2, 3, 4
     ),
@@ -866,9 +883,9 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pw = (
         ev.select(
             "event_type",
-            (F.col("d") % 7).alias("dow"),
+            F.expr("((d % 7) + 7) % 7").alias("dow"),
             "hr",
-            F.expr("d div 7").alias("wk"),
+            F.expr("(d - (((d % 7) + 7) % 7)) div 7").alias("wk"),
         )
         .groupBy("event_type", "dow", "hr", "wk")
         .agg(F.count(F.lit(1)).alias("n"))

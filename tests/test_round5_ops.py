@@ -1117,3 +1117,35 @@ def test_containment_directions_and_bruteforce(spark):
         assert len(sa) == r["n_contained"] and len(sb) == r["n_container"]
         assert 5 * inter >= 4 * len(sa)
         assert r["containment_permille"] == (1000 * inter) // len(sa)
+
+
+def test_sliding_distinct_keeps_boundary_free_observed_days(spark):
+    """Regression (code-review r5c): an observed day in the middle of a
+    coverage island has no ±1 delta of its own and must still be
+    reported — the prefix-sum axis carries observed days at net 0."""
+    import datetime
+
+    from snackfs_spark.operators.windows import sliding_distinct_counts
+
+    d = datetime.date
+    rows = [("click", d(2024, 1, 1), 7), ("click", d(2024, 1, 3), 7)]
+    df = spark.createDataFrame(rows, "event_type string, day date, user_id bigint")
+    out = sorted(
+        (r["day"], r["n_users"]) for r in sliding_distinct_counts(df, 7).collect()
+    )
+    assert out == [("2024-01-01", 1), ("2024-01-03", 1)]
+
+
+def test_seasonal_profile_handles_pre_epoch_days(spark):
+    """Regression (code-review r5c): dow/wk banding must survive
+    negative days-since-epoch (DESIGN.md rule 5) — check the portable
+    formulas agree with Python floor semantics on negatives."""
+    rows = spark.sql(
+        "SELECT d, ((d % 7) + 7) % 7 AS dow,"
+        " (d - (((d % 7) + 7) % 7)) div 7 AS wk"
+        " FROM VALUES (-8), (-1), (0), (6), (13) AS t(d)"
+    ).collect()
+    for r in rows:
+        assert r["dow"] == r["d"] % 7  # Python % floors
+        assert r["wk"] == (r["d"] - r["d"] % 7) // 7
+        assert 0 <= r["dow"] <= 6
