@@ -174,6 +174,8 @@ HEADLINE_R11 = [
     "split_exact_stratified",
     "text_collocation_lift",
     "dedup_containment",
+    "fs_quorum_staleness",
+    "events_new_vs_returning",
 ]
 
 

@@ -720,3 +720,83 @@ def fs_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bucket", "n_chunks", "n_missing_chunks", "missing_bytes")
     )
+
+
+# Quorum-read staleness model (the reference's Cassandra substrate,
+# ThriftStore.scala's consistency-level choices): with RF=3 and a read
+# at consistency R returning the freshest of R contacted replicas, a
+# read is stale iff ALL R contacted replicas are stale. Per block with
+# s stale replicas there are C(s,R) stale read-combos of C(3,R) — exact
+# combinatorics, no simulation. Staleness is injected deterministically
+# (10% of (block, replica) pairs by md5 bucket — the fs_fsck fault-
+# injection discipline) so both engines model the identical failure set.
+QUORUM_STALE_PCT = 10
+
+
+@register(
+    "fs_quorum_staleness",
+    oracle=fs_sql(
+        f"""SELECT path,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(s) AS BIGINT) AS stale_replicas,
+               CAST(SUM(s) AS BIGINT) AS r1_stale_num,
+               CAST(3 * COUNT(*) AS BIGINT) AS r1_den,
+               CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS r2_stale_num,
+               CAST(3 * COUNT(*) AS BIGINT) AS r2_den,
+               CAST(SUM(CASE WHEN s = 3 THEN 1 ELSE 0 END) AS BIGINT) AS r3_stale_num,
+               CAST(COUNT(*) AS BIGINT) AS r3_den
+           FROM (
+             SELECT path,
+                    (CASE WHEN ('0x' || substr(md5(path || '#' || block_idx || '#0'), 1, 15))::BIGINT % 100 < {QUORUM_STALE_PCT} THEN 1 ELSE 0 END
+                   + CASE WHEN ('0x' || substr(md5(path || '#' || block_idx || '#1'), 1, 15))::BIGINT % 100 < {QUORUM_STALE_PCT} THEN 1 ELSE 0 END
+                   + CASE WHEN ('0x' || substr(md5(path || '#' || block_idx || '#2'), 1, 15))::BIGINT % 100 < {QUORUM_STALE_PCT} THEN 1 ELSE 0 END) AS s
+             FROM blocks
+           )
+           GROUP BY path""",
+        "blocks",
+    ),
+)
+def fs_quorum_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file stale-read exposure at consistency ONE / QUORUM / ALL:
+    exact numerator/denominator pairs (stale read-combos over possible
+    read-combos) from the injected 10% replica-staleness set. The
+    quorum effect drops out of the integers themselves: r2_stale_num
+    counts C(s,2) pairs, so a file only risks a stale QUORUM read where
+    two replicas of the same block are stale — the read-repair
+    prioritization signal (pair with fs_repair_plan's digests to pick
+    which buckets to repair first).
+
+    Scale: ONE scan of the blocks view — the replica indicators are
+    three md5 buckets per row in codegen, no join against a replica
+    table and no per-replica row fan-out; the per-path aggregate
+    collapses map-side. At 100 TB this is block-metadata-proportional
+    map work with file-proportional output."""
+    from snackfs_spark.sources.fsmodel import blocks_df
+
+    ind = [
+        F.when(
+            md5_bucket(
+                F.concat_ws(
+                    "#", F.col("path"), F.col("block_idx").cast("string"), F.lit(str(r))
+                ),
+                100,
+            )
+            < QUORUM_STALE_PCT,
+            1,
+        ).otherwise(0)
+        for r in range(3)
+    ]
+    s = (ind[0] + ind[1] + ind[2]).alias("s")
+    per_block = blocks_df(spark, sf_dir).select("path", s)
+    return per_block.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("s").cast("long").alias("stale_replicas"),
+        F.sum("s").cast("long").alias("r1_stale_num"),
+        (3 * F.count(F.lit(1))).cast("long").alias("r1_den"),
+        F.sum(F.expr("s * (s - 1) div 2")).cast("long").alias("r2_stale_num"),
+        (3 * F.count(F.lit(1))).cast("long").alias("r2_den"),
+        F.sum(F.when(F.col("s") == 3, 1).otherwise(0)).cast("long").alias(
+            "r3_stale_num"
+        ),
+        F.count(F.lit(1)).cast("long").alias("r3_den"),
+    )

@@ -912,3 +912,74 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "dow", "hour", "n", "share_ppm", "naive_abs_err")
     )
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+    WITH pd AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    firsts AS (
+      SELECT event_type, user_id, MIN(day) AS first_day FROM pd GROUP BY 1, 2
+    ),
+    active AS (
+      SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS active FROM pd GROUP BY 1, 2
+    ),
+    news AS (
+      SELECT event_type, first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY 1, 2
+    )
+    SELECT a.event_type, strftime(a.day, '%Y-%m-%d') AS day, a.active,
+           COALESCE(n.new_users, 0) AS new_users,
+           a.active - COALESCE(n.new_users, 0) AS returning,
+           CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+             PARTITION BY a.event_type ORDER BY a.day
+           ) AS BIGINT) AS cum_users
+    FROM active a
+    LEFT JOIN news n ON n.event_type = a.event_type AND n.day = a.day
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active-user decomposition per event type: active = distinct
+    users that day, new = users on their first-ever day for that type,
+    returning = the difference, plus the cumulative lifetime user curve
+    (prefix sum of new_users) — the growth-accounting table every
+    product dashboard carries, derived without re-scanning history per
+    day.
+
+    Scale: one (type, user, day) dedup shuffle, one (type, user) min
+    (map-side combinable), then everything lives on the (type, day)
+    lattice — the per-day distinct the naive version recomputes against
+    all history collapses into first-occurrence flags touched once."""
+    pd_ = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    firsts = pd_.groupBy("event_type", "user_id").agg(F.min("day").alias("first_day"))
+    active = pd_.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("active")
+    )
+    news = firsts.groupBy("event_type", F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        active.join(news, ["event_type", "day"], "left")
+        .withColumn("new_users", F.coalesce(F.col("new_users"), F.lit(0)).cast("long"))
+        .withColumn("returning", (F.col("active") - F.col("new_users")).cast("long"))
+        .withColumn("cum_users", F.sum("new_users").over(run).cast("long"))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "active",
+            "new_users",
+            "returning",
+            "cum_users",
+        )
+    )

@@ -1149,3 +1149,68 @@ def test_seasonal_profile_handles_pre_epoch_days(spark):
         assert r["dow"] == r["d"] % 7  # Python % floors
         assert r["wk"] == (r["d"] - r["d"] % 7) // 7
         assert 0 <= r["dow"] <= 6
+
+
+def test_quorum_staleness_combinatorics(spark):
+    """Recompute the injected staleness in Python per block: the C(s,R)
+    numerators and denominators must match exactly, and the global
+    replica-staleness rate must sit near the injected 10%."""
+    import hashlib
+
+    from snackfs_spark.operators.fsops import QUORUM_STALE_PCT
+    from snackfs_spark.sources.fsmodel import blocks_df
+
+    out = {r["path"]: r for r in REG["fs_quorum_staleness"].fn(spark, SF_ORACLE).collect()}
+    blocks = blocks_df(spark, SF_ORACLE).select("path", "block_idx").collect()
+
+    def stale(path: str, idx: int, r: int) -> bool:
+        h = hashlib.md5(f"{path}#{idx}#{r}".encode()).hexdigest()
+        return int(h[:15], 16) % 100 < QUORUM_STALE_PCT
+
+    agg: dict[str, list] = {}
+    for b in blocks:
+        s = sum(stale(b["path"], b["block_idx"], r) for r in range(3))
+        a = agg.setdefault(b["path"], [0, 0, 0, 0])  # n, s_sum, pairs, all3
+        a[0] += 1
+        a[1] += s
+        a[2] += s * (s - 1) // 2
+        a[3] += 1 if s == 3 else 0
+    assert set(agg) == set(out)
+    tot_s = tot_rep = 0
+    for path, (n, s_sum, pairs, all3) in agg.items():
+        r = out[path]
+        assert (r["n_blocks"], r["stale_replicas"]) == (n, s_sum)
+        assert (r["r1_stale_num"], r["r1_den"]) == (s_sum, 3 * n)
+        assert (r["r2_stale_num"], r["r2_den"]) == (pairs, 3 * n)
+        assert (r["r3_stale_num"], r["r3_den"]) == (all3, n)
+        tot_s += s_sum
+        tot_rep += 3 * n
+    assert abs(tot_s / tot_rep - QUORUM_STALE_PCT / 100) < 0.02
+
+
+def test_new_vs_returning_conservation(spark):
+    """Per type: new_users sums to the type's distinct-user universe,
+    returning is non-negative, cum_users is the running total of
+    new_users, and the earliest day is all-new."""
+    from snackfs_spark.sources.tables import load_table
+
+    rows = REG["events_new_vs_returning"].fn(spark, SF_ORACLE).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    universe = {
+        r["event_type"]: r["u"]
+        for r in load_table(spark, SF_ORACLE, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("u"))
+        .collect()
+    }
+    for t, days in by_type.items():
+        days.sort(key=lambda r: r["day"])
+        assert sum(r["new_users"] for r in days) == universe[t]
+        assert days[0].active == days[0].new_users  # first day is all-new
+        cum = 0
+        for r in days:
+            assert r["returning"] == r["active"] - r["new_users"] >= 0
+            cum += r["new_users"]
+            assert r["cum_users"] == cum

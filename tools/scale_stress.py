@@ -147,6 +147,10 @@ QUERIES = [
     "text_collocation_lift",
     # directional near-subset pairs (containment >= 0.8, rational gate)
     "dedup_containment",
+    # C(s,R) quorum-read staleness model over injected replica faults
+    "fs_quorum_staleness",
+    # first-occurrence DAU decomposition + lifetime user curve
+    "events_new_vs_returning",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
