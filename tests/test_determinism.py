@@ -59,6 +59,15 @@ PROBES = [
     # partition-order-dependent operands
     "eval_quality_auc",
     "eval_cluster_agreement",
+    # round-5 continuation: the PQ/ADC chain (left-fold squared-L2
+    # dists feed argmin codes AND the query LUT — any partition-order
+    # leak would flap both the codes and the adc double), the tf-cosine
+    # map-fold numerator + per-row sqrt, and the seasonal lag window
+    # (observed-week ordering under repartition)
+    "ann_pq_adc",
+    "dedup_tf_cosine",
+    "events_seasonal_profile",
+    "win_sliding_distinct_users",
 ]
 
 
