@@ -176,6 +176,7 @@ HEADLINE_R11 = [
     "dedup_containment",
     "fs_quorum_staleness",
     "events_new_vs_returning",
+    "events_sequential_pairs",
 ]
 
 

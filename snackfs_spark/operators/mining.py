@@ -161,3 +161,85 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trans.select(
         "from_type", "to_type", "n", F.sum("n").over(wt).alias("from_total")
     )
+
+
+# Sequential-pattern mining (PrefixSpan's 2-sequence core): how many
+# users exhibit "A, then later B" at least once — NOT the adjacent
+# transition matrix (events_markov_transitions) and NOT a fixed funnel
+# (events_conversion_funnel): every ordered type pair, any gap. The
+# per-user reduction to FIRST-A-before-LAST-B makes existence exact
+# without enumerating event pairs.
+SEQPAIR_MIN_USERS = 3
+
+
+@register(
+    "events_sequential_pairs",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT user_id, event_type,
+             MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM bounds a
+      JOIN bounds b ON b.user_id = a.user_id
+                   AND b.event_type <> a.event_type
+                   AND a.first_ts < b.last_ts
+      GROUP BY 1, 2
+    ),
+    u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS total_users FROM events)
+    SELECT type_a, type_b, n_users, u.total_users,
+           CAST((1000 * n_users) // u.total_users AS BIGINT) AS support_permille
+    FROM pairs CROSS JOIN u
+    WHERE n_users >= {SEQPAIR_MIN_USERS}
+    """,
+)
+def events_sequential_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent sequential 2-patterns: users with any occurrence of
+    type_a strictly before some later occurrence of type_b. Existence
+    collapses to first(A) < last(B) per user, so the engine reduces
+    each user to |types| (first, last) bounds and self-joins THOSE —
+    per-user fan-out is at most |types|², never events² (the PrefixSpan
+    projection trick, specialized to length-2 patterns).
+
+    Scale: one (user, type) aggregate collapses the fact map-side; the
+    bounds self-join shuffles user-keyed rows whose per-user volume is
+    bounded by the type vocabulary; pattern counts collapse onto the
+    |types|² lattice. Support is integer permille of the user universe
+    (truncating division, identical both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    a = bounds.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("type_a"),
+        "first_ts",
+    )
+    b = bounds.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("type_b"),
+        "last_ts",
+    )
+    pairs = (
+        a.join(b, "u")
+        .filter(
+            (F.col("type_a") != F.col("type_b"))
+            & (F.col("first_ts") < F.col("last_ts"))
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") >= SEQPAIR_MIN_USERS)
+    )
+    u = ev.agg(F.count_distinct("user_id").alias("total_users"))
+    return pairs.crossJoin(F.broadcast(u)).select(
+        "type_a",
+        "type_b",
+        "n_users",
+        "total_users",
+        F.expr("(1000 * n_users) div total_users").cast("long").alias(
+            "support_permille"
+        ),
+    )

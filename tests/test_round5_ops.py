@@ -1214,3 +1214,49 @@ def test_new_vs_returning_conservation(spark):
             assert r["returning"] == r["active"] - r["new_users"] >= 0
             cum += r["new_users"]
             assert r["cum_users"] == cum
+
+
+def test_sequential_pairs_matches_raw_event_bruteforce(spark):
+    """Validate the first(A) < last(B) reduction against the raw
+    definition (some A-event strictly before some B-event) recomputed
+    in Python over every user's event list."""
+    from snackfs_spark.operators.mining import SEQPAIR_MIN_USERS
+    from snackfs_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, SF_ORACLE, "events")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    users = set()
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_type"]))
+        users.add(r["user_id"])
+    counts: dict[tuple, int] = {}
+    for evs in by_user.values():
+        evs.sort()
+        seen_pairs = set()
+        firsts: dict[str, object] = {}
+        lasts: dict[str, object] = {}
+        for ts, t in evs:
+            firsts.setdefault(t, ts)
+            lasts[t] = ts
+        for ta, fa in firsts.items():
+            for tb, lb in lasts.items():
+                if ta != tb and fa < lb:
+                    seen_pairs.add((ta, tb))
+        for p in seen_pairs:
+            counts[p] = counts.get(p, 0) + 1
+    want = {
+        p: n for p, n in counts.items() if n >= SEQPAIR_MIN_USERS
+    }
+    got = {
+        (r["type_a"], r["type_b"]): r["n_users"]
+        for r in REG["events_sequential_pairs"].fn(spark, SF_ORACLE).collect()
+    }
+    assert got == want
+    out = REG["events_sequential_pairs"].fn(spark, SF_ORACLE).collect()
+    for r in out:
+        assert r["total_users"] == len(users)
+        assert r["support_permille"] == (1000 * r["n_users"]) // len(users)

@@ -151,6 +151,8 @@ QUERIES = [
     "fs_quorum_staleness",
     # first-occurrence DAU decomposition + lifetime user curve
     "events_new_vs_returning",
+    # PrefixSpan-style sequential 2-patterns via (first, last) bounds
+    "events_sequential_pairs",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
