@@ -177,6 +177,7 @@ HEADLINE_R11 = [
     "fs_quorum_staleness",
     "events_new_vs_returning",
     "events_sequential_pairs",
+    "privacy_l_diversity",
 ]
 
 

@@ -2929,6 +2929,58 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+L_DIVERSITY_THRESHOLD = 3
+
+
+@register(
+    "privacy_l_diversity",
+    oracle=f"""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(COUNT(DISTINCT {_ACCTBAL_BAND_SQL}) AS BIGINT) AS l
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT l AS l_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           l < {{L_DIVERSITY_THRESHOLD}} AS at_risk
+    FROM cls GROUP BY l
+    """.format(L_DIVERSITY_THRESHOLD=L_DIVERSITY_THRESHOLD),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the attribute-disclosure companion to
+    privacy_k_anonymity: with QI = (nation, segment) and the account-
+    balance band as the SENSITIVE attribute, a class where every member
+    shares one band leaks the balance even when k is large — the
+    classic homogeneity attack k-anonymity alone misses. Reports the
+    distribution of per-class distinct-sensitive counts and flags
+    classes below l=3.
+
+    Scale: identical posture to the k audit — one scan collapsing
+    map-side onto |nations| x |segments| classes (the count-distinct
+    runs at that bounded cardinality), then a second aggregate over the
+    bounded relation. Nothing row-proportional shuffles."""
+    cust = load_table(spark, sf_dir, "customer")
+    cls = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.count_distinct(F.expr(_ACCTBAL_BAND_SPARK)).alias("l"),
+    )
+    return (
+        cls.groupBy(F.col("l").alias("l_distinct"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("k").cast("long").alias("n_rows"),
+        )
+        .select(
+            "l_distinct",
+            "n_groups",
+            "n_rows",
+            (F.col("l_distinct") < L_DIVERSITY_THRESHOLD).alias("at_risk"),
+        )
+    )
+
+
 @register(
     "join_size_estimate_cm",
     oracle=f"""

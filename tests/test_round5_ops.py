@@ -1260,3 +1260,39 @@ def test_sequential_pairs_matches_raw_event_bruteforce(spark):
     for r in out:
         assert r["total_users"] == len(users)
         assert r["support_permille"] == (1000 * r["n_users"]) // len(users)
+
+
+def test_l_diversity_recount_and_risk_flags(spark):
+    """Python recount of per-(nation, segment) distinct acctbal bands;
+    row totals must conserve the customer table and at_risk must flag
+    exactly l < 3."""
+    from snackfs_spark.operators.relational import (
+        _ACCTBAL_BAND_SPARK,
+        L_DIVERSITY_THRESHOLD,
+    )
+    from snackfs_spark.sources.tables import load_table
+
+    cust = (
+        load_table(spark, SF_ORACLE, "customer")
+        .select(
+            "c_nationkey", "c_mktsegment", F.expr(_ACCTBAL_BAND_SPARK).alias("band")
+        )
+        .collect()
+    )
+    classes: dict[tuple, set] = {}
+    sizes: dict[tuple, int] = {}
+    for r in cust:
+        key = (r["c_nationkey"], r["c_mktsegment"])
+        classes.setdefault(key, set()).add(r["band"])
+        sizes[key] = sizes.get(key, 0) + 1
+    want: dict[int, list] = {}
+    for key, bands in classes.items():
+        want.setdefault(len(bands), [0, 0])
+        want[len(bands)][0] += 1
+        want[len(bands)][1] += sizes[key]
+    out = REG["privacy_l_diversity"].fn(spark, SF_ORACLE).collect()
+    got = {r["l_distinct"]: [r["n_groups"], r["n_rows"]] for r in out}
+    assert got == want
+    for r in out:
+        assert r["at_risk"] == (r["l_distinct"] < L_DIVERSITY_THRESHOLD)
+    assert sum(r["n_rows"] for r in out) == len(cust)

@@ -153,6 +153,8 @@ QUERIES = [
     "events_new_vs_returning",
     # PrefixSpan-style sequential 2-patterns via (first, last) bounds
     "events_sequential_pairs",
+    # attribute-disclosure (homogeneity) audit over bounded QI classes
+    "privacy_l_diversity",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
