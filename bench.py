@@ -178,6 +178,7 @@ HEADLINE_R11 = [
     "events_new_vs_returning",
     "events_sequential_pairs",
     "privacy_l_diversity",
+    "dedup_golden_record",
 ]
 
 

@@ -1733,3 +1733,68 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dedup_golden_record",
+    oracle=(
+        "WITH RECURSIVE "
+        + _MINHASH_CTE
+        + """,
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label
+      FROM reach r JOIN edges e ON e.src = r.doc_id
+      WHERE r.label < e.dst
+    ),
+    members AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT m.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(d.n_chars) AS BIGINT) AS golden_n_chars,
+           array_to_string(list_sort(list(DISTINCT d.source)), ',') AS sources,
+           CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT d.lang) > 1 AS INT) AS lang_conflict
+    FROM members m JOIN documents d ON d.doc_id = m.doc_id
+    GROUP BY 1
+    """
+    ),
+)
+def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record construction — the MDM verb that
+    completes the dedup story (detect → cluster → MERGE THE SURVIVOR):
+    one row per near-dup cluster carrying the field-level merge policy
+    (longest text wins n_chars, provenance union as a sorted source
+    list) and the conflict signal (members disagreeing on lang) that a
+    survivorship rulebook must adjudicate. Composes directly on
+    dedup_cluster_canonical's min-label components.
+
+    Scale: adds ONE doc_id-keyed join + one cluster-keyed aggregate on
+    top of the label propagation (whose round cost is the candidate
+    graph, not the corpus); collect_set holds per-cluster distinct
+    sources — bounded by the source vocabulary, not membership."""
+    labels = dedup_cluster_canonical(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "source", "lang"
+    )
+    return (
+        docs.join(labels, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("n_chars").cast("long").alias("golden_n_chars"),
+            F.concat_ws(",", F.array_sort(F.collect_set("source"))).alias("sources"),
+            F.count_distinct("lang").cast("long").alias("n_langs"),
+            (F.count_distinct("lang") > 1).cast("int").alias("lang_conflict"),
+        )
+    )

@@ -1296,3 +1296,31 @@ def test_l_diversity_recount_and_risk_flags(spark):
     for r in out:
         assert r["at_risk"] == (r["l_distinct"] < L_DIVERSITY_THRESHOLD)
     assert sum(r["n_rows"] for r in out) == len(cust)
+
+
+def test_golden_record_survivorship_invariants(spark):
+    """Cluster rows must conserve the corpus (sum members = |docs|),
+    every cluster_id is its own minimum member, the golden n_chars is
+    the member max, and lang_conflict fires iff n_langs > 1."""
+    from snackfs_spark.operators.dedup import dedup_cluster_canonical
+    from snackfs_spark.sources.tables import load_table
+
+    golden = {r["cluster_id"]: r for r in REG["dedup_golden_record"].fn(spark, SF_ORACLE).collect()}
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_cluster_canonical(spark, SF_ORACLE).collect()
+    }
+    docs = {
+        r["doc_id"]: r
+        for r in load_table(spark, SF_ORACLE, "documents").collect()
+    }
+    assert sum(r["n_members"] for r in golden.values()) == len(docs)
+    for cid, row in golden.items():
+        members = [d for d, c in labels.items() if c == cid]
+        assert min(members) == cid
+        assert row["n_members"] == len(members)
+        assert row["golden_n_chars"] == max(docs[d]["n_chars"] for d in members)
+        langs = {docs[d]["lang"] for d in members}
+        assert row["n_langs"] == len(langs)
+        assert row["lang_conflict"] == (1 if len(langs) > 1 else 0)
+        assert row["sources"] == ",".join(sorted({docs[d]["source"] for d in members}))

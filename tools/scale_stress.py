@@ -155,6 +155,8 @@ QUERIES = [
     "events_sequential_pairs",
     # attribute-disclosure (homogeneity) audit over bounded QI classes
     "privacy_l_diversity",
+    # survivorship merge per near-dup cluster (golden record)
+    "dedup_golden_record",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
