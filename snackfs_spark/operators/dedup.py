@@ -118,6 +118,31 @@ bands AS (
 )
 
 
+# Shared recursive connected-components prefix (band candidates ->
+# undirected edges -> min-label reachability). ONE constant consumed by
+# BOTH the cluster_canonical and golden_record oracles — editing the
+# clustering rule in one place keeps their components identical (the
+# md5_fp lesson, applied to SQL).
+_CC_REACH_CTES = """
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label
+      FROM reach r JOIN edges e ON e.src = r.doc_id
+      WHERE r.label < e.dst
+    )"""
+
+
 def minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, mh0..mh15): the 16-permutation MinHash signature.
     min() ignores duplicates, so the shingle-distinct shuffle is skipped
@@ -424,24 +449,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "WITH RECURSIVE "
         + _MINHASH_CTE
-        + """,
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-    ),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL
-      SELECT doc_b AS src, doc_a AS dst FROM pairs
-    ),
-    reach(doc_id, label) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT e.dst, r.label
-      FROM reach r JOIN edges e ON e.src = r.doc_id
-      WHERE r.label < e.dst
-    )
+        + ","
+        + _CC_REACH_CTES
+        + """
     SELECT doc_id,
            MIN(label) AS cluster_id,
            CAST(doc_id = MIN(label) AS INT) AS is_keeper
@@ -1740,24 +1750,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "WITH RECURSIVE "
         + _MINHASH_CTE
+        + ","
+        + _CC_REACH_CTES
         + """,
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-    ),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL
-      SELECT doc_b AS src, doc_a AS dst FROM pairs
-    ),
-    reach(doc_id, label) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT e.dst, r.label
-      FROM reach r JOIN edges e ON e.src = r.doc_id
-      WHERE r.label < e.dst
-    ),
     members AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id)
     SELECT m.cluster_id,
            CAST(COUNT(*) AS BIGINT) AS n_members,

@@ -739,12 +739,8 @@ QUORUM_STALE_PCT = 10
         f"""SELECT path,
                CAST(COUNT(*) AS BIGINT) AS n_blocks,
                CAST(SUM(s) AS BIGINT) AS stale_replicas,
-               CAST(SUM(s) AS BIGINT) AS r1_stale_num,
-               CAST(3 * COUNT(*) AS BIGINT) AS r1_den,
                CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS r2_stale_num,
-               CAST(3 * COUNT(*) AS BIGINT) AS r2_den,
-               CAST(SUM(CASE WHEN s = 3 THEN 1 ELSE 0 END) AS BIGINT) AS r3_stale_num,
-               CAST(COUNT(*) AS BIGINT) AS r3_den
+               CAST(SUM(CASE WHEN s = 3 THEN 1 ELSE 0 END) AS BIGINT) AS r3_stale_num
            FROM (
              SELECT path,
                     (CASE WHEN ('0x' || substr(md5(path || '#' || block_idx || '#0'), 1, 15))::BIGINT % 100 < {QUORUM_STALE_PCT} THEN 1 ELSE 0 END
@@ -758,8 +754,10 @@ QUORUM_STALE_PCT = 10
 )
 def fs_quorum_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file stale-read exposure at consistency ONE / QUORUM / ALL:
-    exact numerator/denominator pairs (stale read-combos over possible
-    read-combos) from the injected 10% replica-staleness set. The
+    the four independent counts (n_blocks, stale replicas, stale
+    QUORUM pairs C(s,2), all-stale blocks) from which every stale-read
+    rate derives — ONE over 3·n_blocks, QUORUM over 3·n_blocks, ALL
+    over n_blocks — for the injected 10% replica-staleness set. The
     quorum effect drops out of the integers themselves: r2_stale_num
     counts C(s,2) pairs, so a file only risks a stale QUORUM read where
     two replicas of the same block are stale — the read-repair
@@ -791,12 +789,8 @@ def fs_quorum_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_block.groupBy("path").agg(
         F.count(F.lit(1)).cast("long").alias("n_blocks"),
         F.sum("s").cast("long").alias("stale_replicas"),
-        F.sum("s").cast("long").alias("r1_stale_num"),
-        (3 * F.count(F.lit(1))).cast("long").alias("r1_den"),
         F.sum(F.expr("s * (s - 1) div 2")).cast("long").alias("r2_stale_num"),
-        (3 * F.count(F.lit(1))).cast("long").alias("r2_den"),
         F.sum(F.when(F.col("s") == 3, 1).otherwise(0)).cast("long").alias(
             "r3_stale_num"
         ),
-        F.count(F.lit(1)).cast("long").alias("r3_den"),
     )

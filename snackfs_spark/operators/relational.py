@@ -2944,9 +2944,9 @@ L_DIVERSITY_THRESHOLD = 3
     SELECT l AS l_distinct,
            CAST(COUNT(*) AS BIGINT) AS n_groups,
            CAST(SUM(k) AS BIGINT) AS n_rows,
-           l < {{L_DIVERSITY_THRESHOLD}} AS at_risk
+           l < {L_DIVERSITY_THRESHOLD} AS at_risk
     FROM cls GROUP BY l
-    """.format(L_DIVERSITY_THRESHOLD=L_DIVERSITY_THRESHOLD),
+    """,
 )
 def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity audit, the attribute-disclosure companion to

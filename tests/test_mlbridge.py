@@ -78,4 +78,10 @@ def test_stock_minhashlsh_and_handrolled_bands_agree_on_truth(spark):
         .filter(F.col("a") < F.col("b"))
         .collect()
     }
-    assert truth <= stock, f"stock MinHashLSH missed {truth - stock}"
+    # The stock join is PROBABILISTIC (8 OR-ed hash tables: a J=0.7
+    # pair misses with p ~= 0.3^8, plus HashingTF bucket collisions can
+    # shift hashed Jaccard across the distance cut), so exact
+    # containment would be deterministic-flaky under fixture or hash
+    # version changes — assert high recall, not perfection.
+    recall = len(truth & stock) / len(truth)
+    assert recall >= 0.9, f"stock MinHashLSH recall {recall}: missed {truth - stock}"
