@@ -182,6 +182,24 @@ HEADLINE_R11 = [
 ]
 
 
+# Round-12 additions (build round 6): the winnowed-fingerprint locality
+# sketch (MOSS), the PCY-pruned frequent pairs, the CUSUM changepoint
+# scan, the interpolated Kneser-Ney bigram LM, and the round's eval /
+# storage / privacy / sampling flagships.
+HEADLINE_R12 = [
+    "dedup_winnow_fingerprint",
+    "events_cusum_changepoint",
+    "text_kneser_ney_bigram",
+    "basket_pairs_pcy",
+    "eval_calibration_ece",
+    "eval_kappa_agreement",
+    "orders_rfm_segments",
+    "fs_heat_tiering",
+    "privacy_contribution_bounds",
+    "sample_reservoir_priority",
+]
+
+
 # Cumulative round groups: drives BOTH the emitted rNN_comparable_subtotal
 # keys and the regression-alarm baselines, so a new round group added here
 # is automatically reported AND gated (code-review r5: the hand-copied
@@ -198,6 +216,7 @@ ROUNDS = [
     HEADLINE_R9,
     HEADLINE_R10,
     HEADLINE_R11,
+    HEADLINE_R12,
 ]
 
 

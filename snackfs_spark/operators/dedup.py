@@ -1793,3 +1793,140 @@ def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count_distinct("lang") > 1).cast("int").alias("lang_conflict"),
         )
     )
+
+
+# ------------------------------------------------ winnowing fingerprints ----
+#
+# Winnowing (Schleimer, Wilkerson, Aiken 2003 — the MOSS fingerprinting
+# algorithm): slide a window of W consecutive k-gram hashes over each
+# document and select the RIGHTMOST MINIMAL hash of every window. The
+# selected set is a ~2/(W+1)-density sketch with a LOCAL guarantee the
+# uniform-random sketches (MinHash) lack: any shared run of at least
+# W+K-1 tokens yields at least one shared selected fingerprint, because
+# a full window fits inside the shared run and its minimal HASH VALUE is
+# position-independent. This is the sketch-size/recall dial between
+# dedup_span_ngrams (ALL gram positions — exact spans, O(tokens) state)
+# and dedup_minhash_lsh (fixed-size signature — whole-doc similarity,
+# no locality): winnowed fingerprints localize matches at a fraction of
+# the gram volume.
+WINNOW_K = 4  # gram width, whitespace tokens
+WINNOW_W = 4  # winnowing window, in grams; guarantee span = W+K-1 = 7 tokens
+WINNOW_MIN_SHARED = 2  # report doc pairs sharing >= 2 selected fingerprints
+
+# Rightmost-min selection key: fixed-width md5 hex (orderable in both
+# engines) concatenated with the REVERSED zero-padded position, so the
+# plain string MIN over the window frame is exactly (hash asc, pos desc)
+# — the paper's tie-break — and the winning position decodes back out.
+_WN_POS_PAD = 9
+
+
+@register(
+    "dedup_winnow_fingerprint",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, i, n_grams,
+             md5(array_to_string(
+                 list_slice(string_split(text, ' '), i + 1, i + {WINNOW_K}), ' '))
+               || lpad(CAST({10**_WN_POS_PAD - 1} - i AS VARCHAR), {_WN_POS_PAD}, '0')
+               AS e
+      FROM (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) - {WINNOW_K - 1} AS n_grams,
+               unnest(range(0, greatest(len(string_split(text, ' ')) - {WINNOW_K - 1}, 0))) AS i
+        FROM documents
+      )
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, substr(m, 1, 32) AS fp
+      FROM (
+        SELECT doc_id, i, n_grams,
+               min(e) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS m
+        FROM pos
+      )
+      WHERE i <= greatest(n_grams - {WINNOW_W}, 0)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    """,
+)
+def dedup_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint near-dup pairs: doc pairs sharing >=
+    WINNOW_MIN_SHARED selected k-gram hashes under W-window rightmost-min
+    winnowing (MOSS). Guarantee: any shared run of >= W+K-1 tokens is
+    caught — locality dedup_minhash_lsh cannot give — at ~2/(W+1) of
+    dedup_span_ngrams' gram volume.
+
+    Scale: the gram pass is a zero-shuffle projection; ONE doc_id-keyed
+    shuffle feeds the per-doc window (frame bounded by W, state bounded
+    by doc length); the selected set is a ~2/(W+1) fraction of gram
+    positions, de-duplicated per doc BEFORE the join; candidate
+    generation is an equi-self-join on the fingerprint key — hub
+    fingerprints bound per-task work, never all-pairs. Short docs
+    (< W grams) keep their global-min gram via the greatest() floor, so
+    every document carries >= 1 fingerprint."""
+    sel = winnow_selected(spark, sf_dir)
+    a = sel.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = sel.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+def winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowed selection relation (doc_id, fp): the building block
+    dedup_winnow_fingerprint joins, exposed so tests can pin the sketch
+    density independently of the pair report."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    toks = F.split(F.col("text"), " ")
+    pos = (
+        docs.select(
+            "doc_id",
+            toks.alias("toks"),
+            (F.size(toks) - (WINNOW_K - 1)).alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.explode(
+                F.when(
+                    F.col("n_grams") >= 1,
+                    F.sequence(F.lit(0), F.col("n_grams") - 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "i",
+            F.concat(
+                F.md5(F.array_join(F.slice(F.col("toks"), F.col("i") + 1, WINNOW_K), " ")),
+                F.lpad(
+                    (F.lit(10**_WN_POS_PAD - 1) - F.col("i")).cast("string"),
+                    _WN_POS_PAD,
+                    "0",
+                ),
+            ).alias("e"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    return (
+        pos.withColumn("m", F.min("e").over(w))
+        .filter(F.col("i") <= F.greatest(F.col("n_grams") - WINNOW_W, F.lit(0)))
+        .select("doc_id", F.substring("m", 1, 32).alias("fp"))
+        .distinct()
+    )

@@ -794,3 +794,111 @@ def fs_quorum_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r3_stale_num"
         ),
     )
+
+
+# ------------------------------------------------------------ heat tiering ----
+#
+# Storage-tier planning from an access log: the lifecycle-management
+# query every large store runs (S3 intelligent tiering / HDFS storage
+# policies) — which bytes are HOT (accessed in the last 7 days), WARM
+# (31 days... scaled here to the fixture's 30-day window: 21 days) or
+# COLD (older, or never accessed). The reference's Cassandra store has
+# no access-aware tiering; this is the operational query its operators
+# would add first at 100 TB, where cold bytes dominate the bill.
+#
+# The access log derives deterministically from `events`: each event
+# touches the document md5_fp(event_id) % n_docs — same expression both
+# engines, n_docs computed in-plan (doc_ids are contiguous 0..n-1,
+# pinned by tests/conftest's dtype contract).
+HEAT_AS_OF = "2024-01-31 00:00:00"  # fixture event window ends 2024-01-30
+HEAT_HOT_DAYS = 7
+HEAT_WARM_DAYS = 21
+
+
+@register(
+    "fs_heat_tiering",
+    oracle=f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    acc AS (
+      SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+               % n.n_docs AS doc_id,
+             ts
+      FROM events CROSS JOIN n
+    ),
+    heat AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_accesses, MAX(ts) AS last_ts
+      FROM acc GROUP BY doc_id
+    ),
+    tiered AS (
+      SELECT '/data/' || d.source AS parent_path,
+             CASE
+               WHEN h.last_ts IS NULL THEN 'cold'
+               WHEN h.last_ts >= TIMESTAMP '{HEAT_AS_OF}'
+                                 - INTERVAL {HEAT_HOT_DAYS} DAY THEN 'hot'
+               WHEN h.last_ts >= TIMESTAMP '{HEAT_AS_OF}'
+                                 - INTERVAL {HEAT_WARM_DAYS} DAY THEN 'warm'
+               ELSE 'cold'
+             END AS tier,
+             d.n_chars AS size,
+             COALESCE(h.n_accesses, 0) AS n_accesses
+      FROM documents d LEFT JOIN heat h ON h.doc_id = d.doc_id
+    )
+    SELECT parent_path, tier,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(size) AS BIGINT) AS tier_bytes,
+           CAST(SUM(n_accesses) AS BIGINT) AS n_accesses
+    FROM tiered GROUP BY 1, 2
+    """,
+)
+def fs_heat_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot/warm/cold tier plan per directory: every file lands in a tier
+    by last-access recency against the fixed HEAT_AS_OF horizon (7-day
+    hot, 21-day warm, else cold — never-accessed files are cold), with
+    per-(directory, tier) file counts, byte totals and access volume.
+
+    Scale: the access log collapses map-side onto doc keys (heat is one
+    row per touched file, however many accesses); the file join is
+    doc_id-keyed shuffle-hash (both sides metadata-proportional, never
+    broadcast); the tier rollup collapses onto |dirs| x 3 keys. One
+    shuffle of file-count rows end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    from snackfs_spark.functions import md5_fp
+
+    acc = ev.crossJoin(F.broadcast(n)).select(
+        (md5_fp(F.col("event_id").cast("string")) % F.col("n_docs")).alias("doc_id"),
+        "ts",
+    )
+    heat = acc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_accesses"),
+        F.max("ts").alias("last_ts"),
+    )
+    as_of = F.lit(HEAT_AS_OF).cast("timestamp")
+    tier = (
+        F.when(F.col("last_ts").isNull(), "cold")
+        .when(
+            F.col("last_ts") >= F.timestamp_add("DAY", F.lit(-HEAT_HOT_DAYS), as_of),
+            "hot",
+        )
+        .when(
+            F.col("last_ts") >= F.timestamp_add("DAY", F.lit(-HEAT_WARM_DAYS), as_of),
+            "warm",
+        )
+        .otherwise("cold")
+    )
+    tiered = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(heat.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            F.concat(F.lit("/data/"), F.col("source")).alias("parent_path"),
+            tier.alias("tier"),
+            F.col("n_chars").alias("size"),
+            F.coalesce(F.col("n_accesses"), F.lit(0)).alias("n_accesses"),
+        )
+    )
+    return tiered.groupBy("parent_path", "tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("size").cast("long").alias("tier_bytes"),
+        F.sum("n_accesses").cast("long").alias("n_accesses"),
+    )

@@ -243,3 +243,103 @@ def events_sequential_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "support_permille"
         ),
     )
+
+
+# ------------------------------------------------------ PCY bucket prune ----
+#
+# PCY (Park-Chen-Yu 1995): pass 1 counts PAIR HASH BUCKETS instead of
+# pairs; pass 2 counts only pairs whose bucket reached min-support. The
+# prune is LOSSLESS — bucket_count >= pair_support, so a pruned pair is
+# provably infrequent — which is why the oracle below is the PLAIN
+# frequent-pairs SQL: a value-hash match against the unpruned answer IS
+# the proof the bucket pass dropped nothing.
+#
+# Where basket_frequent_pairs shuffles every generated pair onto its own
+# (part_a, part_b) key (~mostly-unique keys; the suite's steepest honest
+# exponent, SCALE.md), PCY shuffles (a) narrow int bucket ids whose
+# count collapses map-side and (b) only the ~Poisson(load >= minsup)
+# fraction of pairs that survive the bucket gate — so the wide final
+# hash-aggregate materializes ~1% of the pair keys. The bucket space is
+# the published memory knob: it must scale with pair volume for the
+# prune to bite, so it derives from the basket count IN-PLAN (load
+# factor 6/16 at the TPC-H ~4-item basket size) rather than being a
+# fixed constant that dies one decade up — the dedup_semantic_scaled
+# lesson applied to mining.
+PCY_BUCKETS_PER_BASKET = 16
+
+
+@register(
+    "basket_pairs_pcy",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS support FROM li GROUP BY l_partkey
+    ),
+    freq AS (SELECT l_partkey FROM item WHERE support >= {BASKET_MINSUP}),
+    b AS (SELECT li.l_orderkey, li.l_partkey FROM li JOIN freq USING (l_partkey))
+    SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS pair_support
+    FROM b x JOIN b y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {BASKET_MINSUP}
+    """,
+)
+def basket_pairs_pcy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 2-itemsets via the PCY bucket prune: identical output to
+    the A-priori pair pass at BASKET_MINSUP (the oracle is the plain
+    unpruned SQL — the hash match proves losslessness), but the engine
+    never hash-aggregates the full pair-key space.
+
+    Plan: (1) item pass + downward-closure prune as in
+    basket_frequent_pairs; (2) bucket pass — every candidate pair hashes
+    to md5_bucket(pair, n_buckets) with n_buckets = 16 x n_baskets
+    derived in-plan, and bucket counts collapse map-side onto narrow int
+    keys; (3) pair pass — pairs re-generate (cheaper than checkpointing
+    the pair relation) and semi-join the frequent-bucket set on the
+    bucket key (shuffle-hash, never broadcast: the frequent-bucket
+    relation is corpus-proportional in the worst case — the 100x-sweep
+    OOM lesson), so only bucket-frequent pairs reach the exact count."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("support"))
+    freq = item.filter(F.col("support") >= BASKET_MINSUP).select("l_partkey")
+    b = li.join(freq.hint("shuffle_hash"), "l_partkey")
+    n_buckets = b.agg(
+        (F.count_distinct("l_orderkey") * PCY_BUCKETS_PER_BASKET).alias("nb")
+    )
+
+    from snackfs_spark.functions import md5_fp
+
+    x = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    y = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    pair_key = F.concat_ws(
+        "|", F.col("part_a").cast("string"), F.col("part_b").cast("string")
+    )
+
+    def pairs_with_bucket():
+        return (
+            x.join(y, "k")
+            .filter(F.col("part_a") < F.col("part_b"))
+            .crossJoin(F.broadcast(n_buckets))
+            .withColumn("bucket", md5_fp(pair_key) % F.col("nb"))
+        )
+
+    hot_buckets = (
+        pairs_with_bucket()
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .filter(F.col("bc") >= BASKET_MINSUP)
+        .select("bucket")
+    )
+    return (
+        pairs_with_bucket()
+        .join(hot_buckets.hint("shuffle_hash"), "bucket", "left_semi")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_support"))
+        .filter(F.col("pair_support") >= BASKET_MINSUP)
+        .select("part_a", "part_b", "pair_support")
+    )

@@ -3450,3 +3450,203 @@ def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "action",
         )
     )
+
+
+# ------------------------------------------------------- RFM segmentation ----
+#
+# Recency / Frequency / Monetary customer segmentation — the classic
+# CRM rollup (Hughes 1994), here with FIXED policy bands rather than
+# data quantiles: band edges are declared constants, so scoring is a
+# zero-shuffle projection over the per-customer aggregate and the
+# operator is scale-free past that one groupBy. (Quantile-derived bands
+# are the bounded-histogram move text_perplexity_buckets /
+# events_quantiles_binned already showcase; RFM in practice ships with
+# policy thresholds so scores stay comparable across runs.)
+RFM_AS_OF = "2001-09-01 00:00:00"  # fixture order dates end 2001-08-01
+RFM_R_EDGES = (180, 540)      # days:  <180 -> 3, <540 -> 2, else 1
+RFM_F_EDGES = (12, 8)         # orders: >=12 -> 3, >=8 -> 2, else 1
+RFM_M_EDGES = (3000000, 1500000)  # dollars: >=3M -> 3, >=1.5M -> 2, else 1
+
+
+@register(
+    "orders_rfm_segments",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate), TIMESTAMP '{RFM_AS_OF}')
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             CASE WHEN recency_days < {RFM_R_EDGES[0]} THEN 3
+                  WHEN recency_days < {RFM_R_EDGES[1]} THEN 2 ELSE 1 END AS r,
+             CASE WHEN frequency >= {RFM_F_EDGES[0]} THEN 3
+                  WHEN frequency >= {RFM_F_EDGES[1]} THEN 2 ELSE 1 END AS f,
+             CASE WHEN monetary >= {RFM_M_EDGES[0]} THEN 3
+                  WHEN monetary >= {RFM_M_EDGES[1]} THEN 2 ELSE 1 END AS m,
+             frequency, monetary
+      FROM per_cust
+    )
+    SELECT r, f, m,
+           CASE WHEN r = 3 AND f = 3 THEN 'champion'
+                WHEN r = 3 THEN 'recent'
+                WHEN f = 3 THEN 'loyal_lapsing'
+                WHEN r = 1 AND f = 1 THEN 'hibernating'
+                ELSE 'regular' END AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(frequency) AS BIGINT) AS total_orders,
+           CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+    FROM scored GROUP BY 1, 2, 3, 4
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary scored
+    into fixed 1-3 policy bands, rolled up to the 27-cell segment grid
+    with named segments (champion / recent / loyal_lapsing / hibernating
+    / regular) and per-segment order and revenue totals.
+
+    Scale: ONE customer-keyed aggregate (map-side combinable) is the
+    only data-proportional shuffle; banding is codegen projection and
+    the segment rollup collapses map-side onto <= 27 keys. Monetary sums
+    accumulate in decimal and cast to double once (order-independent)."""
+    orders = load_table(spark, sf_dir, "orders")
+    as_of = F.lit(RFM_AS_OF).cast("timestamp")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.date_diff(as_of, F.max("o_orderdate")).alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(money("o_totalprice")).alias("monetary"),
+    )
+    scored = per_cust.select(
+        F.when(F.col("recency_days") < RFM_R_EDGES[0], 3)
+        .when(F.col("recency_days") < RFM_R_EDGES[1], 2)
+        .otherwise(1)
+        .alias("r"),
+        F.when(F.col("frequency") >= RFM_F_EDGES[0], 3)
+        .when(F.col("frequency") >= RFM_F_EDGES[1], 2)
+        .otherwise(1)
+        .alias("f"),
+        F.when(F.col("monetary") >= RFM_M_EDGES[0], 3)
+        .when(F.col("monetary") >= RFM_M_EDGES[1], 2)
+        .otherwise(1)
+        .alias("m"),
+        "frequency",
+        "monetary",
+    )
+    segment = (
+        F.when((F.col("r") == 3) & (F.col("f") == 3), "champion")
+        .when(F.col("r") == 3, "recent")
+        .when(F.col("f") == 3, "loyal_lapsing")
+        .when((F.col("r") == 1) & (F.col("f") == 1), "hibernating")
+        .otherwise("regular")
+    )
+    return (
+        scored.withColumn("segment", segment)
+        .groupBy("r", "f", "m", "segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("frequency").cast("long").alias("total_orders"),
+            F.sum("monetary").cast("double").alias("total_monetary"),
+        )
+    )
+
+
+# ------------------------------------------- DP contribution-bound audit ----
+#
+# The pre-DP calibration every differentially-private release needs:
+# user-level sensitivity is set by CLIPPING each user's contribution,
+# and the clip bound is chosen from the contribution distribution (too
+# low destroys signal, too high inflates noise). The privacy family's
+# third member: k-anonymity audits groups, l-diversity audits attribute
+# disclosure, this audits per-USER volume before aggregate release.
+#
+# The bound search never sorts users: per-user row counts histogram
+# onto power-of-two buckets (a bounded lattice), and the report gives,
+# for each candidate clip c = 2^b, exactly how many users exceed it and
+# how many rows survive clipping — sum(least(rows_u, c)) — so the
+# "smallest c retaining >= 95% of rows" read-off is one scan of a
+# <= 64-row relation.
+
+
+@register(
+    "privacy_contribution_bounds",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY user_id
+    ),
+    hist AS (
+      SELECT CAST(floor(log2(n_rows)) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(n_rows) AS BIGINT) AS n_rows
+      FROM per_user GROUP BY 1
+    ),
+    cand AS (SELECT bucket, CAST(2 ** (bucket + 1) AS BIGINT) AS clip FROM hist),
+    tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+                   CAST(COUNT(*) AS BIGINT) AS total_users FROM per_user),
+    audit AS (
+      SELECT c.clip,
+             CAST(SUM(CASE WHEN p.n_rows > c.clip THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_users,
+             CAST(SUM(LEAST(p.n_rows, c.clip)) AS BIGINT) AS kept_rows
+      FROM cand c CROSS JOIN per_user p
+      GROUP BY c.clip
+    )
+    SELECT a.clip, a.n_clipped_users, a.kept_rows, t.total_rows, t.total_users,
+           CAST((1000 * a.kept_rows) // t.total_rows AS BIGINT) AS kept_permille
+    FROM audit a CROSS JOIN tot t
+    """,
+)
+def privacy_contribution_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP clipping-bound audit: for every power-of-two candidate clip
+    spanning the observed per-user contribution range, the exact number
+    of users that would be clipped and the exact row mass retained
+    (permille of total) — the table a DP release reads to pick the
+    user-level sensitivity bound.
+
+    Scale: ONE user-keyed count aggregate (map-side combinable) is the
+    only corpus-proportional shuffle. The candidate set derives from the
+    power-of-two histogram (<= 64 buckets at any scale) and the audit
+    joins candidates BROADCAST against per-user counts — per-user rows
+    stream once through a 64-candidate codegen loop, never sorted,
+    never re-shuffled."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    per_user = per_user.localCheckpoint(eager=False)  # feeds cand, tot, audit
+    cand = (
+        per_user.select(
+            F.floor(F.log2("n_rows")).cast("long").alias("bucket")
+        )
+        .distinct()
+        .select(
+            F.expr("shiftleft(1L, cast(bucket + 1 as int))").cast("long").alias("clip")
+        )
+    )
+    tot = per_user.agg(
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("total_users"),
+    )
+    audit = (
+        per_user.crossJoin(F.broadcast(cand))
+        .groupBy("clip")
+        .agg(
+            F.sum((F.col("n_rows") > F.col("clip")).cast("int"))
+            .cast("long")
+            .alias("n_clipped_users"),
+            F.sum(F.least(F.col("n_rows"), F.col("clip")))
+            .cast("long")
+            .alias("kept_rows"),
+        )
+    )
+    return audit.crossJoin(F.broadcast(tot)).select(
+        "clip",
+        "n_clipped_users",
+        "kept_rows",
+        "total_rows",
+        "total_users",
+        F.expr("(1000 * kept_rows) div total_rows").cast("long").alias("kept_permille"),
+    )

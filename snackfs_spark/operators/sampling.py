@@ -1674,3 +1674,81 @@ def split_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
     )
     return r.select("doc_id", "lang", "source", split.alias("split"))
+
+
+# ---------------------------------------------------------- priority sample ----
+#
+# Priority sampling (Duffield, Lund, Thorup 2007): the weight-aware
+# fixed-size sample with unbiased subset-sum estimates. Each item draws
+# priority q = w / u for uniform u in (0,1]; the top-K priorities form
+# the sample, and the (K+1)-th priority tau is the estimation
+# threshold: estimator weight = max(w, tau) makes any subset-sum
+# estimate unbiased with near-optimal variance. Complements the
+# equal-probability samplers (split_assign_hash, sample_systematic_pps
+# takes per-stratum running sums): priority sampling is the ONE-PASS,
+# FIXED-SIZE, weight-proportional scheme a 100 TB telemetry pipe uses.
+#
+# Exactness: u derives from md5_fp (u = (fp+1)/2^60), so the priority
+# is the exact integer ratio q = (w << 60) div (fp + 1) computed in
+# decimal — no doubles anywhere, both engines agree bit-for-bit.
+PRIORITY_SAMPLE_K = 100
+_PRIORITY_SCALE = 1 << 60
+
+
+@register(
+    "sample_reservoir_priority",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+             CAST(n_chars AS HUGEINT) * {_PRIORITY_SCALE}
+               // (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+               AS q
+      FROM documents
+    ),
+    top AS (
+      SELECT * FROM pri ORDER BY q DESC, doc_id LIMIT {PRIORITY_SAMPLE_K + 1}
+    ),
+    tau AS (SELECT MIN(q) AS tau FROM top)
+    SELECT t.doc_id, t.source, t.w, CAST(t.q AS VARCHAR) AS priority,
+           CAST(tau.tau AS VARCHAR) AS tau,
+           CAST(GREATEST(t.w, tau.tau) AS VARCHAR) AS est_weight
+    FROM top t CROSS JOIN tau
+    ORDER BY t.q DESC, t.doc_id LIMIT {PRIORITY_SAMPLE_K}
+    """,
+)
+def sample_reservoir_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sample of PRIORITY_SAMPLE_K documents, weight = n_chars:
+    top-K exact-integer priorities q = (w << 60) div (md5_fp(doc)+1)
+    with the (K+1)-th priority as the estimation threshold tau and the
+    unbiased estimator weight max(w, tau) per kept doc. Priorities
+    exceed int64 (w * 2^60), so they emit as decimal-backed strings.
+
+    Scale: one projection computes q in codegen; the top-(K+1) is
+    TakeOrderedAndProject (per-partition heaps, no global sort); tau is
+    a 1-row broadcast back. One pass, fixed output, any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = F.expr(f"cast(w as decimal(38,0)) * {_PRIORITY_SCALE} div (fp + 1)")
+    pri = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("w"),
+        md5_fp(F.col("doc_id").cast("string")).alias("fp"),
+    ).select("doc_id", "source", "w", q.alias("q"))
+    top = pri.orderBy(F.col("q").desc(), "doc_id").limit(PRIORITY_SAMPLE_K + 1)
+    top = top.localCheckpoint(eager=False)  # feeds tau AND the final cut
+    tau = top.agg(F.min("q").alias("tau"))
+    return (
+        top.crossJoin(F.broadcast(tau))
+        .orderBy(F.col("q").desc(), "doc_id")
+        .limit(PRIORITY_SAMPLE_K)
+        .select(
+            "doc_id",
+            "source",
+            "w",
+            F.col("q").cast("string").alias("priority"),
+            F.col("tau").cast("string").alias("tau"),
+            F.greatest(F.col("w").cast("decimal(38,0)"), F.col("tau"))
+            .cast("string")
+            .alias("est_weight"),
+        )
+    )

@@ -2168,3 +2168,355 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(COLLOC_TOP)
         .select("w1", "w2", "c_xy", "c_x", "c_y", "lift_ppm")
     )
+
+
+# ------------------------------------------- Kneser-Ney smoothed bigrams ----
+#
+# Interpolated Kneser-Ney (Kneser & Ney 1995; Chen & Goodman 1999), the
+# standard n-gram LM smoothing, with the textbook fixed discount D=3/4:
+#
+#   P(w2|w1) = max(c(w1 w2) - D, 0)/c(w1*)
+#            + (D * N1+(w1 *)/c(w1*)) * N1+(* w2)/B
+#
+# where c(w1*) is the bigram-token count with w1 on the left, N1+ are
+# the left/right CONTINUATION type counts and B the distinct-bigram
+# type count. What text_bigram_prob leaves unsmoothed (an unseen bigram
+# scores zero; a word seen only inside one frequent collocation is
+# over-credited), KN fixes with the continuation distribution — the
+# reason it is the n-gram filter of choice in CCNet-style pipelines.
+#
+# Exactness: with D = 3/4 every term is a rational over the common
+# denominator 4*c(w1*)*B, so the engine emits integer numerator +
+# denominator (kn_num, kn_den) and the double kn_prob is one final
+# division — bit-identical in both engines regardless of partitioning.
+# Products are accumulated in DECIMAL(38,0) (the OLS int64-wrap lesson)
+# and only the <= int64 final values cast back.
+KN_MIN_COUNT = 5  # report bigrams with c(w1 w2) >= 5
+
+
+def _kn_oracle() -> str:
+    return f"""
+    WITH pairs AS (
+      SELECT string_split(text, ' ')[i + 1] AS w1,
+             string_split(text, ' ')[i + 2] AS w2
+      FROM (
+        SELECT text,
+               unnest(range(0, greatest(len(string_split(text, ' ')) - 1, 0))) AS i
+        FROM documents
+      )
+      WHERE string_split(text, ' ')[i + 1] <> '' AND string_split(text, ' ')[i + 2] <> ''
+    ),
+    big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM pairs GROUP BY 1, 2),
+    lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS n1p_left
+            FROM big GROUP BY w1),
+    rgt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_right FROM big GROUP BY w2),
+    b AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_types FROM big)
+    SELECT big.w1, big.w2, big.c12, lft.c1, lft.n1p_left, rgt.n1p_right, b.b_types,
+           CAST((4 * big.c12 - 3) * b.b_types
+                + 3 * lft.n1p_left * rgt.n1p_right AS BIGINT) AS kn_num,
+           CAST(4 * lft.c1 * b.b_types AS BIGINT) AS kn_den,
+           CAST((4 * big.c12 - 3) * b.b_types + 3 * lft.n1p_left * rgt.n1p_right
+                AS DOUBLE) / CAST(4 * lft.c1 * b.b_types AS DOUBLE) AS kn_prob
+    FROM big JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN b
+    WHERE big.c12 >= {KN_MIN_COUNT}
+    """
+
+
+@register("text_kneser_ney_bigram", oracle=_kn_oracle())
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (fixed discount 3/4)
+    for every bigram with count >= KN_MIN_COUNT: token counts, left/right
+    continuation type counts, the distinct-bigram universe, and the exact
+    rational P(w2|w1) as (kn_num, kn_den) over the common denominator
+    4*c(w1)*B plus its double quotient.
+
+    Scale: ONE corpus scan explodes adjacent pairs zero-shuffle
+    (zip_with, no self-join); bigram counts collapse map-side onto the
+    Zipf-small bigram vocabulary and every later relation (left margins,
+    right continuation counts, the 1-row type total) is vocab-sized.
+    Margin joins run shuffle-hash on the vocab keys — vocab relations
+    are corpus-unbounded in the worst case, so never broadcast (the
+    100x-sweep OOM lesson); the 1-row B total broadcasts back in-plan."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    words = F.split(F.col("text"), " ")
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(words) >= 2,
+                F.zip_with(
+                    F.slice(words, 1, F.size(words) - 1),
+                    F.slice(words, 2, F.size(words) - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    big = (
+        pairs.filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    big = big.localCheckpoint(eager=False)  # feeds margins AND the join below
+    lft = big.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p_left"),
+    )
+    rgt = big.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1p_right"))
+    b = big.agg(F.count(F.lit(1)).cast("long").alias("b_types"))
+    return (
+        big.filter(F.col("c12") >= KN_MIN_COUNT)
+        .join(lft.hint("shuffle_hash"), "w1")
+        .join(rgt.hint("shuffle_hash"), "w2")
+        .crossJoin(F.broadcast(b))
+        .withColumn(
+            "kn_num",
+            F.expr(
+                "(CAST(4 AS DECIMAL(38,0)) * c12 - 3) * b_types"
+                " + CAST(3 AS DECIMAL(38,0)) * n1p_left * n1p_right"
+            ).cast("long"),
+        )
+        .withColumn(
+            "kn_den",
+            F.expr("CAST(4 AS DECIMAL(38,0)) * c1 * b_types").cast("long"),
+        )
+        .withColumn(
+            "kn_prob", F.col("kn_num").cast("double") / F.col("kn_den").cast("double")
+        )
+        .select(
+            "w1", "w2", "c12", "c1", "n1p_left", "n1p_right", "b_types",
+            "kn_num", "kn_den", "kn_prob",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration eval #2: Expected Calibration Error over score deciles.
+#
+# eval_quality_auc answers "does the cheap score RANK docs like the
+# expensive label?" (discrimination). ECE answers the complementary
+# question: "can the score be READ AS a probability?" (calibration) —
+# the standard reliability-diagram summary (Naeini et al. 2015; Guo et
+# al. 2017). Score and label are the shared pair every calibration op
+# uses: stopword permille (read as P(head)*1000) vs bigram-LM head-
+# tertile membership.
+#
+# Exactness: per-bin gap = |pos/n - mean_score/1000| has the common
+# denominator 1000*n_b, so the bin-weighted ECE telescopes to
+#     ECE = sum_b |1000*pos_b - sum_score_b| / (1000 * N)
+# — an integer numerator (decimal-accumulated) over one denominator,
+# emitted as a single correctly-rounded double division.
+ECE_BIN = 100  # permille per bin -> 11 reliability bins (0..10)
+
+
+def _ece_oracle() -> str:
+    return f"""
+    WITH scores AS ({_bigram_oracle()}),
+    labeled AS (
+      SELECT d.doc_id,
+             {STOPWORD_PERMILLE_SQL} AS score_cell,
+             {_FLUENCY_CELL_SQL} AS cell
+      FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id
+    ),
+    {_fluency_rank_ctes("labeled")},
+    cell_label AS (
+      SELECT r.cell, CASE WHEN 3 * r.cum_before < t.n THEN 1 ELSE 0 END AS label
+      FROM ranked r CROSS JOIN tot t
+    ),
+    bins AS (
+      SELECT l.score_cell // {ECE_BIN} AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cl.label) AS BIGINT) AS pos,
+             CAST(SUM(l.score_cell) AS BIGINT) AS sum_score
+      FROM labeled l JOIN cell_label cl ON cl.cell = l.cell
+      GROUP BY 1
+    ),
+    tots AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+             SUM(abs(CAST(1000 AS DECIMAL(38,0)) * pos - sum_score)) AS gap_sum
+      FROM bins
+    )
+    SELECT b.bin, b.n, b.pos, b.sum_score,
+           CAST(abs(1000 * b.pos - b.sum_score) AS BIGINT) AS gap_num,
+           CAST(t.gap_sum AS DOUBLE)
+             / CAST(CAST(1000 AS DECIMAL(38,0)) * t.n_total AS DOUBLE) AS ece
+    FROM bins b CROSS JOIN tots t
+    """
+
+
+@register("eval_calibration_ece", oracle=_ece_oracle())
+def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins + Expected Calibration Error of the
+    stopword-permille score (read as a probability) against the
+    bigram-LM head-tertile label: one row per occupied score decile with
+    exact integer (n, pos, sum_score, gap_num) and the corpus ECE as a
+    single correctly-rounded double, constant across rows.
+
+    Scale: identical posture to eval_quality_auc — the bigram scoring
+    pass is the only corpus-proportional work; the reliability histogram
+    collapses map-side onto <= 11 bins and every downstream step is
+    arithmetic over that bounded relation."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    labeled = _with_fluency_cell(
+        docs.select("doc_id", F.expr(STOPWORD_PERMILLE_SPARK).alias("score_cell")),
+        text_bigram_prob(spark, sf_dir),
+    ).select("doc_id", "score_cell", "cell")
+    labeled = labeled.localCheckpoint(eager=False)
+    cell_label = _cell_cum_before(labeled).select(
+        "cell",
+        F.when(3 * F.col("cum_before") < F.col("n"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label"),
+    )
+    bins = (
+        labeled.join(F.broadcast(cell_label), "cell")
+        .groupBy((F.col("score_cell") / ECE_BIN).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label").cast("long").alias("pos"),
+            F.sum("score_cell").cast("long").alias("sum_score"),
+        )
+    )
+    tots = bins.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(
+            F.abs(
+                F.lit(1000).cast("decimal(38,0)") * F.col("pos") - F.col("sum_score")
+            )
+        ).alias("gap_sum"),
+    )
+    return bins.crossJoin(F.broadcast(tots)).select(
+        "bin",
+        "n",
+        "pos",
+        "sum_score",
+        F.abs(1000 * F.col("pos") - F.col("sum_score")).cast("long").alias("gap_num"),
+        (
+            F.col("gap_sum").cast("double")
+            / (F.lit(1000).cast("decimal(38,0)") * F.col("n_total")).cast("double")
+        ).alias("ece"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Agreement eval: Cohen's kappa between two independent cheap labelers.
+#
+# Third calibration-family member: chance-corrected AGREEMENT (Cohen
+# 1960). Where AUC sweeps thresholds and ECE reads the score as a
+# probability, kappa fixes both labelers binary and asks whether they
+# agree beyond chance — the standard check before trusting two cheap
+# heuristics to vote. Labeler A: stopword permille >= the corpus-median
+# cell (fixed constant). Labeler B: bigram-LM head tertile.
+#
+# kappa = (po - pe) / (1 - pe) over the 2x2 contingency is the exact
+# rational (N*(n11+n00) - r1*c1 - r0*c0) / (N*N - r1*c1 - r0*c0);
+# both sides emit it as integer numerator/denominator plus one division.
+KAPPA_SCORE_T = 60  # labeler A positive iff stopword permille >= 60
+
+
+def _kappa_oracle() -> str:
+    return f"""
+    WITH scores AS ({_bigram_oracle()}),
+    labeled AS (
+      SELECT d.doc_id,
+             CASE WHEN {STOPWORD_PERMILLE_SQL} >= {KAPPA_SCORE_T} THEN 1 ELSE 0 END
+               AS label_a,
+             {_FLUENCY_CELL_SQL} AS cell
+      FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id
+    ),
+    {_fluency_rank_ctes("labeled")},
+    cell_label AS (
+      SELECT r.cell, CASE WHEN 3 * r.cum_before < t.n THEN 1 ELSE 0 END AS label_b
+      FROM ranked r CROSS JOIN tot t
+    ),
+    cont AS (
+      SELECT CAST(SUM(label_a * label_b) AS BIGINT) AS n11,
+             CAST(SUM(label_a * (1 - label_b)) AS BIGINT) AS n10,
+             CAST(SUM((1 - label_a) * label_b) AS BIGINT) AS n01,
+             CAST(SUM((1 - label_a) * (1 - label_b)) AS BIGINT) AS n00,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM labeled l JOIN cell_label cl ON cl.cell = l.cell
+    )
+    SELECT n11, n10, n01, n00, n,
+           CAST(CAST(n AS DECIMAL(38,0)) * (n11 + n00)
+                - CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)
+                - CAST(n00 + n10 AS DECIMAL(38,0)) * (n00 + n01) AS BIGINT)
+             AS kappa_num,
+           CAST(CAST(n AS DECIMAL(38,0)) * n
+                - CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)
+                - CAST(n00 + n10 AS DECIMAL(38,0)) * (n00 + n01) AS BIGINT)
+             AS kappa_den,
+           CAST(CAST(n AS DECIMAL(38,0)) * (n11 + n00)
+                - CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)
+                - CAST(n00 + n10 AS DECIMAL(38,0)) * (n00 + n01) AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * n
+                    - CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)
+                    - CAST(n00 + n10 AS DECIMAL(38,0)) * (n00 + n01) AS DOUBLE)
+             AS kappa
+    FROM cont
+    """
+
+
+@register("eval_kappa_agreement", oracle=_kappa_oracle())
+def eval_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the binary stopword filter (permille >=
+    KAPPA_SCORE_T) and the bigram-LM head-tertile label: the full 2x2
+    contingency plus the chance-corrected agreement as exact integer
+    numerator/denominator and one double division.
+
+    Scale: the bigram pass dominates; the contingency is a single
+    map-side collapse to one row and the kappa algebra runs on that row
+    in decimal(38,0) — N*(counts) products wrap int64 past ~3e9 docs,
+    the same reason the AUC numerator is decimal."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    labeled = _with_fluency_cell(
+        docs.select(
+            "doc_id",
+            F.when(
+                F.expr(STOPWORD_PERMILLE_SPARK) >= KAPPA_SCORE_T, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("label_a"),
+        ),
+        text_bigram_prob(spark, sf_dir),
+    ).select("doc_id", "label_a", "cell")
+    labeled = labeled.localCheckpoint(eager=False)
+    cell_label = _cell_cum_before(labeled).select(
+        "cell",
+        F.when(3 * F.col("cum_before") < F.col("n"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label_b"),
+    )
+    cont = (
+        labeled.join(F.broadcast(cell_label), "cell")
+        .agg(
+            F.sum(F.col("label_a") * F.col("label_b")).cast("long").alias("n11"),
+            F.sum(F.col("label_a") * (1 - F.col("label_b"))).cast("long").alias("n10"),
+            F.sum((1 - F.col("label_a")) * F.col("label_b")).cast("long").alias("n01"),
+            F.sum((1 - F.col("label_a")) * (1 - F.col("label_b")))
+            .cast("long")
+            .alias("n00"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    dec = "decimal(38,0)"
+    num = (
+        F.col("n").cast(dec) * (F.col("n11") + F.col("n00"))
+        - (F.col("n11") + F.col("n10")).cast(dec) * (F.col("n11") + F.col("n01"))
+        - (F.col("n00") + F.col("n10")).cast(dec) * (F.col("n00") + F.col("n01"))
+    )
+    den = (
+        F.col("n").cast(dec) * F.col("n")
+        - (F.col("n11") + F.col("n10")).cast(dec) * (F.col("n11") + F.col("n01"))
+        - (F.col("n00") + F.col("n10")).cast(dec) * (F.col("n00") + F.col("n01"))
+    )
+    return cont.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        "n",
+        num.cast("long").alias("kappa_num"),
+        den.cast("long").alias("kappa_den"),
+        (num.cast("double") / den.cast("double")).alias("kappa"),
+    )

@@ -983,3 +983,92 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_users",
         )
     )
+
+
+# ------------------------------------------------------ CUSUM changepoint ----
+#
+# One-sided CUSUM (Page 1954), the classic sequential changepoint
+# statistic, over the per-type hourly event series:
+#
+#   S_t = max(0, S_{t-1} + (x_t - k))        alarm iff S_t >= h
+#
+# The recursion looks inherently sequential, but the positive-part CUSUM
+# has a closed prefix form: S_t = P_t - min_{j<=t} P_j where
+# P_t = sum_{i<=t} (x_i - k) — so one running sum plus one running MIN
+# over the same window turns the "stateful scan" into two built-in
+# window aggregates. This is the changepoint complement of
+# events_rate_anomaly (which flags level vs a trailing baseline; CUSUM
+# accumulates small persistent shifts a point detector misses).
+#
+# Exactness: x is a count and the drift k is the rounded per-type mean
+# rate, so every statistic is int64; the alarm threshold is h = 4*k
+# (in count units), a declared constant multiple.
+CUSUM_H_MULT = 4
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    k AS (
+      SELECT event_type,
+             CAST((SUM(x) + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS drift
+      FROM hourly GROUP BY event_type
+    ),
+    pre AS (
+      SELECT h.event_type, h.hour, h.x, k.drift,
+             CAST(SUM(h.x - k.drift) OVER w AS BIGINT) AS p
+      FROM hourly h JOIN k USING (event_type)
+      WINDOW w AS (PARTITION BY h.event_type ORDER BY h.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, x, drift,
+           CAST(p - LEAST(MIN(p) OVER w, 0) AS BIGINT) AS cusum,
+           CAST(CASE WHEN p - LEAST(MIN(p) OVER w, 0) >= 4 * drift
+                     THEN 1 ELSE 0 END AS INT) AS alarm
+    FROM pre
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly CUSUM changepoint scan: S_t = max(0, S_{t-1} +
+    x_t - drift) with drift = the rounded per-type mean hourly rate,
+    alarming when the accumulated excess reaches CUSUM_H_MULT drifts.
+    The sequential recursion is computed CLOSED-FORM as
+    P_t - min(0, min_{j<=t} P_j) — a running sum and a running min, two
+    built-in window aggregates, no stateful scan.
+
+    Scale: the fact collapses map-side onto the (type, hour) calendar
+    lattice before any window runs; both windows partition by type over
+    that bounded relation, so post-aggregation work is calendar-sized
+    regardless of corpus. All statistics are exact int64 (counts and a
+    rounded integer drift)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    k = hourly.groupBy("event_type").agg(
+        F.expr("(sum(x) + count(1) div 2) div count(1)").cast("long").alias("drift")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = hourly.join(k.hint("shuffle_hash"), "event_type").withColumn(
+        "p", F.sum(F.col("x") - F.col("drift")).over(w).cast("long")
+    )
+    cusum = (F.col("p") - F.least(F.min("p").over(w), F.lit(0))).cast("long")
+    return pre.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "x",
+        "drift",
+        cusum.alias("cusum"),
+        (cusum >= CUSUM_H_MULT * F.col("drift")).cast("int").alias("alarm"),
+    )

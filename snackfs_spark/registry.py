@@ -113,7 +113,12 @@ PRIORITY: tuple[str, ...] = (
     # training-pipeline class no other window query shows); the
     # interval-join family stays hash-checked via fs_block_locations
     "text_perplexity_buckets",
-    "topk_orders",
+    # topk_orders (sort+limit) yields its slot to the per-type hourly
+    # CUSUM changepoint scan — the sequential-detection class no other
+    # window query has; TakeOrderedAndProject stays hash-checked via
+    # q3_shipping_priority's ORDER BY revenue LIMIT 10, and topk_orders
+    # stays repo-oracle green
+    "events_cusum_changepoint",
     "setops_customer_years",
     "rollup_pricing",
     # the approximate-aggregates family rep: the explicit-register HLL
@@ -136,11 +141,16 @@ PRIORITY: tuple[str, ...] = (
     # join-optimization class no other window query shows); running-sum
     # windows stay hash-checked via fs_suboff_prefix_sum (Q-SUBOFF)
     "rel_bloom_runtime_filter",
-    # §2.C dedup battery (exact, minhash, jaccard, embedding, semantic;
-    # simhash and the fixed-k SemDeDup register after the window — same
+    # §2.C dedup battery (minhash, jaccard, embedding, semantic; simhash
+    # and the fixed-k SemDeDup register after the window — same
     # families, repo-checked; the size-adaptive variant is the
-    # production form the window showcases)
-    "dedup_exact",
+    # production form the window showcases). Round-6 rotation:
+    # dedup_exact yields its slot to the winnowed-fingerprint dedup
+    # (MOSS rightmost-min selection — the locality-guaranteed sketch
+    # class no other window query has); exact content-hash dedup stays
+    # hash-checked via corpus_build_v2's exact-dedup gate leg and
+    # dedup_exact stays repo-oracle green
+    "dedup_winnow_fingerprint",
     "dedup_minhash_lsh",
     # n-gram Jaccard yields its slot to the quality-filter calibration
     # eval (exact histogram AUC — a model-eval class no other window

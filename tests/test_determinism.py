@@ -68,6 +68,16 @@ PROBES = [
     "dedup_tf_cosine",
     "events_seasonal_profile",
     "win_sliding_distinct_users",
+    # build round 6: the float-emitting new paths — ECE's decimal gap
+    # sum -> one rounded double, kappa's exact-rational quotient, the
+    # Kneser-Ney common-denominator quotient, RFM's decimal monetary
+    # cast, and the winnow rightmost-min string aggregate (min over a
+    # window frame must not see partition-order-dependent operands)
+    "eval_calibration_ece",
+    "eval_kappa_agreement",
+    "text_kneser_ney_bigram",
+    "orders_rfm_segments",
+    "dedup_winnow_fingerprint",
 ]
 
 

@@ -534,3 +534,96 @@ def test_tf_cosine_and_containment_no_cartesian(spark):
     for name in ("dedup_tf_cosine", "dedup_containment"):
         df = REG[name].fn(spark, SF_ORACLE)
         assert_no_cartesian(df)
+
+
+# --------------------------------------------------- round-6 operators ----
+
+
+def test_winnow_partitioned_window_and_equi_join(spark):
+    """The rightmost-min selection must run as a doc_id-partitioned
+    window (never a global window over the gram relation) and candidate
+    generation must stay an equi-join on the fingerprint key."""
+    import re
+
+    df = REG["dedup_winnow_fingerprint"].fn(spark, SF_ORACLE)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert "doc_id" in spec, spec
+
+
+def test_heat_tiering_never_broadcasts_heat(spark):
+    """The per-doc access relation is corpus-proportional, so the file
+    join must run shuffle-hashed; the only broadcast is the 1-row doc
+    count."""
+    df = REG["fs_heat_tiering"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_pcy_bucket_gate_is_shuffle_hash_semi(spark):
+    """The frequent-bucket gate must be a shuffle-hash semi join (never
+    a broadcast of the corpus-proportional bucket set) and pair
+    generation stays equi-join work."""
+    df = REG["basket_pairs_pcy"].fn(spark, SF_ORACLE)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_rfm_single_shuffle_then_tiny_rollup(spark):
+    """One customer-keyed aggregate is the only exchange before the
+    27-cell rollup — no join anywhere in the plan."""
+    import re
+
+    df = REG["orders_rfm_segments"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    # formatted plans list each node in the tree AND the detail section;
+    # count detail headers: customer agg + 27-cell rollup, nothing else
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_contribution_bounds_broadcasts_candidates_only(spark):
+    """Per-user counts stream once against the <=64-row broadcast
+    candidate set; the per-user relation itself is never broadcast-
+    hash-joined or sorted."""
+    df = REG["privacy_contribution_bounds"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_priority_sample_take_ordered_not_global_sort(spark):
+    """The top-(K+1) must run as TakeOrderedAndProject — per-partition
+    heaps — never a global Sort of the priority relation."""
+    df = REG["sample_reservoir_priority"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_kneser_ney_vocab_joins_shuffle_hash(spark):
+    """Margin joins run shuffle-hashed on vocab keys (vocab relations
+    are corpus-unbounded — never broadcast); the only broadcast is the
+    1-row bigram-type total."""
+    df = REG["text_kneser_ney_bigram"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row B total
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_cusum_windows_are_type_partitioned(spark):
+    """Both window passes (running sum, running min) must carry the
+    event_type partition spec — no global window over the lattice."""
+    import re
+
+    df = REG["events_cusum_changepoint"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert "event_type" in spec, spec

@@ -45,7 +45,10 @@ FAMILIES = {
     # win_running_order_total yielded its slot to the bloom-prune
     # rotation; the running-sum shape is Q-SUBOFF's prefix sum
     "running sum": "fs_suboff_prefix_sum",
-    "sort+limit": "topk_orders",
+    # topk_orders yielded its slot to the round-6 CUSUM rotation; the
+    # TakeOrderedAndProject shape stays hash-checked via q3's
+    # ORDER BY revenue LIMIT 10
+    "sort+limit": "q3_shipping_priority",
     "set ops": "setops_customer_years",
     # rollup_pricing is the family rep; the groupingsets/cube variants
     # exercise the same Expand-based operator and are covered by the
@@ -97,6 +100,11 @@ CLASSES = {
     "merge / CDC apply": "corpus_merge_upsert",
     "sliding-window distinct": "win_sliding_distinct_users",
     "runtime join pruning": "rel_bloom_runtime_filter",
+    # round-6 rotation: dedup_exact / topk_orders (families still
+    # represented — see PRIORITY comments) yield slots to the winnowed-
+    # fingerprint locality sketch and the CUSUM changepoint scan
+    "locality-sketch dedup (winnowing)": "dedup_winnow_fingerprint",
+    "changepoint detection (CUSUM)": "events_cusum_changepoint",
 }
 
 
