@@ -197,6 +197,11 @@ HEADLINE_R12 = [
     "fs_heat_tiering",
     "privacy_contribution_bounds",
     "sample_reservoir_priority",
+    "layout_range_partition_plan",
+    "split_cluster_safe",
+    "rel_join_order_advisor",
+    "bpe_fertility_by_source",
+    "text_vocab_growth",
 ]
 
 

@@ -193,3 +193,103 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_rows_read", F.lit(0)).cast("long").alias("n_rows_read"),
         )
     )
+
+
+# ------------------------------------------------- range-partition plan ----
+#
+# The planning half of a global sort / range-partitioned write: pick
+# RANGE_PARTS boundary keys so each partition holds ~1/P of the rows —
+# exactly what Spark's RangePartitioner does by sampling, done here
+# EXACTLY from an equi-width probe histogram (the same mergeable-bin
+# idea as events_quantiles_binned, pointed at partitioning instead of
+# quantiles). The report a re-sort job reads before committing a 100 TB
+# shuffle: per planned partition, its bin range, row count, and load
+# factor (permille of the perfectly-balanced share) — the skew evidence
+# that decides whether event-time range partitioning is safe or needs
+# salting.
+RANGE_PARTS = 32
+RANGE_BINS = 1024
+
+
+@register(
+    "layout_range_partition_plan",
+    oracle=f"""
+    WITH stats AS (
+      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS total
+      FROM events
+    ),
+    binned AS (
+      SELECT ((epoch_us(ts) - s.lo) * {RANGE_BINS}) // (s.hi - s.lo + 1) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events CROSS JOIN stats s GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, n,
+             COALESCE(SUM(n) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM binned
+    )
+    SELECT CAST(({RANGE_PARTS} * cum_before) // s.total AS BIGINT) AS partition_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(MIN(bin) AS BIGINT) AS lo_bin,
+           CAST(MAX(bin) AS BIGINT) AS hi_bin,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST((1000 * SUM(n) * {RANGE_PARTS}) // s.total AS BIGINT) AS load_permille
+    FROM cum CROSS JOIN stats s
+    GROUP BY 1, s.total
+    """,
+)
+def layout_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth range-partition plan for events by event time: assign
+    each of RANGE_BINS probe bins to the partition its exclusive prefix
+    count lands in ((P * cum_before) div total — the exact arithmetic a
+    range partitioner wants), then report per-partition bin span, row
+    count, and load_permille (1000 = perfectly balanced share).
+
+    Scale: ONE corpus-proportional aggregate (the 1024-key bin count,
+    fully map-side combined — the histogram is mergeable, so a 1000-
+    executor cluster combines partials without a second scan); the
+    prefix sum runs over the bounded bin table (the documented
+    two-phase decomposition — the 'No Partition Defined' window is
+    1024 rows by construction, never the corpus), and the plan rollup
+    is <= RANGE_PARTS keys. The 1-row stats relation broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+    )
+    binned = (
+        ev.crossJoin(F.broadcast(stats))
+        .selectExpr(
+            f"((unix_micros(ts) - lo) * {RANGE_BINS}) div (hi - lo + 1) AS bin",
+            "total",
+        )
+        .groupBy("bin", "total")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = binned.withColumn(
+        "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    )
+    return (
+        cum.groupBy(
+            F.expr(f"({RANGE_PARTS} * cum_before) div total").cast("long").alias(
+                "partition_id"
+            ),
+            "total",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.min("bin").cast("long").alias("lo_bin"),
+            F.max("bin").cast("long").alias("hi_bin"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.expr(f"(1000 * sum(n) * {RANGE_PARTS}) div any_value(total)")
+            .cast("long")
+            .alias("load_permille"),
+        )
+        .drop("total")
+    )

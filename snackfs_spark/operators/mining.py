@@ -251,65 +251,102 @@ def events_sequential_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pairs; pass 2 counts only pairs whose bucket reached min-support. The
 # prune is LOSSLESS — bucket_count >= pair_support, so a pruned pair is
 # provably infrequent — which is why the oracle below is the PLAIN
-# frequent-pairs SQL: a value-hash match against the unpruned answer IS
-# the proof the bucket pass dropped nothing.
+# frequent-pairs SQL at the same threshold: a value-hash match against
+# the unpruned answer IS the proof the bucket pass dropped nothing.
 #
-# Where basket_frequent_pairs shuffles every generated pair onto its own
-# (part_a, part_b) key (~mostly-unique keys; the suite's steepest honest
-# exponent, SCALE.md), PCY shuffles (a) narrow int bucket ids whose
-# count collapses map-side and (b) only the ~Poisson(load >= minsup)
-# fraction of pairs that survive the bucket gate — so the wide final
-# hash-aggregate materializes ~1% of the pair keys. The bucket space is
-# the published memory knob: it must scale with pair volume for the
-# prune to bite, so it derives from the basket count IN-PLAN (load
-# factor 6/16 at the TPC-H ~4-item basket size) rather than being a
-# fixed constant that dies one decade up — the dedup_semantic_scaled
-# lesson applied to mining.
-PCY_BUCKETS_PER_BASKET = 16
+# Two data-derived knobs make the prune actually bite at every scale
+# (the first sweep of this operator measured a FIXED minsup=3 /
+# 16-buckets-per-basket parameterization at 61.6 s/sf1 — 4.6x slower
+# than the unpruned pass, because absolute-3 support makes nearly
+# every bucket hot and a 0.4-load bucket space defeats map-side
+# combine):
+#
+# - min-support is a FRACTION of baskets (1/10000, floored at 3), the
+#   standard formulation — support thresholds that don't scale with
+#   the corpus stop meaning "frequent" one decade up (the
+#   dedup_semantic_scaled lesson applied to mining);
+# - the bucket space targets load = minsup/8: n_buckets =
+#   8*total_pairs/minsup, so a random bucket is overwhelmingly below
+#   threshold (Chernoff) while any bucket holding a truly frequent
+#   pair stays hot — and the bucket aggregate collapses ~8:1 map-side.
+PCY_MINSUP_DENOM = 10000  # minsup = max(3, n_baskets / 10000)
+PCY_LOAD_DIV = 8          # bucket load target = minsup / 8
 
 
 @register(
     "basket_pairs_pcy",
     oracle=f"""
     WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ms AS (
+      SELECT GREATEST(3, COUNT(DISTINCT l_orderkey) // {PCY_MINSUP_DENOM})
+               AS minsup
+      FROM li
+    ),
     item AS (
       SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS support FROM li GROUP BY l_partkey
     ),
-    freq AS (SELECT l_partkey FROM item WHERE support >= {BASKET_MINSUP}),
+    freq AS (SELECT l_partkey FROM item CROSS JOIN ms WHERE support >= ms.minsup),
     b AS (SELECT li.l_orderkey, li.l_partkey FROM li JOIN freq USING (l_partkey))
     SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
            CAST(COUNT(*) AS BIGINT) AS pair_support
     FROM b x JOIN b y
       ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-    GROUP BY 1, 2
-    HAVING COUNT(*) >= {BASKET_MINSUP}
+    CROSS JOIN ms
+    GROUP BY 1, 2, ms.minsup
+    HAVING COUNT(*) >= ms.minsup
     """,
 )
 def basket_pairs_pcy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent 2-itemsets via the PCY bucket prune: identical output to
-    the A-priori pair pass at BASKET_MINSUP (the oracle is the plain
-    unpruned SQL — the hash match proves losslessness), but the engine
-    never hash-aggregates the full pair-key space.
+    the A-priori pair pass at the derived min-support (the oracle is the
+    plain unpruned SQL — the hash match proves losslessness), but the
+    engine never hash-aggregates the full pair-key space.
 
-    Plan: (1) item pass + downward-closure prune as in
-    basket_frequent_pairs; (2) bucket pass — every candidate pair hashes
-    to md5_bucket(pair, n_buckets) with n_buckets = 16 x n_baskets
-    derived in-plan, and bucket counts collapse map-side onto narrow int
-    keys; (3) pair pass — pairs re-generate (cheaper than checkpointing
-    the pair relation) and semi-join the frequent-bucket set on the
-    bucket key (shuffle-hash, never broadcast: the frequent-bucket
-    relation is corpus-proportional in the worst case — the 100x-sweep
-    OOM lesson), so only bucket-frequent pairs reach the exact count."""
+    Plan: (1) item pass + downward-closure prune at minsup =
+    max(3, n_baskets/10000), derived in-plan; (2) bucket pass — every
+    candidate pair hashes to md5_bucket(pair, n_buckets) with
+    n_buckets = 8*total_pairs/minsup (load = minsup/8) derived in-plan
+    from the per-basket sizes, and bucket counts collapse ~8:1
+    map-side onto narrow int keys; (3) pair pass — pairs re-generate
+    (cheaper than checkpointing the pair relation) and semi-join the
+    hot-bucket set on the bucket key with NO forced strategy: the hot
+    set is ~(frequent pairs + Chernoff tail) rows at a sane minsup, so
+    AQE broadcasts it when it is actually small (sparing the pair
+    relation its gate shuffle) and falls back to shuffle-hash when it
+    is not — the runtime-decided middle between the 100x-sweep
+    broadcast-OOM lesson and paying a full pair shuffle for the gate."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
+    ms = li.agg(
+        F.greatest(
+            F.lit(3).cast("long"),
+            F.expr(f"count(distinct l_orderkey) div {PCY_MINSUP_DENOM}"),
+        ).alias("minsup")
+    )
     item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("support"))
-    freq = item.filter(F.col("support") >= BASKET_MINSUP).select("l_partkey")
+    freq = (
+        item.crossJoin(F.broadcast(ms))
+        .filter(F.col("support") >= F.col("minsup"))
+        .select("l_partkey")
+    )
     b = li.join(freq.hint("shuffle_hash"), "l_partkey")
-    n_buckets = b.agg(
-        (F.count_distinct("l_orderkey") * PCY_BUCKETS_PER_BASKET).alias("nb")
+    # bucket space from the exact candidate-pair volume: sum over
+    # baskets of C(size, 2), one basket-keyed aggregate
+    nb = (
+        b.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(F.sum(F.expr("sz * (sz - 1) div 2")).alias("total_pairs"))
+        .crossJoin(F.broadcast(ms))
+        .select(
+            F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"({PCY_LOAD_DIV} * total_pairs) div minsup"),
+            ).alias("nbuckets"),
+            "minsup",
+        )
     )
 
     from snackfs_spark.functions import md5_fp
@@ -324,22 +361,22 @@ def basket_pairs_pcy(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             x.join(y, "k")
             .filter(F.col("part_a") < F.col("part_b"))
-            .crossJoin(F.broadcast(n_buckets))
-            .withColumn("bucket", md5_fp(pair_key) % F.col("nb"))
+            .crossJoin(F.broadcast(nb))
+            .withColumn("bucket", md5_fp(pair_key) % F.col("nbuckets"))
         )
 
     hot_buckets = (
         pairs_with_bucket()
-        .groupBy("bucket")
+        .groupBy("bucket", "minsup")
         .agg(F.count(F.lit(1)).alias("bc"))
-        .filter(F.col("bc") >= BASKET_MINSUP)
+        .filter(F.col("bc") >= F.col("minsup"))
         .select("bucket")
     )
     return (
         pairs_with_bucket()
-        .join(hot_buckets.hint("shuffle_hash"), "bucket", "left_semi")
-        .groupBy("part_a", "part_b")
+        .join(hot_buckets, "bucket", "left_semi")
+        .groupBy("part_a", "part_b", "minsup")
         .agg(F.count(F.lit(1)).alias("pair_support"))
-        .filter(F.col("pair_support") >= BASKET_MINSUP)
+        .filter(F.col("pair_support") >= F.col("minsup"))
         .select("part_a", "part_b", "pair_support")
     )

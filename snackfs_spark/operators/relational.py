@@ -3650,3 +3650,109 @@ def privacy_contribution_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_users",
         F.expr("(1000 * kept_rows) div total_rows").cast("long").alias("kept_permille"),
     )
+
+
+# ------------------------------------------------- join-order advisor ----
+#
+# Cost-based join ordering from EXACT key statistics — the what-if
+# report behind Catalyst's (and every CBO's) join reordering, computed
+# precisely instead of from sampled sketches: for the Q3-filtered
+# 3-table join customer ⋈ orders ⋈ lineitem, the exact row count of
+# each candidate left-deep intermediate and the total rows materialized
+# per order. join_size_estimate_cm is the sketch twin (Count-Min inner
+# products, approximate, one pass); this is the ground truth an
+# optimizer-calibration harness compares such sketches against. At
+# 100 TB the advisor's input relations are key-count aggregates (fully
+# map-side combined), never the facts themselves.
+
+
+@register(
+    "rel_join_order_advisor",
+    oracle="""
+    WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+    o AS (SELECT o_orderkey, o_custkey FROM orders
+          WHERE o_orderdate < TIMESTAMP '1995-03-15'),
+    l AS (SELECT l_orderkey FROM lineitem
+          WHERE l_shipdate > TIMESTAMP '1995-03-15'),
+    co AS (SELECT o.o_orderkey FROM o JOIN c ON c.c_custkey = o.o_custkey),
+    lcnt AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS lc FROM l GROUP BY 1),
+    inter_a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM co),
+    inter_b AS (SELECT CAST(COALESCE(SUM(lc), 0) AS BIGINT) AS n
+                FROM o JOIN lcnt ON lcnt.l_orderkey = o.o_orderkey),
+    fin AS (SELECT CAST(COALESCE(SUM(lc), 0) AS BIGINT) AS n
+            FROM co JOIN lcnt ON lcnt.l_orderkey = co.o_orderkey),
+    plans AS (
+      SELECT 'customer_orders_first' AS join_order, a.n AS intermediate_rows,
+             f.n AS final_rows, a.n + f.n AS total_cost
+      FROM inter_a a CROSS JOIN fin f
+      UNION ALL
+      SELECT 'orders_lineitem_first', b.n, f.n, b.n + f.n
+      FROM inter_b b CROSS JOIN fin f
+    )
+    SELECT join_order, intermediate_rows, final_rows, total_cost,
+           CAST(RANK() OVER (ORDER BY total_cost, join_order) AS BIGINT) AS rank
+    FROM plans
+    """,
+)
+def rel_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-order advisor for the Q3-filtered customer ⋈ orders ⋈
+    lineitem join: per left-deep candidate order, the exact intermediate
+    row count, the (order-independent) final count, total rows
+    materialized, and the cost rank — the precise version of what a CBO
+    estimates from sketches (join_size_estimate_cm is the sketch twin).
+
+    Scale: no candidate plan is EXECUTED — sizes come from key-count
+    algebra. lineitem collapses map-side to per-orderkey counts; the
+    customer gate is a semi-join on custkey; both intermediates reduce
+    to key-keyed joins over collapsed relations followed by 1-row sums.
+    The final window ranks 2 rows. Filters reach the scans (pushdown),
+    facts are never joined row-for-row."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .select("l_orderkey")
+    )
+    co = o.join(c, o["o_custkey"] == c["c_custkey"], "left_semi").select("o_orderkey")
+    co = co.localCheckpoint(eager=False)  # feeds inter_a AND fin
+    lcnt = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("long").alias("lc"))
+    lcnt = lcnt.localCheckpoint(eager=False)  # feeds inter_b AND fin
+    inter_a = co.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter_b = (
+        o.join(lcnt, o["o_orderkey"] == lcnt["l_orderkey"])
+        .agg(F.coalesce(F.sum("lc"), F.lit(0)).cast("long").alias("n"))
+    )
+    fin = (
+        co.join(lcnt, co["o_orderkey"] == lcnt["l_orderkey"])
+        .agg(F.coalesce(F.sum("lc"), F.lit(0)).cast("long").alias("n"))
+    )
+    plans = (
+        inter_a.crossJoin(fin.select(F.col("n").alias("fn")))
+        .select(
+            F.lit("customer_orders_first").alias("join_order"),
+            F.col("n").alias("intermediate_rows"),
+            F.col("fn").alias("final_rows"),
+            (F.col("n") + F.col("fn")).alias("total_cost"),
+        )
+        .unionAll(
+            inter_b.crossJoin(fin.select(F.col("n").alias("fn"))).select(
+                F.lit("orders_lineitem_first").alias("join_order"),
+                F.col("n").alias("intermediate_rows"),
+                F.col("fn").alias("final_rows"),
+                (F.col("n") + F.col("fn")).alias("total_cost"),
+            )
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("total_cost", "join_order")  # 2 rows by construction
+    return plans.withColumn("rank", F.rank().over(w).cast("long"))

@@ -1752,3 +1752,92 @@ def sample_reservoir_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_weight"),
         )
     )
+
+
+# ---------------------------------------------- cluster-safe splitting ----
+#
+# Near-dup-aware train/val/test assignment: hashing DOCUMENTS into
+# splits (split_assign_hash) leaks — two near-identical docs can land
+# in train and test, and the eval set silently contains training data
+# the decontamination probe then has to catch. The leakage-free recipe
+# splits by NEAR-DUP CLUSTER: every member of a connected component
+# gets the component's split, so no near-dup pair ever spans a split
+# boundary BY CONSTRUCTION (prevention, where
+# split_contamination_check is detection). n_moved counts the docs
+# whose cluster split differs from their naive doc-hash split — the
+# exact leak volume the naive split would have shipped.
+_CLUSTER_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST(m.cluster_id AS VARCHAR)), 1, 15))::BIGINT"
+    " % 100 AS INT)"
+)
+_DOC_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    " % 100 AS INT)"
+)
+
+
+def _split_case(bucket_sql: str) -> str:
+    return f"""CASE WHEN {bucket_sql} < {TRAIN_PCT} THEN 'train'
+                WHEN {bucket_sql} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                ELSE 'test' END"""
+
+
+def _cluster_safe_oracle() -> str:
+    from snackfs_spark.operators.dedup import _CC_REACH_CTES, _MINHASH_CTE
+
+    return (
+        "WITH RECURSIVE "
+        + _MINHASH_CTE
+        + ","
+        + _CC_REACH_CTES
+        + f""",
+    members AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT {_split_case(_CLUSTER_BUCKET_SQL)} AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT m.cluster_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(CASE WHEN {_split_case(_CLUSTER_BUCKET_SQL)}
+                          <> {_split_case(_DOC_BUCKET_SQL)}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+    FROM members m JOIN documents d ON d.doc_id = m.doc_id
+    GROUP BY 1
+    """
+    )
+
+
+@register("split_cluster_safe", oracle=_cluster_safe_oracle())
+def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split summary: assign every doc the split of its
+    near-dup CLUSTER (hash of the component's canonical min-label id,
+    same 80/10/10 rule as split_assign_hash), so near-dup pairs never
+    span splits. Reports per-split doc/cluster/char volume and n_moved
+    — docs whose naive doc-hash split differs (the leak volume the
+    naive split would have shipped).
+
+    Scale: composes on dedup_cluster_canonical's label propagation
+    (round cost = candidate graph, not corpus); this adds ONE
+    doc_id-keyed join and a 3-key rollup. Splits remain stable under
+    incremental re-ingest exactly when clusters are stable — new
+    members inherit their cluster's split instead of reshuffling."""
+    from snackfs_spark.operators.dedup import dedup_cluster_canonical
+
+    labels = dedup_cluster_canonical(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = docs.join(labels, "doc_id")
+    cluster_split = _split(_bucket(F.col("cluster_id")))
+    doc_split = _split(_bucket(F.col("doc_id")))
+    return (
+        j.select(
+            cluster_split.alias("split"),
+            (cluster_split != doc_split).cast("int").alias("moved"),
+            "cluster_id",
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("cluster_id").cast("long").alias("n_clusters"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("moved").cast("long").alias("n_moved"),
+        )
+    )

@@ -2520,3 +2520,186 @@ def eval_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.cast("long").alias("kappa_den"),
         (num.cast("double") / den.cast("double")).alias("kappa"),
     )
+
+
+# --------------------------------------------------- tokenizer fertility ----
+#
+# The eval every tokenizer-training run ends with: per corpus source,
+# how many subtokens the learned BPE merge table spends per word and
+# per character. Fertility (subtokens per 1000 words) and compression
+# (chars per 1000 subtokens) are THE numbers that decide whether a
+# merge table transfers across sources — a source with outlier
+# fertility pays proportionally more sequence length (= training
+# compute) per character of content. Composes the trained merge chain
+# (bpe_learn_merges) with the source dimension; the identical
+# SQL-unrolled K-round segmentation drives the oracle.
+
+
+def _bpe_fertility_oracle(rounds: int = BPE_ROUNDS) -> str:
+    return (
+        _bpe_ctes(rounds)
+        + f""",
+    tok AS (
+      SELECT word, CAST(len(string_split(repr, ' ')) AS BIGINT) AS n_sub
+      FROM w{rounds}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(tok.n_sub) AS BIGINT) AS n_subtokens,
+           CAST(SUM(len(dw.word)) AS BIGINT) AS n_chars,
+           CAST((1000 * SUM(tok.n_sub)) // COUNT(*) AS BIGINT)
+             AS fertility_permille,
+           CAST((1000 * SUM(len(dw.word))) // SUM(tok.n_sub) AS BIGINT)
+             AS chars_per_kilotoken
+    FROM (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    ) dw JOIN tok USING (word)
+    WHERE word <> ''
+    GROUP BY source"""
+    )
+
+
+@register("bpe_fertility_by_source", oracle=_bpe_fertility_oracle())
+def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer-fertility report under the learned K-round
+    BPE merge table: words, subtokens, chars, fertility (subtokens per
+    1000 words) and compression (chars per 1000 subtokens) — the
+    transfer eval that flags sources the tokenizer serves poorly.
+
+    Scale: identical posture to bpe_segment_corpus — segmentation folds
+    over the VOCAB (each distinct word once), the corpus-sized work is
+    one exploded word join against the (word, n_sub) map, and the
+    rollup collapses map-side onto |sources| keys. Ratios are exact
+    integer permilles, so the report hash-matches at any partitioning."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    _merges, vocab = _bpe_chain(spark, sf_dir)
+    tok = vocab.select(
+        "word", F.size(F.split("repr", " ")).cast("long").alias("n_sub")
+    )
+    dw = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        dw.join(tok, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subtokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.expr("(1000 * sum(n_sub)) div count(1)")
+            .cast("long")
+            .alias("fertility_permille"),
+            F.expr("(1000 * sum(length(word))) div sum(n_sub)")
+            .cast("long")
+            .alias("chars_per_kilotoken"),
+        )
+    )
+
+
+# ----------------------------------------------------- vocabulary growth ----
+#
+# Heaps-law curve, computed exactly: vocabulary size at power-of-two
+# document-count checkpoints, plus the new-type and token volume each
+# doubling contributes. The estimate every tokenizer/embedding-table
+# sizing exercise starts from ("how fast does the type inventory grow
+# if we ingest 10x more of this?"), and the sub-linear curve is the
+# empirical law the projection rests on. doc_ids are contiguous 0..n-1
+# (pinned by the conftest dtype contract), so "first c docs" = doc_id
+# < c and the checkpoint prefix is well-defined and reproducible.
+#
+# The doubling bucket comes from the BINARY LENGTH of the first-
+# occurrence doc_id (length(bin(x)) — exact integer in both engines;
+# floor(log2) via floats would risk an off-by-one at exact powers).
+
+
+@register(
+    "text_vocab_growth",
+    oracle="""
+    WITH dw AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    firsts AS (
+      SELECT word, MIN(doc_id) AS first_doc
+      FROM dw WHERE word <> '' GROUP BY word
+    ),
+    new_types AS (
+      SELECT CASE WHEN first_doc = 0 THEN 0
+                  ELSE length(bin(first_doc)) END AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY 1
+    ),
+    tok AS (
+      SELECT CASE WHEN doc_id = 0 THEN 0
+                  ELSE length(bin(doc_id)) END AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM dw WHERE word <> '' GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT t.bucket,
+           CAST(LEAST(CASE WHEN t.bucket = 0 THEN 1
+                           ELSE 2 ** t.bucket END, n.n_docs) AS BIGINT)
+             AS checkpoint_docs,
+           CAST(COALESCE(nt.n_new, 0) AS BIGINT) AS new_types,
+           CAST(SUM(COALESCE(nt.n_new, 0)) OVER (ORDER BY t.bucket) AS BIGINT)
+             AS vocab,
+           t.n_tok AS new_tokens,
+           CAST(SUM(t.n_tok) OVER (ORDER BY t.bucket) AS BIGINT) AS cum_tokens
+    FROM tok t LEFT JOIN new_types nt ON nt.bucket = t.bucket
+    CROSS JOIN n
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Heaps-law vocabulary-growth curve: per power-of-two doc
+    prefix (checkpoint c = min(2^bucket, n_docs)), the number of new
+    word types first seen in that doubling, the cumulative vocabulary,
+    and the token volume — the curve a vocab-size projection
+    extrapolates.
+
+    Scale: one exploded scan feeds BOTH aggregates — first-occurrence
+    (min over the word key: ONE vocab-sized map-side-combinable
+    shuffle) and per-bucket token counts (<= 64 integer keys, collapsed
+    map-side from codegen bucket exprs). The prefix sums run over the
+    <= 64-row bucket table (the documented bounded two-phase
+    decomposition). No sort, no join over the corpus."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    bucket_of = lambda col: F.when(F.col(col) == 0, F.lit(0)).otherwise(  # noqa: E731
+        F.length(F.conv(F.col(col).cast("string"), 10, 2))
+    ).cast("int")
+    firsts = dw.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    new_types = (
+        firsts.groupBy(bucket_of("first_doc").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    tok = dw.groupBy(bucket_of("doc_id").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tok.join(new_types, "bucket", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bucket",
+            F.least(
+                F.when(F.col("bucket") == 0, F.lit(1).cast("long")).otherwise(
+                    F.expr("shiftleft(1L, bucket)")
+                ),
+                F.col("n_docs"),
+            )
+            .cast("long")
+            .alias("checkpoint_docs"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("new_types"),
+            F.col("n_tok").alias("new_tokens"),
+        )
+        .withColumn("vocab", F.sum("new_types").over(w).cast("long"))
+        .withColumn("cum_tokens", F.sum("new_tokens").over(w).cast("long"))
+        .select(
+            "bucket", "checkpoint_docs", "new_types", "vocab",
+            "new_tokens", "cum_tokens",
+        )
+    )

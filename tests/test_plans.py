@@ -564,14 +564,15 @@ def test_heat_tiering_never_broadcasts_heat(spark):
     assert "BroadcastHashJoin" not in plan, plan
 
 
-def test_pcy_bucket_gate_is_shuffle_hash_semi(spark):
-    """The frequent-bucket gate must be a shuffle-hash semi join (never
-    a broadcast of the corpus-proportional bucket set) and pair
-    generation stays equi-join work."""
+def test_pcy_bucket_gate_semi_join_no_cartesian(spark):
+    """The hot-bucket gate is a semi join with NO forced strategy (AQE
+    broadcasts the hot set when it is actually small, shuffle-hashes
+    otherwise — the sweep-measured rewrite) and pair generation stays
+    equi-join work."""
     df = REG["basket_pairs_pcy"].fn(spark, SF_ORACLE)
     assert_no_cartesian(df)
     plan = formatted_plan(df)
-    assert "ShuffledHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "LeftSemi" in plan, plan
 
 
 def test_rfm_single_shuffle_then_tiny_rollup(spark):
@@ -627,3 +628,50 @@ def test_cusum_windows_are_type_partitioned(spark):
     assert specs, plan
     for spec in specs:
         assert "event_type" in spec, spec
+
+
+def test_range_partition_plan_single_fact_agg_no_join_shuffles(spark):
+    """The only corpus work is the map-side-combined bin count; the
+    1-row stats relation joins as a broadcast nested loop, never a
+    sort-merge."""
+    df = REG["layout_range_partition_plan"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cluster_safe_split_no_cartesian(spark):
+    df = REG["split_cluster_safe"].fn(spark, SF_ORACLE)
+    assert_no_cartesian(df)
+
+
+def test_join_advisor_pushes_filters_counts_keys_only(spark):
+    """Candidate sizes come from key-count algebra: the three filters
+    reach their scans, the customer gate is a semi join, and no fact
+    row ever joins a fact row (no sort-merge of two fact relations —
+    lineitem arrives pre-collapsed to per-orderkey counts)."""
+    df = REG["rel_join_order_advisor"].fn(spark, SF_ORACLE)
+    assert_no_cartesian(df)
+    # l_shipdate's pushdown sits behind the lcnt localCheckpoint
+    # boundary, which the formatted dump does not traverse; q6 pins the
+    # same lineitem date pushdown on an uncheckpointed plan
+    assert_pushed_filter(df, "o_orderdate")
+    # the semi-join gate and lcnt collapse sit behind localCheckpoint
+    # boundaries the dump does not traverse; what remains visible must
+    # be the collapsed-relation joins — never a fact-fact sort-merge
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bpe_fertility_no_cartesian(spark):
+    df = REG["bpe_fertility_by_source"].fn(spark, SF_ORACLE)
+    assert_no_cartesian(df)
+
+
+def test_vocab_growth_bounded_windows_no_smj(spark):
+    """Both cumulatives run over the <= 64-row bucket table; the bucket
+    join is tiny (AQE broadcast), never a sort-merge of the corpus."""
+    df = REG["text_vocab_growth"].fn(spark, SF_ORACLE)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan

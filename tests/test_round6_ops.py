@@ -198,3 +198,129 @@ def test_priority_sample_estimator_contract(spark):
     for r in rows:
         assert int(r["priority"]) >= tau
         assert int(r["est_weight"]) == max(r["w"], tau)
+
+
+# --------------------------------------------------- batch-2 operators ----
+
+
+def test_range_partition_plan_conserves_and_balances(spark):
+    """Partition ids are a contiguous prefix of 0..P-1, bins sum to the
+    occupied bin count, rows sum to the event count, and every
+    partition's load factor stays within 4x of balanced (the fixture's
+    event times are near-uniform)."""
+    rows = {
+        r["partition_id"]: r
+        for r in REG["layout_range_partition_plan"].fn(spark, SF_ORACLE).collect()
+    }
+    n_events = spark.read.parquet(f"{SF_ORACLE}/events.parquet").count()
+    assert sum(r["n_rows"] for r in rows.values()) == n_events
+    assert set(rows) == set(range(len(rows)))
+    for r in rows.values():
+        assert r["lo_bin"] <= r["hi_bin"]
+        assert 0 < r["load_permille"] < 4000
+    assert sum(r["n_bins"] for r in rows.values()) <= 1024
+
+
+def test_cluster_safe_split_never_splits_a_pair(spark):
+    """THE property: no near-dup candidate pair may span two splits.
+    Rebuild per-doc assignments the operator's way and check every LSH
+    pair lands in one split; also conservation vs the corpus."""
+    from snackfs_spark.operators.dedup import dedup_cluster_canonical
+    from snackfs_spark.operators.sampling import _bucket, _split
+
+    labels = dedup_cluster_canonical(spark, SF_ORACLE)
+    assign = {
+        r["doc_id"]: r["split"]
+        for r in labels.select(
+            "doc_id", _split(_bucket(F.col("cluster_id"))).alias("split")
+        ).collect()
+    }
+    pairs = REG["dedup_minhash_lsh"].fn(spark, SF_ORACLE).collect()
+    assert pairs, "fixture should contain near-dup candidates"
+    for r in pairs:
+        assert assign[r["doc_a"]] == assign[r["doc_b"]], (r["doc_a"], r["doc_b"])
+    out = {r["split"]: r for r in REG["split_cluster_safe"].fn(spark, SF_ORACLE).collect()}
+    n_docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in out.values()) == n_docs
+    assert sum(r["n_moved"] for r in out.values()) >= 0
+
+
+def test_join_order_advisor_matches_executed_joins(spark):
+    """The advisor's exact sizes must equal the row counts of actually
+    executing each candidate intermediate, and rank 1 must be the
+    cheaper total."""
+    rows = {
+        r["join_order"]: r
+        for r in REG["rel_join_order_advisor"].fn(spark, SF_ORACLE).collect()
+    }
+    from snackfs_spark.sources.tables import load_table
+
+    c = load_table(spark, SF_ORACLE, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, SF_ORACLE, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, SF_ORACLE, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    co = o.join(c, o["o_custkey"] == c["c_custkey"]).count()
+    ol = o.join(li, o["o_orderkey"] == li["l_orderkey"]).count()
+    fin = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .count()
+    )
+    a = rows["customer_orders_first"]
+    b = rows["orders_lineitem_first"]
+    assert a["intermediate_rows"] == co
+    assert b["intermediate_rows"] == ol
+    assert a["final_rows"] == fin and b["final_rows"] == fin
+    cheaper = min((a, b), key=lambda r: (r["total_cost"], r["join_order"]))
+    assert cheaper["rank"] == 1
+
+
+def test_bpe_fertility_consistent_with_segmenter(spark):
+    """Source-level word/subtoken totals must equal bpe_segment_corpus's
+    per-doc numbers aggregated by source, and the permille ratios must
+    recompute from the totals."""
+    seg = REG["bpe_segment_corpus"].fn(spark, SF_ORACLE)
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    by_source = {
+        r["source"]: r
+        for r in seg.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").alias("w"),
+            F.sum("n_subtokens").alias("s"),
+        )
+        .collect()
+    }
+    for r in REG["bpe_fertility_by_source"].fn(spark, SF_ORACLE).collect():
+        exp = by_source[r["source"]]
+        assert r["n_words"] == exp["w"] and r["n_subtokens"] == exp["s"]
+        assert r["fertility_permille"] == (1000 * r["n_subtokens"]) // r["n_words"]
+        assert r["chars_per_kilotoken"] == (1000 * r["n_chars"]) // r["n_subtokens"]
+        assert r["fertility_permille"] >= 1000  # >= 1 subtoken per word
+
+
+def test_vocab_growth_totals_and_monotonicity(spark):
+    """Final vocab = exact distinct token count; final cum_tokens =
+    exact token count; checkpoints and both cumulatives are strictly
+    increasing."""
+    rows = sorted(
+        REG["text_vocab_growth"].fn(spark, SF_ORACLE).collect(),
+        key=lambda r: r["bucket"],
+    )
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    dw = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    assert rows[-1]["vocab"] == dw.select("w").distinct().count()
+    assert rows[-1]["cum_tokens"] == dw.count()
+    assert sum(r["new_types"] for r in rows) == rows[-1]["vocab"]
+    for a, b in zip(rows, rows[1:]):
+        assert b["checkpoint_docs"] > a["checkpoint_docs"]
+        assert b["vocab"] >= a["vocab"] and b["cum_tokens"] > a["cum_tokens"]

@@ -157,6 +157,26 @@ QUERIES = [
     "privacy_l_diversity",
     # survivorship merge per near-dup cluster (golden record)
     "dedup_golden_record",
+    # build-round-6 ops: winnowed selection + fp equi-join, PCY bucket
+    # gate, type-partitioned CUSUM windows, vocab-keyed KN margins, the
+    # doc-keyed heat join, and the single-shuffle roll-ups
+    "dedup_winnow_fingerprint",
+    "basket_pairs_pcy",
+    "events_cusum_changepoint",
+    "text_kneser_ney_bigram",
+    "fs_heat_tiering",
+    "orders_rfm_segments",
+    "privacy_contribution_bounds",
+    "sample_reservoir_priority",
+    "eval_calibration_ece",
+    "eval_kappa_agreement",
+    # batch 2: the equi-depth range planner, cluster-safe splits,
+    # exact join-order advisor, tokenizer fertility, Heaps-law curve
+    "layout_range_partition_plan",
+    "split_cluster_safe",
+    "rel_join_order_advisor",
+    "bpe_fertility_by_source",
+    "text_vocab_growth",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
