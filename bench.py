@@ -202,6 +202,11 @@ HEADLINE_R12 = [
     "rel_join_order_advisor",
     "bpe_fertility_by_source",
     "text_vocab_growth",
+    "events_watermark_audit",
+    "approx_hll_daily_union",
+    "graph_degree_distribution",
+    "multimodal_audio_vad",
+    "events_rate_limit_audit",
 ]
 
 

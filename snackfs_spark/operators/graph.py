@@ -372,3 +372,65 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("token")
     return dist.select("token", F.col("dist").cast("long").alias("dist"))
+
+
+# ------------------------------------------------ degree distribution ----
+#
+# The first diagnostic run on any large graph: the degree histogram
+# (power-law check). Buckets are powers of two via BINARY LENGTH
+# (length(bin(deg)) — exact integer in both engines, the same rule as
+# text_vocab_growth), so the report is <= 64 rows at any graph size
+# and the heavy-tail exponent can be read straight off the bucket
+# slope. Degrees are over the vocab-restricted distinct bigram edge
+# set shared with PageRank/triangles/BFS.
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_GRAPH_CTES},
+    degs AS (
+      SELECT token,
+             COALESCE(o.od, 0) + COALESCE(i.id, 0) AS deg
+      FROM vocab v
+      LEFT JOIN (SELECT w1, CAST(COUNT(*) AS BIGINT) AS od
+                 FROM edges GROUP BY w1) o ON o.w1 = v.token
+      LEFT JOIN (SELECT w2, CAST(COUNT(*) AS BIGINT) AS id
+                 FROM edges GROUP BY w2) i ON i.w2 = v.token
+    )
+    SELECT CASE WHEN deg = 0 THEN 0 ELSE length(bin(deg)) END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(deg) AS BIGINT) AS sum_deg,
+           CAST(MIN(deg) AS BIGINT) AS min_deg,
+           CAST(MAX(deg) AS BIGINT) AS max_deg
+    FROM degs GROUP BY 1
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two degree histogram of the token bigram graph (total
+    degree = in + out over the distinct directed edge set): per bucket,
+    node count, degree mass, and the min/max degrees — the power-law
+    diagnostic every graph pipeline starts with, in <= 64 rows.
+
+    Scale: degrees are two map-side-combinable counts over the
+    |V|²-bounded edge relation; the histogram collapses map-side onto
+    <= 64 integer keys. The corpus contributes only the one bigram
+    scan _token_graph already pays (checkpointed, shared)."""
+    vocab, edges, out_deg = _token_graph(spark, sf_dir)
+    in_deg = edges.groupBy("w2").agg(F.count(F.lit(1)).alias("id"))
+    degs = (
+        vocab.join(out_deg.withColumnRenamed("w1", "token"), "token", "left")
+        .join(in_deg.withColumnRenamed("w2", "token"), "token", "left")
+        .select(
+            (F.coalesce("od", F.lit(0)) + F.coalesce("id", F.lit(0))).alias("deg")
+        )
+    )
+    bucket = F.when(F.col("deg") == 0, F.lit(0)).otherwise(
+        F.length(F.conv(F.col("deg").cast("string"), 10, 2))
+    ).cast("int")
+    return degs.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("deg").cast("long").alias("sum_deg"),
+        F.min("deg").cast("long").alias("min_deg"),
+        F.max("deg").cast("long").alias("max_deg"),
+    )

@@ -870,3 +870,108 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
         .select("asset_a", "asset_b", "hamming")
     )
+
+
+# -------------------------------------------------------- audio VAD ----
+#
+# Voice-activity-style segmentation on top of the REAL PCM decode: a
+# frame is ACTIVE iff its energy exceeds the ASSET's mean frame energy
+# (energy * n_frames > total_energy — exact integer comparison, no
+# float threshold), and consecutive active frames merge into segments
+# via the islands trick (frame_idx - dense activity rank). This is the
+# docstring's promised samples-domain follow-on to
+# multimodal_audio_energy: same one-pass Arrow decode, segment state
+# bounded per asset.
+
+
+@register(
+    "multimodal_audio_vad",
+    oracle=f"""
+    WITH samples AS (
+      SELECT doc_id AS asset_id, i AS sample_idx,
+             (ascii(substr(text, 2 * i + 1, 1))
+              + 256 * ascii(substr(text, 2 * i + 2, 1))
+              - CASE WHEN ascii(substr(text, 2 * i + 2, 1)) >= 128
+                     THEN 65536 ELSE 0 END) AS s
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(0, octet_length(encode(text)) // 2)) AS i
+        FROM documents
+      )
+    ),
+    frames AS (
+      SELECT asset_id, sample_idx // {AUDIO_FRAME} AS frame_idx,
+             CAST(SUM(s * s) AS BIGINT) AS energy
+      FROM samples
+      GROUP BY asset_id, sample_idx // {AUDIO_FRAME}
+      HAVING COUNT(*) = {AUDIO_FRAME}
+    ),
+    tot AS (
+      SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(energy) AS BIGINT) AS total_energy
+      FROM frames GROUP BY asset_id
+    ),
+    flagged AS (
+      SELECT f.asset_id, f.frame_idx, t.n_frames,
+             CASE WHEN f.energy * t.n_frames > t.total_energy
+                  THEN 1 ELSE 0 END AS active
+      FROM frames f JOIN tot t ON t.asset_id = f.asset_id
+    ),
+    islands AS (
+      SELECT asset_id, n_frames, frame_idx,
+             frame_idx - ROW_NUMBER() OVER (PARTITION BY asset_id
+                                            ORDER BY frame_idx) AS isl
+      FROM flagged WHERE active = 1
+    ),
+    segs AS (
+      SELECT asset_id, n_frames, isl, CAST(COUNT(*) AS BIGINT) AS run
+      FROM islands GROUP BY asset_id, n_frames, isl
+    )
+    SELECT asset_id,
+           CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(run) AS BIGINT) AS active_frames,
+           CAST(MAX(run) AS BIGINT) AS longest_run
+    FROM segs GROUP BY asset_id
+    """,
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold activity segmentation per audio asset: frames
+    above the asset's mean frame energy (exact integer compare) merge
+    into segments; reports per asset the frame count, segment count,
+    active-frame total, and the longest active run — the VAD screening
+    pass the audio-energy docstring names as this path's production
+    follow-on.
+
+    Scale: composes the one-pass Arrow PCM decode (zero shuffle); the
+    per-asset mean needs ONE asset-keyed aggregate of frame rows, the
+    islands window partitions by asset (state = one running rank per
+    asset), and segments collapse map-side back onto asset keys."""
+    frames = multimodal_audio_energy(spark, sf_dir).select(
+        "asset_id", "frame_idx", "energy"
+    )
+    frames = frames.localCheckpoint(eager=False)  # decode once, two consumers
+    tot = frames.groupBy("asset_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("energy").cast("long").alias("total_energy"),
+    )
+    flagged = frames.join(tot.hint("shuffle_hash"), "asset_id").filter(
+        F.col("energy") * F.col("n_frames") > F.col("total_energy")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    islands = flagged.select(
+        "asset_id",
+        "n_frames",
+        (F.col("frame_idx") - F.row_number().over(w)).alias("isl"),
+    )
+    segs = islands.groupBy("asset_id", "n_frames", "isl").agg(
+        F.count(F.lit(1)).cast("long").alias("run")
+    )
+    return segs.groupBy("asset_id").agg(
+        F.max("n_frames").cast("long").alias("n_frames"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("run").cast("long").alias("active_frames"),
+        F.max("run").cast("long").alias("longest_run"),
+    )

@@ -3756,3 +3756,170 @@ def rel_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.orderBy("total_cost", "join_order")  # 2 rows by construction
     return plans.withColumn("rank", F.rank().over(w).cast("long"))
+
+
+# --------------------------------------------- daily HLL prefix union ----
+#
+# The cumulative-cardinality time series ("unique users to date, per
+# day") computed the way a 100 TB deployment must: per-day HLL
+# registers UNIONED ACROSS DAYS by elementwise max — the mergeability
+# that lets daily partitions keep 2 KB sketches and any date-range
+# cardinality come from register max, no raw re-scan. The union is
+# computed as a per-bucket running max turned into LATTICE DELTAS (a
+# bucket contributes only when its register grows), so the day rollup
+# collapses map-side onto <= |days| keys and the prefix sum runs over
+# the bounded day table. Exact cumulative distinct (first-day counts +
+# prefix sum) rides along as the quality reference, same contract as
+# approx_distinct_hll.
+
+
+@register(
+    "approx_hll_daily_union",
+    oracle=f"""
+    WITH h AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS v
+      FROM events
+    ),
+    ranks AS (
+      SELECT day,
+             v >> {HLL_WBITS} AS bucket,
+             CASE WHEN (v & {(1 << HLL_WBITS) - 1}) > 0
+                  THEN {HLL_WBITS + 1} - length(bin(v & {(1 << HLL_WBITS) - 1}))
+                  ELSE {HLL_WBITS + 1} END AS r
+      FROM h
+    ),
+    regs AS (SELECT day, bucket, MAX(r) AS reg FROM ranks GROUP BY day, bucket),
+    cums AS (
+      SELECT day, bucket,
+             MAX(reg) OVER (PARTITION BY bucket ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             MAX(reg) OVER (PARTITION BY bucket ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev
+      FROM regs
+    ),
+    deltas AS (
+      SELECT day,
+             CAST(SUM((1::BIGINT << ({HLL_WBITS + 1} - cum))
+                      - COALESCE(1::BIGINT << ({HLL_WBITS + 1} - prev),
+                                 1::BIGINT << {HLL_WBITS + 1})) AS BIGINT)
+               AS d_lattice,
+             CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS d_used
+      FROM cums GROUP BY day
+    ),
+    sk AS (
+      SELECT day,
+             CAST(({HLL_M}::BIGINT << {HLL_WBITS + 1})
+                  + SUM(d_lattice) OVER (ORDER BY day) AS BIGINT) AS s,
+             CAST(SUM(d_used) OVER (ORDER BY day) AS BIGINT) AS n_used
+      FROM deltas
+    ),
+    firsts AS (SELECT user_id, MIN(strftime(date_trunc('day', ts), '%Y-%m-%d'))
+                        AS first_day
+               FROM events GROUP BY user_id),
+    exd AS (SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+            FROM firsts GROUP BY first_day),
+    ex AS (
+      SELECT sk.day,
+             CAST(SUM(COALESCE(exd.n_new, 0)) OVER (ORDER BY sk.day) AS BIGINT)
+               AS exact_cum
+      FROM sk LEFT JOIN exd ON exd.day = sk.day
+    )
+    SELECT sk.day, sk.n_used, sk.s AS lattice_sum,
+           ({_HLL_ALPHA} * {HLL_M * HLL_M}e0)
+             * {1 << (HLL_WBITS + 1)}e0 / CAST(sk.s AS DOUBLE)
+             AS raw_estimate,
+           ex.exact_cum AS exact_cum_distinct
+    FROM sk JOIN ex ON ex.day = sk.day
+    """,
+)
+def approx_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cumulative unique-user curve from prefix-unioned HLL
+    registers: per day, the unioned sketch's used-register count,
+    lattice sum, raw estimate, and the exact cumulative distinct as the
+    quality reference — the mergeable-sketch pattern that serves any
+    date-range cardinality at 100 TB from per-partition 2 KB sketches.
+
+    Scale: one (day, bucket)-keyed register aggregate (map-side
+    combinable) is the only corpus-proportional sketch work; the
+    running union is a per-bucket window over the <= days-per-bucket
+    lattice, collapsed to LATTICE DELTAS so the day rollup and prefix
+    sums run over <= |days| rows. The exact reference pays one
+    user-keyed min shuffle (first-occurrence pattern). All integer
+    until the one portable float estimate per day."""
+    ev = fan_out(load_table(spark, sf_dir, "events"), spark)
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    v = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    w_mask = F.col("v").bitwiseAND(F.lit((1 << HLL_WBITS) - 1))
+    r = F.when(w_mask > 0, F.lit(HLL_WBITS + 1) - F.length(F.bin(w_mask))).otherwise(
+        F.lit(HLL_WBITS + 1)
+    )
+    ranks = ev.select(day.alias("day"), v.alias("v")).select(
+        "day",
+        F.shiftright(F.col("v"), HLL_WBITS).alias("bucket"),
+        r.alias("r"),
+    )
+    regs = ranks.groupBy("day", "bucket").agg(F.max("r").alias("reg"))
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("bucket").orderBy("day")
+    cums = regs.select(
+        "day",
+        F.max("reg").over(wb.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.max("reg").over(wb.rowsBetween(Window.unboundedPreceding, -1)).alias("prev"),
+    )
+    lat = lambda c: F.expr(f"shiftleft(1L, CAST({HLL_WBITS + 1} - {c} AS INT))")  # noqa: E731
+    deltas = cums.groupBy("day").agg(
+        F.sum(
+            lat("cum") - F.coalesce(lat("prev"), F.lit(1 << (HLL_WBITS + 1)).cast("long"))
+        )
+        .cast("long")
+        .alias("d_lattice"),
+        F.sum(F.when(F.col("prev").isNull(), 1).otherwise(0)).cast("long").alias("d_used"),
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    sk = deltas.select(
+        "day",
+        (
+            F.lit(HLL_M * (1 << (HLL_WBITS + 1))).cast("long") + F.sum("d_lattice").over(wd)
+        )
+        .cast("long")
+        .alias("s"),
+        F.sum("d_used").over(wd).cast("long").alias("n_used"),
+    )
+    firsts = ev.select(day.alias("day"), "user_id").groupBy("user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    exd = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    ex = (
+        sk.select("day")
+        .join(exd, "day", "left")
+        .select(
+            "day",
+            F.sum(F.coalesce("n_new", F.lit(0)))
+            .over(wd)
+            .cast("long")
+            .alias("exact_cum_distinct"),
+        )
+    )
+    est = F.expr(
+        f"({_HLL_ALPHA} * {HLL_M * HLL_M}e0)"
+        f" * {1 << (HLL_WBITS + 1)}e0 / CAST(s AS DOUBLE)"
+    )
+    return (
+        sk.join(ex, "day")
+        .select(
+            "day",
+            "n_used",
+            F.col("s").alias("lattice_sum"),
+            est.alias("raw_estimate"),
+            "exact_cum_distinct",
+        )
+    )

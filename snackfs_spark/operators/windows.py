@@ -1072,3 +1072,175 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.alias("cusum"),
         (cusum >= CUSUM_H_MULT * F.col("drift")).cast("int").alias("alarm"),
     )
+
+
+# ----------------------------------------------------- watermark audit ----
+#
+# The planning query behind every Structured Streaming watermark choice:
+# how much data would each candidate delay actually drop? Event time is
+# the fixture's ts; arrival order is event time plus a deterministic
+# per-event ingest jitter (md5(event_id) % 1h — a synthetic but
+# reproducible network/queue delay, the same md5 convention as every
+# other derived column). An event is LATE by (high-water-mark - its
+# event time) where the high-water mark is the max event time among
+# events that ARRIVED before it — exactly the quantity a watermark of
+# delay W compares against. Computing per-event lateness ONCE and then
+# taking conditional counts per candidate turns the what-if sweep into
+# a single aggregate — no per-candidate pass, no crossjoin fan-out.
+WM_JITTER_SECS = 3600
+WM_CANDIDATES_SECS = (300, 900, 3600)  # 5m / 15m / 1h
+
+
+@register(
+    "events_watermark_audit",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_type, event_id, epoch_us(ts) AS t_us,
+             epoch_us(ts) + 1000000 * (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % {WM_JITTER_SECS})
+               AS a_us
+      FROM events
+    ),
+    lateness AS (
+      SELECT event_type,
+             GREATEST(
+               COALESCE(MAX(t_us) OVER (PARTITION BY event_type
+                                        ORDER BY a_us, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), t_us) - t_us,
+               0) AS late_us
+      FROM arr
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_disordered,
+           CAST(SUM(CASE WHEN late_us > {WM_CANDIDATES_SECS[0]}000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_5m,
+           CAST(SUM(CASE WHEN late_us > {WM_CANDIDATES_SECS[1]}000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_15m,
+           CAST(SUM(CASE WHEN late_us > {WM_CANDIDATES_SECS[2]}000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1h,
+           CAST((1000 * SUM(CASE WHEN late_us > {WM_CANDIDATES_SECS[0]}000000 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+             AS late_5m_permille
+    FROM lateness GROUP BY event_type
+    """,
+)
+def events_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark what-if audit: per event type, how many events a
+    5m / 15m / 1h watermark would drop as too-late, from per-event
+    lateness against the arrival-ordered high-water mark (event time +
+    deterministic md5 ingest jitter as arrival). The table that picks
+    `withWatermark`'s delay for streaming_hourly_rollup's production
+    deployment: the smallest candidate whose drop rate is acceptable.
+
+    Scale: ONE type-partitioned ordered window computes lateness (the
+    sessionize cost class — state is a single running max per type);
+    all candidates then collapse in ONE map-side conditional-count
+    aggregate onto |types| keys. No per-candidate pass, no fan-out."""
+    from snackfs_spark.functions import md5_fp
+
+    ev = load_table(spark, sf_dir, "events")
+    arr = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        (
+            F.unix_micros("ts")
+            + 1_000_000 * (md5_fp(F.col("event_id").cast("string")) % WM_JITTER_SECS)
+        ).alias("a_us"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("a_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = arr.select(
+        "event_type",
+        F.greatest(
+            F.coalesce(F.max("t_us").over(w), F.col("t_us")) - F.col("t_us"),
+            F.lit(0).cast("long"),
+        ).alias("late_us"),
+    )
+    cands = [c * 1_000_000 for c in WM_CANDIDATES_SECS]
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("late_us") > 0).cast("int")).cast("long").alias("n_disordered"),
+        F.sum((F.col("late_us") > cands[0]).cast("int")).cast("long").alias("n_late_5m"),
+        F.sum((F.col("late_us") > cands[1]).cast("int")).cast("long").alias("n_late_15m"),
+        F.sum((F.col("late_us") > cands[2]).cast("int")).cast("long").alias("n_late_1h"),
+        F.expr(
+            f"(1000 * sum(CAST(late_us > {cands[0]} AS INT))) div count(1)"
+        )
+        .cast("long")
+        .alias("late_5m_permille"),
+    )
+
+
+# ---------------------------------------------------- rate-limit audit ----
+#
+# The abuse/throttling what-if: under a "max RATE_CAP events per user
+# per trailing hour" policy, which event would have been throttled?
+# Per event, the exact count of that user's events in the trailing
+# 3600 s (inclusive) via a RANGE window over epoch seconds — the frame
+# both engines define identically on integers — then one conditional
+# rollup per event type. The per-user trailing count is the same state
+# a stateful streaming throttler keeps; this is its offline audit twin.
+RATE_CAP = 20  # events per trailing hour
+
+
+@register(
+    "events_rate_limit_audit",
+    oracle=f"""
+    WITH win AS (
+      SELECT event_type, user_id,
+             CAST(COUNT(*) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts) // 1000000
+                                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS w_cnt
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN w_cnt > {RATE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_throttled,
+           CAST(MAX(w_cnt) AS BIGINT) AS max_window_count,
+           CAST(COUNT(DISTINCT CASE WHEN w_cnt > {RATE_CAP} THEN user_id END)
+                AS BIGINT) AS n_users_throttled,
+           CAST((1000 * SUM(CASE WHEN w_cnt > {RATE_CAP} THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS throttled_permille
+    FROM win GROUP BY event_type
+    """,
+)
+def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour rate-cap audit: per event type, how many events
+    exceed RATE_CAP-per-user-per-hour (exact RANGE-frame count over
+    epoch seconds), the worst observed window, and the distinct users
+    affected — the offline twin of a stateful streaming throttler,
+    sized before the policy ships.
+
+    Scale: ONE user-keyed ordered window (the sessionize cost class;
+    RANGE state is bounded by one user's events-per-hour, not the
+    corpus) followed by one map-side conditional rollup onto |types|
+    keys. No per-candidate pass; the cap compare is codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("unix_micros(ts) div 1000000"))
+        .rangeBetween(-3600, 0)
+    )
+    win = ev.select(
+        "event_type",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("w_cnt"),
+    )
+    throttled = (F.col("w_cnt") > RATE_CAP).cast("int")
+    return win.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(throttled).cast("long").alias("n_throttled"),
+        F.max("w_cnt").cast("long").alias("max_window_count"),
+        F.count_distinct(
+            F.when(F.col("w_cnt") > RATE_CAP, F.col("user_id"))
+        )
+        .cast("long")
+        .alias("n_users_throttled"),
+        F.expr(f"(1000 * sum(CAST(w_cnt > {RATE_CAP} AS INT))) div count(1)")
+        .cast("long")
+        .alias("throttled_permille"),
+    )

@@ -173,7 +173,14 @@ PRIORITY: tuple[str, ...] = (
     # similarity-search family stays hash-checked via ann_bruteforce_topk
     # and ann_lsh_bucketed stays repo-oracle green
     "corpus_pareto_front",
-    "emb_kmeans_assign",
+    # emb_kmeans_assign (6 rounds of green driver rows) yields its slot
+    # to the round-6 leakage-free cluster-safe split — the
+    # leak-PREVENTION class no other window query has (contamination
+    # checks are detection). Iterative algorithms stay hash-checked via
+    # bpe_learn_merges' K-round trainer, clustering membership via
+    # dedup_semantic_scaled, and emb_kmeans_assign stays repo-oracle
+    # green with its determinism probe.
+    "split_cluster_safe",
     # §2.C text analysis (one-scan composition of the four scoring ops)
     "text_profile",
     # §2.C multimodal — the REAL-decode representative (int16 PCM via

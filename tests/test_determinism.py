@@ -78,6 +78,10 @@ PROBES = [
     "text_kneser_ney_bigram",
     "orders_rfm_segments",
     "dedup_winnow_fingerprint",
+    # round-6 batch 3: the HLL prefix-union estimate (one portable
+    # float per day over an exact integer lattice sum — the windows
+    # and per-bucket maxes feeding it must be partition-independent)
+    "approx_hll_daily_union",
 ]
 
 

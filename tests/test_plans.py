@@ -675,3 +675,62 @@ def test_vocab_growth_bounded_windows_no_smj(spark):
     assert_no_cartesian(df)
     plan = formatted_plan(df)
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_watermark_audit_single_type_window_then_rollup(spark):
+    """One type-partitioned ordered window computes lateness; every
+    candidate is a conditional count in the SAME aggregate — exactly
+    one window operator in the plan, no join."""
+    import re
+
+    df = REG["events_watermark_audit"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert "event_type" in spec, spec
+
+
+def test_hll_daily_union_bucket_partitioned_cums_no_smj(spark):
+    """The running union must be a bucket-partitioned window (lattice-
+    sized), and no join may sort-merge — every join is over <= |days|
+    rows."""
+    df = REG["approx_hll_daily_union"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "windowspecdefinition(bucket" in plan, plan
+
+
+def test_degree_distribution_no_cartesian_map_side_histogram(spark):
+    df = REG["graph_degree_distribution"].fn(spark, SF_ORACLE)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_audio_vad_asset_partitioned_islands(spark):
+    """The islands window must partition by asset (state bounded per
+    asset) and the mean join must be shuffle-hashed, never a broadcast
+    of the corpus-proportional per-asset totals."""
+    import re
+
+    df = REG["multimodal_audio_vad"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert "asset_id" in spec, spec
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_rate_limit_user_partitioned_range_window_no_join(spark):
+    import re
+
+    df = REG["events_rate_limit_audit"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert "user_id" in spec, spec

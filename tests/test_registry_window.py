@@ -62,7 +62,10 @@ CLASSES = {
     "dedup": "dedup_minhash_lsh",
     "semantic dedup": "dedup_semantic_scaled",
     "similarity": "ann_bruteforce_topk",
-    "clustering (iterative)": "emb_kmeans_assign",
+    # emb_kmeans_assign yielded its slot to the round-6 cluster-safe
+    # split; the iterative-algorithm class stays hash-checked via the
+    # K-round BPE trainer (same loop/broadcast-argmax pattern)
+    "clustering (iterative)": "bpe_learn_merges",
     "text": "text_profile",
     "multimodal": "multimodal_audio_energy",
     "sampling": "corpus_build_v2",
@@ -105,6 +108,7 @@ CLASSES = {
     # fingerprint locality sketch and the CUSUM changepoint scan
     "locality-sketch dedup (winnowing)": "dedup_winnow_fingerprint",
     "changepoint detection (CUSUM)": "events_cusum_changepoint",
+    "leakage-free splitting (cluster-safe)": "split_cluster_safe",
 }
 
 

@@ -177,6 +177,13 @@ QUERIES = [
     "rel_join_order_advisor",
     "bpe_fertility_by_source",
     "text_vocab_growth",
+    # batch 3: watermark lateness, HLL prefix union, degree histogram,
+    # PCM VAD islands, trailing-hour rate-cap audit
+    "events_watermark_audit",
+    "approx_hll_daily_union",
+    "graph_degree_distribution",
+    "multimodal_audio_vad",
+    "events_rate_limit_audit",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
