@@ -207,6 +207,10 @@ HEADLINE_R12 = [
     "graph_degree_distribution",
     "multimodal_audio_vad",
     "events_rate_limit_audit",
+    "corpus_novelty_curve",
+    "emb_centroid_drift",
+    "fs_hotspot_rebalance_plan",
+    "corpus_dedup_rate_curve",
 ]
 
 

@@ -603,3 +603,117 @@ def eval_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cont.crossJoin(F.broadcast(stats)).select(
         "cluster", "label", "n_ij", "purity", "rand_index"
     )
+
+
+# ------------------------------------------------------- centroid drift ----
+#
+# Embedding-distribution drift between two cohorts (first half vs
+# second half of vec_ids — the stand-in for "last month's embeddings
+# vs this month's"): per label cluster, the L1 distance between cohort
+# centroids, computed EXACTLY by cross-multiplying the quantized
+# component sums over the common denominator n_a*n_b —
+# |sum_a*n_b - sum_b*n_a| accumulates in decimal(38,0), so no float
+# mean is ever compared. The embedding-health check that decides
+# whether ANN indexes / semantic-dedup thresholds trained on cohort A
+# still hold for cohort B. Quantization is the k-means lattice rule
+# (bround(x*1e12), bigint — see _recenter's tie note).
+
+
+@register(
+    "emb_centroid_drift",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev,
+             CASE WHEN 2 * vec_id < (SELECT COUNT(*) FROM embeddings)
+                  THEN 1 ELSE 0 END AS is_a
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT label, i AS pos,
+             CAST(SUM(CASE WHEN is_a = 1
+                           THEN CAST(round_even(ev[i] * 1e12, 0) AS BIGINT)
+                           ELSE 0 END) AS HUGEINT) AS sum_a,
+             CAST(SUM(CASE WHEN is_a = 0
+                           THEN CAST(round_even(ev[i] * 1e12, 0) AS BIGINT)
+                           ELSE 0 END) AS HUGEINT) AS sum_b
+      FROM v, (SELECT unnest(range(1, 65)) AS i)
+      GROUP BY label, i
+    ),
+    counts AS (
+      SELECT label,
+             CAST(SUM(is_a) AS BIGINT) AS n_a,
+             CAST(SUM(1 - is_a) AS BIGINT) AS n_b
+      FROM v GROUP BY label
+    ),
+    drift AS (
+      SELECT c.label, n.n_a, n.n_b,
+             SUM(ABS(n.n_b * c.sum_a - n.n_a * c.sum_b)) AS drift_num
+      FROM comp c JOIN counts n ON n.label = c.label
+      GROUP BY c.label, n.n_a, n.n_b
+    )
+    SELECT label, n_a, n_b,
+           CAST(drift_num AS VARCHAR) AS drift_num,
+           CAST(drift_num AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * 1e12) AS drift_l1
+    FROM drift
+    """,
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid L1 drift between the first- and second-half
+    vec_id cohorts: cohort sizes, the exact cross-multiplied drift
+    numerator (decimal-backed string; denominator n_a*n_b*1e12), and
+    the one-division double — the embedding-distribution health check
+    run before trusting cohort-A-tuned ANN/semantic-dedup parameters
+    on cohort B.
+
+    Scale: ONE (label, pos)-keyed aggregate over the exploded
+    components (map-side combinable; 64 x |labels| output rows) plus a
+    |labels|-row count aggregate; the drift algebra runs entirely on
+    that bounded lattice. No vector ever joins a vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    v = emb.crossJoin(F.broadcast(n)).select(
+        "label",
+        (2 * F.col("vec_id") < F.col("n_vecs")).cast("int").alias("is_a"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev"),
+    )
+    q = F.bround(F.col("x") * F.lit(1.0e12)).cast("bigint")
+    comp = (
+        v.select("label", "is_a", F.posexplode("ev").alias("pos0", "x"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.sum(F.when(F.col("is_a") == 1, q).otherwise(F.lit(0)))
+            .cast("decimal(38,0)")
+            .alias("sum_a"),
+            F.sum(F.when(F.col("is_a") == 0, q).otherwise(F.lit(0)))
+            .cast("decimal(38,0)")
+            .alias("sum_b"),
+        )
+    )
+    counts = v.groupBy("label").agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("n_b"),
+    )
+    drift = (
+        comp.join(F.broadcast(counts), "label")
+        .groupBy("label", "n_a", "n_b")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n_b").cast("decimal(38,0)") * F.col("sum_a")
+                    - F.col("n_a").cast("decimal(38,0)") * F.col("sum_b")
+                )
+            ).alias("drift_num")
+        )
+    )
+    return drift.select(
+        "label",
+        "n_a",
+        "n_b",
+        F.col("drift_num").cast("decimal(38,0)").cast("string").alias("drift_num"),
+        (
+            F.col("drift_num").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double") * F.lit(1.0e12))
+        ).alias("drift_l1"),
+    )

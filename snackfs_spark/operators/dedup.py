@@ -1930,3 +1930,145 @@ def winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.substring("m", 1, 32).alias("fp"))
         .distinct()
     )
+
+
+# ------------------------------------------------------ dedup yield curve ----
+#
+# The threshold-tuning complement of dedup_lsh_tuning: that query asks
+# "which banding finds candidates at a FIXED similarity bar"; this one
+# asks "how much of the corpus does each BAR actually flag" — the
+# yield curve (pairs and distinct docs flagged per Jaccard threshold)
+# a curation team reads to pick the dedup aggressiveness, knowing
+# exactly how many documents each setting costs. Exact integer gate
+# (1000*inter >= t*(union)) per candidate pair; all thresholds come
+# from ONE verify pass via conditional aggregation.
+DEDUP_YIELD_THRESHOLDS = (200, 400, 500, 600, 800)  # Jaccard permille
+
+
+@register(
+    "corpus_dedup_rate_curve",
+    oracle=(
+        "WITH "
+        + _MINHASH_CTE
+        + f""",
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM shingles GROUP BY doc_id),
+    inters AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(sb.shingle) AS BIGINT) AS inter
+      FROM cand c
+      LEFT JOIN shingles sa ON sa.doc_id = c.doc_a
+      LEFT JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    scored AS (
+      SELECT i.doc_a, i.doc_b, i.inter, za.n AS n_a, zb.n AS n_b
+      FROM inters i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+    ),
+    th AS (SELECT unnest({list(DEDUP_YIELD_THRESHOLDS)}) AS t),
+    flagged AS (
+      SELECT th.t, s.doc_a, s.doc_b,
+             CASE WHEN 1000 * s.inter >= th.t * (s.n_a + s.n_b - s.inter)
+                  THEN 1 ELSE 0 END AS flag
+      FROM scored s CROSS JOIN th
+    ),
+    pair_agg AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(flag) AS BIGINT) AS n_pairs_flagged
+      FROM flagged GROUP BY t
+    ),
+    doc_agg AS (
+      SELECT t, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs_flagged
+      FROM (
+        SELECT t, doc_a AS d FROM flagged WHERE flag = 1
+        UNION ALL
+        SELECT t, doc_b FROM flagged WHERE flag = 1
+      ) GROUP BY t
+    )
+    SELECT p.t AS threshold_permille, p.n_candidates, p.n_pairs_flagged,
+           COALESCE(d.n_docs_flagged, 0) AS n_docs_flagged
+    FROM pair_agg p LEFT JOIN doc_agg d ON d.t = p.t
+    """
+    ),
+)
+def corpus_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield curve: per Jaccard threshold (permille), the LSH
+    candidate count, pairs flagged by the exact integer gate, and
+    distinct documents implicated — the aggressiveness dial a curation
+    run reads before committing a threshold.
+
+    Scale: candidates and the single shingle verify pass are exactly
+    dedup_ngram_jaccard's posture (semi-joined sets, no forced
+    broadcast); every threshold then costs one conditional row over
+    the candidate-pair relation (5-row broadcast threshold table), and
+    both rollups collapse onto <= |thresholds| keys."""
+    cand = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        shingles_df(spark, sf_dir, distinct=False)
+        .join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+        .select("doc_id", "sh", F.size("sh").cast("long").alias("n"))
+    )
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
+    )
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter"),
+            "n_a",
+            "n_b",
+        )
+    )
+    spark_th = F.broadcast(
+        spark.createDataFrame([(t,) for t in DEDUP_YIELD_THRESHOLDS], "t int")
+    )
+    flagged = scored.crossJoin(spark_th).select(
+        "t",
+        "doc_a",
+        "doc_b",
+        (
+            1000 * F.col("inter") >= F.col("t") * (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
+        .cast("int")
+        .alias("flag"),
+    )
+    flagged = flagged.localCheckpoint(eager=False)  # feeds both rollups
+    pair_agg = flagged.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum("flag").cast("long").alias("n_pairs_flagged"),
+    )
+    doc_agg = (
+        flagged.filter(F.col("flag") == 1)
+        .select("t", F.col("doc_a").alias("d"))
+        .unionAll(flagged.filter(F.col("flag") == 1).select("t", F.col("doc_b")))
+        .groupBy("t")
+        .agg(F.count_distinct("d").cast("long").alias("n_docs_flagged"))
+    )
+    return (
+        pair_agg.join(doc_agg, "t", "left")
+        .select(
+            F.col("t").cast("int").alias("threshold_permille"),
+            "n_candidates",
+            "n_pairs_flagged",
+            F.coalesce("n_docs_flagged", F.lit(0)).cast("long").alias("n_docs_flagged"),
+        )
+    )

@@ -306,3 +306,119 @@ def fs_erasure_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(1000 * (n_blocks + {EC_M} * ((n_blocks + {EC_K - 1}) div {EC_K})))"
         " div n_blocks AS overhead_permille",
     )
+
+
+# ------------------------------------------------------- rebalance plan ----
+#
+# The operational follow-on to the load audit: a one-round rebalance
+# PROPOSAL pairing the k-th most-overloaded host with the k-th most
+# underloaded one and moving min(surplus, deficit) blocks — the
+# deterministic declarative core of what a ring operator's "move
+# tokens" runbook computes by hand. Target load is the exact integer
+# mean (total div nodes); hosts within one block of target sit out.
+# Every step after the block→host match is algebra over RING_NODES
+# rows, so the plan is free at any corpus size.
+
+
+@register(
+    "fs_hotspot_rebalance_plan",
+    oracle=fs_sql(
+        """, matched AS (
+      SELECT r.host, CAST(COUNT(b.token) AS BIGINT) AS load
+      FROM ring r LEFT JOIN blocks b
+        ON (r.tok_start < r.tok_end AND b.token > r.tok_start
+            AND b.token <= r.tok_end)
+        OR (r.tok_start >= r.tok_end AND (b.token > r.tok_start
+            OR b.token <= r.tok_end))
+      GROUP BY r.host
+    ),
+    t AS (SELECT CAST(SUM(load) // COUNT(*) AS BIGINT) AS target FROM matched),
+    donors AS (
+      SELECT host AS from_host, load - t.target AS surplus,
+             ROW_NUMBER() OVER (ORDER BY load - t.target DESC, host) AS k
+      FROM matched CROSS JOIN t WHERE load - t.target > 0
+    ),
+    receivers AS (
+      SELECT host AS to_host, t.target - load AS deficit,
+             ROW_NUMBER() OVER (ORDER BY t.target - load DESC, host) AS k
+      FROM matched CROSS JOIN t WHERE t.target - load > 0
+    )
+    SELECT d.k AS move_rank, d.from_host, r.to_host,
+           CAST(LEAST(d.surplus, r.deficit) AS BIGINT) AS n_blocks_moved,
+           CAST(d.surplus AS BIGINT) AS donor_surplus,
+           CAST(r.deficit AS BIGINT) AS receiver_deficit
+    FROM donors d JOIN receivers r ON r.k = d.k""",
+        "ring",
+        "blocks",
+    ),
+)
+def fs_hotspot_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-round ring rebalance proposal: per-host block load from the
+    wraparound interval match, exact integer target (total div nodes),
+    and rank-paired donor→receiver moves of min(surplus, deficit)
+    blocks — the runbook table a ring operator reads before moving
+    tokens.
+
+    Scale: the block→host match is the same broadcast nested-loop
+    interval join as Q-BLOCKLOC (ring is RING_NODES rows); load
+    collapses map-side onto host keys, and everything after — target,
+    ranks, pairing — is algebra over <= RING_NODES rows (the bounded
+    windows are 25 rows by construction)."""
+    from snackfs_spark.sources.fsmodel import blocks_df, ring_df
+
+    b = blocks_df(spark, sf_dir)
+    r = F.broadcast(ring_df(spark, sf_dir))
+    normal = (
+        (r["tok_start"] < r["tok_end"])
+        & (b["token"] > r["tok_start"])
+        & (b["token"] <= r["tok_end"])
+    )
+    wrap = (r["tok_start"] >= r["tok_end"]) & (
+        (b["token"] > r["tok_start"]) | (b["token"] <= r["tok_end"])
+    )
+    matched = (
+        ring_df(spark, sf_dir)
+        .join(b.join(r, normal | wrap).select("host", "token"), "host", "left")
+        .groupBy("host")
+        .agg(F.count("token").cast("long").alias("load"))
+    )
+    t = matched.agg(F.expr("sum(load) div count(1)").cast("long").alias("target"))
+    loaded = matched.crossJoin(F.broadcast(t))
+    from pyspark.sql import Window
+
+    donors = (
+        loaded.filter(F.col("load") - F.col("target") > 0)
+        .select(
+            F.col("host").alias("from_host"),
+            (F.col("load") - F.col("target")).alias("surplus"),
+        )
+        .withColumn(
+            "k",
+            F.row_number().over(
+                Window.orderBy(F.col("surplus").desc(), F.col("from_host"))
+            ),
+        )
+    )
+    receivers = (
+        loaded.filter(F.col("target") - F.col("load") > 0)
+        .select(
+            F.col("host").alias("to_host"),
+            (F.col("target") - F.col("load")).alias("deficit"),
+        )
+        .withColumn(
+            "k",
+            F.row_number().over(
+                Window.orderBy(F.col("deficit").desc(), F.col("to_host"))
+            ),
+        )
+    )
+    # both sides are <= RING_NODES/2 rows by construction — broadcast
+    # is safe to force (unlike corpus-proportional relations)
+    return donors.join(F.broadcast(receivers), "k").select(
+        F.col("k").cast("long").alias("move_rank"),
+        "from_host",
+        "to_host",
+        F.least("surplus", "deficit").cast("long").alias("n_blocks_moved"),
+        F.col("surplus").cast("long").alias("donor_surplus"),
+        F.col("deficit").cast("long").alias("receiver_deficit"),
+    )

@@ -2703,3 +2703,87 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_tokens", "cum_tokens",
         )
     )
+
+
+# --------------------------------------------------- novelty decay curve ----
+#
+# The "is more of this data worth ingesting?" curve: per decile of the
+# corpus in doc_id (ingest) order, how many 3-gram occurrences are
+# NOVEL — their gram first appears in that doc — versus repeats of
+# grams already seen earlier. The declining novelty permille across
+# deciles is the diminishing-returns evidence a data-acquisition
+# decision reads (and the aggregate view of what dedup_span_ngrams
+# localizes span-by-span). Novelty is occurrence-level: every
+# occurrence inside the gram's FIRST document counts as novel (the
+# within-first-doc repeats are new content being established, not
+# cross-document duplication).
+
+
+@register(
+    "corpus_novelty_curve",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' ')
+               AS g
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(0, greatest(len(string_split(text, ' ')) - 2, 0))) AS i
+        FROM documents
+      )
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+    occ AS (
+      SELECT (10 * gr.doc_id) // n.n_docs AS decile,
+             CASE WHEN gr.doc_id = f.first_doc THEN 1 ELSE 0 END AS novel,
+             CASE WHEN gr.doc_id = f.first_doc THEN f.g END AS novel_g
+      FROM grams gr JOIN firsts f ON f.g = gr.g CROSS JOIN n
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(novel) AS BIGINT) AS novel_grams,
+           CAST(COUNT(DISTINCT novel_g) AS BIGINT) AS new_types,
+           CAST((1000 * SUM(novel)) // COUNT(*) AS BIGINT) AS novelty_permille
+    FROM occ GROUP BY decile
+    """,
+)
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty-decay curve over ingest order: per doc_id decile, total
+    3-gram occurrences, occurrences of grams making their first
+    appearance, distinct new gram types, and the novelty permille —
+    the diminishing-returns report behind "do we ingest more of this
+    source?".
+
+    Scale: one gram scan feeds BOTH the first-occurrence min (ONE
+    vocab-keyed map-side-combinable shuffle) and the occurrence side of
+    the gram-keyed join (the same shuffle class every shingle verify
+    pays); the decile rollup collapses map-side onto 10 keys. The
+    1-row doc count broadcasts."""
+    from snackfs_spark.operators.dedup import shingles_df
+
+    grams = shingles_df(spark, sf_dir, distinct=False).withColumnRenamed(
+        "shingle", "g"
+    )
+    grams = grams.localCheckpoint(eager=False)  # feeds firsts AND the join
+    n = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    occ = (
+        grams.join(firsts.hint("shuffle_hash"), "g")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.expr("(10 * doc_id) div n_docs").cast("long").alias("decile"),
+            (F.col("doc_id") == F.col("first_doc")).cast("int").alias("novel"),
+            F.when(F.col("doc_id") == F.col("first_doc"), F.col("g")).alias("novel_g"),
+        )
+    )
+    return occ.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum("novel").cast("long").alias("novel_grams"),
+        F.count_distinct("novel_g").cast("long").alias("new_types"),
+        F.expr("(1000 * sum(novel)) div count(1)").cast("long").alias(
+            "novelty_permille"
+        ),
+    )

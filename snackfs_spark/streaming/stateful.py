@@ -150,3 +150,96 @@ def rate_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of operators/windows.events_rate_limit_audit: a live
+# per-user throttler. Policy (deterministic and batch-expressible): an
+# event is THROTTLED iff (events of this user in the previous 3600
+# CLOSED seconds) + (its 1-based arrival rank within its own second,
+# event_id order) exceeds RATE_CAP. Closed-second counting makes the
+# decision independent of how a second's events split across
+# micro-batches; the within-second rank is the deterministic tiebreak.
+# State per user = (per-second counts inside the trailing hour,
+# cumulative totals) — O(active seconds/hour), the exact state a
+# production limiter keeps. The batch twin (RANGE 3600 PRECEDING AND 1
+# PRECEDING + ROW_NUMBER within the second) is pinned drained-equal in
+# tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+RL_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, n_throttled bigint, max_window bigint"
+)
+RL_STATE_SCHEMA = (
+    "secs array<bigint>, counts array<bigint>, "
+    "n_events bigint, n_throttled bigint, max_window bigint"
+)
+RL_CAP = 20  # = operators/windows.RATE_CAP
+
+
+def _rate_limiter(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        secs, counts, n_events, n_throttled, max_window = state.get
+        window: dict[int, int] = dict(zip(secs, counts))
+    else:
+        window, n_events, n_throttled, max_window = {}, 0, 0, 0
+
+    rows = []
+    for pdf in pdfs:
+        sec = (pdf["ts"].astype("int64") // 1_000_000_000).astype("int64")
+        for s, eid in zip(sec, pdf["event_id"]):
+            rows.append((int(s), int(eid)))
+    rows.sort()
+    i = 0
+    while i < len(rows):
+        s = rows[i][0]
+        j = i
+        # previous CLOSED hour: stored seconds in [s-3600, s-1]
+        prev = sum(c for t, c in window.items() if s - 3600 <= t < s)
+        in_second = window.get(s, 0)
+        while j < len(rows) and rows[j][0] == s:
+            in_second += 1
+            w = prev + in_second
+            n_events += 1
+            if w > RL_CAP:
+                n_throttled += 1
+            if w > max_window:
+                max_window = w
+            j += 1
+        window[s] = in_second
+        # trim state to the trailing hour of the newest second
+        window = {t: c for t, c in window.items() if t >= s - 3600}
+        i = j
+
+    items = sorted(window.items())
+    state.update(
+        (
+            [t for t, _ in items],
+            [c for _, c in items],
+            n_events,
+            n_throttled,
+            max_window,
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([user_id], dtype="int64"),
+            "n_events": pd.Series([n_events], dtype="int64"),
+            "n_throttled": pd.Series([n_throttled], dtype="int64"),
+            "max_window": pd.Series([max_window], dtype="int64"),
+        }
+    )
+
+
+def rate_limiter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir).select("user_id", "event_id", "ts")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _rate_limiter,
+        outputStructType=RL_OUTPUT_SCHEMA,
+        stateStructType=RL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

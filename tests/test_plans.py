@@ -734,3 +734,47 @@ def test_rate_limit_user_partitioned_range_window_no_join(spark):
     assert specs, plan
     for spec in specs:
         assert "user_id" in spec, spec
+
+
+def test_novelty_curve_no_forced_broadcast_shuffle_hash_firsts(spark):
+    """The gram-keyed first-occurrence join is corpus-proportional on
+    both sides: shuffle-hashed, never a forced broadcast (only the
+    1-row doc count broadcasts)."""
+    df = REG["corpus_novelty_curve"].fn(spark, SF_ORACLE)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_centroid_drift_bounded_lattice_no_vector_join(spark):
+    """All joins run over the <= 64 x |labels| component lattice or the
+    |labels| count relation — no vector-vector join, no sort-merge."""
+    df = REG["emb_centroid_drift"].fn(spark, SF_ORACLE)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_rebalance_plan_broadcasts_ring_only(spark):
+    """The block->host match must be the Q-BLOCKLOC broadcast interval
+    join; the planning windows run over <= RING_NODES rows."""
+    df = REG["fs_hotspot_rebalance_plan"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_dedup_rate_curve_no_forced_broadcast(spark):
+    """Same posture as the Jaccard verifier: no join may hint
+    broadcast (candidates are corpus-proportional on near-dup-heavy
+    crawls); the threshold table is the only explicit broadcast."""
+    df = REG["corpus_dedup_rate_curve"].fn(spark, SF_ORACLE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    hints = [
+        l
+        for l in analyzed.splitlines()
+        if "ResolvedHint" in l and "broadcast" in l.lower()
+    ]
+    # the 5-row threshold table broadcast is the single allowed hint
+    assert len(hints) <= 1, analyzed

@@ -490,3 +490,80 @@ def test_rate_limit_audit_replays_worst_user(spark):
         assert r["n_throttled"] == thr
         assert r["max_window_count"] == mx
         assert r["n_users_throttled"] == len(users)
+
+
+# --------------------------------------------------- batch-4 operators ----
+
+
+def test_novelty_curve_conserves_and_decays(spark):
+    """Gram occurrences must sum to the exact corpus gram count, new
+    types to the distinct gram count; decile 0 is maximally novel
+    (every occurrence's gram first appears in decile 0's docs or
+    later deciles repeat it)."""
+    rows = sorted(
+        REG["corpus_novelty_curve"].fn(spark, SF_ORACLE).collect(),
+        key=lambda r: r["decile"],
+    )
+    from snackfs_spark.operators.dedup import shingles_df
+
+    grams = shingles_df(spark, SF_ORACLE, distinct=False)
+    assert sum(r["n_grams"] for r in rows) == grams.count()
+    assert sum(r["new_types"] for r in rows) == grams.select("shingle").distinct().count()
+    assert sum(r["novel_grams"] for r in rows) <= sum(r["n_grams"] for r in rows)
+    # novelty can only be diluted as the corpus grows: the LAST decile
+    # must be no more novel than the first
+    assert rows[-1]["novelty_permille"] <= rows[0]["novelty_permille"]
+
+
+def test_centroid_drift_zero_on_identical_cohorts(spark, tmp_path):
+    """Craft an embeddings table whose two vec_id halves are identical
+    per label: drift must be exactly zero; and on the real fixture the
+    quotient must recompute from the exact numerator."""
+    import shutil
+
+    src = f"{SF_ORACLE}"
+    out = tmp_path / "sf"
+    out.mkdir()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents").split():
+        shutil.copy(f"{src}/{t}.parquet", out / f"{t}.parquet")
+    emb = spark.read.parquet(f"{src}/embeddings.parquet").limit(20).collect()
+    half = [(i, r["embedding"], r["label"] % 2) for i, r in enumerate(emb[:10])]
+    mirrored = half + [(i + 10, e, l) for (i, e, l) in half]
+    spark.createDataFrame(
+        mirrored, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(out / "embeddings.parquet"))
+    for r in REG["emb_centroid_drift"].fn(spark, str(out)).collect():
+        assert r["drift_num"] == "0" and r["drift_l1"] == 0.0, r
+        assert r["n_a"] == r["n_b"]
+    for r in REG["emb_centroid_drift"].fn(spark, SF_ORACLE).collect():
+        assert r["drift_l1"] == int(r["drift_num"]) / (r["n_a"] * r["n_b"] * 1e12)
+
+
+def test_rebalance_plan_moves_shrink_spread(spark):
+    """Applying the proposed moves must strictly shrink the max-load
+    spread: every move is donor-surplus and receiver-deficit bounded,
+    so no move overshoots the target."""
+    from snackfs_spark.sources.fsmodel import RING_NODES
+
+    rows = REG["fs_hotspot_rebalance_plan"].fn(spark, SF_ORACLE).collect()
+    assert rows and len(rows) <= RING_NODES // 2
+    for r in rows:
+        assert 0 < r["n_blocks_moved"] <= min(r["donor_surplus"], r["receiver_deficit"])
+        assert r["from_host"] != r["to_host"]
+    assert len({r["from_host"] for r in rows}) == len(rows)  # rank-paired 1:1
+    assert len({r["to_host"] for r in rows}) == len(rows)
+
+
+def test_dedup_rate_curve_monotone_and_anchored(spark):
+    """Yield must be monotone non-increasing in the threshold; the
+    candidate count is threshold-independent; the 200-permille row must
+    flag at least every pair the ngram-jaccard query (t=0.2) reports."""
+    rows = {r["threshold_permille"]: r for r in REG["corpus_dedup_rate_curve"].fn(spark, SF_ORACLE).collect()}
+    ts = sorted(rows)
+    assert len({rows[t]["n_candidates"] for t in ts}) == 1
+    for lo, hi in zip(ts, ts[1:]):
+        assert rows[lo]["n_pairs_flagged"] >= rows[hi]["n_pairs_flagged"]
+        assert rows[lo]["n_docs_flagged"] >= rows[hi]["n_docs_flagged"]
+    jac = REG["dedup_ngram_jaccard"].fn(spark, SF_ORACLE).count()
+    assert rows[200]["n_pairs_flagged"] >= jac

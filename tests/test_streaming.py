@@ -409,3 +409,49 @@ def test_event_loaders_adapt_to_both_ts_encodings(spark, tmp_path):
     assert s_us == s_ns, "stream loader diverges between encodings"
     assert b_us == s_us, "batch and stream loaders disagree"
     assert len(b_us) == 200
+
+
+def test_stateful_rate_limiter_equals_batch_twin(spark):
+    """The live per-user throttler (applyInPandasWithState; per-second
+    state trimmed to the trailing hour) must agree with the batch twin
+    of its policy — RANGE over the previous 3600 CLOSED seconds plus
+    the within-second event_id rank — for every user: cumulative event,
+    throttle, and worst-window counts."""
+    from pyspark.sql import Window
+
+    from snackfs_spark.streaming.stateful import RL_CAP, rate_limiter_stream
+
+    got = run_stream_to_df(spark, rate_limiter_stream(spark, SF_SMALL), mode="update")
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("n_throttled").alias("n_throttled"),
+        F.max("max_window").alias("max_window"),
+    )
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "event_id", F.expr("unix_micros(ts) div 1000000").alias("sec")
+    )
+    w_prev = (
+        Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, -1)
+    )
+    w_rank = Window.partitionBy("user_id", "sec").orderBy("event_id")
+    scored = ev.select(
+        "user_id",
+        (
+            F.coalesce(F.count(F.lit(1)).over(w_prev), F.lit(0))
+            + F.row_number().over(w_rank)
+        ).alias("w"),
+    )
+    want = scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("w") > RL_CAP).cast("int")).cast("long").alias("n_throttled"),
+        F.max("w").cast("long").alias("max_window"),
+    )
+    got_map = {
+        r["user_id"]: (r["n_events"], r["n_throttled"], r["max_window"])
+        for r in final.collect()
+    }
+    want_map = {
+        r["user_id"]: (r["n_events"], r["n_throttled"], r["max_window"])
+        for r in want.collect()
+    }
+    assert got_map == want_map

@@ -184,6 +184,11 @@ QUERIES = [
     "graph_degree_distribution",
     "multimodal_audio_vad",
     "events_rate_limit_audit",
+    # batch 4: novelty decay, centroid drift, ring rebalance, yield curve
+    "corpus_novelty_curve",
+    "emb_centroid_drift",
+    "fs_hotspot_rebalance_plan",
+    "corpus_dedup_rate_curve",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
