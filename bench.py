@@ -211,6 +211,9 @@ HEADLINE_R12 = [
     "emb_centroid_drift",
     "fs_hotspot_rebalance_plan",
     "corpus_dedup_rate_curve",
+    "text_burstiness",
+    "events_bot_detection",
+    "multimodal_brightness_drift",
 ]
 
 

@@ -975,3 +975,142 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("run").cast("long").alias("active_frames"),
         F.max("run").cast("long").alias("longest_run"),
     )
+
+
+# -------------------------------------------------- brightness drift ----
+#
+# Image-domain distribution drift between sources: the 16-bin tile
+# mean-brightness histogram per source, compared pairwise by exact
+# total-variation distance — |h_a[i]*n_b - h_b[i]*n_a| summed over the
+# cross-multiplied common denominator 2*n_a*n_b, so no float frequency
+# is ever compared (the image twin of events_drift_tv, fed by the REAL
+# tile decode). The screening report that flags a source whose imagery
+# stopped looking like the rest before an expensive model sees it.
+BRIGHT_BINS = 16  # 256 levels / 16
+
+
+@register(
+    "multimodal_brightness_drift",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id AS asset_id,
+             i // {TILE_H * IMG_W} AS tile_idx,
+             ascii(substr(text, CAST(i + 1 AS INT), 1)) AS p
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(0,
+                 (octet_length(encode(text)) // {IMG_W * TILE_H}) * {IMG_W * TILE_H}))
+                 AS i
+        FROM documents
+      )
+    ),
+    tiles AS (
+      SELECT asset_id, tile_idx,
+             (CAST(SUM(p) AS BIGINT) // {TILE_H * IMG_W}) // {256 // BRIGHT_BINS}
+               AS bin
+      FROM px GROUP BY asset_id, tile_idx
+    ),
+    sparse AS (
+      SELECT d.source, t.bin, CAST(COUNT(*) AS BIGINT) AS h
+      FROM tiles t JOIN documents d ON d.doc_id = t.asset_id
+      GROUP BY d.source, t.bin
+    ),
+    -- densify: every (source, bin) cell exists, zero-filled, so the
+    -- pairwise join never silently drops a one-sided bin
+    hist AS (
+      SELECT s.source, b.bin, COALESCE(sp.h, 0) AS h
+      FROM (SELECT DISTINCT source FROM sparse) s
+      CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
+      LEFT JOIN sparse sp ON sp.source = s.source AND sp.bin = b.bin
+    ),
+    totals AS (
+      SELECT source, CAST(SUM(h) AS BIGINT) AS n FROM hist GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             ta.n AS n_a, tb.n AS n_b,
+             CAST(SUM(ABS(a.h * tb.n - b.h * ta.n)) AS BIGINT) AS tv_num
+      FROM hist a
+      JOIN hist b ON b.bin = a.bin AND a.source < b.source
+      JOIN totals ta ON ta.source = a.source
+      JOIN totals tb ON tb.source = b.source
+      GROUP BY a.source, b.source, ta.n, tb.n
+    )
+    SELECT source_a, source_b, n_a, n_b, tv_num,
+           CAST((1000 * tv_num) // (2 * n_a * n_b) AS BIGINT) AS tv_permille
+    FROM pairs
+    """,
+)
+def multimodal_brightness_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source drift of the tile mean-brightness distribution:
+    16-bin histograms from the REAL grayscale tile decode, compared by
+    exact cross-multiplied total variation (tv_num over 2*n_a*n_b;
+    permille reported) — the image twin of events_drift_tv.
+
+    Scale: the decode is the one-pass Arrow tile scan
+    multimodal_image_tiles already pays; histograms collapse map-side
+    onto |sources| x 16 keys and the pairwise comparison is algebra
+    over that bounded relation (every source pair shares the same 16
+    bins, so the pair join is bin-keyed over <= 160 rows)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"), "source"
+    )
+    tiles = multimodal_image_tiles(spark, sf_dir).select(
+        "asset_id",
+        (
+            F.expr(f"brightness_sum div {TILE_H * IMG_W}") / (256 // BRIGHT_BINS)
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    sparse = (
+        tiles.join(docs.hint("shuffle_hash"), "asset_id")
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("h"))
+    )
+    sparse = sparse.localCheckpoint(eager=False)  # bounded
+    # densify (sources x BRIGHT_BINS grid, zero-filled): a full-outer
+    # pair join would null-reject under the source_a < source_b filter
+    # and Catalyst downgrades it to inner — one-sided bins would drop
+    # from the TV sum in BOTH engines, a shared bug the oracle could
+    # never catch. The dense grid makes the plain inner join exact.
+    grid = (
+        sparse.select("source")
+        .distinct()
+        .crossJoin(
+            spark.range(BRIGHT_BINS).select(F.col("id").cast("long").alias("bin"))
+        )
+    )
+    hist = (
+        grid.join(F.broadcast(sparse), ["source", "bin"], "left")
+        .select("source", "bin", F.coalesce("h", F.lit(0)).cast("long").alias("h"))
+    )
+    totals = hist.groupBy("source").agg(F.sum("h").cast("long").alias("n"))
+    a = hist.select(
+        F.col("source").alias("source_a"), "bin", F.col("h").alias("ha")
+    )
+    b = hist.select(
+        F.col("source").alias("source_b"), "bin", F.col("h").alias("hb")
+    )
+    # every relation below is <= |sources| x BRIGHT_BINS rows — bounded
+    # at any corpus size, so forced broadcasts are safe by construction
+    pairs = (
+        a.join(F.broadcast(b), "bin")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(totals.withColumnRenamed("source", "source_a").withColumnRenamed("n", "n_a")), "source_a")
+        .join(F.broadcast(totals.withColumnRenamed("source", "source_b").withColumnRenamed("n", "n_b")), "source_b")
+        .groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(
+            F.sum(F.abs(F.col("ha") * F.col("n_b") - F.col("hb") * F.col("n_a")))
+            .cast("long")
+            .alias("tv_num")
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "tv_num",
+        F.expr("(1000 * tv_num) div (2 * n_a * n_b)").cast("long").alias("tv_permille"),
+    )

@@ -2787,3 +2787,89 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_permille"
         ),
     )
+
+
+# -------------------------------------------------------- token burstiness ----
+#
+# Church-Gale burstiness: content words arrive in BURSTS (a document
+# about a topic repeats its topical words), function words arrive
+# uniformly. The dispersion statistic is the variance-to-mean ratio of
+# per-document counts — computed here as the exact rational pair
+# (var_num, var_den) with var_num = n*sum(c^2) - (sum c)^2 over ALL
+# n docs (zero counts included via the corpus doc total, never
+# materialized) and var_den = n * sum(c) — VMR > 1 is bursty. The
+# curation signal that separates topical vocabulary from boilerplate
+# glue when building keyword filters or stopword lists.
+BURST_MIN_COUNT = 50  # report tokens with corpus count >= 50
+
+
+@register(
+    "text_burstiness",
+    oracle=f"""
+    WITH dw AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    per_doc AS (
+      SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM dw WHERE word <> '' GROUP BY word, doc_id
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    stats AS (
+      SELECT word,
+             CAST(COUNT(*) AS BIGINT) AS n_docs_present,
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      FROM per_doc GROUP BY word
+    )
+    SELECT word, n_docs_present, total,
+           CAST(n.n_docs * sum_sq - total * total AS BIGINT) AS var_num,
+           CAST(n.n_docs * total AS BIGINT) AS var_den,
+           CAST(n.n_docs * sum_sq - total * total AS DOUBLE)
+             / CAST(n.n_docs * total AS DOUBLE) AS vmr
+    FROM stats CROSS JOIN n
+    WHERE total >= {BURST_MIN_COUNT}
+    """,
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token Church-Gale burstiness over the corpus: document
+    presence, total count, the exact variance-to-mean rational
+    (var_num, var_den; zero-count docs folded in algebraically via the
+    corpus doc total) and its one-division VMR double — VMR >> 1 marks
+    topical/bursty vocabulary, VMR ~ 1 uniform glue.
+
+    Scale: one exploded scan collapses map-side onto (word, doc) then
+    word keys — the same two-level shuffle class as TF-IDF; the 1-row
+    doc count broadcasts; zero-count documents are never materialized
+    (the n*sum_sq - total^2 identity absorbs them)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    per_doc = dw.groupBy("word", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    stats = per_doc.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_present"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+    )
+    return (
+        stats.filter(F.col("total") >= BURST_MIN_COUNT)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "word",
+            "n_docs_present",
+            "total",
+            (F.col("n_docs") * F.col("sum_sq") - F.col("total") * F.col("total"))
+            .cast("long")
+            .alias("var_num"),
+            (F.col("n_docs") * F.col("total")).cast("long").alias("var_den"),
+            (
+                (F.col("n_docs") * F.col("sum_sq") - F.col("total") * F.col("total")).cast(
+                    "double"
+                )
+                / (F.col("n_docs") * F.col("total")).cast("double")
+            ).alias("vmr"),
+        )
+    )

@@ -1244,3 +1244,157 @@ def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("throttled_permille"),
     )
+
+# ------------------------------------------------------- bot detection ----
+#
+# Rule-based abuse triage composing three exact per-user signals,
+# each thresholded against a CORPUS-DERIVED baseline (fixed absolute
+# thresholds stop discriminating the day traffic shape changes — the
+# data-derived-knob lesson from PCY applied to triage):
+#   rate:        event count above the corpus mean events-per-user
+#                (n_events * n_users > total_events)
+#   regular:     inter-arrival gap variance-to-mean below the pooled
+#                corpus VMR (cross-multiplied rationals in
+#                decimal(38,0) — no float ever compared)
+#   concentrated: top event type exceeding its uniform share
+#                (|types| * max_type_count > n_events)
+# The 8-cell rule-combination contingency with user/event volume per
+# cell is the triage table an abuse team reads to pick the compound
+# rule worth shipping.
+BOT_MIN_EVENTS = 10  # rules evaluated only for users with >= 10 events
+
+
+@register(
+    "events_bot_detection",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+             event_type,
+             epoch_us(ts) // 1000000
+               - LAG(epoch_us(ts) // 1000000)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+             CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap) AS BIGINT) AS gap_sum,
+             CAST(SUM(gap * gap) AS BIGINT) AS gap_sq
+      FROM g GROUP BY user_id
+    ),
+    top_share AS (
+      SELECT user_id, CAST(MAX(c) AS BIGINT) AS max_type_count
+      FROM (SELECT user_id, event_type, COUNT(*) AS c
+            FROM g GROUP BY user_id, event_type)
+      GROUP BY user_id
+    ),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(n_events) AS BIGINT) AS total_events,
+             CAST(SUM(n_gaps) AS HUGEINT) AS all_ng,
+             CAST(SUM(gap_sum) AS HUGEINT) AS all_gs,
+             CAST(SUM(gap_sq) AS HUGEINT) AS all_gq
+      FROM per_user
+    ),
+    flagged AS (
+      SELECT p.user_id, p.n_events,
+             CASE WHEN p.n_events * c.n_users > c.total_events
+                  THEN 1 ELSE 0 END AS rule_rate,
+             CASE WHEN p.n_gaps > 0 AND p.gap_sum > 0
+                       AND (CAST(p.n_gaps AS HUGEINT) * p.gap_sq
+                            - CAST(p.gap_sum AS HUGEINT) * p.gap_sum)
+                           * (c.all_ng * c.all_gs)
+                         < (c.all_ng * c.all_gq - c.all_gs * c.all_gs)
+                           * (CAST(p.n_gaps AS HUGEINT) * p.gap_sum)
+                  THEN 1 ELSE 0 END AS rule_regular,
+             CASE WHEN p.n_types * t.max_type_count > p.n_events
+                  THEN 1 ELSE 0 END AS rule_concentrated
+      FROM per_user p
+      JOIN top_share t ON t.user_id = p.user_id
+      CROSS JOIN corpus c
+      WHERE p.n_events >= {BOT_MIN_EVENTS}
+    )
+    SELECT rule_rate, rule_regular, rule_concentrated,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM flagged GROUP BY 1, 2, 3
+    """,
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-triage contingency: users with >= BOT_MIN_EVENTS events are
+    scored on three exact corpus-relative rules (above-mean rate,
+    more-regular-than-pooled gap VMR via cross-multiplied decimal(38,0)
+    rationals, type share above uniform) and rolled up into the 8-cell
+    rule-combination table with user and event volume per cell.
+
+    Scale: ONE user-keyed ordered window (the lag gap — sessionize
+    cost class), two map-side-combinable aggregates (per-user and
+    per-(user, type) -> max), a 1-row broadcast corpus baseline, and
+    an 8-key rollup. Every comparison is exact integer arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    g = ev.select(
+        "user_id",
+        sec.alias("sec"),
+        "event_type",
+        (sec - F.lag(sec).over(w)).alias("gap"),
+    )
+    g = g.localCheckpoint(eager=False)  # feeds per_user AND top_share
+    per_user = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("gap_sum"),
+        F.sum(F.col("gap") * F.col("gap")).cast("long").alias("gap_sq"),
+    )
+    per_user = per_user.localCheckpoint(eager=False)  # feeds corpus AND flagged
+    top_share = (
+        g.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").cast("long").alias("max_type_count"))
+    )
+    d38 = "decimal(38,0)"
+    corpus = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.sum("n_gaps").cast(d38).alias("all_ng"),
+        F.sum("gap_sum").cast(d38).alias("all_gs"),
+        F.sum("gap_sq").cast(d38).alias("all_gq"),
+    )
+    p_var = (
+        F.col("n_gaps").cast(d38) * F.col("gap_sq")
+        - F.col("gap_sum").cast(d38) * F.col("gap_sum")
+    )
+    c_var = F.col("all_ng") * F.col("all_gq") - F.col("all_gs") * F.col("all_gs")
+    flagged = (
+        per_user.filter(F.col("n_events") >= BOT_MIN_EVENTS)
+        .join(top_share.hint("shuffle_hash"), "user_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "n_events",
+            (F.col("n_events") * F.col("n_users") > F.col("total_events"))
+            .cast("int")
+            .alias("rule_rate"),
+            (
+                (F.col("n_gaps") > 0)
+                & (F.col("gap_sum") > 0)
+                & (
+                    p_var * (F.col("all_ng") * F.col("all_gs"))
+                    < c_var * (F.col("n_gaps").cast(d38) * F.col("gap_sum"))
+                )
+            )
+            .cast("int")
+            .alias("rule_regular"),
+            (F.col("n_types") * F.col("max_type_count") > F.col("n_events"))
+            .cast("int")
+            .alias("rule_concentrated"),
+        )
+    )
+    return flagged.groupBy("rule_rate", "rule_regular", "rule_concentrated").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )

@@ -778,3 +778,34 @@ def test_dedup_rate_curve_no_forced_broadcast(spark):
     ]
     # the 5-row threshold table broadcast is the single allowed hint
     assert len(hints) <= 1, analyzed
+
+
+def test_burstiness_two_level_shuffle_no_join(spark):
+    """(word, doc) then word collapse — the TF-IDF shuffle class; the
+    only join is the 1-row doc-count broadcast."""
+    df = REG["text_burstiness"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bot_detection_user_window_then_bounded_rollup(spark):
+    """One user-partitioned lag window; the top-share join is shuffle-
+    hashed on user keys (corpus-proportional, never broadcast); the
+    corpus baseline is the only broadcast."""
+    # the lag window sits behind the checkpointed gap relation (the
+    # dump does not traverse it); what remains visible must keep the
+    # per-user join shuffle-hashed and only the 1-row baseline broadcast
+    df = REG["events_bot_detection"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_brightness_drift_bounded_pair_algebra(spark):
+    """The pair comparison runs over the <= |sources| x 16 histogram
+    (bin-keyed full outer + broadcast totals) — no corpus-sized join."""
+    df = REG["multimodal_brightness_drift"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan  # the 10-row totals
+    assert "SortMergeJoin" not in plan, plan

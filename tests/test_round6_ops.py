@@ -567,3 +567,67 @@ def test_dedup_rate_curve_monotone_and_anchored(spark):
         assert rows[lo]["n_docs_flagged"] >= rows[hi]["n_docs_flagged"]
     jac = REG["dedup_ngram_jaccard"].fn(spark, SF_ORACLE).count()
     assert rows[200]["n_pairs_flagged"] >= jac
+
+
+# --------------------------------------------------- batch-5 operators ----
+
+
+def test_burstiness_identity_and_replay(spark):
+    """var_num/var_den must recompute from (n_docs, total, sum_sq) and
+    vmr from the rational; replay one word's per-doc counts in pandas
+    including the zero-count identity."""
+    rows = REG["text_burstiness"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    n_docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").count()
+    for r in rows:
+        assert r["var_den"] == n_docs * r["total"]
+        assert r["vmr"] == r["var_num"] / r["var_den"]
+        assert r["n_docs_present"] <= n_docs
+    word = rows[0]["word"]
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "text"
+    ).toPandas()
+    counts = [t.split(" ").count(word) for t in docs["text"]]
+    total = sum(counts)
+    sum_sq = sum(c * c for c in counts)
+    byw = {r["word"]: r for r in rows}[word]
+    assert byw["total"] == total
+    assert byw["var_num"] == n_docs * sum_sq - total * total
+
+
+def test_bot_detection_conserves_eligible_users(spark):
+    """Cell user counts must sum to the number of eligible users and
+    every rule must actually discriminate (at least two cells)."""
+    from snackfs_spark.operators.windows import BOT_MIN_EVENTS
+
+    rows = REG["events_bot_detection"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) >= 2, rows
+    from snackfs_spark.sources.tables import load_table
+
+    eligible = (
+        load_table(spark, SF_ORACLE, "events")
+        .groupBy("user_id")
+        .count()
+        .filter(F.col("count") >= BOT_MIN_EVENTS)
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == eligible
+    for r in rows:
+        for flag in ("rule_rate", "rule_regular", "rule_concentrated"):
+            assert r[flag] in (0, 1)
+
+
+def test_brightness_drift_metric_properties(spark):
+    """TV must be symmetric-complete (all source pairs once), bounded in
+    [0, 1000] permille, zero against itself by construction, and the
+    permille must recompute from the exact numerator."""
+    rows = REG["multimodal_brightness_drift"].fn(spark, SF_ORACLE).collect()
+    n_sources = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "source"
+    ).distinct().count()
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 <= r["tv_permille"] <= 1000
+        assert r["tv_permille"] == (1000 * r["tv_num"]) // (2 * r["n_a"] * r["n_b"])
+        assert r["tv_num"] <= 2 * r["n_a"] * r["n_b"]

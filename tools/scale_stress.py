@@ -189,6 +189,10 @@ QUERIES = [
     "emb_centroid_drift",
     "fs_hotspot_rebalance_plan",
     "corpus_dedup_rate_curve",
+    # batch 5: burstiness, bot triage, image brightness drift
+    "text_burstiness",
+    "events_bot_detection",
+    "multimodal_brightness_drift",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
