@@ -214,6 +214,8 @@ HEADLINE_R12 = [
     "text_burstiness",
     "events_bot_detection",
     "multimodal_brightness_drift",
+    "corpus_dedup_impact",
+    "split_temporal_holdout",
 ]
 
 

@@ -2072,3 +2072,75 @@ def corpus_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_docs_flagged", F.lit(0)).cast("long").alias("n_docs_flagged"),
         )
     )
+
+
+# ------------------------------------------------------- dedup impact ----
+#
+# The "what did dedup cost us" report: per source, corpus volume before
+# and after keeping only near-dup-component keepers (min doc_id per
+# component — dedup_cluster_canonical's rule), with retained permille
+# by docs and by chars. The number a curation review reads next to the
+# yield curve: the curve says what a threshold FLAGS, this says what
+# the shipped clustering actually REMOVES, and which sources bear it.
+
+
+@register(
+    "corpus_dedup_impact",
+    oracle=(
+        "WITH RECURSIVE "
+        + _MINHASH_CTE
+        + ","
+        + _CC_REACH_CTES
+        + """,
+    members AS (
+      SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS docs_before,
+           CAST(SUM(CASE WHEN m.cluster_id = d.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_after,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_before,
+           CAST(SUM(CASE WHEN m.cluster_id = d.doc_id THEN d.n_chars ELSE 0 END)
+                AS BIGINT) AS chars_after,
+           CAST((1000 * SUM(CASE WHEN m.cluster_id = d.doc_id THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS docs_retained_permille,
+           CAST((1000 * SUM(CASE WHEN m.cluster_id = d.doc_id THEN d.n_chars ELSE 0 END))
+                // SUM(d.n_chars) AS BIGINT) AS chars_retained_permille
+    FROM members m JOIN documents d ON d.doc_id = m.doc_id
+    GROUP BY d.source
+    """
+    ),
+)
+def corpus_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup impact: doc and char volume before/after
+    keeping only near-dup-component keepers, with retained permille —
+    the removal bill (by source) of the shipped clustering, read next
+    to corpus_dedup_rate_curve's what-if yields.
+
+    Scale: composes dedup_cluster_canonical (round cost = candidate
+    graph); this adds one doc-keyed join and a |sources|-key rollup.
+    A doc is kept iff it IS its component's min label — no second
+    keeper relation needed."""
+    labels = dedup_cluster_canonical(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    j = docs.join(labels, "doc_id")
+    keep = (F.col("cluster_id") == F.col("doc_id")).cast("int")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_before"),
+        F.sum(keep).cast("long").alias("docs_after"),
+        F.sum("n_chars").cast("long").alias("chars_before"),
+        F.sum(keep * F.col("n_chars")).cast("long").alias("chars_after"),
+        F.expr(
+            "(1000 * sum(CAST(cluster_id = doc_id AS INT))) div count(1)"
+        )
+        .cast("long")
+        .alias("docs_retained_permille"),
+        F.expr(
+            "(1000 * sum(CAST(cluster_id = doc_id AS INT) * n_chars))"
+            " div sum(n_chars)"
+        )
+        .cast("long")
+        .alias("chars_retained_permille"),
+    )

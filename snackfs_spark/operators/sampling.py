@@ -1841,3 +1841,94 @@ def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("moved").cast("long").alias("n_moved"),
         )
     )
+
+
+# --------------------------------------------------- temporal holdout ----
+#
+# Time-based eval carving for event data — the split family's third
+# member after hash (order-free) and stratified (proportion-exact):
+# train strictly before the boundary, test at/after, where the
+# boundary is derived IN-PLAN as the first day of the last week of the
+# observed range (a fixed calendar constant would rot with the
+# fixture; the data-derived-knob rule). The leakage column every
+# temporal split must publish: users appearing on BOTH sides — their
+# test events are behaviorally contaminated by training history, the
+# temporal analog of near-dup split leakage.
+HOLDOUT_DAYS = 7
+
+
+@register(
+    "split_temporal_holdout",
+    oracle=f"""
+    WITH b AS (
+      SELECT date_trunc('day', MAX(ts)) - INTERVAL {HOLDOUT_DAYS - 1} DAY
+               AS boundary
+      FROM events
+    ),
+    tagged AS (
+      SELECT CASE WHEN e.ts < b.boundary THEN 'train' ELSE 'test' END AS split,
+             e.user_id, e.event_id
+      FROM events e CROSS JOIN b
+    ),
+    spanning AS (
+      SELECT user_id FROM tagged
+      GROUP BY user_id HAVING COUNT(DISTINCT split) = 2
+    )
+    SELECT t.split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT t.user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT CASE WHEN s.user_id IS NOT NULL
+                                    THEN t.user_id END) AS BIGINT)
+             AS n_spanning_users,
+           CAST((1000 * COUNT(DISTINCT CASE WHEN s.user_id IS NOT NULL
+                                            THEN t.user_id END))
+                // COUNT(DISTINCT t.user_id) AS BIGINT)
+             AS spanning_permille
+    FROM tagged t LEFT JOIN spanning s ON s.user_id = t.user_id
+    GROUP BY t.split
+    """,
+)
+def split_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test carve of the event log: the final
+    HOLDOUT_DAYS days (boundary derived in-plan from max event time)
+    become test; reports per-split event/user volume plus the
+    behavioral-leakage signal — users active on BOTH sides and their
+    permille of the split's users.
+
+    Scale: one 1-row boundary aggregate broadcasts; tagging is codegen;
+    the spanning set is ONE user-keyed aggregate (map-side combinable)
+    left-joined back shuffle-hashed; the rollup is 2 keys. The split
+    is a pure function of (ts, max ts), stable under re-partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.timestamp_add(
+            "DAY", F.lit(-(HOLDOUT_DAYS - 1)), F.date_trunc("day", F.max("ts"))
+        ).alias("boundary")
+    )
+    tagged = ev.crossJoin(F.broadcast(b)).select(
+        F.when(F.col("ts") < F.col("boundary"), "train")
+        .otherwise("test")
+        .alias("split"),
+        "user_id",
+    )
+    tagged = tagged.localCheckpoint(eager=False)  # feeds spanning AND rollup
+    spanning = (
+        tagged.groupBy("user_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") == 2)
+        .select("user_id", F.lit(1).alias("spans"))
+    )
+    j = tagged.join(spanning.hint("shuffle_hash"), "user_id", "left")
+    return j.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count_distinct(F.when(F.col("spans").isNotNull(), F.col("user_id")))
+        .cast("long")
+        .alias("n_spanning_users"),
+        F.expr(
+            "(1000 * count(DISTINCT CASE WHEN spans IS NOT NULL THEN user_id END))"
+            " div count(DISTINCT user_id)"
+        )
+        .cast("long")
+        .alias("spanning_permille"),
+    )

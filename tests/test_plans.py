@@ -809,3 +809,17 @@ def test_brightness_drift_bounded_pair_algebra(spark):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan  # the 10-row totals
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_dedup_impact_no_cartesian(spark):
+    df = REG["corpus_dedup_impact"].fn(spark, SF_ORACLE)
+    assert_no_cartesian(df)
+
+
+def test_temporal_holdout_shuffle_hash_spanning_join(spark):
+    """The spanning set is corpus-proportional (user keys): shuffle-
+    hashed back, never broadcast; the boundary is the only broadcast."""
+    df = REG["split_temporal_holdout"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan

@@ -631,3 +631,51 @@ def test_brightness_drift_metric_properties(spark):
         assert 0 <= r["tv_permille"] <= 1000
         assert r["tv_permille"] == (1000 * r["tv_num"]) // (2 * r["n_a"] * r["n_b"])
         assert r["tv_num"] <= 2 * r["n_a"] * r["n_b"]
+
+
+# --------------------------------------------------- batch-6 operators ----
+
+
+def test_dedup_impact_consistent_with_clustering(spark):
+    """before/after totals must conserve the corpus and agree with the
+    keeper flags of dedup_cluster_canonical; permilles recompute."""
+    rows = REG["corpus_dedup_impact"].fn(spark, SF_ORACLE).collect()
+    n_docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").count()
+    keepers = (
+        REG["dedup_cluster_canonical"].fn(spark, SF_ORACLE)
+        .filter(F.col("is_keeper") == 1)
+        .count()
+    )
+    assert sum(r["docs_before"] for r in rows) == n_docs
+    assert sum(r["docs_after"] for r in rows) == keepers
+    for r in rows:
+        assert 0 < r["docs_after"] <= r["docs_before"]
+        assert 0 < r["chars_after"] <= r["chars_before"]
+        assert r["docs_retained_permille"] == (1000 * r["docs_after"]) // r["docs_before"]
+        assert (
+            r["chars_retained_permille"]
+            == (1000 * r["chars_after"]) // r["chars_before"]
+        )
+
+
+def test_temporal_holdout_boundary_and_leakage(spark):
+    """Exactly two splits conserving the event log; the test side spans
+    at most HOLDOUT_DAYS days; spanning users identical on both sides
+    (it is the same set)."""
+    from snackfs_spark.operators.sampling import HOLDOUT_DAYS
+    from snackfs_spark.sources.tables import load_table
+
+    rows = {r["split"]: r for r in REG["split_temporal_holdout"].fn(spark, SF_ORACLE).collect()}
+    assert set(rows) == {"train", "test"}
+    ev = load_table(spark, SF_ORACLE, "events")
+    assert rows["train"]["n_events"] + rows["test"]["n_events"] == ev.count()
+    assert rows["train"]["n_spanning_users"] == rows["test"]["n_spanning_users"]
+    assert rows["test"]["n_spanning_users"] <= min(
+        rows["train"]["n_users"], rows["test"]["n_users"]
+    )
+    bounds = ev.agg(
+        F.max("ts").alias("hi"),
+        F.expr(f"date_trunc('DAY', timestampadd(DAY, {-(HOLDOUT_DAYS - 1)}, max(ts)))").alias("b"),
+    ).collect()[0]
+    n_test = ev.filter(F.col("ts") >= bounds["b"]).count()
+    assert rows["test"]["n_events"] == n_test

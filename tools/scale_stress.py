@@ -193,6 +193,9 @@ QUERIES = [
     "text_burstiness",
     "events_bot_detection",
     "multimodal_brightness_drift",
+    # batch 6: dedup removal bill, temporal holdout
+    "corpus_dedup_impact",
+    "split_temporal_holdout",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
