@@ -218,6 +218,17 @@ HEADLINE_R12 = [
     "split_temporal_holdout",
 ]
 
+# Round-13 additions (round-6 continuation): the Benford monetary audit,
+# Zipf octave profile, diff-in-diff readout, the in-engine perceptron
+# trainer, and the JL projection acceptance report.
+HEADLINE_R13 = [
+    "orders_benford_audit",
+    "text_zipf_octaves",
+    "events_diff_in_diff",
+    "text_quality_perceptron",
+    "emb_random_projection",
+]
+
 
 # Cumulative round groups: drives BOTH the emitted rNN_comparable_subtotal
 # keys and the regression-alarm baselines, so a new round group added here
@@ -236,6 +247,7 @@ ROUNDS = [
     HEADLINE_R10,
     HEADLINE_R11,
     HEADLINE_R12,
+    HEADLINE_R13,
 ]
 
 

@@ -9,7 +9,7 @@ pushdown/pruning/join selection. Scale notes per query in docstrings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snackfs_spark.functions import davg, dsum, money, rate
@@ -3922,4 +3922,93 @@ def approx_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             est.alias("raw_estimate"),
             "exact_cum_distinct",
         )
+    )
+
+
+# ------------------------------------------------------- Benford audit ----
+#
+# Benford's law (Newcomb 1881, Benford 1938): in naturally-occurring
+# multiplicative data the first significant digit d appears with
+# probability log10(1 + 1/d) — the classic forensic-accounting screen
+# for fabricated or clipped monetary columns. The expected shares are
+# fixed mathematical constants, embedded here as exact ppm integers
+# (they sum to exactly 1_000_000), so the whole audit is integer
+# algebra: observed ppm by one 9-key aggregate, deviation per digit,
+# and the total-variation distance as sum(|obs-exp|)/2.
+#
+# On the driver's uniform synthetic prices the audit FLAGS the column
+# (uniform data is not Benford) — which is the point: it is a detector,
+# and the oracle checks the detector's exact arithmetic, not a verdict.
+BENFORD_EXPECTED_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in BENFORD_EXPECTED_PPM.items()
+) + " END"
+
+
+@register(
+    "orders_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts),
+    scored AS (
+      SELECT digit, n,
+             CAST((1000000 * n) // n_total AS BIGINT) AS obs_ppm,
+             CAST({_BENFORD_CASE_SQL} AS BIGINT) AS exp_ppm
+      FROM counts CROSS JOIN tot
+    )
+    SELECT digit, n, obs_ppm, exp_ppm,
+           CAST(abs(obs_ppm - exp_ppm) AS BIGINT) AS dev_ppm,
+           CAST(SUM(abs(obs_ppm - exp_ppm)) OVER () // 2 AS BIGINT) AS tv_ppm
+    FROM scored
+    """,
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of o_totalprice: per-digit observed vs
+    expected ppm (exact log10(1+1/d) constants), absolute deviation, and
+    the corpus total-variation distance — the fraud/clipping screen an
+    ingest pipeline runs over every monetary column.
+
+    Scale: ONE map-side 9-key aggregate over the scan (first digit is a
+    string op in codegen); everything after runs on <= 9 rows, so the
+    global window and the 1-row total broadcast are bounded by
+    construction — no data-proportional state anywhere past the scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("n_total"))
+    scored = counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.expr("(1000000 * n) div n_total").cast("long").alias("obs_ppm"),
+        F.expr(_BENFORD_CASE_SQL.replace("//", "div")).cast("long").alias("exp_ppm"),
+    )
+    # <= 9 rows past this point: the unpartitioned window is bounded by
+    # the digit alphabet, not the data (same class as the bin-table
+    # windows documented in DESIGN.md).
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return scored.select(
+        "digit",
+        "n",
+        "obs_ppm",
+        "exp_ppm",
+        F.abs(F.col("obs_ppm") - F.col("exp_ppm")).cast("long").alias("dev_ppm"),
+        (F.sum(F.abs(F.col("obs_ppm") - F.col("exp_ppm"))).over(w) / F.lit(2))
+        .cast("long")
+        .alias("tv_ppm"),
     )

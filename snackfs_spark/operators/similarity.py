@@ -764,3 +764,178 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "adc", "rank")
     )
+
+
+# ------------------------------------- Johnson-Lindenstrauss projection ----
+#
+# Random-projection dimensionality reduction (Achlioptas 2003 sign
+# matrix): R^64 -> R^16 via z_j = sum_d s[j][d] * v[d] with s in
+# {+1,-1} derived ONCE from md5("rp-j-d") parity at module load — a
+# compile-time constant matrix embedded identically in the Spark plan
+# and the oracle SQL (the BENFORD-constants pattern), so the per-row
+# cost is 16 fused multiply-add folds in codegen, zero hashing.
+# The operator scores the projection the way a pipeline decides whether
+# the 4x-compressed index is usable: projected-space top-k vs the exact
+# brute-force top-k, per-query overlap — the JL lemma made measurable.
+# Dot products are the engine-portable left folds of operators/dedup.py.
+RP_OUT_DIMS = 16
+RP_IN_DIMS = 64
+
+
+def _rp_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"rp-{j}-{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for d in range(1, RP_IN_DIMS + 1)
+        ]
+        for j in range(RP_OUT_DIMS)
+    ]
+
+
+RP_SIGNS = _rp_signs()
+
+# z_j as a left fold in element order — bit-identical across engines.
+_RP_Z_SPARK = ", ".join(
+    "aggregate(zip_with(CAST({v} AS ARRAY<DOUBLE>), "
+    f"array({', '.join(f'{s}D' for s in row)}), "
+    "(x, y) -> x * y), 0D, (acc, e) -> acc + e)"
+    for row in RP_SIGNS
+)
+_RP_Z_DUCK = ", ".join(
+    "list_reduce(list_transform(range(1, 65), i -> "
+    f"CAST({{v}}.embedding[i] AS DOUBLE) * ([{', '.join(str(s) for s in row)}])[i]), "
+    "(x, y) -> x + y)"
+    for row in RP_SIGNS
+)
+_PDOT_DUCK = (
+    f"list_reduce(list_transform(range(1, {RP_OUT_DIMS + 1}), i -> "
+    "a.z[i] * b.z[i]), (x, y) -> x + y)"
+)
+_PNORM_DUCK = (
+    f"sqrt(list_reduce(list_transform(range(1, {RP_OUT_DIMS + 1}), i -> "
+    "{v}.z[i] * {v}.z[i]), (x, y) -> x + y))"
+)
+_PDOT_SPARK = (
+    "aggregate(zip_with(a.z, b.z, (x, y) -> x * y), 0D, (acc, e) -> acc + e)"
+)
+_PNORM_SPARK = (
+    "sqrt(aggregate(zip_with({v}.z, {v}.z, (x, y) -> x * y), 0D, (acc, e) -> acc + e))"
+)
+
+
+@register(
+    "emb_random_projection",
+    oracle=f"""
+    WITH proj AS (
+      SELECT vec_id, [{_RP_Z_DUCK.format(v='embeddings')}] AS z
+      FROM embeddings
+    ),
+    pk AS (
+      SELECT query_id, vec_id, proj_cosine, rn AS proj_rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               {_PDOT_DUCK} / ({_PNORM_DUCK.format(v='a')} * {_PNORM_DUCK.format(v='b')})
+                 AS proj_cosine,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_PDOT_DUCK} / ({_PNORM_DUCK.format(v='a')} * {_PNORM_DUCK.format(v='b')}) DESC,
+                                           b.vec_id) AS rn
+        FROM proj a JOIN proj b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+      ) WHERE rn <= {TOP_K}
+    ),
+    ek AS (
+      SELECT query_id, vec_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_COSINE_DUCK} DESC, b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+      ) WHERE rn <= {TOP_K}
+    ),
+    hits AS (
+      SELECT pk.query_id, pk.proj_rank, pk.vec_id, pk.proj_cosine,
+             CASE WHEN ek.vec_id IS NULL THEN 0 ELSE 1 END AS in_exact_topk
+      FROM pk LEFT JOIN ek
+        ON ek.query_id = pk.query_id AND ek.vec_id = pk.vec_id
+    )
+    SELECT query_id, proj_rank, vec_id, proj_cosine,
+           CAST(in_exact_topk AS BIGINT) AS in_exact_topk,
+           CAST(100 * SUM(in_exact_topk) OVER (PARTITION BY query_id) AS BIGINT)
+             AS recall_permille
+    FROM hits
+    """,
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign-projection (64 -> 16 dims) with its acceptance metric:
+    per query, the projected-space cosine top-k, each neighbor flagged
+    against the exact top-k, and recall@10 as permille — the report
+    that decides whether the 4x-compressed representation can serve the
+    ANN index.
+
+    Scale: projection is ONE zero-shuffle codegen pass (16 constant-
+    sign folds per row — the constants live in the plan, no per-row
+    hashing); both top-k passes broadcast the tiny query set against a
+    single corpus scan with per-partition WindowGroupLimit pruning, the
+    same posture as ann_bruteforce_topk; the hit join runs on 50 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = emb.select(
+        "vec_id",
+        F.expr(f"array({_RP_Z_SPARK.format(v='embedding')})").alias("z"),
+    )
+    qp = F.broadcast(proj.filter(F.col("vec_id") < N_QUERIES).alias("a"))
+    pcos = F.expr(_PDOT_SPARK) / (
+        F.expr(_PNORM_SPARK.format(v="a")) * F.expr(_PNORM_SPARK.format(v="b"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("proj_cosine").desc(), F.col("vec_id")
+    )
+    pk = (
+        qp.join(proj.alias("b"), F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("vec_id"),
+            pcos.alias("proj_cosine"),
+        )
+        .withColumn("proj_rank", F.row_number().over(wp))
+        .filter(F.col("proj_rank") <= TOP_K)
+    )
+    embn = _with_norm(emb)
+    qe = F.broadcast(embn.filter(F.col("vec_id") < N_QUERIES).alias("a"))
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    ek = (
+        qe.join(embn.alias("b"), F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("vec_id"),
+            _cosine_spark().alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("evec_id"), F.lit(1).alias("hit"))
+    )
+    hits = pk.join(
+        F.broadcast(ek),
+        (pk.query_id == ek.query_id) & (pk.vec_id == ek.evec_id),
+        "left",
+    ).select(
+        pk.query_id,
+        "proj_rank",
+        pk.vec_id,
+        "proj_cosine",
+        F.coalesce("hit", F.lit(0)).cast("long").alias("in_exact_topk"),
+    )
+    wq = Window.partitionBy("query_id")
+    return hits.select(
+        "query_id",
+        "proj_rank",
+        "vec_id",
+        "proj_cosine",
+        "in_exact_topk",
+        (F.lit(100) * F.sum("in_exact_topk").over(wq))
+        .cast("long")
+        .alias("recall_permille"),
+    )

@@ -2873,3 +2873,286 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vmr"),
         )
     )
+
+
+# ------------------------------------------------- Zipf octave profile ----
+#
+# Rank-frequency diagnostic: under Zipf's law (f ~ 1/rank) the token
+# mass per rank OCTAVE (ranks [2^k, 2^(k+1))) is roughly constant
+# (sum of 1/r over an octave ~ ln 2), so the octave profile is a
+# log-free, integer-exact test of Zipfian shape — the corpus-health
+# check run after tokenizer or filter changes (a collapsing tail means
+# boilerplate flooding; a fat head means dedup failure). Ranks are
+# assigned two-phase (per-frequency-group row_number + a prefix sum
+# over the DISTINCT-frequency relation) so no global window ever sees
+# the vocab relation; octave = length(bin(rank)) - 1, the same
+# binary-length bucket trick as text_vocab_growth.
+ZIPF_TIE_ORDER = "word ASC"  # deterministic within equal frequencies
+
+
+@register(
+    "text_zipf_octaves",
+    oracle="""
+    WITH wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    groups AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_words FROM wf GROUP BY c),
+    pref AS (
+      SELECT c,
+             CAST(COALESCE(SUM(n_words) OVER (ORDER BY c DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS before
+      FROM groups
+    ),
+    ranked AS (
+      SELECT wf.word, wf.c,
+             pref.before + ROW_NUMBER() OVER (PARTITION BY wf.c ORDER BY wf.word ASC)
+               AS rank
+      FROM wf JOIN pref USING (c)
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens FROM wf),
+    oct AS (
+      SELECT CAST(length(bin(rank)) - 1 AS BIGINT) AS octave,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(c) AS BIGINT) AS tokens,
+             CAST(MAX(c) AS BIGINT) AS max_freq
+      FROM ranked GROUP BY 1
+    )
+    SELECT octave,
+           CAST(1 << octave AS BIGINT) AS rank_lo,
+           n_types, tokens, max_freq,
+           CAST((1000000 * tokens) // total_tokens AS BIGINT) AS share_ppm,
+           CAST(COALESCE((1000 * tokens) //
+                NULLIF(lag(tokens) OVER (ORDER BY octave), 0), 0)
+                AS BIGINT) AS ratio_prev_permille
+    FROM oct CROSS JOIN tot
+    """,
+)
+def text_zipf_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token mass per rank octave (ranks [2^k, 2^(k+1))): types, tokens,
+    corpus share ppm, and the octave-over-octave mass ratio — flat
+    ratios ~1000 are Zipf-healthy; the integer-exact substrate of the
+    log-log rank-frequency plot.
+
+    Scale: the corpus collapses map-side onto the vocab relation; ranks
+    come from a per-frequency-group row_number (partitioned window)
+    plus a prefix sum over the DISTINCT-frequency relation (bounded by
+    the largest count, ~sqrt-of-corpus distinct values in practice) —
+    the score-group decomposition of DESIGN.md, so no global window
+    touches the vocab. The final profile is <= 64 rows."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    groups = wf.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("n_words"))
+    wpref = Window.partitionBy(F.lit(1)).orderBy(F.col("c").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pref = groups.select(
+        "c", F.coalesce(F.sum("n_words").over(wpref), F.lit(0)).cast("long").alias("before")
+    )
+    wgrp = Window.partitionBy("c").orderBy(F.col("word").asc())
+    ranked = wf.join(pref, "c").select(
+        "c", (F.col("before") + F.row_number().over(wgrp)).alias("rank")
+    )
+    tot = wf.agg(F.sum("c").cast("long").alias("total_tokens"))
+    oct_ = ranked.groupBy(
+        (F.length(F.bin("rank")) - 1).cast("long").alias("octave")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("tokens"),
+        F.max("c").cast("long").alias("max_freq"),
+    )
+    wlag = Window.partitionBy(F.lit(1)).orderBy("octave")
+    return (
+        oct_.crossJoin(F.broadcast(tot))
+        .withColumn("prev_tokens", F.lag("tokens").over(wlag))
+        .select(
+            "octave",
+            F.expr("CAST(shiftleft(1, CAST(octave AS INT)) AS BIGINT)").alias("rank_lo"),
+            "n_types",
+            "tokens",
+            "max_freq",
+            F.expr("(1000000 * tokens) div total_tokens").cast("long").alias("share_ppm"),
+            F.coalesce(
+                F.expr("(1000 * tokens) div nullif(prev_tokens, 0)"), F.lit(0)
+            )
+            .cast("long")
+            .alias("ratio_prev_permille"),
+        )
+    )
+
+
+# ------------------------------------------- in-engine perceptron trainer ----
+#
+# Supervised in-engine training, completing the trainer family (k-means
+# clusters, BPE learns merges — this learns a linear classifier): a
+# fixed-round batch perceptron with a 1/round decayed step, DISTILLING
+# the text_quality_score rule gate (n_chars in [100,500] AND n_tokens
+# >= 20) into one linear scorer — the rule-cascade -> linear-classifier
+# distillation step a pipeline runs before scoring petabytes, because a
+# dot product is cheaper than a rule DAG and generalizes to soft
+# thresholds. The two-sided length rule is made linearly separable by
+# an explicit centered quadratic feature (n_chars - 300)^2 // 100 (the
+# kernel trick, spelled out); measured on the driver corpus the trainer
+# goes 500 -> 81 -> ... -> ~22 errors vs an 81-error majority baseline.
+#
+# All arithmetic is exact int64. The decayed step uses FLOOR division
+# of the (possibly negative) gradient: Spark `div` truncates toward
+# zero and DuckDB `//` floors, so both engines compute
+# (g - pmod(g, r)) / r with pmod >= 0 — the engine-portable floor
+# documented in DESIGN.md's negative-division rule.
+PERC_ROUNDS = 8
+PERC_CENTER = 300  # midpoint of the quality gate's [100, 500] char interval
+PERC_QSCALE = 100  # quadratic feature scale: (n-300)^2 // 100
+PERC_NFEAT = 3  # bias, centered quadratic chars, tokens
+
+
+def _perc_feats_sql() -> str:
+    return f"""
+    SELECT doc_id,
+           CASE WHEN n_chars BETWEEN 100 AND 500
+                     AND len(string_split(text, ' ')) >= 20
+                THEN 1 ELSE -1 END AS y,
+           CAST(100 AS BIGINT) AS x0,
+           CAST((n_chars - {PERC_CENTER}) * (n_chars - {PERC_CENTER})
+                // {PERC_QSCALE} AS BIGINT) AS x1,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS x2
+    FROM documents"""
+
+
+def _perc_oracle() -> str:
+    js = range(PERC_NFEAT)
+    zero_w = ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in js)
+    parts = [f"WITH feats AS ({_perc_feats_sql()}),", f"w0 AS (SELECT {zero_w}),"]
+    for r in range(1, PERC_ROUNDS + 1):
+        margin = " + ".join(f"w{r - 1}.w{j} * feats.x{j}" for j in js)
+        gsums = ", ".join(
+            f"CAST(COALESCE(SUM(feats.y * feats.x{j}), 0) AS BIGINT) AS g{j}"
+            for j in js
+        )
+        parts.append(
+            f"s{r} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_errors, {gsums} "
+            f"FROM feats CROSS JOIN w{r - 1} "
+            f"WHERE feats.y * ({margin}) <= 0),"
+        )
+        # engine-portable floor(g / r): subtract the nonnegative pmod first
+        ws = ", ".join(
+            f"CAST(w{r - 1}.w{j} + (s{r}.g{j} - ((s{r}.g{j} % {r}) + {r}) % {r}) / {r}"
+            f" AS BIGINT) AS w{j}"
+            for j in js
+        )
+        parts.append(f"w{r} AS (SELECT {ws} FROM w{r - 1} CROSS JOIN s{r}),")
+    fmargin = " + ".join(f"w{PERC_ROUNDS}.w{j} * feats.x{j}" for j in js)
+    parts.append(
+        f"sf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_errors "
+        f"FROM feats CROSS JOIN w{PERC_ROUNDS} "
+        f"WHERE feats.y * ({fmargin}) <= 0)"
+    )
+    wcols = ", ".join(f"w{j}" for j in js)
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS round, s{r}.n_errors, {wcols} "
+        f"FROM s{r} CROSS JOIN w{r}"
+        for r in range(1, PERC_ROUNDS + 1)
+    ]
+    selects.append(
+        f"SELECT CAST({PERC_ROUNDS + 1} AS BIGINT) AS round, sf.n_errors, {wcols} "
+        f"FROM sf CROSS JOIN w{PERC_ROUNDS}"
+    )
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("text_quality_perceptron", oracle=_perc_oracle())
+def text_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round decayed batch perceptron trained IN-PLAN to distill
+    the text_quality_score rule gate into one linear scorer over (bias,
+    centered-quadratic chars, tokens): one row per round with the
+    misclassified count under the pre-update weights and the updated
+    integer weight vector, plus a final evaluation row (round R+1)
+    scoring the learned weights — the engine's supervised-trainer verb
+    next to k-means (unsupervised) and BPE (tokenizer).
+
+    Scale: the corpus is scanned ONCE into the integer feature relation
+    (then localCheckpointed); each round is one aggregate over the
+    misclassified subset producing a 1-row weight relation broadcast
+    into the next round's margin — the bpe_learn_merges posture: zero
+    driver collects, per-round state is PERC_NFEAT integers, R corpus
+    passes over checkpointed features, no sort or window anywhere."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    js = range(PERC_NFEAT)
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    feats = docs.select(
+        F.when(
+            F.col("n_chars").between(100, 500) & (n_tokens >= 20), F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("y"),
+        F.lit(100).cast("long").alias("x0"),
+        F.expr(
+            f"CAST((n_chars - {PERC_CENTER}) * (n_chars - {PERC_CENTER})"
+            f" div {PERC_QSCALE} AS BIGINT)"
+        ).alias("x1"),
+        n_tokens.alias("x2"),
+    ).localCheckpoint(eager=False)
+    w = spark.range(1).select(*[F.lit(0).cast("long").alias(f"w{j}") for j in js])
+
+    def margin():
+        return F.col("y") * sum(F.col(f"w{j}") * F.col(f"x{j}") for j in js)
+
+    rounds = []
+    for r in range(1, PERC_ROUNDS + 1):
+        stats = (
+            feats.crossJoin(F.broadcast(w))
+            .filter(margin() <= 0)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_errors"),
+                *[
+                    F.coalesce(F.sum(F.col("y") * F.col(f"x{j}")), F.lit(0))
+                    .cast("long")
+                    .alias(f"g{j}")
+                    for j in js
+                ],
+            )
+        )
+        step = (
+            w.crossJoin(F.broadcast(stats))
+            .select(
+                "n_errors",
+                *[
+                    F.expr(
+                        f"CAST(w{j} + (g{j} - pmod(g{j}, {r})) div {r} AS BIGINT)"
+                    ).alias(f"w{j}")
+                    for j in js
+                ],
+            )
+            .localCheckpoint(eager=False)
+        )
+        rounds.append(
+            step.select(
+                F.lit(r).cast("long").alias("round"),
+                "n_errors",
+                *[f"w{j}" for j in js],
+            )
+        )
+        w = step.select(*[f"w{j}" for j in js])
+    final = (
+        feats.crossJoin(F.broadcast(w))
+        .filter(margin() <= 0)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_errors"))
+    )
+    rounds.append(
+        w.crossJoin(F.broadcast(final)).select(
+            F.lit(PERC_ROUNDS + 1).cast("long").alias("round"),
+            "n_errors",
+            *[f"w{j}" for j in js],
+        )
+    )
+    out = rounds[0]
+    for part in rounds[1:]:
+        out = out.unionByName(part)
+    return out

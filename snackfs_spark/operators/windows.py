@@ -16,7 +16,7 @@ from snackfs_spark.catalog import SnackCatalog
 from snackfs_spark.functions import ts_str
 from snackfs_spark.registry import register
 from snackfs_spark.sources.fsmodel import content_df, fs_sql
-from snackfs_spark.sources.tables import load_table
+from snackfs_spark.sources.tables import fan_out, load_table
 
 
 @register(
@@ -1397,4 +1397,194 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("rule_rate", "rule_regular", "rule_concentrated").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("n_events").cast("long").alias("n_events"),
+    )
+
+
+# ------------------------------------------------ difference-in-differences ----
+#
+# The classic quasi-experimental readout (Card-Krueger design): treated
+# users = users whose PRE-period 'purchase' count sits strictly above
+# the per-user mean (the exact integer compare c_i * n_users > total,
+# no float mean; exposure defined strictly pre-boundary, so the cohort
+# cannot be selected on its outcome); outcome = 'click' volume per
+# user-group per period; the
+# DiD estimate is the treated pre->post rate change minus the control
+# change. The period boundary is derived IN-PLAN as the midpoint of the
+# observed time span (integer microseconds), so the operator is
+# parameter-free and deterministic on any slice of the events table.
+#
+# Everything is exact integer algebra: per-cell click counts over fixed
+# group denominators (group SIZE, not active users — the standard
+# intent-to-treat denominator), and the estimate as the exact rational
+# did_num/did_den = (dT_clicks*nC - dC_clicks*nT) / (nT*nC), emitted
+# also as its one-division correctly-rounded double per engine.
+
+
+@register(
+    "events_diff_in_diff",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events
+    ),
+    b AS (
+      SELECT CAST(MIN(t_us) + (MAX(t_us) - MIN(t_us)) // 2 AS BIGINT) AS cut
+      FROM ev
+    ),
+    tagged AS (
+      SELECT user_id, event_type,
+             CASE WHEN t_us >= cut THEN 'post' ELSE 'pre' END AS period
+      FROM ev CROSS JOIN b
+    ),
+    pre_purch AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM tagged
+      WHERE event_type = 'purchase' AND period = 'pre'
+      GROUP BY user_id
+    ),
+    universe AS (SELECT DISTINCT user_id FROM ev),
+    mstats AS (
+      SELECT CAST((SELECT COUNT(*) FROM universe) AS BIGINT) AS n_all,
+             CAST((SELECT COALESCE(SUM(c), 0) FROM pre_purch) AS BIGINT) AS total_pre
+    ),
+    users AS (
+      SELECT u.user_id,
+             CASE WHEN COALESCE(p.c, 0) * m.n_all > m.total_pre
+                  THEN 1 ELSE 0 END AS treated
+      FROM universe u
+      LEFT JOIN pre_purch p USING (user_id)
+      CROSS JOIN mstats m
+    ),
+    sizes AS (
+      SELECT treated, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM users GROUP BY treated
+    ),
+    clicks AS (
+      SELECT u.treated, g.period, CAST(COUNT(*) AS BIGINT) AS n_clicks
+      FROM tagged g JOIN users u USING (user_id)
+      WHERE g.event_type = 'click'
+      GROUP BY u.treated, g.period
+    ),
+    cells AS (
+      SELECT s.treated, p.period, s.n_users,
+             CAST(COALESCE(c.n_clicks, 0) AS BIGINT) AS n_clicks
+      FROM sizes s
+      CROSS JOIN (SELECT unnest(['pre', 'post']) AS period) p
+      LEFT JOIN clicks c ON c.treated = s.treated AND c.period = p.period
+    ),
+    did AS (
+      SELECT
+        CAST(  (SUM(CASE WHEN treated = 1 AND period = 'post' THEN n_clicks ELSE 0 END)
+              - SUM(CASE WHEN treated = 1 AND period = 'pre'  THEN n_clicks ELSE 0 END))
+             * MAX(CASE WHEN treated = 0 THEN n_users END)
+             - (SUM(CASE WHEN treated = 0 AND period = 'post' THEN n_clicks ELSE 0 END)
+              - SUM(CASE WHEN treated = 0 AND period = 'pre'  THEN n_clicks ELSE 0 END))
+             * MAX(CASE WHEN treated = 1 THEN n_users END)
+           AS BIGINT) AS did_num,
+        CAST(MAX(CASE WHEN treated = 1 THEN n_users END)
+             * MAX(CASE WHEN treated = 0 THEN n_users END) AS BIGINT) AS did_den
+      FROM cells
+    )
+    SELECT cells.treated, cells.period, cells.n_users, cells.n_clicks,
+           CAST((1000000 * cells.n_clicks) // cells.n_users AS BIGINT) AS rate_ppm,
+           did.did_num, did.did_den,
+           CAST(did.did_num AS DOUBLE) / CAST(did.did_den AS DOUBLE) AS did_estimate
+    FROM cells CROSS JOIN did
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over the events stream: treated = users
+    with above-mean pre-period 'purchase' intensity (exact integer
+    compare, no float mean), outcome = 'click' volume per period;
+    four intent-to-treat cells (group-size denominators) plus the exact
+    rational DiD estimate (did_num/did_den) and its one-division double.
+
+    Scale: the event scan collapses map-side onto (user, type, period)
+    cardinality; the treated set is a user-keyed shuffle-hash join (a
+    semi-join-shaped flag, never broadcast by size assumption — the
+    user dimension grows with the data); every relation after the two
+    user-keyed aggregates is <= 4 rows, so the cell lattice and DiD
+    algebra are bounded-relation crossJoins by construction."""
+    ev = fan_out(load_table(spark, sf_dir, "events"), spark).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    b = ev.agg(
+        (F.min("t_us") + F.expr("(MAX(t_us) - MIN(t_us)) div 2")).cast("long").alias("cut")
+    )
+    tagged = ev.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        "event_type",
+        F.when(F.col("t_us") >= F.col("cut"), F.lit("post")).otherwise(F.lit("pre")).alias("period"),
+    )
+    pre_purch = (
+        tagged.filter((F.col("event_type") == "purchase") & (F.col("period") == "pre"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    universe = ev.select("user_id").distinct()
+    mstats = universe.agg(F.count(F.lit(1)).cast("long").alias("n_all")).crossJoin(
+        pre_purch.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("total_pre"))
+    )
+    users = (
+        universe.join(pre_purch.hint("shuffle_hash"), "user_id", "left")
+        .crossJoin(F.broadcast(mstats))
+        .select(
+            "user_id",
+            F.when(
+                F.coalesce("c", F.lit(0)) * F.col("n_all") > F.col("total_pre"), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("treated"),
+        )
+    )
+    sizes = users.groupBy("treated").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    clicks = (
+        tagged.filter(F.col("event_type") == "click")
+        .join(users.hint("shuffle_hash"), "user_id")
+        .groupBy("treated", "period")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clicks"))
+    )
+    periods = spark.range(1).select(
+        F.explode(F.array(F.lit("pre"), F.lit("post"))).alias("period")
+    )
+    cells = (
+        sizes.crossJoin(F.broadcast(periods))
+        # clicks is bounded at 2x2 rows by construction — broadcast it
+        .join(F.broadcast(clicks), ["treated", "period"], "left")
+        .select(
+            "treated",
+            "period",
+            "n_users",
+            F.coalesce("n_clicks", F.lit(0)).cast("long").alias("n_clicks"),
+        )
+    )
+    did = cells.agg(
+        (
+            (
+                F.sum(F.when((F.col("treated") == 1) & (F.col("period") == "post"), F.col("n_clicks")).otherwise(0))
+                - F.sum(F.when((F.col("treated") == 1) & (F.col("period") == "pre"), F.col("n_clicks")).otherwise(0))
+            )
+            * F.max(F.when(F.col("treated") == 0, F.col("n_users")))
+            - (
+                F.sum(F.when((F.col("treated") == 0) & (F.col("period") == "post"), F.col("n_clicks")).otherwise(0))
+                - F.sum(F.when((F.col("treated") == 0) & (F.col("period") == "pre"), F.col("n_clicks")).otherwise(0))
+            )
+            * F.max(F.when(F.col("treated") == 1, F.col("n_users")))
+        )
+        .cast("long")
+        .alias("did_num"),
+        (
+            F.max(F.when(F.col("treated") == 1, F.col("n_users")))
+            * F.max(F.when(F.col("treated") == 0, F.col("n_users")))
+        )
+        .cast("long")
+        .alias("did_den"),
+    )
+    return cells.crossJoin(F.broadcast(did)).select(
+        "treated",
+        "period",
+        "n_users",
+        "n_clicks",
+        F.expr("(1000000 * n_clicks) div n_users").cast("long").alias("rate_ppm"),
+        "did_num",
+        "did_den",
+        (F.col("did_num").cast("double") / F.col("did_den").cast("double")).alias("did_estimate"),
     )

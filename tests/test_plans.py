@@ -823,3 +823,59 @@ def test_temporal_holdout_shuffle_hash_spanning_join(spark):
     plan = formatted_plan(df)
     assert "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_benford_bounded_tail_after_digit_agg(spark):
+    """One 9-key aggregate over the scan; everything after (total
+    broadcast, unpartitioned window) runs on <= 9 rows — no sort-merge
+    join, no cartesian over data-proportional relations."""
+    df = REG["orders_benford_audit"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert_no_cartesian(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_zipf_octaves_no_global_vocab_window(spark):
+    """Ranks come from the per-frequency-group window + the distinct-
+    frequency prefix sum; no cartesian anywhere, and the only broadcast
+    joins feed bounded relations (the 1-row total, the prefix table) —
+    the vocab relation itself is never the build side of a forced
+    broadcast."""
+    df = REG["text_zipf_octaves"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # rank assignment must be the partitioned window (Sort [c ..., word ...])
+    assert "row_number" in plan, plan
+
+
+def test_diff_in_diff_user_joins_shuffle_hash(spark):
+    """The user-keyed joins (treatment flag, click attribution) are
+    user-dimension-proportional: hinted shuffle-hash, never sort-merge
+    and never a forced broadcast of the user relation."""
+    df = REG["events_diff_in_diff"].fn(spark, SF_ORACLE)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_quality_perceptron_single_feature_scan(spark):
+    """The corpus feeds ONE feature projection (then a checkpoint);
+    every round is aggregate -> 1-row broadcast — the plan must show
+    no sort, no window, no data-proportional join."""
+    df = REG["text_quality_perceptron"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "WindowExec" not in plan and "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row weight crossJoins
+
+
+def test_random_projection_broadcast_queries_no_smj(spark):
+    """Both top-k passes broadcast the tiny query set against one
+    corpus scan; the hit join runs on 50 rows (broadcast) — no
+    sort-merge join anywhere."""
+    df = REG["emb_random_projection"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan

@@ -196,6 +196,13 @@ QUERIES = [
     # batch 6: dedup removal bill, temporal holdout
     "corpus_dedup_impact",
     "split_temporal_holdout",
+    # batch 7: Benford digit audit, Zipf octaves, DiD, the in-engine
+    # perceptron trainer, JL random projection
+    "orders_benford_audit",
+    "text_zipf_octaves",
+    "events_diff_in_diff",
+    "text_quality_perceptron",
+    "emb_random_projection",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
@@ -213,6 +220,11 @@ def main() -> None:
     # 10x blowup already makes the point and 10000x pairs would not end)
     skip = {q for q in (os.environ.get("SCALE_STRESS_SKIP") or "").split(",") if q}
     queries = [q for q in QUERIES if q not in skip]
+    # SCALE_STRESS_ONLY=q1,q2 restricts to a subset (targeted re-sweeps
+    # of newly added operators without re-running the whole battery)
+    only = {q for q in (os.environ.get("SCALE_STRESS_ONLY") or "").split(",") if q}
+    if only:
+        queries = [q for q in queries if q in only]
     registry = load_all()
     spark = get_spark("scale_stress")
     # the larger fixture has Nx the rows per shuffle key-space; size
