@@ -229,6 +229,27 @@ HEADLINE_R13 = [
     "emb_random_projection",
 ]
 
+# Round-14 additions (round-6 continuation, batch 2): conformal
+# calibration, Poisson-bootstrap CI, ABC classification, candidate-graph
+# k-core, and the ring node-add plan.
+HEADLINE_R14 = [
+    "eval_conformal_threshold",
+    "eval_bootstrap_ci",
+    "orders_pareto_abc",
+    "graph_kcore_decomposition",
+    "fs_ring_scaling_plan",
+]
+
+# Round-15 additions (round-6 continuation, batch 3): the privacy
+# ladder, SRM guard, harmonic centrality, PCM resample, and RAKE.
+HEADLINE_R15 = [
+    "privacy_generalization_ladder",
+    "sample_srm_check",
+    "graph_harmonic_centrality",
+    "multimodal_audio_resample",
+    "text_rake_keywords",
+]
+
 
 # Cumulative round groups: drives BOTH the emitted rNN_comparable_subtotal
 # keys and the regression-alarm baselines, so a new round group added here
@@ -248,6 +269,8 @@ ROUNDS = [
     HEADLINE_R11,
     HEADLINE_R12,
     HEADLINE_R13,
+    HEADLINE_R14,
+    HEADLINE_R15,
 ]
 
 

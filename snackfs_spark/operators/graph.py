@@ -434,3 +434,266 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("deg").cast("long").alias("min_deg"),
         F.max("deg").cast("long").alias("max_deg"),
     )
+# ------------------------------------------------------------- k-core ----
+#
+# k-core decomposition (Seidman 1983) of the NEAR-DUP CANDIDATE graph:
+# docs are nodes, MinHash-LSH band collisions (the shared candidate
+# relation of dedup_minhash_lsh) are undirected edges. Peeling nodes of
+# degree < K repeatedly strips docs with only incidental collisions and
+# leaves the dense template cores — the structure a curation pass
+# treats differently from pairwise dupes (boilerplate families, mirror
+# sites). Fixed KCORE_ROUNDS rounds; a final n_removed = 0 row
+# certifies the fixpoint. The cascade is real: removing a degree-1
+# partner lowers its neighbor's degree, so membership is NOT "degree
+# >= K in round 1" — the iterative recomputation is the operator.
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    from snackfs_spark.operators.dedup import _MINHASH_CTE
+
+    # Every chained CTE is AS MATERIALIZED: DuckDB inlines plain CTEs,
+    # and the round chain references each prior round ~3 times — inlined
+    # that is 3^R re-evaluations of the shingle scan (measured: does not
+    # terminate). Materialization makes the oracle linear in rounds,
+    # matching the engine's per-round checkpoints.
+    parts = ["WITH " + _MINHASH_CTE + ","]
+    parts.append(
+        "cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b ON a.band = b.band "
+        "AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),"
+    )
+    parts.append(
+        "und AS MATERIALIZED (SELECT doc_a, doc_b FROM cand "
+        "UNION SELECT doc_b, doc_a FROM cand),"
+    )
+    parts.append("a0 AS MATERIALIZED (SELECT doc_id FROM documents),")
+    for r in range(1, KCORE_ROUNDS + 2):
+        p = r - 1
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT u.doc_a, u.doc_b FROM und u "
+            f"JOIN a{p} x ON x.doc_id = u.doc_a JOIN a{p} y ON y.doc_id = u.doc_b),"
+        )
+        if r == KCORE_ROUNDS + 1:
+            break
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT a.doc_id, "
+            f"CAST(COALESCE(cnt.c, 0) AS BIGINT) AS deg "
+            f"FROM a{p} a LEFT JOIN (SELECT doc_a, COUNT(*) AS c FROM e{r} "
+            f"GROUP BY doc_a) cnt ON cnt.doc_a = a.doc_id),"
+        )
+        parts.append(
+            f"a{r} AS MATERIALIZED "
+            f"(SELECT doc_id FROM d{r} WHERE deg >= {KCORE_K}),"
+        )
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS round, "
+        f"CAST((SELECT COUNT(*) FROM d{r}) AS BIGINT) AS n_before, "
+        f"CAST((SELECT COUNT(*) FILTER (deg >= {KCORE_K}) FROM d{r}) AS BIGINT)"
+        f" AS n_alive, "
+        f"CAST((SELECT COUNT(*) FILTER (deg < {KCORE_K}) FROM d{r}) AS BIGINT)"
+        f" AS n_removed, "
+        f"CAST((SELECT COUNT(*) FROM e{r + 1}) / 2 AS BIGINT) AS n_core_edges"
+        for r in range(1, KCORE_ROUNDS + 1)
+    ]
+    body = "\n".join(parts)
+    if body.endswith(","):
+        body = body[:-1]
+    return body + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("graph_kcore_decomposition", oracle=_kcore_oracle())
+def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative K-core peeling of the near-dup candidate graph: one row
+    per round with nodes before/after, nodes removed, and the surviving
+    undirected candidate-edge count — the final n_removed = 0 row
+    certifies the fixpoint; survivors are the dense template cores the
+    pairwise dedup verbs underweight.
+
+    Scale: the corpus pays only the shared shingle -> signature -> band
+    pipeline (the dedup_minhash_lsh posture: equi-join candidates,
+    never O(n²)); the peeling loop is per-round two shuffle-hash joins
+    of the edge relation against the alive set plus one degree
+    aggregate, localCheckpointed so lineage stays flat. Every relation
+    in the loop is candidate-sized, not corpus-sized, after round 1."""
+    from snackfs_spark.operators.dedup import minhash_bands_df
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    bands = minhash_bands_df(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b").hint("shuffle_hash")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    und = (
+        cand.union(
+            cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    alive = docs.select("doc_id")
+    rounds = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        er = (
+            und.join(
+                alive.withColumnRenamed("doc_id", "doc_a").hint("shuffle_hash"),
+                "doc_a",
+            )
+            .join(
+                alive.withColumnRenamed("doc_id", "doc_b").hint("shuffle_hash"),
+                "doc_b",
+            )
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=False)
+        )
+        deg = alive.join(
+            er.groupBy("doc_a")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumnRenamed("doc_a", "doc_id")
+            .hint("shuffle_hash"),
+            "doc_id",
+            "left",
+        ).select("doc_id", F.coalesce("c", F.lit(0)).cast("long").alias("deg"))
+        new_alive = (
+            deg.filter(F.col("deg") >= KCORE_K).select("doc_id").localCheckpoint(
+                eager=False
+            )
+        )
+        stats = deg.agg(
+            F.count(F.lit(1)).cast("long").alias("n_before"),
+            F.sum(F.when(F.col("deg") >= KCORE_K, 1).otherwise(0))
+            .cast("long")
+            .alias("n_alive"),
+            F.sum(F.when(F.col("deg") < KCORE_K, 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        core_edges = (
+            er.join(
+                new_alive.withColumnRenamed("doc_id", "doc_a").hint("shuffle_hash"),
+                "doc_a",
+            )
+            .join(
+                new_alive.withColumnRenamed("doc_id", "doc_b").hint("shuffle_hash"),
+                "doc_b",
+            )
+            .agg((F.count(F.lit(1)) / 2).cast("long").alias("n_core_edges"))
+        )
+        rounds.append(
+            stats.crossJoin(core_edges).select(
+                F.lit(r).cast("long").alias("round"),
+                "n_before",
+                "n_alive",
+                "n_removed",
+                "n_core_edges",
+            )
+        )
+        alive = new_alive
+    out = rounds[0]
+    for part in rounds[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+# ------------------------------------------------- harmonic centrality ----
+#
+# Harmonic centrality (Boldi-Vigna 2014 — the measure Common Crawl
+# publishes for web-corpus curation): H(v) = sum over reachable sources
+# u of 1/d(u, v), computed here over directed distances up to
+# HC_MAX_HOPS. With the hop cap at 4 the score is EXACT in twelfths
+# (LCM(1..4) = 12): h12 = 12*c1 + 6*c2 + 4*c3 + 3*c4 where c_d counts
+# sources at shortest distance d — no float harmonic sum, the same
+# log-free integer substrate trick as the lift/idf operators. Distances
+# come from all-pairs iterative expansion on the |V|²-bounded graph
+# relation (the corpus pays only the shared bigram scan).
+HC_MAX_HOPS = 4
+HC_WEIGHTS = {1: 12, 2: 6, 3: 4, 4: 3}  # 12/d exactly
+
+
+@register(
+    "graph_harmonic_centrality",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTES},
+    paths (src, dst, d) AS (
+      SELECT w1, w2, 1 FROM edges
+      UNION
+      SELECT p.src, e.w2, p.d + 1
+      FROM paths p JOIN edges e ON e.w1 = p.dst
+      WHERE p.d < {HC_MAX_HOPS}
+    ),
+    mind AS (
+      SELECT src, dst, MIN(d) AS d FROM paths WHERE src <> dst GROUP BY src, dst
+    ),
+    counts AS (
+      SELECT dst AS token,
+             {", ".join(f"CAST(SUM(CASE WHEN d = {d} THEN 1 ELSE 0 END) AS BIGINT) AS c{d}" for d in range(1, HC_MAX_HOPS + 1))}
+      FROM mind GROUP BY dst
+    )
+    SELECT v.token,
+           {", ".join(f"CAST(COALESCE(c.c{d}, 0) AS BIGINT) AS c{d}" for d in range(1, HC_MAX_HOPS + 1))},
+           CAST({" + ".join(f"{w} * COALESCE(c.c{d}, 0)" for d, w in HC_WEIGHTS.items())}
+                AS BIGINT) AS h12
+    FROM vocab v LEFT JOIN counts c ON c.token = v.token
+    """,
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-capped harmonic centrality of the token graph: per node the
+    exact source counts at shortest directed distance 1..4 and the
+    integer-twelfths score h12 = 12*c1 + 6*c2 + 4*c3 + 3*c4 — the
+    authority signal of the Common Crawl curation family, with no
+    floating-point harmonic sum anywhere.
+
+    Scale: all-pairs distances come from HC_MAX_HOPS - 1 rounds of
+    frontier-join + anti-join-dedup over the |V|²-bounded edge relation
+    (checkpointed per round); the corpus contributes only the shared
+    one-pass bigram scan. Counts collapse onto the vocab relation."""
+    vocab, edges, _ = _token_graph(spark, sf_dir)
+    e2 = edges.select(F.col("w1").alias("hop_src"), F.col("w2").alias("hop_dst"))
+    known = edges.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst"), F.lit(1).alias("d")
+    ).localCheckpoint(eager=False)
+    frontier = known
+    for r in range(2, HC_MAX_HOPS + 1):
+        stepped = (
+            frontier.join(
+                e2.hint("shuffle_hash"), frontier["dst"] == e2["hop_src"]
+            )
+            .select("src", F.col("hop_dst").alias("dst"))
+            .distinct()
+        )
+        new = (
+            stepped.join(known.select("src", "dst").hint("shuffle_hash"), ["src", "dst"], "left_anti")
+            .withColumn("d", F.lit(r))
+            .localCheckpoint(eager=False)
+        )
+        known = known.unionByName(new).localCheckpoint(eager=False)
+        frontier = new
+    mind = known.filter(F.col("src") != F.col("dst"))
+    counts = mind.groupBy(F.col("dst").alias("token")).agg(
+        *[
+            F.sum(F.when(F.col("d") == d, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{d}")
+            for d in range(1, HC_MAX_HOPS + 1)
+        ]
+    )
+    joined = vocab.join(counts.hint("shuffle_hash"), "token", "left")
+    return joined.select(
+        "token",
+        *[F.coalesce(f"c{d}", F.lit(0)).cast("long").alias(f"c{d}") for d in range(1, HC_MAX_HOPS + 1)],
+        sum(
+            F.lit(w) * F.coalesce(F.col(f"c{d}"), F.lit(0))
+            for d, w in HC_WEIGHTS.items()
+        )
+        .cast("long")
+        .alias("h12"),
+    )

@@ -422,3 +422,169 @@ def fs_hotspot_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("surplus").cast("long").alias("donor_surplus"),
         F.col("deficit").cast("long").alias("receiver_deficit"),
     )
+
+
+# ------------------------------------------------------ ring scaling plan ----
+#
+# Elastic-scaling audit (the consistent-hashing "add a node" move,
+# Karger 1997 / Cassandra's bootstrap): a new node takes a token at the
+# MIDPOINT of the heaviest host's range, so exactly the blocks in
+# (heavy_start, midpoint] move to it and every other host is untouched
+# — the minimal-disruption property that motivates consistent hashing.
+# The plan reports per-host load before/after, the move volume, and how
+# it compares to the ideal 1/(N+1) share a perfectly balanced addition
+# would claim. Wraparound ranges are handled with the same modular
+# interval algebra as Q-BLOCKLOC; all integers are exact in the 2^32
+# token space.
+
+
+@register(
+    "fs_ring_scaling_plan",
+    oracle=fs_sql(
+        f""", matched AS (
+      SELECT r.host, r.tok_start, r.tok_end,
+             CAST(COUNT(b.token) AS BIGINT) AS load
+      FROM ring r LEFT JOIN blocks b
+        ON (r.tok_start < r.tok_end AND b.token > r.tok_start
+            AND b.token <= r.tok_end)
+        OR (r.tok_start >= r.tok_end AND (b.token > r.tok_start
+            OR b.token <= r.tok_end))
+      GROUP BY r.host, r.tok_start, r.tok_end
+    ),
+    donor AS (
+      SELECT host, tok_start, tok_end,
+             CAST((tok_start + ((tok_end - tok_start + 4294967296) % 4294967296) // 2)
+                  % 4294967296 AS BIGINT) AS mid
+      FROM matched
+      QUALIFY ROW_NUMBER() OVER (ORDER BY load DESC, host) = 1
+    ),
+    moved AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_moved
+      FROM blocks b CROSS JOIN donor d
+      WHERE (d.tok_start < d.mid AND b.token > d.tok_start AND b.token <= d.mid)
+         OR (d.tok_start >= d.mid AND (b.token > d.tok_start OR b.token <= d.mid))
+    ),
+    tot AS (SELECT CAST(SUM(load) AS BIGINT) AS total FROM matched),
+    after AS (
+      SELECT m.host, m.load AS load_before,
+             CAST(m.load - CASE WHEN m.host = d.host THEN mv.n_moved ELSE 0 END
+                  AS BIGINT) AS load_after,
+             CAST(0 AS BIGINT) AS is_new
+      FROM matched m CROSS JOIN donor d CROSS JOIN moved mv
+      UNION ALL
+      SELECT 'HOST_NEW', CAST(0 AS BIGINT), mv.n_moved, CAST(1 AS BIGINT)
+      FROM moved mv
+    )
+    SELECT after.host, after.load_before, after.load_after, after.is_new,
+           mv.n_moved AS n_blocks_moved,
+           CAST(tot.total // {RING_NODES + 1} AS BIGINT) AS ideal_load,
+           CAST((1000 * mv.n_moved) // greatest(tot.total // {RING_NODES + 1}, 1)
+                AS BIGINT) AS move_vs_ideal_permille
+    FROM after CROSS JOIN moved mv CROSS JOIN tot""",
+        "ring",
+        "blocks",
+    ),
+)
+def fs_ring_scaling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash node-add plan: the new node bisects the heaviest
+    host's token range; per-host load before/after, the exact move
+    volume (only the bisected half moves — the minimal-disruption
+    guarantee), the ideal 1/(N+1) share, and their ratio in permille —
+    the capacity-planning table read before a ring bootstrap.
+
+    Scale: one broadcast interval match (the Q-BLOCKLOC posture) for
+    loads, one more 1-row-broadcast membership count for the moved set
+    — two block scans total; everything else is algebra over the
+    RING_NODES+1-row relation (bounded windows and crossJoins by
+    construction)."""
+    from pyspark.sql import Window
+
+    from snackfs_spark.sources.fsmodel import TOKEN_SPACE, blocks_df, ring_df
+
+    b = blocks_df(spark, sf_dir)
+    r = F.broadcast(ring_df(spark, sf_dir))
+    normal = (
+        (r["tok_start"] < r["tok_end"])
+        & (b["token"] > r["tok_start"])
+        & (b["token"] <= r["tok_end"])
+    )
+    wrap = (r["tok_start"] >= r["tok_end"]) & (
+        (b["token"] > r["tok_start"]) | (b["token"] <= r["tok_end"])
+    )
+    matched = (
+        ring_df(spark, sf_dir)
+        .join(b.join(r, normal | wrap).select("host", "token"), "host", "left")
+        .groupBy("host")
+        .agg(F.count("token").cast("long").alias("load"))
+        .join(ring_df(spark, sf_dir), "host")
+        .localCheckpoint(eager=False)
+    )
+    donor = (
+        matched.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("load").desc(), F.col("host"))),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("host").alias("d_host"),
+            F.col("tok_start").alias("d_start"),
+            F.expr(
+                f"CAST((tok_start + ((tok_end - tok_start + {TOKEN_SPACE})"
+                f" % {TOKEN_SPACE}) div 2) % {TOKEN_SPACE} AS BIGINT)"
+            ).alias("mid"),
+        )
+    )
+    dj = F.broadcast(donor)
+    in_half = (
+        (dj["d_start"] < dj["mid"])
+        & (b["token"] > dj["d_start"])
+        & (b["token"] <= dj["mid"])
+    ) | (
+        (dj["d_start"] >= dj["mid"])
+        & ((b["token"] > dj["d_start"]) | (b["token"] <= dj["mid"]))
+    )
+    moved = (
+        b.join(dj, in_half)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_moved"))
+    )
+    tot = matched.agg(F.sum("load").cast("long").alias("total"))
+    after_existing = (
+        matched.crossJoin(F.broadcast(donor))
+        .crossJoin(F.broadcast(moved))
+        .select(
+            "host",
+            F.col("load").alias("load_before"),
+            (
+                F.col("load")
+                - F.when(F.col("host") == F.col("d_host"), F.col("n_moved")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("load_after"),
+            F.lit(0).cast("long").alias("is_new"),
+        )
+    )
+    after_new = moved.select(
+        F.lit("HOST_NEW").alias("host"),
+        F.lit(0).cast("long").alias("load_before"),
+        F.col("n_moved").cast("long").alias("load_after"),
+        F.lit(1).cast("long").alias("is_new"),
+    )
+    after = after_existing.unionByName(after_new)
+    return (
+        after.crossJoin(F.broadcast(moved))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "host",
+            "load_before",
+            "load_after",
+            "is_new",
+            F.col("n_moved").alias("n_blocks_moved"),
+            F.expr(f"CAST(total div {RING_NODES + 1} AS BIGINT)").alias("ideal_load"),
+            F.expr(
+                f"CAST((1000 * n_moved) div greatest(total div {RING_NODES + 1}, 1)"
+                " AS BIGINT)"
+            ).alias("move_vs_ideal_permille"),
+        )
+    )

@@ -1114,3 +1114,120 @@ def multimodal_brightness_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tv_num",
         F.expr("(1000 * tv_num) div (2 * n_a * n_b)").cast("long").alias("tv_permille"),
     )
+
+
+# ------------------------------------------------------ PCM resampling ----
+#
+# Sample-rate conversion through the REAL decode path: 3:2 linear-
+# interpolation downsampling (the 48 kHz -> 32 kHz family) on the int16
+# PCM stream. Output sample j sits at source position 3j/2, so every
+# value is either an exact source sample (even j) or the midpoint of
+# two neighbors (odd j). To stay integer-exact with NO division — the
+# midpoint would floor — the operator emits DOUBLED samples:
+# out2[j] = 2*s[3j/2] (even) or s[floor]+s[ceil] (odd); energy and peak
+# then carry x4 / x2 scale factors, documented in the column names. The
+# anti-aliasing low-pass a production resampler would add is a
+# convolution in the same one-pass template; the interpolation lattice
+# is the part with cross-engine-exact semantics worth pinning.
+_RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("n_in", T.LongType()),
+        T.StructField("n_out", T.LongType()),
+        T.StructField("energy_in", T.LongType()),
+        T.StructField("energy_out_x4", T.LongType()),
+        T.StructField("peak_out_x2", T.LongType()),
+    ]
+)
+
+
+def _pcm_resample_32(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decode + 3:2 lattice resample, vectorized: int16-LE samples
+    via frombuffer, output positions 3j/2 gathered with numpy indexing,
+    doubled-sample interpolation (see module comment) — integers all
+    the way so the oracle recomputes from character codes exactly."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = {k: [] for k in ("asset_id", "n_in", "n_out", "energy_in", "energy_out_x4", "peak_out_x2")}
+        for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+            buf = bytes(payload)
+            usable = len(buf) - (len(buf) % 2)
+            s = np.frombuffer(buf[:usable], dtype="<i2").astype(np.int64)
+            n = len(s)
+            if n < 2:
+                continue
+            m = (2 * (n - 1)) // 3 + 1
+            j = np.arange(m, dtype=np.int64)
+            p2 = 3 * j
+            idx = p2 // 2
+            even = (p2 % 2) == 0
+            hi = np.minimum(idx + 1, n - 1)  # odd rows never exceed n-1
+            out2 = np.where(even, 2 * s[idx], s[idx] + s[hi])
+            rows["asset_id"].append(aid)
+            rows["n_in"].append(n)
+            rows["n_out"].append(m)
+            rows["energy_in"].append(int((s * s).sum()))
+            rows["energy_out_x4"].append(int((out2 * out2).sum()))
+            rows["peak_out_x2"].append(int(np.abs(out2).max()))
+        yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
+
+
+@register(
+    "multimodal_audio_resample",
+    oracle="""
+    WITH sl AS (
+      SELECT doc_id AS asset_id, i,
+             (ascii(substr(text, CAST(2 * i + 1 AS INT), 1))
+              + 256 * ascii(substr(text, CAST(2 * i + 2 AS INT), 1))
+              - CASE WHEN ascii(substr(text, CAST(2 * i + 2 AS INT), 1)) >= 128
+                     THEN 65536 ELSE 0 END) AS s
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(0, octet_length(encode(text)) // 2)) AS i
+        FROM documents
+      )
+    ),
+    nn AS (
+      SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_in,
+             CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy_in
+      FROM sl GROUP BY asset_id HAVING COUNT(*) >= 2
+    ),
+    pos AS (
+      SELECT asset_id, n_in, energy_in,
+             unnest(range(0, (2 * (n_in - 1)) // 3 + 1)) AS j
+      FROM nn
+    ),
+    outp AS (
+      SELECT p.asset_id, p.n_in, p.energy_in, p.j,
+             CAST(CASE WHEN (3 * p.j) % 2 = 0 THEN 2 * a.s
+                       ELSE a.s + b.s END AS BIGINT) AS out2
+      FROM pos p
+      JOIN sl a ON a.asset_id = p.asset_id AND a.i = (3 * p.j) // 2
+      LEFT JOIN sl b ON b.asset_id = p.asset_id AND b.i = (3 * p.j) // 2 + 1
+    )
+    SELECT asset_id,
+           CAST(MAX(n_in) AS BIGINT) AS n_in,
+           CAST(COUNT(*) AS BIGINT) AS n_out,
+           CAST(MAX(energy_in) AS BIGINT) AS energy_in,
+           CAST(SUM(out2 * out2) AS BIGINT) AS energy_out_x4,
+           CAST(MAX(abs(out2)) AS BIGINT) AS peak_out_x2
+    FROM outp GROUP BY asset_id
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3:2 PCM downsample through the real int16 decode: per asset the
+    input/output sample counts, input energy, and the doubled-lattice
+    output energy (x4 scale) and peak (x2 scale) — the sample-rate
+    normalization every multimodal ingest runs before featurization,
+    with the interpolation lattice exact across engines.
+
+    Scale: one mapInPandas pass, zero shuffle — decode parallelism is
+    scan parallelism and each asset reduces to a single output row
+    inside its task; no per-sample rows ever leave the worker (the
+    oracle's sample explosion exists only to recompute the same
+    integers independently)."""
+    assets = fan_out(binary_assets_df(spark, sf_dir), spark)
+    return assets.select("asset_id", "payload").mapInPandas(
+        _pcm_resample_32, schema=_RESAMPLE_SCHEMA
+    )

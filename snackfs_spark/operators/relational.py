@@ -4012,3 +4012,231 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tv_ppm"),
     )
+
+
+# ---------------------------------------------------- ABC / Pareto class ----
+#
+# ABC analysis (the 80/15/5 Pareto classification every revenue or
+# inventory dashboard runs): customers ranked by revenue, class A while
+# the cumulative share is <= 80%, B to 95%, C beyond. The classic form
+# is a global ORDER BY revenue DESC + running sum — a corpus sort. Here
+# the rank is decomposed the Zipf-octave way: customers land in
+# power-of-two revenue-cent bands (length(bin(cents)) — band order IS
+# revenue order across bands), the <= 64-row band table carries the
+# cross-band prefix, and the running sum inside each band is a window
+# PARTITIONED by band — no global window ever sees the customer
+# relation. Revenue is exact decimal cents throughout; shares are ppm
+# integer floors.
+# class cuts as exact rationals: A while cum/total <= 4/5, B to 19/20
+# (cross-multiplied compares — see the overflow note in the function)
+ABC_A_NUM, ABC_A_DEN = 4, 5
+ABC_B_NUM, ABC_B_DEN = 19, 20
+
+
+@register(
+    "orders_pareto_abc",
+    oracle=f"""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM rev),
+    ranked AS (
+      SELECT o_custkey, cents,
+             CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      FROM rev
+    ),
+    classed AS (
+      SELECT o_custkey, cents,
+             CASE WHEN 5 * cum_cents <= 4 * total_cents THEN 'A'
+                  WHEN 20 * cum_cents <= 19 * total_cents THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked CROSS JOIN tot
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST((1000000 * CAST(SUM(cents) AS HUGEINT)) // MAX(tot.total_cents)
+                AS BIGINT) AS revenue_share_ppm,
+           CAST(MIN(cents) AS BIGINT) AS min_customer_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_customer_cents
+    FROM classed CROSS JOIN tot
+    GROUP BY abc_class
+    """,
+)
+def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 80/15/5) classification of customers by exact decimal
+    revenue: per class, customer count, revenue cents, revenue share ppm
+    and the class's customer-revenue range — computed with the banded
+    two-phase rank (power-of-two cent bands + partitioned within-band
+    running sums), so the classification is exactly the global-sort
+    answer without any global sort.
+
+    Scale: one customer-keyed aggregate shuffle; the band table is
+    <= 64 rows (bounded windows); the within-band running sum is a
+    window partitioned on the band key — partitions shrink geometrically
+    with revenue, and no relation past the customer aggregate is
+    unpartitioned."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        (F.sum(money("o_totalprice")) * 100).cast("long").alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("total_cents"))
+    banded = rev.withColumn("band", F.length(F.bin("cents")))
+    bands = banded.groupBy("band").agg(F.sum("cents").cast("long").alias("band_cents"))
+    wband = Window.partitionBy(F.lit(1)).orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    band_pref = bands.select(
+        "band",
+        F.coalesce(F.sum("band_cents").over(wband), F.lit(0))
+        .cast("long")
+        .alias("before_cents"),
+    )
+    win = Window.partitionBy("band").orderBy(
+        F.col("cents").desc(), F.col("o_custkey")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (
+        banded.join(F.broadcast(band_pref), "band")
+        .withColumn("in_band_cum", F.sum("cents").over(win).cast("long"))
+        .select(
+            "o_custkey",
+            "cents",
+            (F.col("before_cents") + F.col("in_band_cum")).alias("cum_cents"),
+        )
+    )
+    # classification is the exact cross-multiplied rational compare
+    # (cum/total <= 4/5, <= 19/20): no 1e6 ppm multiply of a corpus-
+    # proportional cumulative — the 100x sweep caught the ppm form
+    # overflowing int64 on the sf10 fixture (1e6 * cum_cents > 2^63).
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        "cents",
+        "total_cents",
+        F.when(F.expr("5 * cum_cents") <= F.expr("4 * total_cents"), F.lit("A"))
+        .when(F.expr("20 * cum_cents") <= F.expr("19 * total_cents"), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        # decimal(38,0) widening: class revenue * 1e6 exceeds int64 two
+        # decades up (same lever as the OLS/bot-triage rationals)
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * sum(cents))"
+            " div max(total_cents) AS BIGINT)"
+        ).alias("revenue_share_ppm"),
+        F.min("cents").cast("long").alias("min_customer_cents"),
+        F.max("cents").cast("long").alias("max_customer_cents"),
+    )
+
+
+# ------------------------------------------- generalization ladder (k-anon) ----
+#
+# The mechanism k-anonymity audits ask for next: WHICH generalization
+# level to publish at. The ladder coarsens the quasi-identifier one rung
+# at a time — L0 (nation x segment x balance band, the privacy_k_anonymity
+# QI) -> L1 drop the band -> L2 nation->region -> L3 segment only — and
+# the chosen level is the FIRST rung whose minimum class size reaches
+# K_ANON_THRESHOLD (Samarati's minimal-generalization criterion on a
+# fixed ladder). Each rung is one customer-keyed aggregate; the rung
+# stats and the choice are bounded algebra.
+
+
+@register(
+    "privacy_generalization_ladder",
+    oracle=f"""
+    WITH l0 AS (
+      SELECT CAST(0 AS BIGINT) AS level, CAST(COUNT(*) AS BIGINT) AS k
+      FROM customer GROUP BY c_nationkey, c_mktsegment, {_ACCTBAL_BAND_SQL}
+    ),
+    l1 AS (
+      SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    l2 AS (
+      SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_regionkey, c.c_mktsegment
+    ),
+    l3 AS (
+      SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+      FROM customer GROUP BY c_mktsegment
+    ),
+    classes AS (
+      SELECT * FROM l0 UNION ALL SELECT * FROM l1
+      UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+    ),
+    stats AS (
+      SELECT level,
+             CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(MIN(k) AS BIGINT) AS min_k,
+             CAST(SUM(CASE WHEN k < {K_ANON_THRESHOLD} THEN k ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+             CAST(CASE WHEN MIN(k) >= {K_ANON_THRESHOLD} THEN 1 ELSE 0 END AS BIGINT)
+               AS achieved
+      FROM classes GROUP BY level
+    ),
+    chosen AS (
+      SELECT CAST(COALESCE(MIN(CASE WHEN achieved = 1 THEN level END), -1) AS BIGINT)
+        AS chosen_level
+      FROM stats
+    )
+    SELECT stats.level, stats.n_classes, stats.min_k, stats.n_rows_at_risk,
+           stats.achieved, chosen.chosen_level
+    FROM stats CROSS JOIN chosen
+    """,
+)
+def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization ladder: per rung (L0 full QI .. L3
+    segment-only) the class count, minimum class size, rows at risk
+    below K_ANON_THRESHOLD, an achieved flag, and the chosen level —
+    the first rung meeting the threshold (minimal generalization on a
+    fixed ladder). The publish-decision table, not just the audit.
+
+    Scale: each rung is ONE customer-keyed map-side-combinable
+    aggregate (the region rung broadcasts the nation dim); rung stats
+    are bounded class relations and the choice is a 4-row fold."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    band = F.expr(_ACCTBAL_BAND_SPARK)
+    l0 = customer.groupBy("c_nationkey", "c_mktsegment", band.alias("band")).agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    ).select(F.lit(0).cast("long").alias("level"), "k")
+    l1 = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    ).select(F.lit(1).cast("long").alias("level"), "k")
+    l2 = (
+        customer.join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_regionkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .select(F.lit(2).cast("long").alias("level"), "k")
+    )
+    l3 = customer.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    ).select(F.lit(3).cast("long").alias("level"), "k")
+    classes = l0.unionByName(l1).unionByName(l2).unionByName(l3)
+    stats = classes.groupBy("level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("k").cast("long").alias("min_k"),
+        F.sum(F.when(F.col("k") < K_ANON_THRESHOLD, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.when(F.min("k") >= K_ANON_THRESHOLD, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("achieved"),
+    )
+    chosen = stats.agg(
+        F.coalesce(
+            F.min(F.when(F.col("achieved") == 1, F.col("level"))), F.lit(-1)
+        )
+        .cast("long")
+        .alias("chosen_level")
+    )
+    return stats.crossJoin(F.broadcast(chosen)).select(
+        "level", "n_classes", "min_k", "n_rows_at_risk", "achieved", "chosen_level"
+    )

@@ -1932,3 +1932,110 @@ def split_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("spanning_permille"),
     )
+
+
+# ---------------------------------------------------- sample-ratio check ----
+#
+# Sample-ratio-mismatch (SRM) guard (Fabijan et al. 2019 — the first
+# check every experimentation platform runs): the hash split's observed
+# train/val/test counts against the designed 80/10/10, scored with the
+# exact Pearson chi-square as one rational. With E_i = n*p_i/100,
+#   X^2 = sum (100*O_i - n*p_i)^2 / (100 * n * p_i)
+# and multiplying through by LCM(p)=400 gives integer term weights
+# 400/p_i in {5, 40}: chi2_num = sum (100*O_i - n*p_i)^2 * (400/p_i),
+# chi2_den = 100 * 400 * n — both in decimal(38,0) (the squares exceed
+# int64 two decades up), flagged against the df=2, alpha=.05 critical
+# value 5.99 by the cross-multiplied integer compare 100*num > 599*den.
+SRM_EXPECT = (("train", 80), ("val", 10), ("test", 10))
+SRM_CRIT_X100 = 599  # chi-square critical value 5.99 (df=2, alpha=.05)
+
+
+@register(
+    "sample_srm_check",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CASE WHEN {_BUCKET_SQL} < {TRAIN_PCT} THEN 'train'
+                  WHEN {_BUCKET_SQL} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    obs AS (
+      SELECT e.split, e.pct, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_obs
+      FROM (VALUES {", ".join(f"('{s}', {p})" for s, p in SRM_EXPECT)}) e(split, pct)
+      LEFT JOIN (SELECT split, COUNT(*) AS n FROM assigned GROUP BY split) c
+        ON c.split = e.split
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+    chi AS (
+      SELECT
+        CAST(SUM(CAST((100 * n_obs - tot.n * pct) AS HUGEINT)
+                 * (100 * n_obs - tot.n * pct) * (400 // pct)) AS HUGEINT) AS chi2_num,
+        CAST(40000 * MAX(tot.n) AS HUGEINT) AS chi2_den
+      FROM obs CROSS JOIN tot
+    )
+    SELECT obs.split, obs.n_obs,
+           CAST(obs.pct * 10 AS BIGINT) AS exp_permille,
+           CAST((1000 * obs.n_obs) // tot.n AS BIGINT) AS obs_permille,
+           CAST(chi.chi2_num AS DOUBLE) / CAST(chi.chi2_den AS DOUBLE) AS chi2,
+           CAST(CASE WHEN 100 * chi.chi2_num > {SRM_CRIT_X100} * chi.chi2_den
+                     THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+    FROM obs CROSS JOIN tot CROSS JOIN chi
+    """,
+)
+def sample_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard on the hash split: per-split observed
+    count and permille vs the designed 80/10/10, the exact-rational
+    Pearson chi-square as its correctly-rounded double, and the
+    alpha=.05 flag by cross-multiplied integer compare — the assignment
+    sanity check run before any experiment or eval readout is trusted.
+
+    Scale: ONE map-side 3-key aggregate over the scan; the expected
+    lattice, chi-square fold and flag are bounded 3-row algebra in
+    decimal(38,0) — nothing data-proportional past the count."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(_split(_bucket(F.col("doc_id"))).alias("split"))
+    counts = assigned.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+    expect = spark.createDataFrame(
+        [(s, p) for s, p in SRM_EXPECT], "split string, pct long"
+    )
+    obs = (
+        F.broadcast(expect)
+        .join(counts, "split", "left")
+        .select("split", "pct", F.coalesce("n", F.lit(0)).cast("long").alias("n_obs"))
+        # 3 rows; checkpoint so the four consumers (total, chi fold,
+        # final projection) read it instead of re-running the scan
+        .localCheckpoint(eager=False)
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    d38 = "decimal(38,0)"
+    chi = obs.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            (F.expr("100 * n_obs - n * pct").cast(d38))
+            * F.expr("100 * n_obs - n * pct").cast(d38)
+            * F.expr("400 div pct").cast(d38)
+        )
+        .cast(d38)
+        .alias("chi2_num"),
+        (F.lit(40000).cast(d38) * F.max("n").cast(d38)).cast(d38).alias("chi2_den"),
+    )
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(chi))
+        .select(
+            "split",
+            "n_obs",
+            (F.col("pct") * 10).cast("long").alias("exp_permille"),
+            F.expr("(1000 * n_obs) div n").cast("long").alias("obs_permille"),
+            (F.col("chi2_num").cast("double") / F.col("chi2_den").cast("double")).alias(
+                "chi2"
+            ),
+            F.when(
+                F.lit(100).cast(d38) * F.col("chi2_num")
+                > F.lit(SRM_CRIT_X100).cast(d38) * F.col("chi2_den"),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("srm_flag"),
+        )
+    )

@@ -14,7 +14,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from snackfs_spark.functions import STOPWORD_PERMILLE_SPARK, STOPWORD_PERMILLE_SQL
+from snackfs_spark.functions import (
+    STOPWORD_PERMILLE_SPARK,
+    STOPWORD_PERMILLE_SQL,
+    md5_bucket,
+)
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import fan_out, load_table
 
@@ -3156,3 +3160,424 @@ def text_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in rounds[1:]:
         out = out.unionByName(part)
     return out
+
+
+# --------------------------------------------- split-conformal calibration ----
+#
+# Split conformal prediction (Vovk; Papadopoulos 2002): the calibration
+# half's (1-alpha) empirical quantile WITH the finite-sample (n+1)
+# correction — k = ceil((1-alpha)(n+1)) — gives a threshold whose
+# eval-half coverage is >= 1-alpha in expectation, distribution-free.
+# The nonconformity score here is the shared stopword-permille quality
+# proxy (functions/STOPWORD_PERMILLE), the calibration/eval split is the
+# md5 doc split, and the k-th order statistic comes from the BOUNDED
+# score histogram (scores live in 0..1000) — a prefix sum over <= 1001
+# rows, never a corpus sort. Everything is exact integer algebra.
+CONF_ALPHAS_PPM = (100000, 50000, 10000)  # 10%, 5%, 1% miscoverage
+
+
+@register(
+    "eval_conformal_threshold",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST({{STOP}} AS BIGINT) AS score,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2
+               AS half
+      FROM documents
+    ),
+    calib AS (SELECT score FROM scored WHERE half = 0),
+    ev AS (SELECT score FROM scored WHERE half = 1),
+    nh AS (
+      SELECT CAST((SELECT COUNT(*) FROM calib) AS BIGINT) AS n_calib,
+             CAST((SELECT COUNT(*) FROM ev) AS BIGINT) AS n_eval
+    ),
+    hist AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS c FROM calib GROUP BY score),
+    cum AS (
+      SELECT score,
+             CAST(SUM(c) OVER (ORDER BY score
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+      FROM hist
+    ),
+    alphas AS (SELECT unnest([{", ".join(str(a) for a in CONF_ALPHAS_PPM)}]) AS alpha_ppm),
+    ks AS (
+      SELECT alpha_ppm,
+             CAST(((n_calib + 1) * (1000000 - alpha_ppm) + 999999) // 1000000
+                  AS BIGINT) AS k,
+             n_calib, n_eval
+      FROM alphas CROSS JOIN nh
+    ),
+    thr AS (
+      SELECT ks.alpha_ppm, ks.k, ks.n_calib, ks.n_eval,
+             CAST(MIN(cum.score) AS BIGINT) AS threshold_score
+      FROM ks JOIN cum ON cum.cum_n >= ks.k
+      GROUP BY 1, 2, 3, 4
+    ),
+    ehist AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY score)
+    SELECT thr.alpha_ppm, thr.n_calib, thr.k, thr.threshold_score, thr.n_eval,
+           CAST(COALESCE(SUM(CASE WHEN ehist.score <= thr.threshold_score
+                                  THEN ehist.c END), 0) AS BIGINT) AS n_covered,
+           CAST((1000000 * COALESCE(SUM(CASE WHEN ehist.score <= thr.threshold_score
+                                             THEN ehist.c END), 0))
+                // thr.n_eval AS BIGINT) AS coverage_ppm
+    FROM thr CROSS JOIN ehist
+    GROUP BY 1, 2, 3, 4, 5
+    """.replace("{STOP}", STOPWORD_PERMILLE_SQL),
+)
+def eval_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the stopword quality score: per
+    miscoverage level alpha, the finite-sample-corrected threshold
+    (k = ceil((1-alpha)(n+1))-th smallest calibration score) and its
+    measured eval-half coverage — the distribution-free selective-
+    prediction knob a filtering pipeline sets before scoring the corpus.
+
+    Scale: ONE scan computes (score, half); both halves collapse onto
+    the bounded 0..1000 score histogram, so the order statistic is a
+    prefix sum over <= 1001 rows and coverage is a bounded hist-join —
+    nothing downstream of the two histograms is data-proportional."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    scored = docs.select(
+        F.expr(STOPWORD_PERMILLE_SPARK).cast("long").alias("score"),
+        md5_bucket(F.col("doc_id").cast("string"), 2).alias("half"),
+    )
+    calib = scored.filter(F.col("half") == 0)
+    ev = scored.filter(F.col("half") == 1)
+    nh = calib.agg(F.count(F.lit(1)).cast("long").alias("n_calib")).crossJoin(
+        ev.agg(F.count(F.lit(1)).cast("long").alias("n_eval"))
+    )
+    hist = calib.groupBy("score").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = Window.partitionBy(F.lit(1)).orderBy("score").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select("score", F.sum("c").over(wcum).cast("long").alias("cum_n"))
+    alphas = spark.range(1).select(
+        F.explode(F.array(*[F.lit(a) for a in CONF_ALPHAS_PPM])).alias("alpha_ppm")
+    )
+    ks = alphas.crossJoin(F.broadcast(nh)).select(
+        "alpha_ppm",
+        F.expr("((n_calib + 1) * (1000000 - alpha_ppm) + 999999) div 1000000")
+        .cast("long")
+        .alias("k"),
+        "n_calib",
+        "n_eval",
+    )
+    thr = (
+        F.broadcast(ks)
+        .join(cum, F.col("cum_n") >= F.col("k"))
+        .groupBy("alpha_ppm", "k", "n_calib", "n_eval")
+        .agg(F.min("score").cast("long").alias("threshold_score"))
+    )
+    ehist = ev.groupBy("score").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return (
+        F.broadcast(thr)
+        .crossJoin(ehist)
+        .groupBy("alpha_ppm", "n_calib", "k", "threshold_score", "n_eval")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("score") <= F.col("threshold_score"), F.col("c"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_covered")
+        )
+        .select(
+            "alpha_ppm",
+            "n_calib",
+            "k",
+            "threshold_score",
+            "n_eval",
+            "n_covered",
+            F.expr("(1000000 * n_covered) div n_eval").cast("long").alias("coverage_ppm"),
+        )
+    )
+
+
+# ------------------------------------------------ Poisson bootstrap CI ----
+#
+# Streaming-friendly bootstrap (Chamandy et al., "Estimating Uncertainty
+# for Massive Data Streams" — the production A/B pattern): instead of
+# resampling n-of-n (impossible in one pass), each replicate gives every
+# doc an independent Poisson(1) weight; replicate statistics are then
+# plain weighted aggregates computed in ONE scan for all B replicates.
+# Weights are deterministic: u = md5_fp(doc_id '-' b) % 1e6 inverted
+# through the fixed Poisson(1) CDF ppm table below (math constants, the
+# BENFORD pattern). The percentile interval comes from ranking the B=32
+# replicate means by their exact integer milli value (floor division —
+# engine-portable) — rank 2 and rank 31, the ~93.8% percentile CI at
+# this B. All arithmetic is exact int64.
+BOOT_B = 32
+# cumulative Poisson(1) CDF in ppm: P(X <= k) for k = 0..6; u above the
+# last entry draws weight 7 (P ~ 8e-5 — the bounded tail).
+BOOT_CDF_PPM = (367879, 735759, 919699, 981012, 996340, 999406, 999917)
+_BOOT_W_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {p} THEN {k}" for k, p in enumerate(BOOT_CDF_PPM)
+    )
+    + f" ELSE {len(BOOT_CDF_PPM)} END"
+)
+
+
+@register(
+    "eval_bootstrap_ci",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, CAST({{STOP}} AS BIGINT) AS score FROM documents
+    ),
+    expl AS (
+      SELECT score, b,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS u
+      FROM scored CROSS JOIN (SELECT unnest(range(0, {BOOT_B})) AS b)
+    ),
+    reps AS (
+      SELECT CAST(b AS BIGINT) AS b,
+             CAST(SUM({_BOOT_W_CASE}) AS BIGINT) AS sum_w,
+             CAST(SUM(({_BOOT_W_CASE}) * score) AS BIGINT) AS score_wsum
+      FROM expl GROUP BY b
+    ),
+    means AS (
+      SELECT b, sum_w, score_wsum,
+             CAST((1000 * score_wsum) // sum_w AS BIGINT) AS mean_x1000,
+             ROW_NUMBER() OVER (ORDER BY (1000 * score_wsum) // sum_w, b) AS rnk
+      FROM reps
+    ),
+    ci AS (
+      SELECT CAST(MIN(CASE WHEN rnk = 2 THEN mean_x1000 END) AS BIGINT) AS ci_lo_x1000,
+             CAST(MIN(CASE WHEN rnk = {BOOT_B - 1} THEN mean_x1000 END) AS BIGINT) AS ci_hi_x1000
+      FROM means
+    ),
+    pt AS (
+      SELECT CAST((1000 * SUM(score)) // COUNT(*) AS BIGINT) AS point_x1000
+      FROM scored
+    )
+    SELECT means.b, means.sum_w, means.score_wsum, means.mean_x1000,
+           pt.point_x1000, ci.ci_lo_x1000, ci.ci_hi_x1000
+    FROM means CROSS JOIN ci CROSS JOIN pt
+    """.replace("{STOP}", STOPWORD_PERMILLE_SQL),
+)
+def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap uncertainty for the corpus mean quality score:
+    B=32 deterministic Poisson(1)-weighted replicates computed in one
+    scan, each reported with its weighted mean (exact milli), plus the
+    point estimate and the rank-2/rank-31 percentile interval — the
+    error bar a curation dashboard puts on every corpus statistic.
+
+    Scale: the scan explodes x32 but collapses map-side onto exactly B
+    keys (partial aggregation), so the shuffle carries B rows per
+    partition; ranking and the CI run on the bounded 32-row replicate
+    relation. Weights are md5-derived in codegen — no RNG state, so the
+    result is partition-count independent."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    scored = docs.select(
+        "doc_id", F.expr(STOPWORD_PERMILLE_SPARK).cast("long").alias("score")
+    )
+    expl = scored.select(
+        "score",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        "doc_id",
+    ).select(
+        "score",
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit("-"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        ).alias("u"),
+    )
+    reps = expl.groupBy("b").agg(
+        F.sum(F.expr(_BOOT_W_CASE)).cast("long").alias("sum_w"),
+        F.sum(F.expr(f"({_BOOT_W_CASE}) * score")).cast("long").alias("score_wsum"),
+    )
+    wrk = Window.partitionBy(F.lit(1)).orderBy(
+        F.expr("(1000 * score_wsum) div sum_w"), F.col("b")
+    )
+    means = reps.select(
+        F.col("b").cast("long").alias("b"),
+        "sum_w",
+        "score_wsum",
+        F.expr("(1000 * score_wsum) div sum_w").cast("long").alias("mean_x1000"),
+        F.row_number().over(wrk).alias("rnk"),
+    )
+    ci = means.agg(
+        F.min(F.when(F.col("rnk") == 2, F.col("mean_x1000")))
+        .cast("long")
+        .alias("ci_lo_x1000"),
+        F.min(F.when(F.col("rnk") == BOOT_B - 1, F.col("mean_x1000")))
+        .cast("long")
+        .alias("ci_hi_x1000"),
+    )
+    pt = scored.agg(
+        F.expr("(1000 * sum(score)) div count(1)").cast("long").alias("point_x1000")
+    )
+    return (
+        means.crossJoin(F.broadcast(ci))
+        .crossJoin(F.broadcast(pt))
+        .select(
+            "b",
+            "sum_w",
+            "score_wsum",
+            "mean_x1000",
+            "point_x1000",
+            "ci_lo_x1000",
+            "ci_hi_x1000",
+        )
+    )
+
+
+# ----------------------------------------------- RAKE keyword extraction ----
+#
+# RAKE (Rose et al. 2010, "Rapid Automatic Keyword Extraction"):
+# candidate phrases are maximal stopword-free token runs; each word
+# scores deg/freq where freq counts its occurrences in candidates and
+# deg adds the length of every candidate containing it (co-occurrence
+# incl. self); a phrase scores the sum of its words' scores. The
+# integer variant scores words as (1000*deg) div freq — floor-exact in
+# both engines — so phrase scores are exact integer milli-units (every
+# occurrence of the same phrase text scores identically, since scores
+# are corpus-global). Top-RAKE_TOPK phrases by (score, text) with full
+# tie-break.
+RAKE_STOPS = ("the", "a", "and", "with", "of", "in")  # the shared stopword set
+RAKE_TOPK = 15
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, i AS pos, words[i + 1] AS w,
+             CASE WHEN words[i + 1] IN ({", ".join(f"'{w}'" for w in RAKE_STOPS)})
+                  OR words[i + 1] = '' THEN 1 ELSE 0 END AS is_stop
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS words,
+               unnest(range(0, len(string_split(text, ' ')))) AS i
+        FROM documents
+      )
+    ),
+    marked AS (
+      -- the island id must be computed over ALL tokens (stops included)
+      -- BEFORE dropping the stop rows, or runs merge across stopwords
+      SELECT doc_id, pos, w, island FROM (
+        SELECT doc_id, pos, w, is_stop,
+               SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS island
+        FROM toks
+      ) WHERE is_stop = 0
+    ),
+    members AS (
+      SELECT doc_id, island, pos, w,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id, island) AS BIGINT) AS plen
+      FROM marked
+    ),
+    wstats AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg
+      FROM members GROUP BY w
+    ),
+    wscore AS (
+      SELECT w, CAST((1000 * deg) // freq AS BIGINT) AS ws FROM wstats
+    ),
+    pscore AS (
+      SELECT m.doc_id, m.island,
+             string_agg(m.w, ' ' ORDER BY m.pos) AS phrase,
+             CAST(MAX(m.plen) AS BIGINT) AS n_words,
+             CAST(SUM(s.ws) AS BIGINT) AS score_x1000
+      FROM members m JOIN wscore s ON s.w = m.w
+      GROUP BY m.doc_id, m.island
+    )
+    SELECT phrase, n_words, n_occurrences, score_x1000 FROM (
+      SELECT phrase, MAX(n_words) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             MAX(score_x1000) AS score_x1000,
+             ROW_NUMBER() OVER (ORDER BY MAX(score_x1000) DESC, phrase) AS rn
+      FROM pscore GROUP BY phrase
+    ) WHERE rn <= {RAKE_TOPK}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: maximal stopword-free phrase candidates,
+    corpus-global deg/freq word scores in exact integer milli-units,
+    phrase scores as member sums, top-K phrases with occurrence counts
+    — the query-free keyword surfacer a corpus-exploration UI runs.
+
+    Scale: tokenization explodes once; phrase assembly is a window
+    PARTITIONED by doc (bounded per-doc state, the VAD-islands class);
+    word stats collapse onto the vocab relation; the phrase-score join
+    is word-keyed shuffle work, and the final cut is a TakeOrdered
+    heap — no global sort of the phrase relation."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).select(
+        "doc_id",
+        "pos",
+        "w",
+        F.when(F.col("w").isin(*RAKE_STOPS) | (F.col("w") == ""), 1)
+        .otherwise(0)
+        .alias("is_stop"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    marked = (
+        toks.withColumn("island", F.sum("is_stop").over(wdoc))
+        .filter(F.col("is_stop") == 0)
+        .select("doc_id", "pos", "w", "island")
+    )
+    wphr = Window.partitionBy("doc_id", "island")
+    members = marked.withColumn(
+        "plen", F.count(F.lit(1)).over(wphr).cast("long")
+    )
+    # checkpoint ONLY the vocab-sized word scores: caching the full
+    # token relation for its two consumers blew the executor heap on
+    # the sf10 sweep (27M struct rows pinned in memory) — recomputing
+    # the tokenize lineage twice is the memory-safe trade here.
+    wscore = (
+        members.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .select("w", F.expr("(1000 * deg) div freq").cast("long").alias("ws"))
+        .localCheckpoint(eager=False)
+    )
+    pscore = (
+        members.join(wscore.hint("shuffle_hash"), "w")
+        .groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.max("plen").cast("long").alias("n_words"),
+            F.sum("ws").cast("long").alias("score_x1000"),
+        )
+    )
+    agg = pscore.groupBy("phrase").agg(
+        F.max("n_words").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("score_x1000").cast("long").alias("score_x1000"),
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("score_x1000").desc(), F.col("phrase")
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RAKE_TOPK)
+        .select("phrase", "n_words", "n_occurrences", "score_x1000")
+    )

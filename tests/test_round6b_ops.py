@@ -174,3 +174,283 @@ def test_random_projection_replay_and_recall(spark):
     ) / len(byq)
     random_baseline = 1000 * TOP_K / n_corpus
     assert mean_recall >= 5 * random_baseline
+
+
+def test_conformal_coverage_and_k(spark):
+    """The (n+1)-corrected k is exact, the threshold is the k-th
+    smallest calibration score (pandas recount), and measured coverage
+    is near-or-above 1 - alpha for the loosest level."""
+    import hashlib
+    import math
+
+    rows = {
+        r["alpha_ppm"]: r
+        for r in REG["eval_conformal_threshold"].fn(spark, SF_ORACLE).collect()
+    }
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    stops = {"the", "a", "and", "with", "of", "in"}
+    score = docs.text.apply(
+        lambda t: 1000 * sum(w in stops for w in t.split(" ")) // len(t.split(" "))
+    )
+    half = docs.doc_id.apply(
+        lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) % 2
+    )
+    calib = sorted(score[half == 0])
+    ev = score[half == 1]
+    for alpha, r in rows.items():
+        n = len(calib)
+        k = math.ceil((n + 1) * (1_000_000 - alpha) / 1_000_000)
+        assert r["n_calib"] == n and r["k"] == k
+        if k <= n:
+            assert r["threshold_score"] == calib[k - 1]
+        cov = int((ev <= r["threshold_score"]).sum())
+        assert r["n_covered"] == cov
+        assert r["coverage_ppm"] == 1_000_000 * cov // len(ev)
+    # loosest level (10%): coverage should sit at or above 1-alpha
+    assert rows[100000]["coverage_ppm"] >= 850000
+
+
+def test_bootstrap_ci_brackets_point_and_replays(spark):
+    """Replicate weights replay from the md5 CDF inversion; the CI
+    brackets the point estimate; replicate masses stay near n."""
+    import hashlib
+
+    from snackfs_spark.operators.textstats import BOOT_B, BOOT_CDF_PPM
+
+    rows = sorted(
+        REG["eval_bootstrap_ci"].fn(spark, SF_ORACLE).collect(), key=lambda r: r["b"]
+    )
+    assert len(rows) == BOOT_B
+    r0 = rows[0]
+    assert r0["ci_lo_x1000"] <= r0["point_x1000"] <= r0["ci_hi_x1000"]
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    stops = {"the", "a", "and", "with", "of", "in"}
+    score = docs.text.apply(
+        lambda t: 1000 * sum(w in stops for w in t.split(" ")) // len(t.split(" "))
+    ).values
+    ids = docs.doc_id.values
+    n = len(ids)
+    for b in (0, 7, BOOT_B - 1):
+        w = []
+        for d in ids:
+            u = int(hashlib.md5(f"{d}-{b}".encode()).hexdigest()[:15], 16) % 1000000
+            w.append(next((k for k, p in enumerate(BOOT_CDF_PPM) if u < p), len(BOOT_CDF_PPM)))
+        sum_w = sum(w)
+        ws = sum(wi * si for wi, si in zip(w, score))
+        row = rows[b]
+        assert row["sum_w"] == sum_w and row["score_wsum"] == ws
+        assert row["mean_x1000"] == 1000 * ws // sum_w
+        # Poisson(1) mass concentrates near n
+        assert abs(sum_w - n) < n // 2
+
+
+def test_pareto_abc_equals_global_sort(spark):
+    """The banded two-phase classification equals the plain global-sort
+    ABC recount in pandas, and class revenue shares are Pareto-ordered."""
+    rows = {r["abc_class"]: r for r in REG["orders_pareto_abc"].fn(spark, SF_ORACLE).collect()}
+    orders = pd.read_parquet(f"{SF_ORACLE}/orders.parquet")
+    cents = (
+        orders.assign(c=(orders.o_totalprice.apply(lambda v: round(v, 2)) * 100).round().astype("int64"))
+        .groupby("o_custkey").c.sum()
+    )
+    df = cents.sort_values(ascending=False).reset_index()
+    df = df.sort_values(["c", "o_custkey"], ascending=[False, True])
+    total = int(df.c.sum())
+    cum = df.c.cumsum()
+    cls = cum.apply(
+        lambda c: "A" if 5 * c <= 4 * total else ("B" if 20 * c <= 19 * total else "C")
+    )
+    expect = df.assign(cls=cls).groupby("cls").agg(n=("c", "size"), rev=("c", "sum"))
+    for c in expect.index:
+        assert rows[c]["n_customers"] == int(expect.loc[c, "n"])
+        assert rows[c]["revenue_cents"] == int(expect.loc[c, "rev"])
+    # share ordering holds by construction (80/15/5 cut); the CUSTOMER
+    # count ordering does not on uniform synthetic revenue (A takes most
+    # customers when no head exists) — that absence is the diagnostic.
+    assert rows["A"]["revenue_share_ppm"] > rows["B"]["revenue_share_ppm"]
+    assert rows["B"]["revenue_share_ppm"] > rows["C"]["revenue_share_ppm"]
+
+
+def test_kcore_fixpoint_and_monotone(spark):
+    """Peeling is monotone (alive never grows), the last round certifies
+    the fixpoint, and survivors each keep >= K candidate partners."""
+    from snackfs_spark.operators.graph import KCORE_K
+
+    rows = sorted(
+        REG["graph_kcore_decomposition"].fn(spark, SF_ORACLE).collect(),
+        key=lambda r: r["round"],
+    )
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_before"] == prev["n_alive"]
+        assert cur["n_alive"] <= prev["n_alive"]
+    last = rows[-1]
+    assert last["n_removed"] == 0, "did not reach the fixpoint in KCORE_ROUNDS"
+    # the surviving core supports min degree K: edges/2 >= alive*K/2
+    assert 2 * last["n_core_edges"] >= KCORE_K * last["n_alive"]
+
+
+def test_ring_scaling_minimal_disruption(spark):
+    """Only the donor host loses load, the new node gains exactly the
+    moved volume, total load is conserved, and the donor's loss equals
+    the new node's gain (the consistent-hashing minimal-move claim)."""
+    rows = REG["fs_ring_scaling_plan"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 26
+    new = [r for r in rows if r["is_new"] == 1]
+    assert len(new) == 1 and new[0]["load_after"] == new[0]["n_blocks_moved"]
+    changed = [r for r in rows if r["is_new"] == 0 and r["load_before"] != r["load_after"]]
+    assert len(changed) == 1
+    assert changed[0]["load_before"] - changed[0]["load_after"] == new[0]["load_after"]
+    assert sum(r["load_before"] for r in rows) == sum(r["load_after"] for r in rows)
+    # the donor was the heaviest host
+    assert changed[0]["load_before"] == max(r["load_before"] for r in rows)
+
+
+def test_generalization_ladder_monotone_and_chosen(spark):
+    """Coarsening can only help: min_k non-decreasing, n_classes
+    non-increasing, rows-at-risk non-increasing up the ladder; the
+    chosen level is the first achieved rung."""
+    rows = sorted(
+        REG["privacy_generalization_ladder"].fn(spark, SF_ORACLE).collect(),
+        key=lambda r: r["level"],
+    )
+    assert [r["level"] for r in rows] == [0, 1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b["min_k"] >= a["min_k"]
+        assert b["n_classes"] <= a["n_classes"]
+        assert b["n_rows_at_risk"] <= a["n_rows_at_risk"]
+    chosen = rows[0]["chosen_level"]
+    achieved = [r["level"] for r in rows if r["achieved"] == 1]
+    assert chosen == (min(achieved) if achieved else -1)
+    for r in rows:
+        assert (r["min_k"] >= 5) == (r["achieved"] == 1)
+
+
+def test_srm_check_null_case_and_algebra(spark):
+    """On the clean md5 split the SRM flag must NOT fire (the split is
+    fair by construction); the chi-square recomputes from the counts."""
+    rows = {r["split"]: r for r in REG["sample_srm_check"].fn(spark, SF_ORACLE).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    n = sum(r["n_obs"] for r in rows.values())
+    exp = {"train": 80, "val": 10, "test": 10}
+    num = sum(
+        (100 * rows[s]["n_obs"] - n * p) ** 2 * (400 // p) for s, p in exp.items()
+    )
+    den = 40000 * n
+    r0 = rows["train"]
+    assert r0["chi2"] == num / den
+    assert r0["srm_flag"] == (1 if 100 * num > 599 * den else 0)
+    assert r0["srm_flag"] == 0  # the hash split is fair
+    assert all(r["exp_permille"] == exp[s] * 10 for s, r in rows.items())
+
+
+def test_harmonic_centrality_python_replay(spark):
+    """h12 replays from a pure-python BFS over the same vocab-restricted
+    edge set (distances capped at 4); zeros only for unreachable nodes."""
+    rows = {r["token"]: r for r in REG["graph_harmonic_centrality"].fn(spark, SF_ORACLE).collect()}
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    from collections import Counter, deque
+
+    words = docs.text.str.split(" ")
+    cnt = Counter(w for ws in words for w in ws if w != "")
+    vocab = set(
+        w for w, _ in sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[:150]
+    )
+    edges = {}
+    for ws in words:
+        for a, b in zip(ws, ws[1:]):
+            if a != b and a in vocab and b in vocab:
+                edges.setdefault(a, set()).add(b)
+    for v in rows:
+        assert v in vocab
+    # BFS from every source, accumulate onto destinations
+    counts = {v: [0, 0, 0, 0] for v in vocab}
+    for src in vocab:
+        dist = {src: 0}
+        dq = deque([src])
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= 4:
+                continue
+            for nb in edges.get(u, ()):
+                if nb not in dist:
+                    dist[nb] = dist[u] + 1
+                    dq.append(nb)
+        for v, d in dist.items():
+            if v != src and 1 <= d <= 4:
+                counts[v][d - 1] += 1
+    for v, r in rows.items():
+        c = counts[v]
+        assert [r["c1"], r["c2"], r["c3"], r["c4"]] == c
+        assert r["h12"] == 12 * c[0] + 6 * c[1] + 4 * c[2] + 3 * c[3]
+
+
+def test_audio_resample_numpy_replay(spark):
+    """Per-asset resample stats replay from a direct numpy 3:2 lattice
+    on the text bytes; output length is the exact 2/3 lattice count."""
+    import numpy as np
+
+    rows = {r["asset_id"]: r for r in REG["multimodal_audio_resample"].fn(spark, SF_ORACLE).collect()}
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    checked = 0
+    for _, doc in docs.head(20).iterrows():
+        buf = doc.text.encode()
+        usable = len(buf) - (len(buf) % 2)
+        s = np.frombuffer(buf[:usable], dtype="<i2").astype(np.int64)
+        if len(s) < 2:
+            assert doc.doc_id not in rows
+            continue
+        n = len(s)
+        m = (2 * (n - 1)) // 3 + 1
+        j = np.arange(m)
+        p2 = 3 * j
+        idx = p2 // 2
+        hi = np.minimum(idx + 1, n - 1)
+        out2 = np.where(p2 % 2 == 0, 2 * s[idx], s[idx] + s[hi])
+        r = rows[doc.doc_id]
+        assert r["n_in"] == n and r["n_out"] == m
+        assert r["energy_in"] == int((s * s).sum())
+        assert r["energy_out_x4"] == int((out2 * out2).sum())
+        assert r["peak_out_x2"] == int(np.abs(out2).max())
+        checked += 1
+    assert checked >= 15
+
+
+def test_rake_scores_recount(spark):
+    """Top phrases replay from a pure-python RAKE with the same integer
+    milli word scores; top-K ordering and occurrence counts match."""
+    from collections import Counter
+
+    from snackfs_spark.operators.textstats import RAKE_STOPS, RAKE_TOPK
+
+    rows = REG["text_rake_keywords"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == RAKE_TOPK
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    stops = set(RAKE_STOPS) | {""}
+    phrases = []
+    for t in docs.text:
+        cur = []
+        for w in t.split(" "):
+            if w in stops:
+                if cur:
+                    phrases.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(tuple(cur))
+    freq, deg = Counter(), Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    ws = {w: 1000 * deg[w] // freq[w] for w in freq}
+    agg = {}
+    for p in phrases:
+        key = " ".join(p)
+        sc = sum(ws[w] for w in p)
+        n, _, _ = agg.get(key, (0, len(p), sc))
+        agg[key] = (n + 1, len(p), sc)
+    top = sorted(agg.items(), key=lambda kv: (-kv[1][2], kv[0]))[:RAKE_TOPK]
+    got = [(r["phrase"], r["n_occurrences"], r["n_words"], r["score_x1000"]) for r in rows]
+    want = [(k, v[0], v[1], v[2]) for k, v in top]
+    assert sorted(got) == sorted(want)

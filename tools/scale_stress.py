@@ -203,6 +203,18 @@ QUERIES = [
     "events_diff_in_diff",
     "text_quality_perceptron",
     "emb_random_projection",
+    # batch 8: conformal, bootstrap CI, ABC, k-core, ring scaling
+    "eval_conformal_threshold",
+    "eval_bootstrap_ci",
+    "orders_pareto_abc",
+    "graph_kcore_decomposition",
+    "fs_ring_scaling_plan",
+    # batch 9: privacy ladder, SRM, harmonic centrality, resample, RAKE
+    "privacy_generalization_ladder",
+    "sample_srm_check",
+    "graph_harmonic_centrality",
+    "multimodal_audio_resample",
+    "text_rake_keywords",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
