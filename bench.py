@@ -250,6 +250,26 @@ HEADLINE_R15 = [
     "text_rake_keywords",
 ]
 
+# Round-16 additions (round-6 continuation, batch 4): duplicate
+# payments, induced stop list, conversion lag, t-closeness, elbow.
+HEADLINE_R16 = [
+    "orders_duplicate_payments",
+    "text_stop_list_induction",
+    "events_conversion_lag",
+    "privacy_t_closeness",
+    "emb_kmeans_elbow",
+]
+
+# Round-17 additions (round-6 continuation, batch 5): PVM bridge,
+# revenue Gini, McNemar, assortativity, scene cuts.
+HEADLINE_R17 = [
+    "lineitem_pvm_decomposition",
+    "orders_revenue_gini",
+    "eval_mcnemar_paired",
+    "graph_degree_assortativity",
+    "multimodal_scene_cuts",
+]
+
 
 # Cumulative round groups: drives BOTH the emitted rNN_comparable_subtotal
 # keys and the regression-alarm baselines, so a new round group added here
@@ -271,6 +291,8 @@ ROUNDS = [
     HEADLINE_R13,
     HEADLINE_R14,
     HEADLINE_R15,
+    HEADLINE_R16,
+    HEADLINE_R17,
 ]
 
 

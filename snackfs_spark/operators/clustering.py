@@ -717,3 +717,131 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_a").cast("double") * F.col("n_b").cast("double") * F.lit(1.0e12))
         ).alias("drift_l1"),
     )
+
+
+# ----------------------------------------------------- k-means elbow ----
+#
+# Model selection for the clustering stack: run the SAME deterministic
+# Lloyd's loop (seed = first k vectors, KMEANS_ITERS rounds) at
+# k in ELBOW_KS and report per k the total inertia — the elbow table
+# that picks k for SemDeDup / IVF list counts. Inertia is a sum of
+# per-vector squared distances (doubles), so each distance is quantized
+# HALF-EVEN onto a 1e9 integer lattice and summed as bigints (the
+# _recenter trick applied to the objective) — order-free, bit-identical
+# across engines and partitionings; the single double division at the
+# end is IEEE-correctly-rounded. The drop ratio column is the elbow
+# signal itself: permille of the previous k's inertia.
+ELBOW_KS = (2, 4, 8, 16)
+ELBOW_Q = "1e9"
+
+
+def _elbow_oracle() -> str:
+    assign = """
+      SELECT vec_id, ev, cid, dist FROM (
+        SELECT v.vec_id, v.ev, c.cid,
+               {l2} AS dist,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {l2}, c.cid) AS rn
+        FROM v CROSS JOIN {csrc} c
+      ) WHERE rn = 1
+    """
+    l2 = _L2_DUCK.format(a="v.ev", b="c.cv")
+    recenter = """
+      SELECT cid, list(c ORDER BY pos) AS cv FROM (
+        SELECT cid, i AS pos,
+               CAST(SUM(CAST(round_even(ev[i] * 1e12, 0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1e12 AS c
+        FROM {asrc}, (SELECT unnest(range(1, 65)) AS i)
+        GROUP BY cid, i
+      ) GROUP BY cid
+    """
+    ctes = [
+        """v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      FROM embeddings
+    )"""
+    ]
+    selects = []
+    for k in ELBOW_KS:
+        ctes.append(
+            f"c0_{k} AS (SELECT vec_id AS cid, ev AS cv FROM v WHERE vec_id < {k})"
+        )
+        ctes.append(f"a1_{k} AS ({assign.format(l2=l2, csrc=f'c0_{k}')})")
+        for r in range(2, KMEANS_ITERS + 1):
+            ctes.append(f"c{r - 1}_{k} AS ({recenter.format(asrc=f'a{r - 1}_{k}')})")
+            ctes.append(f"a{r}_{k} AS ({assign.format(l2=l2, csrc=f'c{r - 1}_{k}')})")
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS k, "
+            f"CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_clusters_used, "
+            f"CAST(SUM(CAST(round_even(dist * {ELBOW_Q}, 0) AS BIGINT)) AS BIGINT)"
+            f" AS inertia_q9 "
+            f"FROM a{KMEANS_ITERS}_{k}"
+        )
+    body = "WITH " + ",\n    ".join(ctes)
+    union = "\nUNION ALL\n".join(selects)
+    return f"""{body},
+    curve AS ({union})
+    SELECT k, n_clusters_used, inertia_q9,
+           CAST(inertia_q9 AS DOUBLE) / {ELBOW_Q} AS inertia,
+           CAST(COALESCE((1000 * inertia_q9) //
+                NULLIF(lag(inertia_q9) OVER (ORDER BY k), 0), 0) AS BIGINT)
+             AS ratio_prev_permille
+    FROM curve
+    """
+
+
+@register("emb_kmeans_elbow", oracle=_elbow_oracle())
+def emb_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means elbow curve: the deterministic Lloyd's loop at k = 2, 4,
+    8, 16 with per-k lattice-exact total inertia (1e9 quantization),
+    clusters actually used, and the inertia ratio to the previous k —
+    the model-selection table behind every "pick k" decision in the
+    clustering/SemDeDup/IVF stack.
+
+    Scale: each k reruns the emb_kmeans_assign posture — centroids
+    broadcast against one corpus scan per round, recenter state is
+    O(k*dim) — so the whole curve costs len(ELBOW_KS) * KMEANS_ITERS
+    corpus passes and the curve algebra runs on 4 rows. The inertia
+    lattice sum is map-side combinable (order-free bigints)."""
+    curves = []
+    for k in ELBOW_KS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        v = emb.select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev"),
+        )
+        cents = v.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("ev").alias("cv")
+        )
+        assigned = _assign(v, cents)
+        for _ in range(KMEANS_ITERS - 1):
+            cents = _recenter(assigned)
+            assigned = _assign(v, cents)
+        curves.append(
+            assigned.agg(
+                F.count_distinct("cid").cast("long").alias("n_clusters_used"),
+                F.sum(F.expr(f"CAST(bround(dist * {ELBOW_Q}) AS BIGINT)"))
+                .cast("long")
+                .alias("inertia_q9"),
+            ).select(F.lit(k).cast("long").alias("k"), "n_clusters_used", "inertia_q9")
+        )
+    curve = curves[0]
+    for part in curves[1:]:
+        curve = curve.unionByName(part)
+    wlag = Window.partitionBy(F.lit(1)).orderBy("k")
+    return (
+        curve.withColumn("prev_q9", F.lag("inertia_q9").over(wlag))
+        .select(
+            "k",
+            "n_clusters_used",
+            "inertia_q9",
+            (F.col("inertia_q9").cast("double") / F.lit(float(ELBOW_Q))).alias(
+                "inertia"
+            ),
+            F.coalesce(
+                F.expr("(1000 * inertia_q9) div nullif(prev_q9, 0)"), F.lit(0)
+            )
+            .cast("long")
+            .alias("ratio_prev_permille"),
+        )
+    )

@@ -697,3 +697,87 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h12"),
     )
+
+
+# -------------------------------------------------- degree assortativity ----
+#
+# Degree assortativity (Newman 2002): do high-degree tokens link to
+# high-degree tokens? The Pearson correlation of (out-degree of source,
+# in-degree of target) across the directed edge set, from exact integer
+# moment sums (the timeseries_correlation recipe on the graph) — the
+# one-number structure diagnostic next to the degree histogram:
+# positive = hub-to-hub core, negative = hub-and-spoke.
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH {_GRAPH_CTES},
+    od AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS odeg FROM edges GROUP BY w1),
+    idg AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ideg FROM edges GROUP BY w2),
+    ex AS (
+      SELECT o.odeg AS x, i.ideg AS y
+      FROM edges e JOIN od o ON o.w1 = e.w1 JOIN idg i ON i.w2 = e.w2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(x) AS BIGINT) AS sum_x,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS cov_num,
+           CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS var_x,
+           CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS BIGINT) AS var_y,
+           -- a REGULAR graph (all degrees equal, var 0) has undefined r;
+           -- publish 0e0 explicitly — the 100x fixture's denser corpus
+           -- completes the 31-token graph and hit exactly this
+           CASE WHEN COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) = 0
+                  OR COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) = 0 THEN 0e0
+                ELSE CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+                     / (sqrt(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE))
+                        * sqrt(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DOUBLE)))
+           END AS assortativity
+    FROM ex
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the token graph: Pearson r of (source
+    out-degree, target in-degree) over directed edges, from exact
+    integer moment sums (bit-reproducible at any parallelism — F.corr's
+    streaming merge is not) with the exact covariance numerator
+    published alongside the double.
+
+    Scale: degrees are two map-side counts on the |V|²-bounded edge
+    relation; the edge-degree join is two shuffle-hash joins on token
+    keys; the moment fold is one row. Corpus cost = the shared bigram
+    scan only."""
+    vocab, edges, out_deg = _token_graph(spark, sf_dir)
+    od = out_deg.withColumnRenamed("w1", "token").withColumnRenamed("od", "odeg")
+    idg = edges.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("ideg"))
+    ex = (
+        edges.join(od.withColumnRenamed("token", "w1").hint("shuffle_hash"), "w1")
+        .join(idg.hint("shuffle_hash"), "w2")
+        .select(F.col("odeg").alias("x"), F.col("ideg").alias("y"))
+    )
+    m = ex.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_xx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_yy"),
+    )
+    cov = F.col("n_edges") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")
+    vx = F.col("n_edges") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")
+    vy = F.col("n_edges") * F.col("sum_yy") - F.col("sum_y") * F.col("sum_y")
+    return m.select(
+        "n_edges",
+        "sum_x",
+        "sum_y",
+        cov.cast("long").alias("cov_num"),
+        vx.cast("long").alias("var_x"),
+        vy.cast("long").alias("var_y"),
+        # regular graph (zero degree variance) -> r undefined: publish 0.0
+        F.when((vx == 0) | (vy == 0), F.lit(0.0))
+        .otherwise(
+            cov.cast("double") / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+        )
+        .alias("assortativity"),
+    )

@@ -1231,3 +1231,125 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         _pcm_resample_32, schema=_RESAMPLE_SCHEMA
     )
+
+
+# --------------------------------------------------------- scene cuts ----
+#
+# Shot-boundary detection, the video verb on the real tile decode: the
+# per-tile brightness sums are consecutive "frames"; a cut fires where
+# the absolute frame-to-frame brightness delta exceeds SCENE_CUT_MEAN
+# mean levels — compared exactly as |sum_t - sum_{t-1}| >
+# SCENE_CUT_MEAN * n_px (tiles have constant pixel count, so no float
+# mean is divided). Shots are the islands between cuts; the per-asset
+# report (frames, cuts, longest shot, first cut) is what a video
+# pipeline uses to pick keyframes before expensive models run.
+SCENE_CUT_MEAN = 8  # mean-brightness jump (0..255 levels) declaring a cut
+
+
+@register(
+    "multimodal_scene_cuts",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id AS asset_id,
+             i // {TILE_H * IMG_W} AS tile_idx,
+             ascii(substr(text, CAST(i + 1 AS INT), 1)) AS p
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(0, (octet_length(encode(text))
+                               // {TILE_H * IMG_W}) * {TILE_H * IMG_W})) AS i
+        FROM documents
+      )
+    ),
+    frames AS (
+      SELECT asset_id, tile_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_px,
+             CAST(SUM(p) AS BIGINT) AS s
+      FROM px GROUP BY asset_id, tile_idx
+    ),
+    flagged AS (
+      SELECT asset_id, tile_idx, n_px, s,
+             CASE WHEN lag(s) OVER w IS NOT NULL
+                   AND abs(s - lag(s) OVER w) > {SCENE_CUT_MEAN} * n_px
+                  THEN 1 ELSE 0 END AS is_cut
+      FROM frames
+      WINDOW w AS (PARTITION BY asset_id ORDER BY tile_idx)
+    ),
+    shots AS (
+      SELECT asset_id, tile_idx, is_cut,
+             SUM(is_cut) OVER (PARTITION BY asset_id ORDER BY tile_idx
+                               ROWS UNBOUNDED PRECEDING) AS shot_id
+      FROM flagged
+    ),
+    per_shot AS (
+      SELECT asset_id, shot_id, CAST(COUNT(*) AS BIGINT) AS shot_len
+      FROM shots GROUP BY asset_id, shot_id
+    ),
+    cuts AS (
+      SELECT asset_id,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(is_cut) AS BIGINT) AS n_cuts,
+             CAST(COALESCE(MIN(CASE WHEN is_cut = 1 THEN tile_idx END), -1)
+                  AS BIGINT) AS first_cut_idx
+      FROM shots GROUP BY asset_id
+    )
+    SELECT c.asset_id, c.n_frames, c.n_cuts,
+           CAST(c.n_cuts + 1 AS BIGINT) AS n_shots,
+           CAST(MAX(p.shot_len) AS BIGINT) AS longest_shot,
+           c.first_cut_idx
+    FROM cuts c JOIN per_shot p ON p.asset_id = c.asset_id
+    GROUP BY c.asset_id, c.n_frames, c.n_cuts, c.first_cut_idx
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary report per asset through the real tile decode:
+    frame count, cut count (brightness jump > SCENE_CUT_MEAN levels,
+    compared exactly against sum deltas — no float mean), shot count,
+    longest shot, and the first cut index — the keyframe-selection
+    pass of a video ingest pipeline.
+
+    Scale: composes the one-pass tile decode (zero shuffle); the lag
+    and island windows partition by asset (bounded per-asset state),
+    and the report collapses map-side onto asset keys."""
+    frames = multimodal_image_tiles(spark, sf_dir).select(
+        "asset_id", "tile_idx", "n_px", F.col("brightness_sum").alias("s")
+    ).localCheckpoint(eager=False)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("asset_id").orderBy("tile_idx")
+    flagged = frames.withColumn(
+        "is_cut",
+        F.when(
+            F.lag("s").over(w).isNotNull()
+            & (F.abs(F.col("s") - F.lag("s").over(w)) > SCENE_CUT_MEAN * F.col("n_px")),
+            1,
+        ).otherwise(0),
+    )
+    shots = flagged.withColumn(
+        "shot_id",
+        F.sum("is_cut").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_shot = shots.groupBy("asset_id", "shot_id").agg(
+        F.count(F.lit(1)).cast("long").alias("shot_len")
+    )
+    cuts = shots.groupBy("asset_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("is_cut").cast("long").alias("n_cuts"),
+        F.coalesce(
+            F.min(F.when(F.col("is_cut") == 1, F.col("tile_idx"))), F.lit(-1)
+        )
+        .cast("long")
+        .alias("first_cut_idx"),
+    )
+    return (
+        cuts.join(per_shot.hint("shuffle_hash"), "asset_id")
+        .groupBy("asset_id", "n_frames", "n_cuts", "first_cut_idx")
+        .agg(F.max("shot_len").cast("long").alias("longest_shot"))
+        .select(
+            "asset_id",
+            "n_frames",
+            "n_cuts",
+            (F.col("n_cuts") + 1).cast("long").alias("n_shots"),
+            "longest_shot",
+            "first_cut_idx",
+        )
+    )

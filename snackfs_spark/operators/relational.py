@@ -4240,3 +4240,404 @@ def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame
     return stats.crossJoin(F.broadcast(chosen)).select(
         "level", "n_classes", "min_k", "n_rows_at_risk", "achieved", "chosen_level"
     )
+
+
+# ------------------------------------------------- duplicate payments ----
+#
+# Double-charge / duplicate-transaction screen (the second classic
+# forensic-accounting pass next to the Benford audit): orders by the
+# same customer for the EXACT same amount are candidate duplicates.
+# Amounts compare as exact decimal cents (never doubles); groups of
+# >= 2 are reported with their order-key range and date span — a span
+# of 0 days is the strongest double-submit signal, a long span is more
+# likely a recurring charge. One customer+amount-keyed aggregate; the
+# report relation is the duplicate groups only.
+
+
+@register(
+    "orders_duplicate_payments",
+    oracle="""
+    SELECT o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS amount_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_orderkey,
+           CAST(MAX(o_orderkey) AS BIGINT) AS last_orderkey,
+           CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS BIGINT)
+             AS span_days
+    FROM orders
+    GROUP BY o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) * 100
+    HAVING COUNT(*) >= 2
+    """,
+)
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen: (customer, exact amount-cents) groups
+    with >= 2 orders, their order-key range and day span — the
+    double-charge candidates a billing audit reviews, with same-day
+    groups as the top of the queue.
+
+    Scale: ONE map-side-combinable aggregate on (custkey, cents);
+    the HAVING prunes to duplicate groups before anything leaves the
+    aggregation — no join, no window, nothing data-proportional in
+    the output path beyond the true duplicates."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            "o_custkey",
+            (money("o_totalprice") * 100).cast("long").alias("amount_cents"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("o_orderkey").cast("long").alias("first_orderkey"),
+            F.max("o_orderkey").cast("long").alias("last_orderkey"),
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+            .cast("long")
+            .alias("span_days"),
+        )
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+# ------------------------------------------------------ t-closeness ----
+#
+# The third rung of the privacy-audit ladder (k-anonymity -> l-diversity
+# -> t-closeness, Li et al. 2007): a QI class leaks through its
+# sensitive-value DISTRIBUTION even when it is k-anonymous and
+# l-diverse, so compare each class's acctbal-band distribution to the
+# corpus distribution by Earth Mover's Distance. For an ORDERED
+# attribute EMD is the mean absolute difference of the two CDFs:
+#   EMD = (1/(m-1)) * sum_i |cumP_i - cumQ_i|
+# computed here entirely in cross-multiplied integers over the common
+# denominator k*N: emd_num = sum_i |cum_p_i*N - cum_q_i*k|, emd_den =
+# k*N*(m-1) — no float frequency ever compared (the drift-TV pattern,
+# applied to CDFs). The class x band lattice is densified explicitly
+# because missing bands must contribute their cumulative counts.
+TCLOSE_T_NUM, TCLOSE_T_DEN = 1, 4  # flag classes with EMD > 0.25
+
+
+@register(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT c_nationkey, c_mktsegment, {_ACCTBAL_BAND_SQL} AS band FROM customer
+    ),
+    gbands AS (SELECT DISTINCT band FROM rows_),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM gbands),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rows_),
+    gcum AS (
+      SELECT g.band,
+             CAST(COALESCE(SUM(c.n) OVER (ORDER BY g.band
+                   ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS cum_q
+      FROM gbands g LEFT JOIN (SELECT band, COUNT(*) AS n FROM rows_ GROUP BY band) c
+        ON c.band = g.band
+    ),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS k
+      FROM rows_ GROUP BY c_nationkey, c_mktsegment
+    ),
+    lattice AS (
+      SELECT cl.c_nationkey, cl.c_mktsegment, cl.k, g.band,
+             CAST(COALESCE(cc.n, 0) AS BIGINT) AS n
+      FROM classes cl CROSS JOIN gbands g
+      LEFT JOIN (SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS n
+                 FROM rows_ GROUP BY 1, 2, 3) cc
+        ON cc.c_nationkey = cl.c_nationkey
+       AND cc.c_mktsegment = cl.c_mktsegment AND cc.band = g.band
+    ),
+    pcum AS (
+      SELECT c_nationkey, c_mktsegment, k, band,
+             CAST(SUM(n) OVER (PARTITION BY c_nationkey, c_mktsegment
+                               ORDER BY band ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_p
+      FROM lattice
+    )
+    SELECT p.c_nationkey, p.c_mktsegment, p.k, m.m,
+           CAST(SUM(abs(p.cum_p * nn.n - g.cum_q * p.k)) AS BIGINT) AS emd_num,
+           CAST(p.k * nn.n * (m.m - 1) AS BIGINT) AS emd_den,
+           CAST(SUM(abs(p.cum_p * nn.n - g.cum_q * p.k)) AS DOUBLE)
+             / CAST(p.k * nn.n * (m.m - 1) AS DOUBLE) AS emd,
+           CAST(CASE WHEN {TCLOSE_T_DEN} * SUM(abs(p.cum_p * nn.n - g.cum_q * p.k))
+                          > {TCLOSE_T_NUM} * p.k * nn.n * (m.m - 1)
+                     THEN 1 ELSE 0 END AS BIGINT) AS t_flag
+    FROM pcum p JOIN gcum g ON g.band = p.band
+    CROSS JOIN m CROSS JOIN nn
+    GROUP BY p.c_nationkey, p.c_mktsegment, p.k, m.m, nn.n
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit per QI class (nation x segment): exact rational
+    EMD of the class's ordered acctbal-band CDF against the corpus CDF
+    (emd_num/emd_den over the cross-multiplied common denominator), its
+    one-division double, and the t=0.25 flag — the distribution-leak
+    rung the k-anonymity and l-diversity audits miss.
+
+    Scale: one customer scan feeds the class counts, the global band
+    histogram (bounded), and the class x band lattice; the only
+    data-proportional shuffle is the QI-keyed aggregate — the CDF
+    windows run per class over <= m bounded band rows, and the EMD fold
+    collapses the lattice back onto class keys map-side."""
+    customer = load_table(spark, sf_dir, "customer")
+    rows_ = customer.select(
+        "c_nationkey", "c_mktsegment", F.expr(_ACCTBAL_BAND_SPARK).alias("band")
+    ).localCheckpoint(eager=False)
+    gbands = rows_.select("band").distinct()
+    m = gbands.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    nn = rows_.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wg = Window.partitionBy(F.lit(1)).orderBy("band").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    gcounts = rows_.groupBy("band").agg(F.count(F.lit(1)).alias("gn"))
+    gcum = (
+        gbands.join(gcounts, "band", "left")
+        .select("band", F.coalesce("gn", F.lit(0)).alias("gn"))
+        .select("band", F.sum("gn").over(wg).cast("long").alias("cum_q"))
+    )
+    classes = rows_.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    ccounts = rows_.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("cn")
+    )
+    lattice = (
+        classes.crossJoin(F.broadcast(gbands))
+        .join(ccounts.hint("shuffle_hash"), ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "k",
+            "band",
+            F.coalesce("cn", F.lit(0)).alias("n"),
+        )
+    )
+    wp = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("band").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pcum = lattice.withColumn("cum_p", F.sum("n").over(wp).cast("long"))
+    diff = F.abs(F.col("cum_p") * F.col("n_total") - F.col("cum_q") * F.col("k"))
+    return (
+        pcum.join(F.broadcast(gcum), "band")
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(nn.select(F.col("n").alias("n_total"))))
+        .groupBy("c_nationkey", "c_mktsegment", "k", "m", "n_total")
+        .agg(F.sum(diff).cast("long").alias("emd_num"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "k",
+            "m",
+            "emd_num",
+            (F.col("k") * F.col("n_total") * (F.col("m") - 1))
+            .cast("long")
+            .alias("emd_den"),
+            (
+                F.col("emd_num").cast("double")
+                / (F.col("k") * F.col("n_total") * (F.col("m") - 1)).cast("double")
+            ).alias("emd"),
+            F.when(
+                F.lit(TCLOSE_T_DEN) * F.col("emd_num")
+                > F.lit(TCLOSE_T_NUM) * F.col("k") * F.col("n_total") * (F.col("m") - 1),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("t_flag"),
+        )
+    )
+
+
+# ----------------------------------------------- price-volume-mix (PVM) ----
+#
+# Revenue-bridge decomposition (the FP&A "price-volume-mix waterfall"):
+# why did brand revenue change between PVM_Y1 and PVM_Y2? With q = unit
+# volume and r = revenue, the Laspeyres split is
+#   volume effect = (q2 - q1) * (r1/q1),  price/mix effect = r2 - q2*(r1/q1)
+# and the two provably sum to r2 - r1. Both effects share the exact
+# denominator q1, so they are emitted as the exact rationals
+# (vol_num, price_num) / q1 with cents numerators — no unit price is
+# ever divided out — plus their correctly-rounded doubles and the
+# exact delta identity column. Brands missing a year are their own
+# rows (new/discontinued: the whole delta is volume by convention,
+# q1 = 0 handled by the 1-guard denominator).
+PVM_Y1, PVM_Y2 = 1996, 1997
+
+
+@register(
+    "lineitem_pvm_decomposition",
+    oracle=f"""
+    WITH li AS (
+      SELECT p.p_brand,
+             year(l.l_shipdate) AS y,
+             CAST(l.l_quantity AS BIGINT) AS q,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE year(l.l_shipdate) IN ({PVM_Y1}, {PVM_Y2})
+    ),
+    agg AS (
+      SELECT p_brand,
+             CAST(COALESCE(SUM(q) FILTER (y = {PVM_Y1}), 0) AS BIGINT) AS q1,
+             CAST(COALESCE(SUM(q) FILTER (y = {PVM_Y2}), 0) AS BIGINT) AS q2,
+             CAST(COALESCE(SUM(cents) FILTER (y = {PVM_Y1}), 0) AS BIGINT) AS r1,
+             CAST(COALESCE(SUM(cents) FILTER (y = {PVM_Y2}), 0) AS BIGINT) AS r2
+      FROM li GROUP BY p_brand
+    )
+    SELECT p_brand, q1, q2, r1 AS r1_cents, r2 AS r2_cents,
+           CAST(r2 - r1 AS BIGINT) AS delta_cents,
+           -- numerators are volume x revenue products: HUGEINT/decimal(38,0),
+           -- published as exact digit strings (the priority-sampling
+           -- pattern) — the 100x sweep measured them past int64
+           CAST(CAST(q2 - q1 AS HUGEINT) * r1 AS VARCHAR) AS vol_num,
+           CAST(CAST(greatest(q1, 1) AS HUGEINT) * r2
+                - CAST(q2 AS HUGEINT) * r1 AS VARCHAR) AS price_num,
+           CAST(greatest(q1, 1) AS BIGINT) AS den,
+           CAST(CAST(q2 - q1 AS HUGEINT) * r1 AS DOUBLE) / greatest(q1, 1)
+             AS volume_effect,
+           CAST(CAST(greatest(q1, 1) AS HUGEINT) * r2
+                - CAST(q2 AS HUGEINT) * r1 AS DOUBLE) / greatest(q1, 1)
+             AS price_mix_effect
+    FROM agg
+    """,
+)
+def lineitem_pvm_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix revenue bridge per brand between two years:
+    exact-cents volumes/revenues, the Laspeyres volume and price/mix
+    effects as exact rationals over the shared q1 denominator (their
+    sum IS delta_cents — the waterfall identity, checkable row by row)
+    and their one-division doubles.
+
+    Scale: the fact scan prunes to two years at the parquet reader,
+    joins the part dim (shuffle-hash — part grows with scale, unlike
+    nation/region), and collapses map-side onto (brand, year) then
+    brand keys; everything after the brand aggregate is per-row
+    algebra on a bounded brand relation."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(PVM_Y1, PVM_Y2)
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(part.hint("shuffle_hash"), li["l_partkey"] == part["p_partkey"]).select(
+        "p_brand",
+        F.year("l_shipdate").alias("y"),
+        F.col("l_quantity").cast("long").alias("q"),
+        (money("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    agg = j.groupBy("p_brand").agg(
+        F.coalesce(F.sum(F.when(F.col("y") == PVM_Y1, F.col("q"))), F.lit(0))
+        .cast("long")
+        .alias("q1"),
+        F.coalesce(F.sum(F.when(F.col("y") == PVM_Y2, F.col("q"))), F.lit(0))
+        .cast("long")
+        .alias("q2"),
+        F.coalesce(F.sum(F.when(F.col("y") == PVM_Y1, F.col("cents"))), F.lit(0))
+        .cast("long")
+        .alias("r1"),
+        F.coalesce(F.sum(F.when(F.col("y") == PVM_Y2, F.col("cents"))), F.lit(0))
+        .cast("long")
+        .alias("r2"),
+    )
+    den = F.greatest(F.col("q1"), F.lit(1))
+    d38 = "decimal(38,0)"
+    vol = (F.col("q2") - F.col("q1")).cast(d38) * F.col("r1")
+    price = den.cast(d38) * F.col("r2") - F.col("q2").cast(d38) * F.col("r1")
+    return agg.select(
+        "p_brand",
+        "q1",
+        "q2",
+        F.col("r1").alias("r1_cents"),
+        F.col("r2").alias("r2_cents"),
+        (F.col("r2") - F.col("r1")).cast("long").alias("delta_cents"),
+        # exact digit strings: the products pass int64 two decades up
+        # (100x sweep catch — same class as the ABC share widening)
+        vol.cast(d38).cast("string").alias("vol_num"),
+        price.cast(d38).cast("string").alias("price_num"),
+        den.cast("long").alias("den"),
+        (vol.cast("double") / den).alias("volume_effect"),
+        (price.cast("double") / den).alias("price_mix_effect"),
+    )
+
+
+# ----------------------------------------------------- revenue Gini ----
+#
+# Concentration in ONE number next to the ABC table: the Gini
+# coefficient of customer revenue, exact. With customers sorted
+# ascending by cents and 1-based ranks,
+#   G = (2 * sum(rank_i * x_i) - (n + 1) * sum(x)) / (n * sum(x)).
+# Ranks come from the SAME banded two-phase decomposition as
+# orders_pareto_abc (power-of-two cent bands + partitioned within-band
+# row_number — no global sort); the rank-weighted sum accumulates in
+# decimal(38,0) because rank * cents * n exceeds int64 two decades up
+# (the ABC overflow lesson, applied preemptively).
+
+
+@register(
+    "orders_revenue_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents ASC, o_custkey ASC) AS rnk
+      FROM rev
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             CAST(SUM(CAST(rnk AS HUGEINT) * cents) AS HUGEINT) AS rank_wsum
+      FROM ranked
+    )
+    SELECT n, total_cents,
+           CAST(2 * rank_wsum - (n + 1) * CAST(total_cents AS HUGEINT) AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * total_cents AS DOUBLE) AS gini,
+           CAST((1000 * (2 * rank_wsum - (n + 1) * CAST(total_cents AS HUGEINT)))
+                // (CAST(n AS HUGEINT) * total_cents) AS BIGINT) AS gini_permille
+    FROM s
+    """,
+)
+def orders_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer revenue (one row: n, total
+    cents, gini double and its floor permille) — the single-number
+    concentration companion to the ABC classification, computed with
+    banded two-phase ranks so no global sort ever sees the customer
+    relation.
+
+    Scale: one customer-keyed aggregate; band prefix table <= 64 rows;
+    within-band ranks are partitioned windows; the rank-weighted sum
+    accumulates map-side in decimal(38,0)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        (F.sum(money("o_totalprice")) * 100).cast("long").alias("cents")
+    )
+    banded = rev.withColumn("band", F.length(F.bin("cents")))
+    bands = banded.groupBy("band").agg(F.count(F.lit(1)).cast("long").alias("bn"))
+    wband = Window.partitionBy(F.lit(1)).orderBy(F.col("band").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pref = bands.select(
+        "band",
+        F.coalesce(F.sum("bn").over(wband), F.lit(0)).cast("long").alias("before_n"),
+    )
+    win = Window.partitionBy("band").orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    d38 = "decimal(38,0)"
+    ranked = (
+        banded.join(F.broadcast(pref), "band")
+        .withColumn("rnk", (F.col("before_n") + F.row_number().over(win)).cast("long"))
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.col("rnk").cast(d38) * F.col("cents")).cast(d38).alias("rank_wsum"),
+    )
+    num = F.lit(2).cast(d38) * F.col("rank_wsum") - (
+        (F.col("n") + 1).cast(d38) * F.col("total_cents")
+    )
+    den = F.col("n").cast(d38) * F.col("total_cents")
+    return s.select(
+        "n",
+        "total_cents",
+        (num.cast("double") / den.cast("double")).alias("gini"),
+        F.expr(
+            "CAST((CAST(1000 AS DECIMAL(38,0)) * (CAST(2 AS DECIMAL(38,0)) * rank_wsum"
+            " - CAST(n + 1 AS DECIMAL(38,0)) * total_cents))"
+            " div (CAST(n AS DECIMAL(38,0)) * total_cents) AS BIGINT)"
+        ).alias("gini_permille"),
+    )

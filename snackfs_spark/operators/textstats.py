@@ -3581,3 +3581,196 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= RAKE_TOPK)
         .select("phrase", "n_words", "n_occurrences", "score_x1000")
     )
+
+
+# ---------------------------------------------- stop-list induction ----
+#
+# Data-driven stopword induction (the Church-Gale application): a word
+# is function-glue when it is EVERYWHERE (high document frequency) and
+# arrives UNIFORMLY (variance-to-mean ratio near 1, i.e. not bursty).
+# Both tests are exact rationals over the same (word, doc) collapse the
+# burstiness operator uses: df_permille = 1000*n_docs_present div
+# n_docs, and the VMR gate var_num <= STOP_VMR_MAX * var_den with the
+# zero-count-absorbing identity var_num = n*sum_sq - total^2. The
+# induced list is what BM25/RAKE/boilerplate passes should consume when
+# a corpus is not English — the engine derives its own glue instead of
+# trusting a hand list.
+STOP_DF_MIN_PERMILLE = 500  # in at least half the documents
+STOP_VMR_MAX = 2            # var/mean <= 2: near-uniform arrival
+
+
+@register(
+    "text_stop_list_induction",
+    oracle=f"""
+    WITH dw AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    per_doc AS (
+      SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM dw WHERE word <> '' GROUP BY word, doc_id
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    stats AS (
+      SELECT word,
+             CAST(COUNT(*) AS BIGINT) AS n_docs_present,
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      FROM per_doc GROUP BY word
+    )
+    SELECT word, n_docs_present, total,
+           CAST((1000 * n_docs_present) // n.n_docs AS BIGINT) AS df_permille,
+           CAST(n.n_docs * sum_sq - total * total AS BIGINT) AS var_num,
+           CAST(n.n_docs * total AS BIGINT) AS var_den,
+           CAST(CASE WHEN (1000 * n_docs_present) // n.n_docs
+                          >= {STOP_DF_MIN_PERMILLE}
+                      AND n.n_docs * sum_sq - total * total
+                          <= {STOP_VMR_MAX} * n.n_docs * total
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_stopword
+    FROM stats CROSS JOIN n
+    """,
+)
+def text_stop_list_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Induced stopword list: per word, document frequency permille and
+    the exact burstiness rational (var_num, var_den); flagged as
+    stopword when df >= 50% AND VMR <= 2 (everywhere + uniform) — the
+    corpus-derived glue list the ranking and boilerplate passes should
+    key on for non-English corpora.
+
+    Scale: identical shuffle class to text_burstiness — one exploded
+    scan collapsing map-side onto (word, doc) then word keys, the 1-row
+    doc count broadcast, zero-count docs absorbed algebraically."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    per_doc = dw.groupBy("word", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    stats = per_doc.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_present"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+    )
+    return stats.crossJoin(F.broadcast(n)).select(
+        "word",
+        "n_docs_present",
+        "total",
+        F.expr("(1000 * n_docs_present) div n_docs").cast("long").alias("df_permille"),
+        (F.col("n_docs") * F.col("sum_sq") - F.col("total") * F.col("total"))
+        .cast("long")
+        .alias("var_num"),
+        (F.col("n_docs") * F.col("total")).cast("long").alias("var_den"),
+        F.when(
+            (F.expr("(1000 * n_docs_present) div n_docs") >= STOP_DF_MIN_PERMILLE)
+            & (
+                F.col("n_docs") * F.col("sum_sq") - F.col("total") * F.col("total")
+                <= F.lit(STOP_VMR_MAX) * F.col("n_docs") * F.col("total")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_stopword"),
+    )
+
+
+# ------------------------------------------------ McNemar paired test ----
+#
+# Paired-classifier comparison (McNemar 1947 — the correct test when
+# two models score the SAME examples; Cohen's kappa above measures
+# agreement, this measures which one is better): against the
+# text_quality_score gate as ground truth, labeler A = stopword
+# permille >= 300, labeler B = whitespace token count >= 25. Only the
+# discordant cells matter: b = A right & B wrong, c = B right & A
+# wrong; the statistic (b-c)^2/(b+c) is the exact rational
+# (mc_num, mc_den), flagged at the df=1 alpha=.05 critical value 3.84
+# by the cross-multiplied compare 100*num > 384*den. One scan, one
+# 1-row fold.
+MCNEMAR_A_STOP_MIN = 300
+MCNEMAR_B_TOKENS_MIN = 25
+MCNEMAR_CRIT_X100 = 384
+
+
+@register(
+    "eval_mcnemar_paired",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN n_chars BETWEEN 100 AND 500
+                       AND len(string_split(text, ' ')) >= 20
+                  THEN 1 ELSE 0 END AS y,
+             CASE WHEN {STOPWORD_PERMILLE_SQL} >= {MCNEMAR_A_STOP_MIN}
+                  THEN 1 ELSE 0 END AS a,
+             CASE WHEN len(string_split(text, ' ')) >= {MCNEMAR_B_TOKENS_MIN}
+                  THEN 1 ELSE 0 END AS b
+      FROM documents
+    ),
+    cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END) AS BIGINT) AS b_cell,
+             CAST(SUM(CASE WHEN b = y AND a <> y THEN 1 ELSE 0 END) AS BIGINT) AS c_cell,
+             CAST(SUM(CASE WHEN a = y THEN 1 ELSE 0 END) AS BIGINT) AS a_correct,
+             CAST(SUM(CASE WHEN b = y THEN 1 ELSE 0 END) AS BIGINT) AS b_correct
+      FROM scored
+    )
+    SELECT n, b_cell, c_cell,
+           CAST((1000000 * a_correct) // n AS BIGINT) AS a_acc_ppm,
+           CAST((1000000 * b_correct) // n AS BIGINT) AS b_acc_ppm,
+           CAST((b_cell - c_cell) * (b_cell - c_cell) AS BIGINT) AS mc_num,
+           CAST(greatest(b_cell + c_cell, 1) AS BIGINT) AS mc_den,
+           CAST((b_cell - c_cell) * (b_cell - c_cell) AS DOUBLE)
+             / greatest(b_cell + c_cell, 1) AS mcnemar,
+           CAST(CASE WHEN 100 * (b_cell - c_cell) * (b_cell - c_cell)
+                          > {MCNEMAR_CRIT_X100} * greatest(b_cell + c_cell, 1)
+                     THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM cells
+    """,
+)
+def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test of two cheap quality labelers against the
+    rule-gate truth: the discordant cells b and c, per-labeler accuracy
+    ppm, the exact rational statistic (b-c)^2/(b+c) with its double,
+    and the alpha=.05 significance flag by cross-multiplied compare —
+    the is-the-new-filter-actually-better readout for same-corpus
+    comparisons, where kappa only measures agreement.
+
+    Scale: ONE scan folding map-side into a single 5-counter row;
+    everything after is 1-row algebra."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    scored = docs.select(
+        F.when(F.col("n_chars").between(100, 500) & (n_tokens >= 20), 1)
+        .otherwise(0)
+        .alias("y"),
+        F.when(F.expr(STOPWORD_PERMILLE_SPARK) >= MCNEMAR_A_STOP_MIN, 1)
+        .otherwise(0)
+        .alias("a"),
+        F.when(n_tokens >= MCNEMAR_B_TOKENS_MIN, 1).otherwise(0).alias("b"),
+    )
+    cells = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when((F.col("a") == F.col("y")) & (F.col("b") != F.col("y")), 1).otherwise(0))
+        .cast("long")
+        .alias("b_cell"),
+        F.sum(F.when((F.col("b") == F.col("y")) & (F.col("a") != F.col("y")), 1).otherwise(0))
+        .cast("long")
+        .alias("c_cell"),
+        F.sum(F.when(F.col("a") == F.col("y"), 1).otherwise(0)).cast("long").alias("a_correct"),
+        F.sum(F.when(F.col("b") == F.col("y"), 1).otherwise(0)).cast("long").alias("b_correct"),
+    )
+    d = F.col("b_cell") - F.col("c_cell")
+    den = F.greatest(F.col("b_cell") + F.col("c_cell"), F.lit(1))
+    return cells.select(
+        "n",
+        "b_cell",
+        "c_cell",
+        F.expr("(1000000 * a_correct) div n").cast("long").alias("a_acc_ppm"),
+        F.expr("(1000000 * b_correct) div n").cast("long").alias("b_acc_ppm"),
+        (d * d).cast("long").alias("mc_num"),
+        den.cast("long").alias("mc_den"),
+        ((d * d).cast("double") / den).alias("mcnemar"),
+        F.when(F.lit(100) * d * d > F.lit(MCNEMAR_CRIT_X100) * den, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("significant"),
+    )

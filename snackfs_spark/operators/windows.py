@@ -1588,3 +1588,142 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "did_den",
         (F.col("did_num").cast("double") / F.col("did_den").cast("double")).alias("did_estimate"),
     )
+
+
+# ------------------------------------------------- conversion lag ----
+#
+# Time-to-convert: per user the FIRST 'signup' and the FIRST 'purchase'
+# at-or-after it; the lag distribution is read out as p50/p90/p99 at
+# hour-bin precision from a bounded histogram — the same sort-free
+# order-statistic pattern as events_quantiles_binned (the span of the
+# events table is bounded in hours, so the histogram relation is
+# bounded and the quantile is a prefix-sum lookup, never a corpus
+# sort). Quantile rank k = ceil(q * n_converted / 100), exact integer.
+LAG_BIN_S = 3600  # hour bins
+LAG_QUANTILES = (50, 90, 99)
+
+
+@register(
+    "events_conversion_lag",
+    oracle=f"""
+    WITH su AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS s_us FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    pu AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+      FROM events e JOIN su ON su.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.s_us
+      GROUP BY e.user_id
+    ),
+    lags AS (
+      SELECT su.user_id, (pu.p_us - su.s_us) // 1000000 AS lag_s
+      FROM su JOIN pu ON pu.user_id = su.user_id
+    ),
+    tot AS (
+      SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT) AS n_users,
+             CAST((SELECT COUNT(*) FROM su) AS BIGINT) AS n_signup,
+             CAST((SELECT COUNT(*) FROM lags) AS BIGINT) AS n_converted
+    ),
+    hist AS (
+      SELECT lag_s // {LAG_BIN_S} AS bin, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lags GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, CAST(SUM(n) OVER (ORDER BY bin
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+      FROM hist
+    ),
+    qs AS (
+      SELECT q, CAST((q * tot.n_converted + 99) // 100 AS BIGINT) AS k,
+             tot.n_users, tot.n_signup, tot.n_converted
+      FROM (SELECT unnest([{", ".join(str(q) for q in LAG_QUANTILES)}]) AS q)
+      CROSS JOIN tot
+    )
+    SELECT qs.q, qs.k,
+           CAST(MIN(cum.bin) AS BIGINT) AS lag_bin,
+           CAST(MIN(cum.bin) * {LAG_BIN_S} AS BIGINT) AS lag_lo_s,
+           qs.n_users, qs.n_signup, qs.n_converted,
+           CAST((1000 * qs.n_converted) // qs.n_signup AS BIGINT)
+             AS conversion_permille
+    FROM qs JOIN cum ON cum.cum_n >= qs.k
+    GROUP BY qs.q, qs.k, qs.n_users, qs.n_signup, qs.n_converted
+    """,
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-purchase conversion lag: per quantile (p50/p90/p99 at
+    hour-bin precision) the exact rank k and lag bin, plus the funnel
+    totals (users, signups, converted, conversion permille) — the
+    time-to-value readout next to the step-count funnel.
+
+    Scale: two user-keyed min-aggregates (the signup anchor joins back
+    shuffle-hash), lags collapse onto the bounded hour histogram, and
+    every quantile is a prefix-sum lookup over that bounded relation —
+    the events_quantiles_binned posture, no sort of the lag relation."""
+    ev = fan_out(load_table(spark, sf_dir, "events"), spark).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("s_us"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su.hint("shuffle_hash"), "user_id")
+        .filter(F.col("t_us") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("p_us"))
+    )
+    lags = (
+        su.join(pu.hint("shuffle_hash"), "user_id")
+        .select(F.expr(f"(p_us - s_us) div 1000000").alias("lag_s"))
+        .localCheckpoint(eager=False)
+    )
+    tot = (
+        ev.agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .crossJoin(su.agg(F.count(F.lit(1)).cast("long").alias("n_signup")))
+        .crossJoin(lags.agg(F.count(F.lit(1)).cast("long").alias("n_converted")))
+    )
+    hist = lags.groupBy(F.expr(f"lag_s div {LAG_BIN_S}").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wcum = Window.partitionBy(F.lit(1)).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select("bin", F.sum("n").over(wcum).cast("long").alias("cum_n"))
+    qs = (
+        spark.range(1)
+        .select(
+            F.explode(F.array(*[F.lit(q) for q in LAG_QUANTILES])).alias("q")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "q",
+            F.expr("(q * n_converted + 99) div 100").cast("long").alias("k"),
+            "n_users",
+            "n_signup",
+            "n_converted",
+        )
+    )
+    return (
+        F.broadcast(qs)
+        .join(cum, F.col("cum_n") >= F.col("k"))
+        .groupBy("q", "k", "n_users", "n_signup", "n_converted")
+        .agg(
+            F.min("bin").cast("long").alias("lag_bin"),
+            (F.min("bin") * LAG_BIN_S).cast("long").alias("lag_lo_s"),
+        )
+        .select(
+            "q",
+            "k",
+            "lag_bin",
+            "lag_lo_s",
+            "n_users",
+            "n_signup",
+            "n_converted",
+            F.expr("(1000 * n_converted) div n_signup")
+            .cast("long")
+            .alias("conversion_permille"),
+        )
+    )

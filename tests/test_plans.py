@@ -988,3 +988,96 @@ def test_rake_phrase_windows_doc_partitioned(spark):
     assert "ShuffledHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_duplicate_payments_single_aggregate(spark):
+    """One (custkey, cents) map-side aggregate with the HAVING fused —
+    no join, no window, one scan."""
+    df = REG["orders_duplicate_payments"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_stop_list_two_level_shuffle_no_join(spark):
+    """The burstiness shuffle class: (word, doc) then word collapses,
+    1-row doc-count broadcast as the only join."""
+    df = REG["text_stop_list_induction"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row crossJoin
+
+
+def test_conversion_lag_bounded_tail_after_checkpoint(spark):
+    """The user-keyed joins live in the checkpointed lag lineage (the
+    hinted shuffle-hash side); the VISIBLE plan must be only the
+    bounded tail: histogram, prefix window, quantile lookup — no
+    sort-merge join, reads the lag checkpoint."""
+    df = REG["events_conversion_lag"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Scan ExistingRDD" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_t_closeness_lattice_windows_class_partitioned(spark):
+    """Class CDF windows are PARTITIONED by the QI key (<= m rows per
+    partition); the band lattice join is shuffle-hash; the corpus
+    never hits an unpartitioned sort."""
+    df = REG["privacy_t_closeness"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kmeans_elbow_broadcast_centroids_per_k(spark):
+    """Every k's assignment broadcasts centroids against the corpus
+    scan (the emb_kmeans_assign posture x4); no sort-merge join."""
+    df = REG["emb_kmeans_elbow"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_pvm_pushes_year_filter_shuffle_hash_part(spark):
+    """The two-year filter reaches the parquet scan; the part dim joins
+    shuffle-hash (it grows with scale, unlike nation/region)."""
+    df = REG["lineitem_pvm_decomposition"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "PushedFilters" in plan, plan
+
+
+def test_gini_banded_ranks_no_global_sort(spark):
+    """Within-band ranks are partitioned windows; the rank-weighted sum
+    folds to one row; no TakeOrdered/global sort over customers."""
+    df = REG["orders_revenue_gini"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mcnemar_single_row_fold(spark):
+    """One scan, one aggregate row, no join at all."""
+    df = REG["eval_mcnemar_paired"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+
+
+def test_assortativity_bounded_joins(spark):
+    """Degree joins are shuffle-hash over the bounded edge relation;
+    moment fold is one row; no sort-merge join."""
+    df = REG["graph_degree_assortativity"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_scene_cuts_asset_partitioned_windows(spark):
+    """The lag/island windows partition by asset (no unpartitioned
+    window over the frame relation); the shot join is shuffle-hash."""
+    df = REG["multimodal_scene_cuts"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan

@@ -64,7 +64,7 @@ def test_diff_in_diff_cell_identities(spark):
     assert len(rows) == 4
     cells = {(r["treated"], r["period"]): r for r in rows}
     ev = pd.read_parquet(f"{SF_ORACLE}/events.parquet")
-    t_us = ev.ts.astype("int64") // 1000  # nanos file -> micros
+    t_us = ev.ts.astype("datetime64[us]").astype("int64")  # exact micros
     cut = t_us.min() + (t_us.max() - t_us.min()) // 2
     ev = ev.assign(period=(t_us >= cut).map({True: "post", False: "pre"}))
     n_all = ev.user_id.nunique()
@@ -454,3 +454,225 @@ def test_rake_scores_recount(spark):
     got = [(r["phrase"], r["n_occurrences"], r["n_words"], r["score_x1000"]) for r in rows]
     want = [(k, v[0], v[1], v[2]) for k, v in top]
     assert sorted(got) == sorted(want)
+
+
+def test_duplicate_payments_recount(spark):
+    """Every reported group recounts in pandas on exact cents; no
+    singleton groups leak through."""
+    rows = REG["orders_duplicate_payments"].fn(spark, SF_ORACLE).collect()
+    orders = pd.read_parquet(f"{SF_ORACLE}/orders.parquet")
+    cents = (orders.o_totalprice.apply(lambda v: round(v, 2)) * 100).round().astype("int64")
+    g = orders.assign(c=cents).groupby(["o_custkey", "c"])
+    expect = {
+        k: (len(v), v.o_orderkey.min(), v.o_orderkey.max())
+        for k, v in g if len(v) >= 2
+    }
+    got = {
+        (r["o_custkey"], r["amount_cents"]): (
+            r["n_orders"], r["first_orderkey"], r["last_orderkey"]
+        )
+        for r in rows
+    }
+    assert got == expect
+    assert all(r["n_orders"] >= 2 for r in rows)
+
+
+def test_stop_list_contains_glue_not_topical(spark):
+    """The induced list must include high-df uniform words and the flag
+    must equal the two-rule conjunction recomputed from the row."""
+    rows = REG["text_stop_list_induction"].fn(spark, SF_ORACLE).collect()
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    n_docs = len(docs)
+    flagged = 0
+    for r in rows:
+        rule = (
+            1000 * r["n_docs_present"] // n_docs >= 500
+            and r["var_num"] <= 2 * r["var_den"]
+        )
+        assert r["is_stopword"] == (1 if rule else 0)
+        flagged += r["is_stopword"]
+    assert flagged >= 1  # the corpus has everywhere-uniform glue
+
+
+def test_conversion_lag_bisect_replay(spark):
+    """Quantile bins replay from a pandas recount of first-signup ->
+    first-purchase lags; funnel totals conserve."""
+    import math
+
+    rows = {r["q"]: r for r in REG["events_conversion_lag"].fn(spark, SF_ORACLE).collect()}
+    ev = pd.read_parquet(f"{SF_ORACLE}/events.parquet")
+    t_us = ev.ts.astype("datetime64[us]").astype("int64")  # exact micros
+    ev = ev.assign(t_us=t_us)
+    su = ev[ev.event_type == "signup"].groupby("user_id").t_us.min()
+    lags = []
+    pur = ev[ev.event_type == "purchase"]
+    for u, s in su.items():
+        after = pur[(pur.user_id == u) & (pur.t_us >= s)]
+        if len(after):
+            lags.append(int((after.t_us.min() - s) // 1_000_000))
+    lags.sort()
+    bins = sorted(l // 3600 for l in lags)
+    for q, r in rows.items():
+        k = (q * len(lags) + 99) // 100
+        assert r["k"] == k and r["n_converted"] == len(lags)
+        assert r["lag_bin"] == bins[k - 1]
+        assert r["n_signup"] == len(su)
+        assert r["conversion_permille"] == 1000 * len(lags) // len(su)
+
+
+def test_t_closeness_identities(spark):
+    """EMD is zero iff the class CDF equals the corpus CDF scaled; all
+    EMDs sit in [0, 1]; flags recompute from the rational."""
+    rows = REG["privacy_t_closeness"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["emd_num"] <= r["emd_den"]
+        assert r["emd"] == r["emd_num"] / r["emd_den"]
+        assert r["t_flag"] == (1 if 4 * r["emd_num"] > r["emd_den"] else 0)
+    # class sizes conserve the customer count
+    cust = pd.read_parquet(f"{SF_ORACLE}/customer.parquet")
+    assert sum(r["k"] for r in rows) == len(cust)
+
+
+def test_kmeans_elbow_monotone_inertia(spark):
+    """More clusters can only lower the Lloyd's objective on this
+    deterministic seeding: inertia non-increasing in k, all clusters
+    used, ratio column consistent."""
+    rows = sorted(REG["emb_kmeans_elbow"].fn(spark, SF_ORACLE).collect(), key=lambda r: r["k"])
+    assert [r["k"] for r in rows] == [2, 4, 8, 16]
+    for r in rows:
+        assert r["n_clusters_used"] == r["k"]
+        assert r["inertia"] == r["inertia_q9"] / 1e9
+    for a, b in zip(rows, rows[1:]):
+        assert b["inertia_q9"] <= a["inertia_q9"]
+        assert b["ratio_prev_permille"] == 1000 * b["inertia_q9"] // a["inertia_q9"]
+
+
+def test_pvm_waterfall_identity(spark):
+    """Per brand, volume + price/mix effects must sum EXACTLY to the
+    revenue delta (the waterfall identity on the shared denominator);
+    totals recount in pandas."""
+    rows = REG["lineitem_pvm_decomposition"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        # vol_num/den + price_num/den == delta  (exact rational identity;
+        # numerators arrive as exact digit strings — int64-unsafe at scale)
+        vol, price = int(r["vol_num"]), int(r["price_num"])
+        assert vol + price == r["delta_cents"] * r["den"]
+        assert r["volume_effect"] == vol / r["den"]
+    li = pd.read_parquet(f"{SF_ORACLE}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF_ORACLE}/part.parquet")
+    j = li.merge(part[["p_partkey", "p_brand"]], left_on="l_partkey", right_on="p_partkey")
+    j = j.assign(y=j.l_shipdate.dt.year)
+    j = j[j.y.isin([1996, 1997])]
+    cents = (j.l_extendedprice.apply(lambda v: round(v, 2)) * 100).round().astype("int64")
+    j = j.assign(cents=cents, q=j.l_quantity.astype("int64"))
+    for r in rows[:5]:
+        b = j[j.p_brand == r["p_brand"]]
+        assert r["q1"] == int(b[b.y == 1996].q.sum())
+        assert r["r2_cents"] == int(b[b.y == 1997].cents.sum())
+
+
+def test_gini_matches_direct_formula(spark):
+    """The banded-rank Gini equals the direct sorted-formula recount in
+    pandas and sits in [0, 1)."""
+    row = REG["orders_revenue_gini"].fn(spark, SF_ORACLE).collect()[0]
+    orders = pd.read_parquet(f"{SF_ORACLE}/orders.parquet")
+    cents = (orders.o_totalprice.apply(lambda v: round(v, 2)) * 100).round().astype("int64")
+    rev = orders.assign(c=cents).groupby("o_custkey").c.sum().reset_index()
+    rev = rev.sort_values(["c", "o_custkey"]).reset_index(drop=True)
+    n = len(rev)
+    total = int(rev.c.sum())
+    rank_wsum = int(((rev.index + 1) * rev.c).sum())
+    num = 2 * rank_wsum - (n + 1) * total
+    assert row["n"] == n and row["total_cents"] == total
+    assert row["gini"] == num / (n * total)
+    assert row["gini_permille"] == 1000 * num // (n * total)
+    assert 0 <= row["gini"] < 1
+
+
+def test_mcnemar_cells_recount(spark):
+    """Discordant cells and the statistic recount in pandas; the flag
+    matches the cross-multiplied critical compare."""
+    row = REG["eval_mcnemar_paired"].fn(spark, SF_ORACLE).collect()[0]
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    stops = {"the", "a", "and", "with", "of", "in"}
+    toks = docs.text.str.split(" ")
+    y = ((docs.n_chars.between(100, 500)) & (toks.apply(len) >= 20)).astype(int)
+    a = (
+        toks.apply(lambda ws: 1000 * sum(w in stops for w in ws) // len(ws)) >= 300
+    ).astype(int)
+    b = (toks.apply(len) >= 25).astype(int)
+    b_cell = int(((a == y) & (b != y)).sum())
+    c_cell = int(((b == y) & (a != y)).sum())
+    assert row["b_cell"] == b_cell and row["c_cell"] == c_cell
+    den = max(b_cell + c_cell, 1)
+    assert row["mcnemar"] == (b_cell - c_cell) ** 2 / den
+    assert row["significant"] == (1 if 100 * (b_cell - c_cell) ** 2 > 384 * den else 0)
+
+
+def test_assortativity_bounds_and_moments(spark):
+    """The moment sums recount from a python edge construction; r sits
+    in [-1, 1]."""
+    row = REG["graph_degree_assortativity"].fn(spark, SF_ORACLE).collect()[0]
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    from collections import Counter
+
+    words = docs.text.str.split(" ")
+    cnt = Counter(w for ws in words for w in ws if w != "")
+    vocab = set(w for w, _ in sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[:150])
+    edges = set()
+    for ws in words:
+        for x, z in zip(ws, ws[1:]):
+            if x != z and x in vocab and z in vocab:
+                edges.add((x, z))
+    od, idg = Counter(), Counter()
+    for x, z in edges:
+        od[x] += 1
+        idg[z] += 1
+    xs = [(od[x], idg[z]) for x, z in edges]
+    n = len(xs)
+    sx = sum(x for x, _ in xs)
+    sy = sum(y for _, y in xs)
+    sxy = sum(x * y for x, y in xs)
+    assert row["n_edges"] == n and row["sum_x"] == sx and row["sum_y"] == sy
+    assert row["cov_num"] == n * sxy - sx * sy
+    sxx = sum(x * x for x, _ in xs)
+    syy = sum(y * y for _, y in xs)
+    assert row["var_x"] == n * sxx - sx * sx
+    assert row["var_y"] == n * syy - sy * sy
+    assert -1.0 <= row["assortativity"] <= 1.0
+    if row["var_x"] == 0 or row["var_y"] == 0:
+        assert row["assortativity"] == 0.0  # regular graph: defined fallback
+
+
+def test_scene_cuts_pandas_replay(spark):
+    """Cut flags and shot structure replay from a pandas pass over the
+    tile sums; shots always number cuts + 1."""
+    rows = {r["asset_id"]: r for r in REG["multimodal_scene_cuts"].fn(spark, SF_ORACLE).collect()}
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    checked = 0
+    for _, doc in docs.head(15).iterrows():
+        buf = doc.text.encode()
+        n_frames = len(buf) // 256
+        if n_frames == 0:
+            assert doc.doc_id not in rows
+            continue
+        sums = [sum(buf[i * 256 : (i + 1) * 256]) for i in range(n_frames)]
+        cuts = [
+            1 if i > 0 and abs(sums[i] - sums[i - 1]) > 8 * 256 else 0
+            for i in range(n_frames)
+        ]
+        r = rows[doc.doc_id]
+        assert r["n_frames"] == n_frames and r["n_cuts"] == sum(cuts)
+        assert r["n_shots"] == sum(cuts) + 1
+        # longest shot from the islands
+        longest, cur = 0, 0
+        for c in cuts:
+            cur = cur + 1 if c == 0 else 1
+            longest = max(longest, cur)
+        assert r["longest_shot"] == longest
+        first = next((i for i, c in enumerate(cuts) if c), -1)
+        assert r["first_cut_idx"] == first
+        checked += 1
+    assert checked >= 8

@@ -215,6 +215,18 @@ QUERIES = [
     "graph_harmonic_centrality",
     "multimodal_audio_resample",
     "text_rake_keywords",
+    # batch 10: duplicates, stop list, conversion lag, t-closeness, elbow
+    "orders_duplicate_payments",
+    "text_stop_list_induction",
+    "events_conversion_lag",
+    "privacy_t_closeness",
+    "emb_kmeans_elbow",
+    # batch 11: PVM, Gini, McNemar, assortativity, scene cuts
+    "lineitem_pvm_decomposition",
+    "orders_revenue_gini",
+    "eval_mcnemar_paired",
+    "graph_degree_assortativity",
+    "multimodal_scene_cuts",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
