@@ -270,6 +270,15 @@ HEADLINE_R17 = [
     "multimodal_scene_cuts",
 ]
 
+# Round-18 additions (round-6 continuation, batch 6): lang confusion,
+# Neyman allocation, cohort LTV, in-engine PCA.
+HEADLINE_R18 = [
+    "eval_lang_confusion",
+    "sample_neyman_allocation",
+    "orders_cohort_ltv",
+    "emb_pca_power_iteration",
+]
+
 
 # Cumulative round groups: drives BOTH the emitted rNN_comparable_subtotal
 # keys and the regression-alarm baselines, so a new round group added here
@@ -293,6 +302,7 @@ ROUNDS = [
     HEADLINE_R15,
     HEADLINE_R16,
     HEADLINE_R17,
+    HEADLINE_R18,
 ]
 
 

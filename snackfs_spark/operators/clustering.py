@@ -845,3 +845,137 @@ def emb_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ratio_prev_permille"),
         )
     )
+
+
+# ------------------------------------------------ PCA power iteration ----
+#
+# Top principal direction of the embedding corpus by fixed-round power
+# iteration on the (uncentered) Gram matrix — in-engine dimensionality
+# analysis next to k-means and the JL projection: v <- A^T (A v), where
+# A is the corpus quantized ONCE to an integer-milli matrix
+# (round_even(x * 1000) — the lattice that makes every following step
+# exact integer algebra). Per round: one corpus pass computes s_i =
+# x_i . v (int64), a second collapses m_j = sum_i x_ij * s_i in
+# decimal(38,0); the iterate is then rescaled by a POWER OF TEN built
+# as a digit string ('1' || repeat('0', digits-6)) — no float power —
+# and divided with explicit sign-trunc semantics (abs-then-divide, the
+# engine-portable truncation; Spark decimal div and DuckDB // disagree
+# on negatives). Magnitudes stay ~1e6, so PCA_ROUNDS rounds never
+# overflow at any corpus size; the output is the 64-component integer
+# loading vector (direction only — the normalization is documented).
+PCA_ROUNDS = 3
+PCA_KEEP_DIGITS = 6
+
+
+def _pca_oracle() -> str:
+    ones = ", ".join(["1"] * 64)
+    parts = [
+        """WITH xq AS MATERIALIZED (
+      SELECT vec_id,
+             -- quantize from the DOUBLE value: float32 * int promotes
+             -- differently across engines on half-ties (the _recenter
+             -- rule; sf0.1 surfaced a boundary vector sf0.01 lacks)
+             list_transform(embedding,
+                            x -> CAST(round_even(CAST(x AS DOUBLE) * 1000, 0)
+                                      AS BIGINT)) AS q
+      FROM embeddings
+    ),""",
+        f"v0 AS (SELECT [{ones}] AS v),",
+    ]
+    for r in range(1, PCA_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT q, "
+            f"list_reduce(list_transform(range(1, 65), k -> q[k] * v[k]), "
+            f"(a, b) -> a + b) AS s FROM xq CROSS JOIN v{p}),"
+        )
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT k, "
+            f"CAST(SUM(CAST(q[k] AS HUGEINT) * s) AS HUGEINT) AS m "
+            f"FROM s{r}, (SELECT unnest(range(1, 65)) AS k) GROUP BY k),"
+        )
+        parts.append(
+            f"sh{r} AS (SELECT CAST('1' || repeat('0', "
+            f"greatest(length(CAST(MAX(abs(m)) AS VARCHAR)) - {PCA_KEEP_DIGITS}, 0))"
+            f" AS HUGEINT) AS sh FROM m{r}),"
+        )
+        parts.append(
+            f"v{r} AS (SELECT list(CAST(CASE WHEN m < 0 THEN -((-m) // sh) "
+            f"ELSE m // sh END AS BIGINT) ORDER BY k) AS v "
+            f"FROM m{r} CROSS JOIN sh{r}),"
+        )
+    body = "\n    ".join(parts).rstrip(",")
+    return (
+        body
+        + f"""
+    SELECT k AS pos, CAST(v[k] AS BIGINT) AS loading
+    FROM v{PCA_ROUNDS}, (SELECT unnest(range(1, 65)) AS k)
+    """
+    )
+
+
+@register("emb_pca_power_iteration", oracle=_pca_oracle())
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus: PCA_ROUNDS power
+    iterations on the integer-milli lattice, each round two corpus
+    passes (dot with the broadcast iterate; component collapse in
+    decimal(38,0)) and a digit-string power-of-ten rescale — the
+    64-row integer loading vector, bit-identical across engines and
+    partitionings, feeding whitening / OPQ-style rotations and the
+    did-my-embedding-space-collapse drift check.
+
+    Scale: the iterate is 64 integers broadcast per round; per-round
+    cost is two scans of the checkpointed quantized corpus with
+    map-side decimal accumulation — the k-means/pagerank iterative
+    posture, nothing corpus-sized ever sorts or windows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xq = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.bround(x.cast("double") * 1000).cast("long"),
+        ).alias("q"),
+    ).localCheckpoint(eager=False)
+    d38 = "decimal(38,0)"
+    v = spark.range(1).select(F.expr("array_repeat(1L, 64)").alias("v"))
+    for _ in range(PCA_ROUNDS):
+        s = xq.crossJoin(F.broadcast(v)).select(
+            "q",
+            F.expr(
+                "aggregate(zip_with(q, v, (a, b) -> a * b), 0L, (acc, e) -> acc + e)"
+            ).alias("s"),
+        )
+        m = (
+            s.select(F.posexplode("q").alias("k0", "qk"), "s")
+            .groupBy((F.col("k0") + 1).alias("k"))
+            .agg(F.sum(F.col("qk").cast(d38) * F.col("s")).cast(d38).alias("m"))
+        )
+        sh = m.agg(
+            F.expr(
+                "CAST(concat('1', repeat('0', "
+                f"greatest(length(CAST(MAX(abs(m)) AS STRING)) - {PCA_KEEP_DIGITS}, 0)))"
+                " AS DECIMAL(38,0))"
+            ).alias("sh")
+        )
+        v = (
+            m.crossJoin(F.broadcast(sh))
+            .select(
+                "k",
+                F.when(
+                    F.col("m") < 0, -F.expr("(-m) div sh")
+                )
+                .otherwise(F.expr("m div sh"))
+                .cast("long")
+                .alias("vk"),
+            )
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "vk"))),
+                    lambda st: st["vk"],
+                ).alias("v")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return v.select(
+        F.posexplode("v").alias("k0", "loading")
+    ).select((F.col("k0") + 1).cast("long").alias("pos"), F.col("loading").cast("long"))

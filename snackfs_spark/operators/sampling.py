@@ -2039,3 +2039,131 @@ def sample_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("srm_flag"),
         )
     )
+
+
+# ------------------------------------------------- Neyman allocation ----
+#
+# Optimal stratified-sample allocation (Neyman 1934): sample budget per
+# stratum proportional to N_h * S_h (size x std dev) — big AND variable
+# strata deserve more of the budget than proportional allocation gives.
+# The weight is computed WITHOUT float std dev: N_h*S_h =
+# sqrt(N_h * sum(y^2) - (sum y)^2), taken as an exact INTEGER square
+# root (double sqrt + a +/-1 correction pair, exact while the radicand
+# holds below 2^52-scale precision; the decimal(38,0)/Newton widening
+# is the documented lever beyond). Seats are dealt by largest remainder
+# (Hamilton), fully deterministic with (remainder, lang) tie-break —
+# the allocation sums to the budget EXACTLY.
+NEYMAN_BUDGET = 1000
+# exact integer sqrt: floor(sqrt(x)) from the double estimate, then two
+# one-sided corrections fix any final-ulp error of the float sqrt
+_ISQRT_SQL = (
+    "(CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+    " + CASE WHEN (CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) + 1)"
+    "           * (CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) + 1) <= {x}"
+    "        THEN 1 ELSE 0 END"
+    " - CASE WHEN CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+    "           * CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) > {x}"
+    "        THEN 1 ELSE 0 END)"
+)
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH st AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(n_chars) AS BIGINT) AS sy,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS syy
+      FROM documents GROUP BY lang
+    ),
+    wts AS (
+      SELECT lang, n_h,
+             CAST(n_h * syy - sy * sy AS BIGINT) AS radicand,
+             {_ISQRT_SQL.format(x="(n_h * syy - sy * sy)")} AS w
+      FROM st
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wts),
+    fl AS (
+      SELECT lang, n_h, radicand, w,
+             CAST(({NEYMAN_BUDGET} * w) // tw AS BIGINT) AS alloc_floor,
+             CAST(({NEYMAN_BUDGET} * w) % tw AS BIGINT) AS rem
+      FROM wts CROSS JOIN tot
+    ),
+    extras AS (
+      SELECT CAST({NEYMAN_BUDGET} AS BIGINT)
+             - CAST((SELECT SUM(alloc_floor) FROM fl) AS BIGINT) AS n_extra
+    ),
+    ranked AS (
+      SELECT fl.*, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk
+      FROM fl
+    )
+    SELECT lang, n_h, radicand, w, alloc_floor, rem,
+           CAST(CASE WHEN rk <= e.n_extra THEN 1 ELSE 0 END AS BIGINT) AS extra,
+           CAST(alloc_floor + CASE WHEN rk <= e.n_extra THEN 1 ELSE 0 END
+                AS BIGINT) AS n_alloc
+    FROM ranked CROSS JOIN extras e
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal sample allocation over language strata: per
+    stratum the exact integer N_h*S_h weight (integer square root of
+    the variance radicand — no float std dev), the largest-remainder
+    seat deal, and the final allocation that sums to the budget
+    exactly — the stratified-sampling planner that beats proportional
+    allocation whenever strata differ in spread.
+
+    Scale: one map-side 3-moment aggregate per stratum; everything
+    after runs on the bounded stratum relation (windows over |langs|
+    rows). The radicand uses int64 here; the decimal(38,0) + Newton
+    isqrt widening is the documented lever past ~2^52-scale moments."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("n_chars").cast("long").alias("sy"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("syy"),
+    )
+    isqrt = _ISQRT_SQL.replace("//", "div").format(x="radicand")
+    wts = st.select(
+        "lang",
+        "n_h",
+        (F.col("n_h") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("long")
+        .alias("radicand"),
+    ).withColumn("w", F.expr(isqrt).cast("long")).localCheckpoint(eager=False)
+    # bounded |strata| rows; checkpoint so the four consumers read it
+    # instead of re-running the moment scan
+    tot = wts.agg(F.sum("w").cast("long").alias("tw"))
+    fl = wts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_h",
+        "radicand",
+        "w",
+        F.expr(f"({NEYMAN_BUDGET} * w) div tw").cast("long").alias("alloc_floor"),
+        F.expr(f"({NEYMAN_BUDGET} * w) % tw").cast("long").alias("rem"),
+    )
+    extras = fl.agg(
+        (F.lit(NEYMAN_BUDGET) - F.sum("alloc_floor")).cast("long").alias("n_extra")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(F.lit(1)).orderBy(F.col("rem").desc(), F.col("lang"))
+    )
+    return (
+        fl.withColumn("rk", rk)
+        .crossJoin(F.broadcast(extras))
+        .select(
+            "lang",
+            "n_h",
+            "radicand",
+            "w",
+            "alloc_floor",
+            "rem",
+            F.when(F.col("rk") <= F.col("n_extra"), 1).otherwise(0).cast("long").alias("extra"),
+            (
+                F.col("alloc_floor")
+                + F.when(F.col("rk") <= F.col("n_extra"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_alloc"),
+        )
+    )

@@ -3774,3 +3774,82 @@ def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("significant"),
     )
+
+
+# --------------------------------------------- lang-id confusion matrix ----
+#
+# Classifier eval for the lang-id heuristic: the (label, predicted)
+# confusion matrix with per-label precision/recall in exact ppm — the
+# readout that says WHERE the cheap classifier fails (which languages
+# it confuses), where accuracy alone says only THAT it fails. Shares
+# the exact prediction expression with text_lang_id (same CASE, same
+# tie order), so the matrix audits the shipped classifier, not a copy.
+
+
+@register(
+    "eval_lang_confusion",
+    oracle=(
+        "WITH pred AS (SELECT lang, CASE "
+        + " ".join(
+            f"WHEN {_marker_count_sql(lang)} >= greatest("
+            + ", ".join(_marker_count_sql(o) for o in LANG_MARKERS)
+            + f") THEN '{lang}'"
+            for lang in LANG_MARKERS
+        )
+        + """ ELSE 'und' END AS predicted FROM documents),
+    cells AS (
+      SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang, predicted
+    ),
+    margins AS (
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS label_total FROM cells GROUP BY lang
+    ),
+    pmargins AS (
+      SELECT predicted, CAST(SUM(n) AS BIGINT) AS pred_total
+      FROM cells GROUP BY predicted
+    )
+    SELECT c.lang, c.predicted, c.n,
+           m.label_total, p.pred_total,
+           CAST((1000000 * c.n) // m.label_total AS BIGINT) AS recall_share_ppm,
+           CAST((1000000 * c.n) // p.pred_total AS BIGINT) AS precision_share_ppm
+    FROM cells c JOIN margins m ON m.lang = c.lang
+    JOIN pmargins p ON p.predicted = c.predicted
+    """
+    ),
+)
+def eval_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the shipped lang-id heuristic against the
+    label column: per (label, predicted) cell the count and its share
+    of the label row (recall decomposition) and predicted column
+    (precision decomposition), in exact ppm — the which-languages-
+    confuse readout behind any decision to upgrade the classifier.
+
+    Scale: one scan collapsing map-side onto |langs|² cells; margins
+    and shares are bounded-relation algebra (forced broadcasts safe by
+    construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {lang: _marker_count_spark(lang) for lang in LANG_MARKERS}
+    best = F.greatest(*counts.values())
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(counts[lang] >= best, F.lit(lang)).otherwise(pred)
+    cells = docs.select("lang", pred.alias("predicted")).groupBy(
+        "lang", "predicted"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    margins = cells.groupBy("lang").agg(F.sum("n").cast("long").alias("label_total"))
+    pmargins = cells.groupBy("predicted").agg(
+        F.sum("n").cast("long").alias("pred_total")
+    )
+    return (
+        cells.join(F.broadcast(margins), "lang")
+        .join(F.broadcast(pmargins), "predicted")
+        .select(
+            "lang",
+            "predicted",
+            "n",
+            "label_total",
+            "pred_total",
+            F.expr("(1000000 * n) div label_total").cast("long").alias("recall_share_ppm"),
+            F.expr("(1000000 * n) div pred_total").cast("long").alias("precision_share_ppm"),
+        )
+    )

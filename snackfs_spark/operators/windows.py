@@ -1727,3 +1727,91 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("conversion_permille"),
         )
     )
+
+
+# ---------------------------------------------------- cohort LTV curve ----
+#
+# Customer lifetime value by acquisition cohort: customers grouped by
+# FIRST-order year, revenue accumulated by account age in years — the
+# (cohort, age) triangle every subscription/commerce dashboard draws,
+# as exact decimal cents with the cumulative per-customer LTV one
+# integer division away. Complements events_cohort_retention (activity)
+# with the revenue dimension.
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, MIN(year(o_orderdate)) AS cohort_year
+      FROM orders GROUP BY o_custkey
+    ),
+    sizes AS (
+      SELECT cohort_year, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY cohort_year
+    ),
+    cells AS (
+      SELECT f.cohort_year,
+             CAST(year(o.o_orderdate) - f.cohort_year AS BIGINT) AS age,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS revenue_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+      GROUP BY f.cohort_year, year(o.o_orderdate) - f.cohort_year
+    )
+    SELECT c.cohort_year, c.age, s.cohort_size, c.n_orders, c.revenue_cents,
+           CAST(SUM(c.revenue_cents) OVER (PARTITION BY c.cohort_year
+                 ORDER BY c.age ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_revenue_cents,
+           CAST(SUM(c.revenue_cents) OVER (PARTITION BY c.cohort_year
+                 ORDER BY c.age ROWS UNBOUNDED PRECEDING) // s.cohort_size
+                AS BIGINT) AS cum_ltv_cents_per_customer
+    FROM cells c JOIN sizes s ON s.cohort_year = c.cohort_year
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: per (first-order-year cohort, account age in
+    years) the order count, exact revenue cents, the cumulative cohort
+    revenue, and cumulative LTV per customer — the revenue companion to
+    the activity retention matrix.
+
+    Scale: one customer-keyed first-order aggregate, one shuffle-hash
+    join back to the fact scan, map-side collapse onto the bounded
+    (cohort, age) triangle; the cumulative windows partition by cohort
+    over <= years rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    sizes = firsts.groupBy("cohort_year").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    cells = (
+        orders.join(firsts.hint("shuffle_hash"), "o_custkey")
+        .groupBy(
+            "cohort_year",
+            (F.year("o_orderdate") - F.col("cohort_year")).cast("long").alias("age"),
+        )
+        .agg(
+            (F.sum(money("o_totalprice")) * 100).cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    wc = Window.partitionBy("cohort_year").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_year")
+        .withColumn("cum_revenue_cents", F.sum("revenue_cents").over(wc).cast("long"))
+        .select(
+            "cohort_year",
+            "age",
+            "cohort_size",
+            "n_orders",
+            "revenue_cents",
+            "cum_revenue_cents",
+            F.expr("cum_revenue_cents div cohort_size")
+            .cast("long")
+            .alias("cum_ltv_cents_per_customer"),
+        )
+    )

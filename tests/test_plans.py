@@ -1081,3 +1081,44 @@ def test_scene_cuts_asset_partitioned_windows(spark):
     plan = formatted_plan(df)
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_lang_confusion_bounded_cells(spark):
+    """One scan onto |langs|² cells; margins broadcast; no sort-merge."""
+    df = REG["eval_lang_confusion"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_neyman_single_moment_pass(spark):
+    """One 3-moment aggregate per stratum, checkpointed for its four
+    consumers; the visible plan reads the bounded checkpoint only."""
+    df = REG["sample_neyman_allocation"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+
+
+def test_cohort_ltv_shuffle_hash_firsts(spark):
+    """The first-order anchor joins back shuffle-hash; cumulative
+    windows partition by cohort; sizes broadcast (bounded years)."""
+    df = REG["orders_cohort_ltv"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pca_checkpointed_rounds_broadcast_iterate(spark):
+    """Each round broadcasts the 64-integer iterate against the
+    checkpointed quantized corpus; no data-proportional join or window
+    anywhere."""
+    df = REG["emb_pca_power_iteration"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    # the iterate broadcasts live inside the per-round checkpoints; the
+    # returned plan is just the final 64-integer explode off the last
+    # checkpoint — nothing corpus-sized, no join, no parquet rescans
+    assert "SortMergeJoin" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan

@@ -676,3 +676,95 @@ def test_scene_cuts_pandas_replay(spark):
         assert r["first_cut_idx"] == first
         checked += 1
     assert checked >= 8
+
+
+def test_lang_confusion_margins_and_shares(spark):
+    """Cells conserve the corpus; row/column shares recompute from the
+    margins; diagonal shares are the per-class recall."""
+    rows = REG["eval_lang_confusion"].fn(spark, SF_ORACLE).collect()
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    assert sum(r["n"] for r in rows) == len(docs)
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["lang"], 0)
+        by_label[r["lang"]] += r["n"]
+        assert r["recall_share_ppm"] == 1_000_000 * r["n"] // r["label_total"]
+        assert r["precision_share_ppm"] == 1_000_000 * r["n"] // r["pred_total"]
+    for r in rows:
+        assert by_label[r["lang"]] == r["label_total"]
+
+
+def test_neyman_allocation_exact_budget_and_isqrt(spark):
+    """The allocation sums to the budget exactly; weights are the exact
+    integer square roots of the radicands; pandas recount."""
+    import math
+
+    rows = REG["sample_neyman_allocation"].fn(spark, SF_ORACLE).collect()
+    assert sum(r["n_alloc"] for r in rows) == 1000
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    for r in rows:
+        g = docs[docs.lang == r["lang"]].n_chars.astype("int64")
+        rad = len(g) * int((g * g).sum()) - int(g.sum()) ** 2
+        assert r["radicand"] == rad
+        assert r["w"] == math.isqrt(rad)
+        assert r["w"] * r["w"] <= rad < (r["w"] + 1) ** 2
+        assert r["n_alloc"] in (r["alloc_floor"], r["alloc_floor"] + 1)
+
+
+def test_cohort_ltv_triangle_identities(spark):
+    """Cohort sizes conserve customers, revenue conserves the order
+    total, cumulatives are per-cohort monotone, and age-0 cells exist
+    for every cohort (the first order itself)."""
+    rows = REG["orders_cohort_ltv"].fn(spark, SF_ORACLE).collect()
+    orders = pd.read_parquet(f"{SF_ORACLE}/orders.parquet")
+    cents = (orders.o_totalprice.apply(lambda v: round(v, 2)) * 100).round().astype("int64")
+    assert sum(r["revenue_cents"] for r in rows) == int(cents.sum())
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_year"], []).append(r)
+    sizes = {c: rs[0]["cohort_size"] for c, rs in by_cohort.items()}
+    assert sum(sizes.values()) == orders.o_custkey.nunique()
+    for c, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age"])
+        assert rs[0]["age"] == 0
+        cum = 0
+        for r in rs:
+            cum += r["revenue_cents"]
+            assert r["cum_revenue_cents"] == cum
+            assert r["cum_ltv_cents_per_customer"] == cum // r["cohort_size"]
+
+
+def test_pca_power_iteration_numpy_replay(spark):
+    """The integer loading vector replays from a numpy implementation of
+    the exact lattice algebra (quantize, two passes, digit-string
+    rescale, sign-trunc divide), and is a genuine dominant direction:
+    its Rayleigh quotient beats a fixed reference direction's."""
+    import numpy as np
+
+    rows = sorted(
+        REG["emb_pca_power_iteration"].fn(spark, SF_ORACLE).collect(),
+        key=lambda r: r["pos"],
+    )
+    emb = pd.read_parquet(f"{SF_ORACLE}/embeddings.parquet")
+    X = np.stack(emb.embedding.values).astype(np.float64)
+    # numpy replay with python ints (decimal(38,0) semantics)
+    Q = [[int(v) for v in np.vectorize(lambda x: int(np.round(x * 1000)))(row)] for row in X]
+    # bround is HALF_EVEN: numpy.round matches banker's rounding
+    v = [1] * 64
+    for _ in range(3):
+        m = [0] * 64
+        for q in Q:
+            s = sum(a * b for a, b in zip(q, v))
+            for j in range(64):
+                m[j] += q[j] * s
+        mx = max(abs(x) for x in m)
+        sh = 10 ** max(len(str(mx)) - 6, 0)
+        v = [(-((-x) // sh) if x < 0 else x // sh) for x in m]
+    assert [r["loading"] for r in rows] == v
+    # dominant-direction sanity: Rayleigh quotient of v beats e_1's
+    vv = np.array(v, dtype=np.float64)
+    vv = vv / np.linalg.norm(vv)
+    e1 = np.zeros(64)
+    e1[0] = 1.0
+    G = X.T @ X
+    assert vv @ G @ vv > e1 @ G @ e1

@@ -227,6 +227,11 @@ QUERIES = [
     "eval_mcnemar_paired",
     "graph_degree_assortativity",
     "multimodal_scene_cuts",
+    # batch 12: lang confusion, Neyman, cohort LTV, PCA
+    "eval_lang_confusion",
+    "sample_neyman_allocation",
+    "orders_cohort_ltv",
+    "emb_pca_power_iteration",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
