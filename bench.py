@@ -279,6 +279,15 @@ HEADLINE_R18 = [
     "emb_pca_power_iteration",
 ]
 
+# Round-19 additions (round-6 continuation, batch 7): readability,
+# RFM migration, anisotropy, balanced downsample.
+HEADLINE_R19 = [
+    "text_readability",
+    "orders_rfm_migration",
+    "emb_anisotropy_score",
+    "sample_balanced_classes",
+]
+
 
 # Cumulative round groups: drives BOTH the emitted rNN_comparable_subtotal
 # keys and the regression-alarm baselines, so a new round group added here
@@ -303,6 +312,7 @@ ROUNDS = [
     HEADLINE_R16,
     HEADLINE_R17,
     HEADLINE_R18,
+    HEADLINE_R19,
 ]
 
 

@@ -867,7 +867,10 @@ PCA_ROUNDS = 3
 PCA_KEEP_DIGITS = 6
 
 
-def _pca_oracle() -> str:
+def _pca_cte_chain() -> str:
+    """The shared MATERIALIZED CTE chain quantize -> PCA_ROUNDS power
+    iterations, ending at v{PCA_ROUNDS}; consumed by the PCA oracle and
+    the anisotropy oracle so both score the SAME iterate."""
     ones = ", ".join(["1"] * 64)
     parts = [
         """WITH xq AS MATERIALIZED (
@@ -904,9 +907,12 @@ def _pca_oracle() -> str:
             f"ELSE m // sh END AS BIGINT) ORDER BY k) AS v "
             f"FROM m{r} CROSS JOIN sh{r}),"
         )
-    body = "\n    ".join(parts).rstrip(",")
+    return "\n    ".join(parts).rstrip(",")
+
+
+def _pca_oracle() -> str:
     return (
-        body
+        _pca_cte_chain()
         + f"""
     SELECT k AS pos, CAST(v[k] AS BIGINT) AS loading
     FROM v{PCA_ROUNDS}, (SELECT unnest(range(1, 65)) AS k)
@@ -979,3 +985,122 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         F.posexplode("v").alias("k0", "loading")
     ).select((F.col("k0") + 1).cast("long").alias("pos"), F.col("loading").cast("long"))
+
+
+# ---------------------------------------------------- anisotropy score ----
+#
+# Embedding-space collapse check (Ethayarajh 2019; the "is my space
+# degenerate" drift metric): the share of total (uncentered) variance
+# captured by the top principal direction — anisotropy = v'Gv /
+# (v'v * tr G) with G the milli-lattice Gram matrix and v the SAME
+# power-iteration iterate the PCA operator publishes (the oracle reuses
+# the identical CTE chain). Near 1/64 is isotropic; near 1 means the
+# space collapsed onto one direction and similarity search is about to
+# stop working. All sums are decimal(38,0); the ppm is an exact floor.
+
+
+def _aniso_oracle() -> str:
+    return (
+        _pca_cte_chain()
+        + f""",
+    sv AS MATERIALIZED (
+      SELECT q,
+             list_reduce(list_transform(range(1, 65), k -> q[k] * v[k]),
+                         (a, b) -> a + b) AS s
+      FROM xq CROSS JOIN v{PCA_ROUNDS}
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(SUM(CAST(s AS HUGEINT) * s) AS HUGEINT) AS vgv,
+             CAST(SUM(list_reduce(list_transform(range(1, 65),
+                      k -> CAST(q[k] AS HUGEINT) * q[k]), (a, b) -> a + b))
+                  AS HUGEINT) AS trace_g
+      FROM sv
+    ),
+    vv AS (
+      SELECT CAST(list_reduce(list_transform(range(1, 65),
+                  k -> CAST(v[k] AS HUGEINT) * v[k]), (a, b) -> a + b)
+             AS HUGEINT) AS vv
+      FROM v{PCA_ROUNDS}
+    )
+    SELECT sums.n_vectors, CAST(sums.trace_g AS BIGINT) AS trace_g,
+           CAST(vv.vv AS BIGINT) AS vv,
+           CAST(sums.vgv AS VARCHAR) AS vgv,
+           CAST((1000000 * sums.vgv) // (vv.vv * sums.trace_g) AS BIGINT)
+             AS anisotropy_ppm,
+           CAST(sums.vgv AS DOUBLE) / (CAST(vv.vv AS DOUBLE)
+                * CAST(sums.trace_g AS DOUBLE)) AS anisotropy
+    FROM sums CROSS JOIN vv
+    """
+    )
+
+
+@register("emb_anisotropy_score", oracle=_aniso_oracle())
+def emb_anisotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy of the embedding space: the exact share of uncentered
+    variance along the power-iteration top direction (v'Gv over
+    v'v * trace, decimal(38,0) throughout, ppm floor + double) — the
+    space-collapse drift alarm read before trusting similarity search;
+    1/64 is isotropic, 1.0 is a collapsed space.
+
+    Scale: reuses the PCA iterate (64 integers) and adds ONE more scan
+    of the quantized corpus for the two Gram folds — map-side decimal
+    sums, zero shuffle beyond the 1-row aggregates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xq = emb.select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.bround(x.cast("double") * 1000).cast("long"),
+        ).alias("q")
+    ).localCheckpoint(eager=False)
+    v = (
+        emb_pca_power_iteration(spark, sf_dir)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "loading"))),
+                lambda st: st["loading"],
+            ).alias("v")
+        )
+        .localCheckpoint(eager=False)
+    )
+    d38 = "decimal(38,0)"
+    sv = xq.crossJoin(F.broadcast(v)).select(
+        "q",
+        F.expr(
+            "aggregate(zip_with(q, v, (a, b) -> a * b), 0L, (acc, e) -> acc + e)"
+        ).alias("s"),
+    )
+    sums = sv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.col("s").cast(d38) * F.col("s")).cast(d38).alias("vgv"),
+        F.sum(
+            F.expr(
+                "aggregate(transform(q, e -> CAST(e AS DECIMAL(38,0)) * e), "
+                "CAST(0 AS DECIMAL(38,0)), (acc, e) -> acc + e)"
+            )
+        )
+        .cast(d38)
+        .alias("trace_g"),
+    )
+    vvr = v.select(
+        F.expr(
+            "aggregate(transform(v, e -> CAST(e AS DECIMAL(38,0)) * e), "
+            "CAST(0 AS DECIMAL(38,0)), (acc, e) -> acc + e)"
+        )
+        .cast(d38)
+        .alias("vv")
+    )
+    return sums.crossJoin(F.broadcast(vvr)).select(
+        "n_vectors",
+        F.col("trace_g").cast("long").alias("trace_g"),
+        F.col("vv").cast("long").alias("vv"),
+        F.col("vgv").cast(d38).cast("string").alias("vgv"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * vgv)"
+            " div (vv * trace_g) AS BIGINT)"
+        ).alias("anisotropy_ppm"),
+        (
+            F.col("vgv").cast("double")
+            / (F.col("vv").cast("double") * F.col("trace_g").cast("double"))
+        ).alias("anisotropy"),
+    )

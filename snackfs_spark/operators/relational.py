@@ -4641,3 +4641,134 @@ def orders_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(n AS DECIMAL(38,0)) * total_cents) AS BIGINT)"
         ).alias("gini_permille"),
     )
+
+
+# ------------------------------------------------- RFM segment migration ----
+#
+# The CRM question after segmentation: who MOVED? Customers are scored
+# with the same fixed RFM policy bands in two halves of the history
+# (orders before RFM_SPLIT scored as of the split; orders after scored
+# as of RFM_AS_OF), and the (segment_from, segment_to) transition
+# matrix — 'absent' for customers active in only one half — is the
+# churn/winback readout a lifecycle team drives campaigns from. Fixed
+# bands are what make the two periods comparable (quantile bands would
+# re-center on each period and hide the drift).
+RFM_SPLIT = "1999-01-01 00:00:00"
+
+_RFM_SEG_SQL = """CASE WHEN r = 3 AND f = 3 THEN 'champion'
+                WHEN r = 3 THEN 'recent'
+                WHEN f = 3 THEN 'loyal_lapsing'
+                WHEN r = 1 AND f = 1 THEN 'hibernating'
+                ELSE 'regular' END"""
+
+
+def _rfm_scored_sql(pred: str, as_of: str) -> str:
+    return f"""
+      SELECT o_custkey,
+             CASE WHEN date_diff('day', MAX(o_orderdate), TIMESTAMP '{as_of}')
+                       < {RFM_R_EDGES[0]} THEN 3
+                  WHEN date_diff('day', MAX(o_orderdate), TIMESTAMP '{as_of}')
+                       < {RFM_R_EDGES[1]} THEN 2 ELSE 1 END AS r,
+             CASE WHEN COUNT(*) >= {RFM_F_EDGES[0]} THEN 3
+                  WHEN COUNT(*) >= {RFM_F_EDGES[1]} THEN 2 ELSE 1 END AS f,
+             CASE WHEN SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       >= {RFM_M_EDGES[0]} THEN 3
+                  WHEN SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       >= {RFM_M_EDGES[1]} THEN 2 ELSE 1 END AS m
+      FROM orders WHERE {pred} GROUP BY o_custkey"""
+
+
+@register(
+    "orders_rfm_migration",
+    oracle=f"""
+    WITH p1 AS ({_rfm_scored_sql(f"o_orderdate < TIMESTAMP '{RFM_SPLIT}'", RFM_SPLIT)}),
+    p2 AS ({_rfm_scored_sql(f"o_orderdate >= TIMESTAMP '{RFM_SPLIT}'", RFM_AS_OF)}),
+    s1 AS (SELECT o_custkey, {_RFM_SEG_SQL} AS seg FROM p1),
+    s2 AS (SELECT o_custkey, {_RFM_SEG_SQL} AS seg FROM p2),
+    matrix AS (
+      SELECT COALESCE(s1.seg, 'absent') AS seg_from,
+             COALESCE(s2.seg, 'absent') AS seg_to,
+             CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM s1 FULL OUTER JOIN s2 ON s2.o_custkey = s1.o_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n_customers) AS BIGINT) AS n FROM matrix)
+    SELECT seg_from, seg_to, n_customers,
+           CAST((1000000 * n_customers) // tot.n AS BIGINT) AS share_ppm,
+           CAST(CASE WHEN seg_from = seg_to THEN 1 ELSE 0 END AS BIGINT) AS stable
+    FROM matrix CROSS JOIN tot
+    """,
+)
+def orders_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segment transition matrix between the two halves of the
+    order history (same fixed policy bands, per-period as-of dates):
+    (segment_from, segment_to) customer counts with corpus share ppm
+    and a stable flag, 'absent' rows capturing churn-in/churn-out —
+    the lifecycle migration readout behind winback targeting.
+
+    Scale: two filtered customer-keyed aggregates (year predicates
+    reach the scan), one custkey full-outer shuffle-hash join, then a
+    map-side collapse onto the <= 36-cell matrix; share algebra runs
+    on the bounded matrix relation."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def scored(pred, as_of):
+        pc = (
+            orders.filter(pred)
+            .groupBy("o_custkey")
+            .agg(
+                F.date_diff(F.lit(as_of).cast("timestamp"), F.max("o_orderdate")).alias(
+                    "recency_days"
+                ),
+                F.count(F.lit(1)).cast("long").alias("frequency"),
+                F.sum(money("o_totalprice")).alias("monetary"),
+            )
+        )
+        r = (
+            F.when(F.col("recency_days") < RFM_R_EDGES[0], 3)
+            .when(F.col("recency_days") < RFM_R_EDGES[1], 2)
+            .otherwise(1)
+        )
+        f_ = (
+            F.when(F.col("frequency") >= RFM_F_EDGES[0], 3)
+            .when(F.col("frequency") >= RFM_F_EDGES[1], 2)
+            .otherwise(1)
+        )
+        seg = (
+            F.when((r == 3) & (f_ == 3), F.lit("champion"))
+            .when(r == 3, F.lit("recent"))
+            .when(f_ == 3, F.lit("loyal_lapsing"))
+            .when((r == 1) & (f_ == 1), F.lit("hibernating"))
+            .otherwise(F.lit("regular"))
+        )
+        return pc.select("o_custkey", seg.alias("seg"))
+    split_ts = F.lit(RFM_SPLIT).cast("timestamp")
+    s1 = scored(F.col("o_orderdate") < split_ts, RFM_SPLIT).withColumnRenamed(
+        "seg", "seg1"
+    )
+    s2 = scored(F.col("o_orderdate") >= split_ts, RFM_AS_OF).withColumnRenamed(
+        "seg", "seg2"
+    )
+    matrix = (
+        s1.join(
+            s2.withColumnRenamed("o_custkey", "ck2").hint("shuffle_hash"),
+            s1["o_custkey"] == F.col("ck2"),
+            "full_outer",
+        )
+        .groupBy(
+            F.coalesce("seg1", F.lit("absent")).alias("seg_from"),
+            F.coalesce("seg2", F.lit("absent")).alias("seg_to"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+    tot = matrix.agg(F.sum("n_customers").cast("long").alias("n"))
+    return matrix.crossJoin(F.broadcast(tot)).select(
+        "seg_from",
+        "seg_to",
+        "n_customers",
+        F.expr("(1000000 * n_customers) div n").cast("long").alias("share_ppm"),
+        F.when(F.col("seg_from") == F.col("seg_to"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("stable"),
+    )

@@ -2167,3 +2167,84 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_alloc"),
         )
     )
+
+
+# ------------------------------------------------ balanced downsample ----
+#
+# Class-balanced downsampling (the imbalanced-training fix): every
+# language stratum is cut to the MINORITY class size m, keeping each
+# stratum's first m documents in deterministic md5 order. Selection is
+# exact and scale-safe via the two-phase quota: docs hash into 1024
+# md5 buckets per stratum (the bounded histogram carries cross-bucket
+# prefix counts), and the per-doc rank is bucket-prefix + an in-bucket
+# row_number — windows partition on (lang, bucket), so partitions stay
+# ~corpus/5120 regardless of class skew, unlike a rank over 5 giant
+# class partitions. The order is bucket-major md5 ((fp % 1024), fp,
+# doc_id) in BOTH engines — a uniform hash order, stable under
+# incremental re-ingest.
+BAL_BUCKETS = 1024
+
+
+@register(
+    "sample_balanced_classes",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS fp
+      FROM documents
+    ),
+    m AS (
+      SELECT CAST(MIN(c) AS BIGINT) AS m
+      FROM (SELECT COUNT(*) AS c FROM d GROUP BY lang)
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY fp % {BAL_BUCKETS}, fp, doc_id) AS rk
+      FROM d
+    )
+    SELECT ranked.doc_id, ranked.lang, ranked.rk, m.m AS class_quota
+    FROM ranked CROSS JOIN m
+    WHERE ranked.rk <= m.m
+    """,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced downsample: every language cut to the minority class
+    size in deterministic bucket-major md5 order — the selected
+    (doc_id, lang, rank) table plus the shared quota, for loss-balanced
+    training without class weights.
+
+    Scale: the two-phase quota — bounded (lang x 1024-bucket) prefix
+    histogram + in-bucket row_number — keeps every window partition at
+    ~corpus/(|langs|*1024) rows; no rank ever runs over a whole class
+    partition (the ABC/Gini banded-rank pattern on the hash axis)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        md5_fp(F.col("doc_id").cast("string")).alias("fp"),
+    ).withColumn("b", F.col("fp") % BAL_BUCKETS)
+    m = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").cast("long").alias("m"))
+    )
+    hist = d.groupBy("lang", "b").agg(F.count(F.lit(1)).cast("long").alias("bn"))
+    wpref = Window.partitionBy("lang").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pref = hist.select(
+        "lang",
+        "b",
+        F.coalesce(F.sum("bn").over(wpref), F.lit(0)).cast("long").alias("before"),
+    )
+    win = Window.partitionBy("lang", "b").orderBy("fp", "doc_id")
+    ranked = (
+        d.join(F.broadcast(pref), ["lang", "b"])
+        .withColumn("rk", (F.col("before") + F.row_number().over(win)).cast("long"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .filter(F.col("rk") <= F.col("m"))
+        .select("doc_id", "lang", "rk", F.col("m").alias("class_quota"))
+    )

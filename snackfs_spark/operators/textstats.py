@@ -3853,3 +3853,84 @@ def eval_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n) div pred_total").cast("long").alias("precision_share_ppm"),
         )
     )
+
+
+# ---------------------------------------------------- readability ----
+#
+# Flesch reading ease as an exact rational: with w words, s sentences
+# and sy syllable proxies (vowel runs — the standard cheap syllable
+# estimator), FRE = 206.835 - 1.015 w/s - 84.6 sy/w is published as
+# the integer pair (fre_num, fre_den) over the common denominator
+# 1000*s*w — fre_num = 206835*s*w - 1015*w^2 - 84600*sy*s — plus its
+# one-division double. Sentence segmentation falls back to 25-word
+# blocks when the text has no terminal punctuation (this corpus — the
+# fallback keeps the metric defined and deterministic; a real corpus
+# uses the punctuation count). The quality family's readability rung,
+# next to the stopword and repetition scores.
+READ_FALLBACK_WORDS = 25
+
+
+@register(
+    "text_readability",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS n_words,
+           CAST(s AS BIGINT) AS n_sentences,
+           CAST(sy AS BIGINT) AS n_syllables,
+           CAST(206835 * s * w - 1015 * w * w - 84600 * sy * s AS BIGINT) AS fre_num,
+           CAST(1000 * s * w AS BIGINT) AS fre_den,
+           CAST(206835 * s * w - 1015 * w * w - 84600 * sy * s AS DOUBLE)
+             / (1000 * s * w) AS fre
+    FROM (
+      SELECT doc_id,
+             greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1) AS w,
+             greatest(len(regexp_extract_all(text, '[.!?]')),
+                      (greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1)
+                       + {READ_FALLBACK_WORDS - 1}) // {READ_FALLBACK_WORDS}) AS s,
+             len(regexp_extract_all(text, '[aeiou]+')) AS sy
+      FROM documents
+    )
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document as the exact rational
+    (fre_num, fre_den) with its one-division double, from whitespace
+    words, punctuation sentences (25-word fallback blocks on
+    punctuation-free text) and vowel-run syllable proxies — the
+    readability rung of the quality battery.
+
+    Scale: pure per-row column arithmetic (regexp counts are codegen);
+    zero shuffle, runs at scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.greatest(
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")), F.lit(1)
+    )
+    s = F.greatest(
+        F.regexp_count("text", F.lit("[.!?]")),
+        F.expr(
+            f"(greatest(size(filter(split(text, ' '), t -> t != '')), 1)"
+            f" + {READ_FALLBACK_WORDS - 1}) div {READ_FALLBACK_WORDS}"
+        ),
+    )
+    sy = F.regexp_count("text", F.lit("[aeiou]+"))
+    out = docs.select(
+        "doc_id",
+        w.cast("long").alias("w"),
+        s.cast("long").alias("s"),
+        sy.cast("long").alias("sy"),
+    )
+    num = (
+        F.lit(206835) * F.col("s") * F.col("w")
+        - F.lit(1015) * F.col("w") * F.col("w")
+        - F.lit(84600) * F.col("sy") * F.col("s")
+    )
+    den = F.lit(1000) * F.col("s") * F.col("w")
+    return out.select(
+        "doc_id",
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"),
+        F.col("sy").alias("n_syllables"),
+        num.cast("long").alias("fre_num"),
+        den.cast("long").alias("fre_den"),
+        (num.cast("double") / den).alias("fre"),
+    )

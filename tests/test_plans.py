@@ -1122,3 +1122,40 @@ def test_pca_checkpointed_rounds_broadcast_iterate(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
     assert "Scan parquet" not in plan, plan
+
+
+def test_readability_zero_shuffle(spark):
+    """Pure per-row projection: no Exchange besides none, no join."""
+    df = REG["text_readability"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_rfm_migration_pushes_period_predicates(spark):
+    """The period predicates reach both scans; the custkey full-outer
+    join is shuffle-hash."""
+    df = REG["orders_rfm_migration"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin FullOuter" in plan or "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "PushedFilters" in plan, plan
+
+
+def test_anisotropy_single_extra_scan(spark):
+    """Beyond the PCA checkpoints, one more pass over the quantized
+    corpus: broadcast iterate, 1-row folds, no SMJ."""
+    df = REG["emb_anisotropy_score"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_balanced_classes_bucket_partitioned_rank(spark):
+    """The rank window partitions on (lang, bucket) — never on the bare
+    class key; the prefix table broadcasts (bounded 5x1024)."""
+    df = REG["sample_balanced_classes"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    # the window sort must include both partition keys
+    assert "lang" in plan and "b#" in plan, plan

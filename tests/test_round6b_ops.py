@@ -768,3 +768,84 @@ def test_pca_power_iteration_numpy_replay(spark):
     e1[0] = 1.0
     G = X.T @ X
     assert vv @ G @ vv > e1 @ G @ e1
+
+
+def test_readability_rational_identity(spark):
+    """fre doubles equal their rationals; components recount in pandas
+    with the 25-word fallback segmentation."""
+    import re
+
+    rows = {r["doc_id"]: r for r in REG["text_readability"].fn(spark, SF_ORACLE).collect()}
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    for _, doc in docs.head(25).iterrows():
+        w = max(sum(1 for t in doc.text.split(" ") if t != ""), 1)
+        s = max(len(re.findall(r"[.!?]", doc.text)), (w + 24) // 25)
+        sy = len(re.findall(r"[aeiou]+", doc.text))
+        r = rows[doc.doc_id]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (w, s, sy)
+        num = 206835 * s * w - 1015 * w * w - 84600 * sy * s
+        assert r["fre_num"] == num and r["fre_den"] == 1000 * s * w
+        assert r["fre"] == num / (1000 * s * w)
+
+
+def test_rfm_migration_matrix_conserves_customers(spark):
+    """Matrix cells conserve the customer universe (each customer in
+    exactly one cell); no (absent, absent) cell exists; shares
+    recompute."""
+    rows = REG["orders_rfm_migration"].fn(spark, SF_ORACLE).collect()
+    orders = pd.read_parquet(f"{SF_ORACLE}/orders.parquet")
+    n_total = sum(r["n_customers"] for r in rows)
+    assert n_total == orders.o_custkey.nunique()
+    assert not any(r["seg_from"] == "absent" and r["seg_to"] == "absent" for r in rows)
+    for r in rows:
+        assert r["share_ppm"] == 1_000_000 * r["n_customers"] // n_total
+        assert r["stable"] == (1 if r["seg_from"] == r["seg_to"] else 0)
+
+
+def test_anisotropy_consistent_with_pca(spark):
+    """The score recomputes from the PCA loading vector and the
+    quantized corpus; it sits in (1/64 - eps, 1]."""
+    import numpy as np
+
+    row = REG["emb_anisotropy_score"].fn(spark, SF_ORACLE).collect()[0]
+    loadings = sorted(
+        REG["emb_pca_power_iteration"].fn(spark, SF_ORACLE).collect(),
+        key=lambda r: r["pos"],
+    )
+    v = [r["loading"] for r in loadings]
+    emb = pd.read_parquet(f"{SF_ORACLE}/embeddings.parquet")
+    X = np.stack(emb.embedding.values).astype(np.float64)
+    Q = np.round(X * 1000).astype(object)  # python ints via object math
+    s = (Q * np.array(v, dtype=object)).sum(axis=1)
+    vgv = int(sum(int(x) * int(x) for x in s))
+    trace = int(sum(int(e) * int(e) for row_ in Q for e in row_))
+    vv = sum(x * x for x in v)
+    assert int(row["vgv"]) == vgv
+    assert row["trace_g"] == trace and row["vv"] == vv
+    assert row["anisotropy_ppm"] == 1_000_000 * vgv // (vv * trace)
+    assert row["anisotropy"] > 1 / 128  # far above degenerate-zero
+
+
+def test_balanced_classes_exact_quota(spark):
+    """Every language keeps exactly the minority count, the kept set is
+    the md5-bucket-major prefix, and ranks are 1..m per class."""
+    rows = REG["sample_balanced_classes"].fn(spark, SF_ORACLE).collect()
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    m = int(docs.lang.value_counts().min())
+    by_lang = {}
+    for r in rows:
+        assert r["class_quota"] == m
+        by_lang.setdefault(r["lang"], []).append(r["rk"])
+    assert set(docs.lang.unique()) == set(by_lang)
+    import hashlib
+
+    for lang, rks in by_lang.items():
+        assert sorted(rks) == list(range(1, m + 1))
+        g = docs[docs.lang == lang]
+        fps = {
+            d: int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+            for d in g.doc_id
+        }
+        order = sorted(g.doc_id, key=lambda d: (fps[d] % 1024, fps[d], d))
+        kept = {r["doc_id"] for r in rows if r["lang"] == lang}
+        assert kept == set(order[:m])

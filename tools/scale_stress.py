@@ -232,6 +232,11 @@ QUERIES = [
     "sample_neyman_allocation",
     "orders_cohort_ltv",
     "emb_pca_power_iteration",
+    # batch 13: readability, RFM migration, anisotropy, balanced classes
+    "text_readability",
+    "orders_rfm_migration",
+    "emb_anisotropy_score",
+    "sample_balanced_classes",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
