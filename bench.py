@@ -288,6 +288,14 @@ HEADLINE_R19 = [
     "sample_balanced_classes",
 ]
 
+# Round-20 additions (round-6 continuation, batch 8): clustering
+# coefficient, split composition guard, image Simpson diversity.
+HEADLINE_R20 = [
+    "graph_clustering_coefficient",
+    "split_distribution_check",
+    "multimodal_image_simpson",
+]
+
 
 # Cumulative round groups: drives BOTH the emitted rNN_comparable_subtotal
 # keys and the regression-alarm baselines, so a new round group added here
@@ -313,6 +321,7 @@ ROUNDS = [
     HEADLINE_R17,
     HEADLINE_R18,
     HEADLINE_R19,
+    HEADLINE_R20,
 ]
 
 

@@ -781,3 +781,102 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("assortativity"),
     )
+
+
+# ------------------------------------------- clustering coefficient ----
+#
+# Per-node clustering coefficient (Watts-Strogatz): triangles through a
+# node over its wedge count C(deg, 2) — how much of a node's
+# neighborhood is itself connected, the local-density companion to the
+# global triangle count. Exact rationals: cc_num = 2 * triangles,
+# cc_den = deg * (deg - 1); the corpus-level average coefficient rides
+# along as the exact pair (sum of per-node numerator*den products is
+# NOT how averages compose, so the global row publishes the mean of
+# per-node ppm floors — documented as the floor-mean, deterministic in
+# both engines). Degrees are UNDIRECTED distinct-neighbor counts over
+# the same oriented edge relation the triangle plan uses.
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH {_TRI_CTES},
+    tcnt AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT x AS token FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY token
+    ),
+    deg AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS token FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY token
+    )
+    SELECT d.token, d.d AS degree,
+           CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_triangles,
+           CAST(2 * COALESCE(t.n_tri, 0) AS BIGINT) AS cc_num,
+           CAST(d.d * (d.d - 1) AS BIGINT) AS cc_den,
+           CAST(CASE WHEN d.d >= 2
+                     THEN (1000000 * 2 * COALESCE(t.n_tri, 0)) // (d.d * (d.d - 1))
+                     ELSE 0 END AS BIGINT) AS cc_ppm
+    FROM deg d LEFT JOIN tcnt t ON t.token = d.token
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node clustering coefficient over the undirected token graph:
+    degree, triangle count, the exact rational 2T / d(d-1) and its ppm
+    floor — the local-density readout (cc ~ 1 marks cliquey template
+    vocabulary, cc ~ 0 star hubs) that complements the global triangle
+    and degree-histogram views.
+
+    Scale: reuses the oriented triangle plan (wedge build + close on
+    the |V|²-bounded relation, AQE skew-handled) plus one degree
+    aggregate; the coefficient is per-row algebra on the vocab
+    relation."""
+    _, edges, _ = _token_graph(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2").hint("shuffle_hash")
+    e3 = und.alias("e3").hint("shuffle_hash")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    tcnt = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    deg = (
+        und.select(F.col("a").alias("token"))
+        .union(und.select(F.col("b").alias("token")))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    return deg.join(tcnt.hint("shuffle_hash"), "token", "left").select(
+        "token",
+        F.col("d").alias("degree"),
+        F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_triangles"),
+        (F.lit(2) * F.coalesce("n_tri", F.lit(0))).cast("long").alias("cc_num"),
+        (F.col("d") * (F.col("d") - 1)).cast("long").alias("cc_den"),
+        F.when(
+            F.col("d") >= 2,
+            F.expr("(1000000 * 2 * coalesce(n_tri, 0)) div (d * (d - 1))"),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("cc_ppm"),
+    )

@@ -1353,3 +1353,105 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_cut_idx",
         )
     )
+
+
+# ---------------------------------------------- image Simpson diversity ----
+#
+# Exposure-diversity screen on the real decode: the Gini-Simpson index
+# 1 - sum(p_i^2) of each asset's 16-bin pixel-brightness histogram —
+# the log-free diversity twin of entropy (exact rationals: num =
+# n^2 - sum(c^2), den = n^2), low values flagging flat/blank assets
+# before an expensive model sees them. Pixels bin in the decode pass
+# (numpy bincount over Arrow batches), so each asset leaves its task
+# as <= 16 rows.
+SIMPSON_BINS = 16
+
+_PXHIST_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("bin", T.LongType()),
+        T.StructField("c", T.LongType()),
+    ]
+)
+
+
+def _pixel_hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL pixel binning (numpy bincount of byte>>4) per asset, only
+    full tiles counted — the same fixed-geometry truncation as the tile
+    decoder so the oracle's pixel universe matches exactly."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, bins, cs = [], [], []
+        for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+            buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+            usable = (len(buf) // (TILE_H * IMG_W)) * (TILE_H * IMG_W)
+            if not usable:
+                continue
+            counts = np.bincount(buf[:usable] >> 4, minlength=SIMPSON_BINS)
+            for b in range(SIMPSON_BINS):
+                if counts[b]:
+                    ids.append(aid)
+                    bins.append(b)
+                    cs.append(int(counts[b]))
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "bin": pd.Series(bins, dtype="int64"),
+                "c": pd.Series(cs, dtype="int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_image_simpson",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id AS asset_id,
+             ascii(substr(text, CAST(i + 1 AS INT), 1)) // 16 AS bin
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(0, (octet_length(encode(text))
+                               // {TILE_H * IMG_W}) * {TILE_H * IMG_W})) AS i
+        FROM documents
+      )
+    ),
+    hist AS (
+      SELECT asset_id, bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM px GROUP BY asset_id, bin
+    )
+    SELECT asset_id,
+           CAST(SUM(c) AS BIGINT) AS n_px,
+           CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+           CAST(SUM(c) * SUM(c) - SUM(c * c) AS BIGINT) AS simpson_num,
+           CAST(SUM(c) * SUM(c) AS BIGINT) AS simpson_den,
+           CAST(SUM(c) * SUM(c) - SUM(c * c) AS DOUBLE)
+             / (SUM(c) * SUM(c)) AS simpson
+    FROM hist GROUP BY asset_id
+    """,
+)
+def multimodal_image_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson brightness diversity per asset (exact rational
+    1 - sum(p^2) over the 16-bin pixel histogram from the real decode,
+    full tiles only): n_px, bins used, the (num, den) pair and its
+    double — the flat-image screen of the exposure family.
+
+    Scale: binning happens inside the decode pass (bincount per asset,
+    <= 16 rows leave each task); the Simpson fold is one asset-keyed
+    map-side aggregate — zero data-proportional shuffle."""
+    assets = fan_out(binary_assets_df(spark, sf_dir), spark)
+    hist = assets.select("asset_id", "payload").mapInPandas(
+        _pixel_hist, schema=_PXHIST_SCHEMA
+    )
+    return hist.groupBy("asset_id").agg(
+        F.sum("c").cast("long").alias("n_px"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        (F.sum("c") * F.sum("c") - F.sum(F.col("c") * F.col("c")))
+        .cast("long")
+        .alias("simpson_num"),
+        (F.sum("c") * F.sum("c")).cast("long").alias("simpson_den"),
+        (
+            (F.sum("c") * F.sum("c") - F.sum(F.col("c") * F.col("c"))).cast("double")
+            / (F.sum("c") * F.sum("c")).cast("double")
+        ).alias("simpson"),
+    )

@@ -2248,3 +2248,98 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("m"))
         .select("doc_id", "lang", "rk", F.col("m").alias("class_quota"))
     )
+
+
+# --------------------------------------------- split distribution check ----
+#
+# Composition guard completing the SRM pair: the ratio check
+# (sample_srm_check) verifies split SIZES; this verifies split
+# COMPOSITION — per split, the (lang) distribution against the corpus
+# distribution by exact cross-multiplied total variation (the
+# events_drift_tv pattern on the split axis). A fair hash split keeps
+# every TV near zero; a composition skew here with a clean SRM means
+# the assignment key is correlated with the stratum — the bug class
+# where someone hashes a non-uniform key.
+
+
+@register(
+    "split_distribution_check",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN {_BUCKET_SQL} < {TRAIN_PCT} THEN 'train'
+                  WHEN {_BUCKET_SQL} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    cells AS (
+      SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM assigned GROUP BY split, lang
+    ),
+    stot AS (SELECT split, CAST(SUM(n) AS BIGINT) AS sn FROM cells GROUP BY split),
+    corp AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cn FROM assigned GROUP BY lang),
+    -- named n_corpus, NOT N: both engines resolve identifiers
+    -- case-insensitively, so a column n and a column N in one relation
+    -- silently alias each other (measured: DuckDB bound both to the
+    -- first, inflating the TV 250x)
+    ctot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM assigned),
+    lattice AS (
+      SELECT s.split, c.lang, s.sn, c.cn, ctot.n_corpus,
+             CAST(COALESCE(x.n, 0) AS BIGINT) AS n
+      FROM stot s CROSS JOIN corp c CROSS JOIN ctot
+      LEFT JOIN cells x ON x.split = s.split AND x.lang = c.lang
+    )
+    SELECT split, MAX(sn) AS n_split,
+           CAST(SUM(abs(n * n_corpus - cn * sn)) AS BIGINT) AS tv_num,
+           CAST(2 * MAX(sn) * MAX(n_corpus) AS BIGINT) AS tv_den,
+           CAST(SUM(abs(n * n_corpus - cn * sn)) AS DOUBLE)
+             / (2 * MAX(sn) * MAX(n_corpus)) AS tv
+    FROM lattice GROUP BY split
+    """,
+)
+def split_distribution_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split composition guard: per split the exact total-variation
+    distance of its language distribution from the corpus distribution
+    (cross-multiplied integers over the common sn*N denominator) — the
+    companion to the SRM size check; together they certify the hash
+    split is fair in count AND composition.
+
+    Scale: one scan collapses onto (split, lang) cells; the dense
+    lattice is |splits| x |langs| bounded algebra (densified because a
+    missing cell must still contribute its corpus mass)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "lang", _split(_bucket(F.col("doc_id"))).alias("split")
+    ).localCheckpoint(eager=False)
+    cells = assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    stot = cells.groupBy("split").agg(F.sum("n").cast("long").alias("sn"))
+    corp = assigned.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    ctot = assigned.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    lattice = (
+        stot.crossJoin(F.broadcast(corp))
+        .crossJoin(F.broadcast(ctot))
+        .join(F.broadcast(cells), ["split", "lang"], "left")
+        .select(
+            "split",
+            "lang",
+            "sn",
+            "cn",
+            "n_corpus",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    return lattice.groupBy("split").agg(
+        F.max("sn").cast("long").alias("n_split"),
+        F.sum(F.abs(F.col("n") * F.col("n_corpus") - F.col("cn") * F.col("sn")))
+        .cast("long")
+        .alias("tv_num"),
+        (F.lit(2) * F.max("sn") * F.max("n_corpus")).cast("long").alias("tv_den"),
+        (
+            F.sum(
+                F.abs(F.col("n") * F.col("n_corpus") - F.col("cn") * F.col("sn"))
+            ).cast("double")
+            / (F.lit(2) * F.max("sn") * F.max("n_corpus")).cast("double")
+        ).alias("tv"),
+    )

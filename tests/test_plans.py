@@ -1159,3 +1159,30 @@ def test_balanced_classes_bucket_partitioned_rank(spark):
     assert "SortMergeJoin" not in plan, plan
     # the window sort must include both partition keys
     assert "lang" in plan and "b#" in plan, plan
+
+
+def test_clustering_coefficient_bounded_joins(spark):
+    """Wedge build/close on the checkpointed bounded edge relation; the
+    degree join is shuffle-hash; no sort-merge."""
+    df = REG["graph_clustering_coefficient"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_split_distribution_bounded_lattice(spark):
+    """One scan into the checkpoint; the dense lattice and TV fold are
+    bounded broadcasts; no sort-merge."""
+    df = REG["split_distribution_check"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_image_simpson_zero_data_shuffle(spark):
+    """Binning happens in the decode pass; the only exchange beyond
+    fan_out's round-robin is the <= 16-rows-per-asset hash aggregate."""
+    df = REG["multimodal_image_simpson"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

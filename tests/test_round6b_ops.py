@@ -849,3 +849,88 @@ def test_balanced_classes_exact_quota(spark):
         order = sorted(g.doc_id, key=lambda d: (fps[d] % 1024, fps[d], d))
         kept = {r["doc_id"] for r in rows if r["lang"] == lang}
         assert kept == set(order[:m])
+
+
+def test_clustering_coefficient_bounds_and_recount(spark):
+    """cc in [0, 1]; per-node triangles/degrees recount in python over
+    the same vocab-restricted undirected edges."""
+    from collections import Counter
+    from itertools import combinations
+
+    rows = {r["token"]: r for r in REG["graph_clustering_coefficient"].fn(spark, SF_ORACLE).collect()}
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    words = docs.text.str.split(" ")
+    cnt = Counter(w for ws in words for w in ws if w != "")
+    vocab = set(w for w, _ in sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[:150])
+    und = set()
+    for ws in words:
+        for a, b in zip(ws, ws[1:]):
+            if a != b and a in vocab and b in vocab:
+                und.add((min(a, b), max(a, b)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for tok, r in rows.items():
+        nb = adj.get(tok, set())
+        assert r["degree"] == len(nb)
+        tri = sum(
+            1 for x, y in combinations(sorted(nb), 2) if (min(x, y), max(x, y)) in und
+        )
+        assert r["n_triangles"] == tri
+        if r["degree"] >= 2:
+            assert r["cc_ppm"] == 1_000_000 * 2 * tri // (len(nb) * (len(nb) - 1))
+            assert 0 <= r["cc_ppm"] <= 1_000_000
+        else:
+            assert r["cc_ppm"] == 0
+
+
+def test_split_distribution_check_near_zero_tv(spark):
+    """The hash split is composition-fair: every split's TV from the
+    corpus language distribution stays small; the rational recomputes
+    in pandas."""
+    import hashlib
+
+    rows = {r["split"]: r for r in REG["split_distribution_check"].fn(spark, SF_ORACLE).collect()}
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    bucket = docs.doc_id.apply(
+        lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) % 100
+    )
+    split = bucket.apply(lambda b: "train" if b < 80 else ("val" if b < 90 else "test"))
+    N = len(docs)
+    corp = docs.lang.value_counts()
+    for sname, r in rows.items():
+        g = docs[split == sname]
+        sn = len(g)
+        tv_num = sum(
+            abs(int((g.lang == l).sum()) * N - int(corp[l]) * sn) for l in corp.index
+        )
+        assert r["n_split"] == sn and r["tv_num"] == tv_num
+        assert r["tv"] == tv_num / (2 * sn * N)
+        assert r["tv"] < 0.2  # fair split: far from a composition skew
+
+
+def test_image_simpson_numpy_replay(spark):
+    """Per-asset histogram Simpson replays from numpy over the text
+    bytes (full tiles only); index sits in [0, 1)."""
+    import numpy as np
+
+    rows = {r["asset_id"]: r for r in REG["multimodal_image_simpson"].fn(spark, SF_ORACLE).collect()}
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    checked = 0
+    for _, doc in docs.head(15).iterrows():
+        buf = np.frombuffer(doc.text.encode(), dtype=np.uint8)
+        usable = (len(buf) // 256) * 256
+        if not usable:
+            assert doc.doc_id not in rows
+            continue
+        counts = np.bincount(buf[:usable] >> 4, minlength=16)
+        n = int(counts.sum())
+        ssq = int((counts.astype(np.int64) ** 2).sum())
+        r = rows[doc.doc_id]
+        assert r["n_px"] == n
+        assert r["n_bins_used"] == int((counts > 0).sum())
+        assert r["simpson_num"] == n * n - ssq and r["simpson_den"] == n * n
+        assert 0 <= r["simpson"] < 1
+        checked += 1
+    assert checked >= 8

@@ -237,6 +237,10 @@ QUERIES = [
     "orders_rfm_migration",
     "emb_anisotropy_score",
     "sample_balanced_classes",
+    # batch 14: clustering coefficient, split composition, Simpson
+    "graph_clustering_coefficient",
+    "split_distribution_check",
+    "multimodal_image_simpson",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
