@@ -783,7 +783,7 @@ def _elbow_oracle() -> str:
     curve AS ({union})
     SELECT k, n_clusters_used, inertia_q9,
            CAST(inertia_q9 AS DOUBLE) / {ELBOW_Q} AS inertia,
-           CAST(COALESCE((1000 * inertia_q9) //
+           CAST(COALESCE((1000 * CAST(inertia_q9 AS HUGEINT)) //
                 NULLIF(lag(inertia_q9) OVER (ORDER BY k), 0), 0) AS BIGINT)
              AS ratio_prev_permille
     FROM curve
@@ -838,8 +838,15 @@ def emb_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("inertia_q9").cast("double") / F.lit(float(ELBOW_Q))).alias(
                 "inertia"
             ),
+            # the 1000* multiply runs in decimal(38,0) / HUGEINT: inertia_q9
+            # is a corpus-proportional 1e9-quantized sum, so the int64 form
+            # wraps silently at large corpora (the pareto-abc/PVM widening)
             F.coalesce(
-                F.expr("(1000 * inertia_q9) div nullif(prev_q9, 0)"), F.lit(0)
+                F.expr(
+                    "(cast(inertia_q9 as decimal(38,0)) * 1000)"
+                    " div nullif(prev_q9, 0)"
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias("ratio_prev_permille"),

@@ -789,12 +789,11 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # node over its wedge count C(deg, 2) — how much of a node's
 # neighborhood is itself connected, the local-density companion to the
 # global triangle count. Exact rationals: cc_num = 2 * triangles,
-# cc_den = deg * (deg - 1); the corpus-level average coefficient rides
-# along as the exact pair (sum of per-node numerator*den products is
-# NOT how averages compose, so the global row publishes the mean of
-# per-node ppm floors — documented as the floor-mean, deterministic in
-# both engines). Degrees are UNDIRECTED distinct-neighbor counts over
-# the same oriented edge relation the triangle plan uses.
+# cc_den = deg * (deg - 1), published per node alongside the ppm floor
+# (a corpus-level mean is NOT emitted — averaging the per-node
+# rationals is a separate reduction the caller can run over cc_num /
+# cc_den). Degrees are UNDIRECTED distinct-neighbor counts over the
+# same oriented edge relation the triangle plan uses.
 
 
 @register(

@@ -862,7 +862,8 @@ _PNORM_SPARK = (
     )
     SELECT query_id, proj_rank, vec_id, proj_cosine,
            CAST(in_exact_topk AS BIGINT) AS in_exact_topk,
-           CAST(100 * SUM(in_exact_topk) OVER (PARTITION BY query_id) AS BIGINT)
+           CAST((1000 * SUM(in_exact_topk) OVER (PARTITION BY query_id))
+                // {TOP_K} AS BIGINT)
              AS recall_permille
     FROM hits
     """,
@@ -935,7 +936,10 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "proj_cosine",
         "in_exact_topk",
-        (F.lit(100) * F.sum("in_exact_topk").over(wq))
+        # permille derived from TOP_K, not a hardcoded 100x — the unit
+        # survives re-parameterizing k (hits*1000 stays tiny; int div
+        # is exact for both engines on nonnegative operands)
+        ((F.lit(1000) * F.sum("in_exact_topk").over(wq)).cast("long") / TOP_K)
         .cast("long")
         .alias("recall_permille"),
     )

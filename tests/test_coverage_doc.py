@@ -41,3 +41,19 @@ def test_every_window_query_in_coverage():
 
     missing = [n for n in PRIORITY if f"`{n}`" not in DOC]
     assert not missing, f"window queries absent from COVERAGE.md: {missing}"
+
+
+def test_readme_query_count_matches_registry():
+    """README's headline count drifted twice (r6 ADVICE); pin it to the
+    registry so the doc can't overstate coverage."""
+    reg = load_all()
+    readme = Path("/root/repo/README.md").read_text()
+    m = re.search(r"(\d+) registered queries, (\d+) of them hash-checked", readme)
+    assert m, "README lost its coverage sentence"
+    n_oracled = sum(1 for q in reg.values() if q.oracle is not None)
+    assert int(m.group(1)) == len(reg), (
+        f"README says {m.group(1)} registered, registry has {len(reg)}"
+    )
+    assert int(m.group(2)) == n_oracled, (
+        f"README says {m.group(2)} hash-checked, registry has {n_oracled}"
+    )

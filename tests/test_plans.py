@@ -909,9 +909,10 @@ def test_pareto_abc_no_global_customer_sort(spark):
     df = REG["orders_pareto_abc"].fn(spark, SF_ORACLE)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
-    # partitioned window sort: Sort [band ..., cents DESC ...] exists,
-    # and there is no TakeOrderedAndProject/global Sort over customers
-    assert "row_number" not in plan.lower() or True  # running sum, not rank
+    # running sum, not rank: the window spec is sum(...) over the
+    # band-partitioned frame, so no row_number/rank window appears
+    assert "row_number" not in plan.lower(), plan
+    assert "windowexpression" not in plan.lower() or "sum" in plan.lower(), plan
     assert "SortMergeJoin" not in plan, plan
 
 
