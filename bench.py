@@ -377,18 +377,35 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                **_subtotals(timings),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        **_subtotals(timings),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Persist the COMPLETE result: the driver records only the last
+    # 2000 chars of stdout, which a 160+-query map overflows (r6
+    # VERDICT #2 — BENCH_r06.json's tail truncated mid-JSON and lost
+    # the per-query timings). var/bench_last.json always holds the
+    # whole payload; stdout gets ONE compact line that FITS the tail
+    # window: totals + every round subtotal + the r01-comparable
+    # per-query map (the group BASELINE.md is judged against).
+    full_path = Path(__file__).resolve().parent / "var" / "bench_last.json"
+    full_path.parent.mkdir(exist_ok=True)
+    full_path.write_text(json.dumps(payload) + "\n")
+    compact = {
+        **{k: v for k, v in payload.items() if k != "queries"},
+        "queries": {n: timings[n] for n in HEADLINE if n in timings},
+        "n_queries": len(timings),
+        "queries_full": "var/bench_last.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # stay inside the driver's 2000-char tail
+        compact.pop("queries")
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     _alarm_on_subtotal_regressions(timings, sf)
     spark.stop()
 
@@ -404,6 +421,7 @@ ALARM_RATIO = 1.1
 
 def _alarm_on_subtotal_regressions(timings: dict[str, float], sf: str) -> None:
     import glob
+    import re
 
     groups = _round_groups()
     here = os.path.dirname(os.path.abspath(__file__))
@@ -414,9 +432,20 @@ def _alarm_on_subtotal_regressions(timings: dict[str, float], sf: str) -> None:
                 rec = json.load(f)
         except (OSError, ValueError):
             continue
-        # the driver wraps bench's JSON line under "parsed"
+        # the driver wraps bench's JSON line under "parsed"; when the
+        # line overflowed the driver's 2000-char tail (parsed null —
+        # BENCH_r06), recover the subtotal keys from the tail TEXT so
+        # every measured group still has a pinned floor (r6 VERDICT #4)
         if isinstance(rec.get("parsed"), dict):
             rec = {"sf": rec.get("sf"), **rec["parsed"]}
+        elif isinstance(rec.get("tail"), str):
+            recovered = {
+                m.group(1): float(m.group(2))
+                for m in re.finditer(
+                    r'"(r\d+_comparable_subtotal)":\s*([0-9.]+)', rec["tail"]
+                )
+            }
+            rec = {"sf": rec.get("sf"), **recovered}
         if str(rec.get("sf")) != str(float(sf) if sf.replace(".", "").isdigit() else sf):
             continue
         for key in groups:

@@ -41,6 +41,22 @@ def main(argv: list[str] | None = None) -> int:
     mv = sub.add_parser("mv")
     mv.add_argument("src")
     mv.add_argument("dst")
+    # put/copyFromLocal, get/copyToLocal, cp -r, touchz, text — the
+    # remaining SnackFSShell verbs (SnackFSShell.scala:40-62, put/get
+    # at :601-613, touchz at :380-385)
+    pu = sub.add_parser("put", help="ingest a local dir of files under an fs prefix")
+    pu.add_argument("local_dir")
+    pu.add_argument("fs_prefix", nargs="?", default="/ingest")
+    ge = sub.add_parser("get", help="copy an fs file's content to a local file")
+    ge.add_argument("path")
+    ge.add_argument("local_file")
+    cp = sub.add_parser("cp", help="copy a subtree to a new prefix")
+    cp.add_argument("src")
+    cp.add_argument("dst")
+    tz = sub.add_parser("touchz", help="create a zero-length file")
+    tz.add_argument("path")
+    tx = sub.add_parser("text", help="magic-sniff + decode report for a stored payload")
+    tx.add_argument("path")
     sub.add_parser("getmerge")
     sub.add_parser("locations")
     sub.add_parser("locks")
@@ -106,6 +122,62 @@ def main(argv: list[str] | None = None) -> int:
         rc = 0 if row[key] else 1
     elif args.verb == "mv":
         _show(cat.rename_plan(args.src, args.dst))
+    elif args.verb == "put":
+        from snackfs_spark.sources.writer import ingest_binary_dir
+
+        try:
+            ingested = ingest_binary_dir(spark, args.local_dir, args.fs_prefix)
+            _show(ingested.select("path", F.length("text").alias("bytes")))
+        except Exception as exc:  # missing local dir → shell-style rc
+            print(f"put: {args.local_dir}: {exc}", file=sys.stderr)
+            rc = 1
+    elif args.verb == "get":
+        rows = cat.read().filter(F.col("path") == args.path).collect()
+        if not rows:
+            print(f"get: {args.path}: no such file", file=sys.stderr)
+            rc = 1
+        else:
+            with open(args.local_file, "w", encoding="utf-8") as fh:
+                fh.write(rows[0]["text"])
+            print(f"{args.path} -> {args.local_file} ({len(rows[0]['text'])} chars)")
+    elif args.verb == "cp":
+        from snackfs_spark.sources.writer import cp_subtree
+
+        new_files, _ = cp_subtree(cat.files, cat.content, args.src, args.dst)
+        copies = new_files.filter(
+            F.col("path").startswith(args.dst + "/") | (F.col("path") == args.dst)
+        )
+        if copies.limit(1).count() == 0:
+            print(f"cp: {args.src}: no such file or directory", file=sys.stderr)
+            rc = 1
+        else:
+            _show(copies.select("path", "is_dir", "size"))
+    elif args.verb == "touchz":
+        from snackfs_spark.sources.writer import touchz
+
+        existing = cat.stat(args.path).collect()
+        if existing and existing[0]["size"] > 0:
+            # the reference refuses touchz on a non-empty file
+            print(f"touchz: {args.path}: file exists with size > 0", file=sys.stderr)
+            rc = 1
+        else:
+            _show(
+                touchz(cat.files, spark, args.path).filter(F.col("path") == args.path)
+            )
+    elif args.verb == "text":
+        from snackfs_spark.registry import load_all as _load_all
+
+        report = (
+            _load_all()["fs_text_decode"]
+            .fn(spark, args.sf_dir)
+            .filter(F.col("path") == args.path)
+        )
+        rows = report.collect()
+        if not rows:
+            print(f"text: {args.path}: no such file", file=sys.stderr)
+            rc = 1
+        else:
+            _show(report)
     elif args.verb == "rm":
         _show(cat.delete_survivors(args.path))
     elif args.verb == "getmerge":
@@ -121,8 +193,16 @@ def main(argv: list[str] | None = None) -> int:
 
         reg = load_all()
         if args.an_list or args.query is None:
-            for name in reg:
-                print(name)
+            # grouped by operator family (the registering module) so the
+            # 280+-query surface reads as a catalog, not a wall of names
+            groups: dict[str, list[str]] = {}
+            for name, q in reg.items():
+                fam = q.fn.__module__.rsplit(".", 1)[-1]
+                groups.setdefault(fam, []).append(name)
+            for fam in sorted(groups):
+                print(f"[{fam}] ({len(groups[fam])})")
+                for name in groups[fam]:
+                    print(f"  {name}")
         elif args.query not in reg:
             print(f"analyze: unknown query {args.query!r}", file=sys.stderr)
             rc = 1

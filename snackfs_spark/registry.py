@@ -44,157 +44,129 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # The driver's correctness gate checks the FIRST 50 registered queries,
 # so the iteration order of `load_all()` is normative: these 50 SPAN
-# SURVEY.md §2 — every §2.B Q-* target, every declared operator family,
-# and at least one oracle-checked query per §2.C class (dedup, ANN,
-# text, multimodal, sampling, streaming). Variants and batteries beyond
-# the span register after the window (still covered by the in-repo
-# oracle replica, tests/test_correctness.py).
+# SURVEY.md §2 — the §2.B Q-* skeleton crew, the declared operator
+# families, and at least one oracle-checked query per §2.C class (dedup,
+# ANN, text, multimodal, sampling, streaming). Variants and batteries
+# beyond the span register after the window (still covered by the
+# in-repo oracle replica, tests/test_correctness.py, which hash-checks
+# ALL registered queries at sf0.01 every test run).
+#
+# ROUND-7 ROTATION (r6 VERDICT #1): by round 6, 198 of 288 registered
+# queries had never produced a driver-side green row — their correctness
+# rested on the in-repo replica alone. This window keeps 15 veterans
+# (the fs skeleton crew + the connector + one anchor per §2.C pillar)
+# and hands 35 slots to queries that have NEVER been driver-checked
+# (70% of the window is first-time driver evidence). Every evicted
+# veteran stays green in the in-repo replica; the per-slot comments
+# name where each evicted family/class stays hash-checked.
 PRIORITY: tuple[str, ...] = (
-    # §2.B filesystem targets (Q-STAT .. Q-MKDIR), one query each
+    # -------- veterans kept (15): the fs skeleton crew (10 of the 17
+    # Q-* targets — each evicted Q-* has 1-6 rounds of green driver rows
+    # already and stays in the in-repo replica: fs_lsr/fs_dus (subtree
+    # aggregation shapes live on via fs_du), fs_suboff_prefix_sum /
+    # fs_lock_arbitration (window shapes live on via win_trailing_30d_
+    # revenue and sessionize_events), fs_range_read/fs_tail (byte-offset
+    # slicing lives on via fs_content's block-bounded reassembly),
+    # fs_fsck (its FULL OUTER JOIN shape lives on via corpus_build_train
+    # legs)), the connector, and one anchor per §2.C pillar.
     "fs_stat",
     "fs_ls",
-    "fs_lsr",
     "fs_du",
-    "fs_dus",
     "fs_count",
     "fs_len_from_blocks",
     "fs_block_locations",
-    "fs_suboff_prefix_sum",
-    "fs_lock_arbitration",
     "fs_content",
-    "fs_range_read",
-    "fs_tail",
     "fs_getmerge",
     "fs_rename",
     "fs_delete",
     "fs_mkdirs",
-    # custom connector round-trip (SURVEY §7 M6, §4). The limit-pushdown
-    # variant `fs_ls_limited` yielded its r1-r4 slot to the round-4
-    # prefix-filter flagship per the r4 VERDICT rotation directive; it
-    # stays green in the in-repo oracle replica and its pushdown is
-    # plan-pinned in tests/test_connector.py.
     "fs_connector_roundtrip",
-    # exact-recall similarity join (AllPairs/PPJoin prefix filter) — the
-    # heaviest bench query; driver-hard row per r4 VERDICT #1
-    "dedup_prefix_filter",
-    # TPC-H-shaped relational surface
+    # TPC-H anchor: filter + group-agg with decimal lattice sums (q3/q5/
+    # q6 have 6 rounds of green rows each; their join/broadcast shapes
+    # stay driver-checked via q2/q21 below)
     "q1_pricing_summary",
-    "q6_revenue_forecast",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    # q7/q10 (join+agg shapes also exercised by q3/q5/q13) yield their
-    # slots to the late-round-5 flagships: the offline fsck scan (full-
-    # outer join — a shape no other window query has) and the span-level
-    # exact-substring dedup; q7/q10 stay repo-oracle green
-    "fs_fsck",
-    "dedup_span_ngrams",
-    # q13 (outer-join + conditional count) yields its slot to the
-    # z-order data-skipping report — the window's only storage-layout
-    # analytics row; the outer-join shape stays hash-checked via
-    # fs_fsck's FULL OUTER JOIN and q13 stays repo-oracle green
-    "layout_zorder_skipping",
-    # q14 (filter+agg ratio — q6's family) yields its slot to the BPE
-    # trainer so the iterative tokenizer path gets a driver-checked row;
-    # q14 stays covered by the in-repo oracle replica
-    "bpe_learn_merges",
-    # q18 (HAVING over group-agg — exercised by the q3/q13 shapes too)
-    # yields its slot to the mergeable binned-quantile sketch per the r4
-    # VERDICT rotation directive; q18 stays repo-oracle green
-    "events_quantiles_binned",
-    # q22 (correlated-avg filter + anti-join — both shapes also inside
-    # corpus_build_v2's gate legs and split_contamination_check) yields
-    # its slot to the MERGE/CDC apply, the mutation verb class (update/
-    # delete/insert in one full-outer pass) no other window query has;
-    # q22 stays repo-oracle green
-    "corpus_merge_upsert",
-    # declared operator families beyond the TPC-H shapes. The non-equi
-    # family's second rep (rel_price_band_join) yields its slot to the
-    # CCNet perplexity-tertile partitioner (sort-free corpus split — a
-    # training-pipeline class no other window query shows); the
-    # interval-join family stays hash-checked via fs_block_locations
-    "text_perplexity_buckets",
-    # topk_orders (sort+limit) yields its slot to the per-type hourly
-    # CUSUM changepoint scan — the sequential-detection class no other
-    # window query has; TakeOrderedAndProject stays hash-checked via
-    # q3_shipping_priority's ORDER BY revenue LIMIT 10, and topk_orders
-    # stays repo-oracle green
-    "events_cusum_changepoint",
-    "setops_customer_years",
-    "rollup_pricing",
-    # the approximate-aggregates family rep: the explicit-register HLL
-    # sketch (round 5) — unlike approx_aggregates' engine-private
-    # sketches, its registers/estimate are bit-reproducible in DuckDB,
-    # so this slot is hash-checked instead of rows-only, making the
-    # whole 50-slot window hash-green; approx_aggregates stays
-    # registered after the window (rows-only, golden-pinned in
-    # tests/test_approx.py)
-    "approx_distinct_hll",
-    "scalar_function_battery",
-    # the ranking-window family rep yields its slot to the sliding-
-    # window distinct count (islands + prefix-sum — a windowing class
-    # with no COUNT(DISTINCT)-over-frame equivalent anywhere in Spark);
-    # ranking windows stay hash-checked via ann_bruteforce_topk's
-    # row_number top-k and topk_orders' TakeOrderedAndProject
-    "win_sliding_distinct_users",
-    # the running-sum window family rep yields its slot to the explicit
-    # runtime bloom-filter join prune (scan-side semi-join pruning — a
-    # join-optimization class no other window query shows); running-sum
-    # windows stay hash-checked via fs_suboff_prefix_sum (Q-SUBOFF)
-    "rel_bloom_runtime_filter",
-    # §2.C dedup battery (minhash, jaccard, embedding, semantic; simhash
-    # and the fixed-k SemDeDup register after the window — same
-    # families, repo-checked; the size-adaptive variant is the
-    # production form the window showcases). Round-6 rotation:
-    # dedup_exact yields its slot to the winnowed-fingerprint dedup
-    # (MOSS rightmost-min selection — the locality-guaranteed sketch
-    # class no other window query has); exact content-hash dedup stays
-    # hash-checked via corpus_build_v2's exact-dedup gate leg and
-    # dedup_exact stays repo-oracle green
-    "dedup_winnow_fingerprint",
+    # §2.C anchors: banded-signature dedup and broadcast top-k ANN (the
+    # two load-bearing similarity postures every rotated-in variant
+    # composes with)
     "dedup_minhash_lsh",
-    # n-gram Jaccard yields its slot to the quality-filter calibration
-    # eval (exact histogram AUC — a model-eval class no other window
-    # query has); Jaccard-threshold semantics stay hash-checked via
-    # dedup_prefix_filter's exact-recall similarity join, and
-    # dedup_ngram_jaccard stays repo-oracle green
-    "eval_quality_auc",
-    "dedup_semantic_scaled",
-    # embedding-cosine near-dup yields its slot to entity-resolution
-    # record linkage (blocking + edit-distance verify — an algorithm
-    # class no other window query has); the embedding-similarity family
-    # stays hash-checked via dedup_semantic_scaled and the ANN slots
-    "dedup_entity_resolution",
-    # §2.C similarity search + clustering (IVF probe registers after the
-    # window; k-means is the iterative-algorithm representative)
     "ann_bruteforce_topk",
-    # the LSH-bucketed ANN variant yields its slot to the Pareto-front
-    # selection (bounded-histogram skyline vs quadratic-dominance oracle
-    # — a preference-query class no other window query has); the
-    # similarity-search family stays hash-checked via ann_bruteforce_topk
-    # and ann_lsh_bucketed stays repo-oracle green
-    "corpus_pareto_front",
-    # emb_kmeans_assign (6 rounds of green driver rows) yields its slot
-    # to the round-6 leakage-free cluster-safe split — the
-    # leak-PREVENTION class no other window query has (contamination
-    # checks are detection). Iterative algorithms stay hash-checked via
-    # bpe_learn_merges' K-round trainer, clustering membership via
-    # dedup_semantic_scaled, and emb_kmeans_assign stays repo-oracle
-    # green with its determinism probe.
-    "split_cluster_safe",
-    # §2.C text analysis (one-scan composition of the four scoring ops)
-    "text_profile",
-    # §2.C multimodal — the REAL-decode representative (int16 PCM via
-    # numpy in mapInPandas, integer-exact oracle); frame_sample/resize/
-    # decode_features register after the window, repo-checked
-    "multimodal_audio_energy",
-    # §2.C dataset splits + decontamination + the end-to-end capstone
-    # (corpus_build_v2 hash-checks exact dedup ∩ quality ∩ semantic
-    # dedup ∩ bigram fluency ∩ train split in one row; the plain
-    # split_assign_hash projection registers after the window)
-    "corpus_build_v2",
-    "split_contamination_check",
-    # §2.C streaming
-    "streaming_hourly_rollup",
+    # -------- first-time driver rows (35) — never in any prior window.
+    # TPC-H shapes: correlated-min subquery + broadcast dim chain (q2),
+    # UNION/INTERSECT/EXCEPT ALL variants (setops_customer_years's
+    # 3-branch distinct form is the veteran), 4-way exists/not-exists
+    # self-join (q21), and the salting remedy for skewed join keys
+    "q2_min_cost_supplier",
+    "setops_all_variants",
+    "q21_straggler_suppliers",
+    "rel_salted_skew_join",
+    # event-time analytics: 30-min-gap sessionization, as-of backward
+    # join, calendar gap-fill, CUPED-free diff-in-diff readout
+    "sessionize_events",
+    "asof_last_error_before_purchase",
+    "events_gap_fill",
+    "events_diff_in_diff",
+    # sketches: Count-Min heavy hitters (events_quantiles_binned and
+    # approx_distinct_hll each hold 1-2 green driver rounds; the
+    # mergeable-sketch class rep rotates to the CM row — the HLL and
+    # binned-quantile forms stay repo-oracle green)
+    "heavy_hitters_countmin",
+    # graph: iterative k-core peeling over LSH-candidate edges
+    "graph_kcore_decomposition",
+    # function batteries: exact moments (skew/kurtosis as decimal-exact
+    # rationals) rotate in for scalar_function_battery (4 green rounds;
+    # scalar/string/date/array/map batteries stay repo-oracle green)
+    "stats_moments_battery",
+    # market-basket mining with PCY bucket pruning + first-order Markov
+    # transition matrix via grouping-sets cube
+    "basket_pairs_pcy",
+    "cube_order_priorities",
+    # privacy ladder capstone: t-closeness (EMD over ordered quantiles);
+    # k-anonymity/l-diversity stay repo-oracle green
+    "privacy_t_closeness",
+    # FP&A: Pareto/ABC banding (the decimal(38,0) widening exhibit) and
+    # the trailing-30d range-frame running sum (the running-sum family
+    # rep after fs_suboff_prefix_sum's eviction)
+    "orders_pareto_abc",
+    "win_trailing_30d_revenue",
+    # eval: split-conformal threshold calibration
+    "eval_conformal_threshold",
+    # semantic dedup: the fixed-k SemDeDup form gets its first driver
+    # row (the size-adaptive production variant dedup_semantic_scaled
+    # holds 2 green rounds and stays repo-oracle green)
+    "dedup_semantic",
+    # text: interpolated Kneser-Ney bigram LM, n-gram language ID,
+    # Gopher-style quality gate, and BM25 retrieval top-k (text_profile
+    # composes lang_id+quality and holds 2 green rounds)
+    "text_kneser_ney_bigram",
+    "text_lang_id",
+    "text_quality_score",
+    "text_bm25_topk",
+    # decontamination rotates to the embedding-space variant
+    # (split_contamination_check holds 2 green rounds, stays repo-green)
+    "split_semantic_contamination",
+    # embeddings/ANN: PCA power iteration, k-means elbow (model
+    # selection), PQ/ADC compressed search, JL projection acceptance
+    "emb_pca_power_iteration",
+    "emb_kmeans_elbow",
+    "ann_pq_adc",
+    "emb_random_projection",
+    # LSH banding S-curve tuning (measured precision/recall vs truth)
+    "dedup_lsh_tuning",
+    # sampling/splits: priority (sequential-Poisson) sampling, exact
+    # stratified split, greedy first-fit sequence packing
+    "sample_reservoir_priority",
+    "split_exact_stratified",
+    "pack_sequences",
+    # multimodal: real-decode scene cuts (BMP luma deltas) and pHash
+    # near-dup banding (multimodal_audio_energy holds 2 green rounds)
+    "multimodal_scene_cuts",
+    "multimodal_phash_dedup",
+    # streaming rotates to session windows (streaming_hourly_rollup
+    # holds 5 green rounds; drained-equality pins stay in tests)
+    "streaming_session_windows",
+    # capstone rotates to the train-split builder (corpus_build_v2
+    # holds 2 green rounds, stays repo-oracle green)
+    "corpus_build_train",
 )
 
 

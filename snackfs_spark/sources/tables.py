@@ -46,9 +46,17 @@ def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
     bench's single-row-group files it trades one cheap round-robin
     shuffle of the (already filtered/pruned) rows for full parallelism in
     everything downstream. Call it AFTER filters so pushdown is intact.
+
+    Parallelism is probed via the file-source split count
+    (``df.inputFiles()``, a driver-side metadata call) rather than
+    ``df.rdd.getNumPartitions`` — touching ``.rdd`` forces Spark to set
+    up the whole Python deserialization pipeline for the frame (r6
+    VERDICT #7). A non-file-backed frame reports zero input files and is
+    returned unchanged: its parallelism is its parent's, not a scan's.
     """
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    n_files = len(df.inputFiles())
+    if 0 < n_files < max(2, target // 2):
         return df.repartition(target)
     return df
 

@@ -455,3 +455,25 @@ def test_stateful_rate_limiter_equals_batch_twin(spark):
         for r in want.collect()
     }
     assert got_map == want_map
+
+
+def test_transform_with_state_probe():
+    """DESIGN.md r5/r7: transformWithState is blocked by the runtime's
+    missing protobuf, not by design. This probe makes a runtime upgrade
+    visible: the day `google.protobuf` imports, the skip flips to a
+    loud failure directing the port (a mechanical processor-class
+    rewrite of streaming/stateful.py's monitors)."""
+    import importlib.util
+
+    import pytest
+
+    if importlib.util.find_spec("google") is None:
+        pytest.skip(
+            "runtime still lacks google.protobuf — applyInPandasWithState "
+            "remains the stateful surface (DESIGN.md)"
+        )
+    pytest.fail(
+        "google.protobuf is now importable: port the per-user monitor to "
+        "transformWithStateInPandas (see DESIGN.md 'transformWithState "
+        "evaluated, blocked by runtime')"
+    )

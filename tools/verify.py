@@ -2,7 +2,15 @@
 its DuckDB oracle at one or more scale factors, the same comparison the
 round driver's CORRECTNESS gate performs.
 
-Usage: python tools/verify.py [sf ...]   (default: 0.01 0.1)
+Usage: python tools/verify.py [sf|fixture_dir ...] [--window N]
+       (default: 0.01 0.1 over the whole registry)
+
+A token containing '/' is a fixture directory (e.g. var/sf1, the 10x
+key-shifted replica of sf0.1 from tools/make_scale_fixture.py);
+--window N limits the run to the driver's first-N correctness window —
+the r6 VERDICT #6 sf1 spot-replica is
+    python tools/make_scale_fixture.py var/sf1 10
+    python tools/verify.py var/sf1 --window 50
 Exit code 0 iff every oracled query hash-matches at every sf.
 """
 
@@ -26,21 +34,30 @@ TABLES = (
 
 
 def main() -> int:
-    sfs = sys.argv[1:] or ["0.01", "0.1"]
+    argv = sys.argv[1:]
+    window = None
+    if "--window" in argv:
+        i = argv.index("--window")
+        window = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    sfs = argv or ["0.01", "0.1"]
     spark = get_spark("verify", cpus=8)
     print("entry rows:", len(e.entry(spark).collect()))
     qs, osql = e.queries(), e.oracle_sql()
+    if window is not None:
+        qs = {n: qs[n] for n in list(qs)[:window]}
     failed = False
     for sf in sfs:
+        sf_dir = sf if "/" in sf else f"/root/testdata/sf{sf}"
         con = duckdb.connect()
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('/root/testdata/sf{sf}/{t}.parquet')"
+                f"read_parquet('{sf_dir}/{t}.parquet')"
             )
         bad = []
         for name, fn in qs.items():
-            sp = fn(spark, f"/root/testdata/sf{sf}").toPandas()
+            sp = fn(spark, sf_dir).toPandas()
             if name not in osql:
                 continue
             od = con.execute(osql[name]).fetchdf()
