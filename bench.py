@@ -296,6 +296,15 @@ HEADLINE_R20 = [
     "multimodal_image_simpson",
 ]
 
+# Round-21 additions (round 7): Kaplan-Meier survival, Holt linear
+# forecast, label-propagation communities, two-proportion A/B test.
+HEADLINE_R21 = [
+    "events_survival_km",
+    "orders_holt_linear_forecast",
+    "graph_label_propagation",
+    "events_two_proportion_test",
+]
+
 
 # Cumulative round groups: drives BOTH the emitted rNN_comparable_subtotal
 # keys and the regression-alarm baselines, so a new round group added here
@@ -322,6 +331,7 @@ ROUNDS = [
     HEADLINE_R18,
     HEADLINE_R19,
     HEADLINE_R20,
+    HEADLINE_R21,
 ]
 
 

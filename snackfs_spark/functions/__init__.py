@@ -33,8 +33,33 @@ def rate(col: str | Column) -> Column:
 
 
 def dsum(col: Column, alias: str) -> Column:
-    """Deterministic sum: exact decimal accumulation, double result."""
+    """Deterministic sum: exact decimal accumulation, double result.
+
+    Portability bound (DESIGN.md rule 8): once the scaled sum crosses
+    2^53, DuckDB's decimal->double cast (hugeint conversion + scale
+    divide = TWO roundings) can land 1 ULP away from Spark's correctly
+    rounded BigDecimal cast. Sums that can cross 2^53 at target scale
+    must use dsum_lattice (both engines then run the identical
+    int64->double + divide sequence)."""
     return F.sum(col).cast("double").alias(alias)
+
+
+def dsum_lattice(col: Column, alias: str, scale: int) -> Column:
+    """Deterministic sum for >2^53-scale money aggregates: quantize each
+    exact-decimal row onto the integer lattice (col * scale is integral
+    by construction — scale must be 10^(decimal scale)), sum as int64,
+    and emit CAST(AS DOUBLE)/scale. int64->double conversion and IEEE
+    division are correctly rounded in BOTH engines, so the result is
+    bit-identical regardless of magnitude (oracle mirror:
+    CAST(SUM(CAST(x * scale AS BIGINT)) AS DOUBLE) / scale). Headroom:
+    int64 overflows at group sums of 9.2e18/scale — beyond that the
+    documented lever is a decimal(38,0)/HUGEINT limb with a digit-split
+    cast, not a wider direct cast (DuckDB's wide-decimal->double is the
+    very footgun this avoids)."""
+    return (
+        (F.sum((col * scale).cast("long")).cast("double") / F.lit(scale))
+        .alias(alias)
+    )
 
 
 def davg(col: Column, alias: str) -> Column:

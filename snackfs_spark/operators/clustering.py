@@ -798,36 +798,82 @@ def emb_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     the model-selection table behind every "pick k" decision in the
     clustering/SemDeDup/IVF stack.
 
-    Scale: each k reruns the emb_kmeans_assign posture — centroids
-    broadcast against one corpus scan per round, recenter state is
-    O(k*dim) — so the whole curve costs len(ELBOW_KS) * KMEANS_ITERS
-    corpus passes and the curve algebra runs on 4 rows. The inertia
-    lattice sum is map-side combinable (order-free bigints)."""
-    curves = []
-    for k in ELBOW_KS:
-        emb = load_table(spark, sf_dir, "embeddings")
-        v = emb.select(
+    Scale: ALL k curves ride ONE corpus scan per round — centroids
+    carry a k tag (sum(ELBOW_KS) = 30 rows, always broadcastable), the
+    assignment window partitions by (k, vec_id), and recenter collapses
+    onto (k, cid, pos) — so the whole curve costs KMEANS_ITERS corpus
+    passes total instead of len(ELBOW_KS) * KMEANS_ITERS (the round-7
+    batching; per-k math is untouched, so the per-k union oracle still
+    hash-matches). The inertia lattice sum is map-side combinable
+    (order-free bigints)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev"),
+    )
+    # tagged seeds: for each k, the first k vectors (same init as the
+    # per-k loop; the explode is over a 4-element literal array)
+    cents = v.select(
+        F.explode(F.array(*[F.lit(k).cast("long") for k in ELBOW_KS])).alias("k"),
+        F.col("vec_id").alias("cid"),
+        F.col("ev").alias("cv"),
+    ).filter(F.col("cid") < F.col("k"))
+    d = F.expr(_L2.format(a="ev", b="cv"))
+
+    def assign_tagged(cdf: DataFrame) -> DataFrame:
+        # argmin as a map-side-combining MIN over struct(dist, cid) —
+        # lexicographic struct ordering = nearest centroid, ties to the
+        # lowest cid, exactly the row_number(ORDER BY dist, cid) rule —
+        # so the shuffle carries ONE partial row per (k, vector) per
+        # partition instead of the full corpus x 30 scored relation a
+        # window would move.
+        scored = v.crossJoin(F.broadcast(cdf)).select(
+            "k",
             "vec_id",
-            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev"),
+            "ev",
+            F.struct(d.alias("dist"), F.col("cid").alias("cid")).alias("dc"),
         )
-        cents = v.filter(F.col("vec_id") < k).select(
-            F.col("vec_id").alias("cid"), F.col("ev").alias("cv")
+        # ev rides as any_value (every row of a (k, vec_id) group carries
+        # the same vector), keeping the 512-byte array OUT of the
+        # grouping key so the hash aggregate stays cheap.
+        return (
+            scored.groupBy("k", "vec_id")
+            .agg(F.min("dc").alias("m"), F.any_value("ev").alias("ev"))
+            .select(
+                "k",
+                "vec_id",
+                "ev",
+                F.col("m.cid").alias("cid"),
+                F.col("m.dist").alias("dist"),
+            )
         )
-        assigned = _assign(v, cents)
-        for _ in range(KMEANS_ITERS - 1):
-            cents = _recenter(assigned)
-            assigned = _assign(v, cents)
-        curves.append(
-            assigned.agg(
-                F.count_distinct("cid").cast("long").alias("n_clusters_used"),
-                F.sum(F.expr(f"CAST(bround(dist * {ELBOW_Q}) AS BIGINT)"))
-                .cast("long")
-                .alias("inertia_q9"),
-            ).select(F.lit(k).cast("long").alias("k"), "n_clusters_used", "inertia_q9")
+
+    qc = F.bround(F.col("x") * F.lit(1.0e12)).cast("bigint")
+    assigned = assign_tagged(cents)
+    for _ in range(KMEANS_ITERS - 1):
+        cents = (
+            assigned.select("k", "cid", F.posexplode("ev").alias("pos", "x"))
+            .groupBy("k", "cid", "pos")
+            .agg(
+                (F.sum(qc).cast("double") / F.count(F.lit(1)) / F.lit(1.0e12)).alias(
+                    "c"
+                )
+            )
+            .groupBy("k", "cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s.getField("c"),
+                ).alias("cv")
+            )
         )
-    curve = curves[0]
-    for part in curves[1:]:
-        curve = curve.unionByName(part)
+        assigned = assign_tagged(cents)
+    curve = assigned.groupBy("k").agg(
+        F.count_distinct("cid").cast("long").alias("n_clusters_used"),
+        F.sum(F.expr(f"CAST(bround(dist * {ELBOW_Q}) AS BIGINT)"))
+        .cast("long")
+        .alias("inertia_q9"),
+    )
     wlag = Window.partitionBy(F.lit(1)).orderBy("k")
     return (
         curve.withColumn("prev_q9", F.lag("inertia_q9").over(wlag))

@@ -879,3 +879,132 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cc_ppm"),
     )
+
+
+# ------------------------------------------- label propagation (LPA) ----
+#
+# Community detection by synchronous label propagation (Raghavan et al.
+# 2007) on the near-dup candidate graph (docs = nodes, MinHash-LSH band
+# collisions = undirected edges — the same relation k-core peels):
+# every node starts as its own doc_id; each round it adopts the MOST
+# FREQUENT label among its neighbors, ties broken to the SMALLEST label
+# (the determinism rule the async original lacks). Fixed LPA_ROUNDS
+# rounds = SQL-unrollable. Distinct from connected components (mode vs
+# min — on a chain of weakly-bridged dense families LPA keeps the
+# families apart where min-label floods) and from k-core (membership vs
+# peeling). Output = nodes WITH at least one candidate edge (isolated
+# docs are their own trivial community and would dominate the output
+# with noise), so the result stays candidate-sized.
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
+    from snackfs_spark.operators.dedup import _MINHASH_CTE
+
+    # MATERIALIZED rounds for the same reason as _kcore_oracle: the
+    # chain references each prior round twice; inlining would re-run
+    # the shingle scan exponentially.
+    parts = ["WITH " + _MINHASH_CTE + ","]
+    parts.append(
+        "cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b ON a.band = b.band "
+        "AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),"
+    )
+    parts.append(
+        "und AS MATERIALIZED (SELECT doc_a, doc_b FROM cand "
+        "UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM cand),"
+    )
+    parts.append(
+        "l0 AS MATERIALIZED (SELECT DISTINCT doc_a AS doc_id, doc_a AS lbl FROM und),"
+    )
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"cnt{r} AS MATERIALIZED (SELECT u.doc_a AS doc_id, p.lbl, "
+            f"CAST(COUNT(*) AS BIGINT) AS c "
+            f"FROM und u JOIN l{p} p ON p.doc_id = u.doc_b "
+            f"GROUP BY u.doc_a, p.lbl),"
+        )
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT doc_id, lbl FROM ("
+            f"SELECT doc_id, lbl, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            f"ORDER BY c DESC, lbl) AS rn FROM cnt{r}) WHERE rn = 1),"
+        )
+    parts.append(
+        f"sizes AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size "
+        f"FROM l{rounds} GROUP BY lbl)"
+    )
+    return (
+        "\n".join(parts)
+        + f"""
+    SELECT l.doc_id, l.lbl AS community, s.community_size
+    FROM l{rounds} l JOIN sizes s ON s.lbl = l.lbl
+    """
+    )
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(
+    spark: SparkSession, sf_dir: str, rounds: int = LPA_ROUNDS
+) -> DataFrame:
+    """Near-dup communities by synchronous label propagation: per doc
+    (with >= 1 candidate edge) its community label after LPA_ROUNDS
+    mode-adoption rounds (ties to the smallest doc_id) and the size of
+    that community — the family grouping a curation pass reviews as a
+    unit where pairwise dedup sees only edges.
+
+    Scale: the corpus pays only the shared shingle -> signature -> band
+    pipeline (dedup_minhash_lsh posture: candidates by equi-join, never
+    O(n^2)); every round is one edge⋈label shuffle-hash join + a
+    (node, label) count collapsing map-side + a per-node argmax as
+    min(struct(-count, label)) — all candidate-sized relations,
+    localCheckpointed so lineage stays flat. Every node has an edge by
+    construction, so no keep-own-label leg is needed."""
+    from snackfs_spark.operators.dedup import minhash_bands_df
+
+    bands = minhash_bands_df(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b").hint("shuffle_hash")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    und = (
+        cand.union(
+            cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = und.select(F.col("doc_a").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("lbl")
+    )
+    for _ in range(rounds):
+        cnt = (
+            und.join(
+                labels.select(F.col("doc_id").alias("doc_b"), "lbl").hint(
+                    "shuffle_hash"
+                ),
+                "doc_b",
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"), "lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        labels = (
+            cnt.groupBy("doc_id")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lbl"))).alias("m"))
+            .select("doc_id", F.col("m.lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.join(sizes.hint("shuffle_hash"), "lbl").select(
+        "doc_id", F.col("lbl").alias("community"), "community_size"
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from snackfs_spark.functions import davg, dsum, money, rate
+from snackfs_spark.functions import davg, dsum, dsum_lattice, money, rate
 from snackfs_spark.functions import ts_str
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import fan_out, load_table
@@ -21,16 +21,26 @@ from snackfs_spark.sources.tables import fan_out, load_table
 @register(
     "q1_pricing_summary",
     oracle="""
+    -- Every money sum here can cross 2^53 at large sf, where DuckDB's
+    -- decimal->double cast (hugeint + scale divide = two roundings)
+    -- diverges 1 ULP from Spark's correctly rounded BigDecimal cast —
+    -- the sf1 spot-replica caught sum_charge on exactly such a
+    -- boundary (r7). All sums therefore ride the int64 lattice:
+    -- CAST(SUM(CAST(x*scale AS BIGINT)) AS DOUBLE)/scale is the same
+    -- correctly-rounded two-op sequence in both engines. The narrower
+    -- product casts keep the 3-factor charge inside DuckDB's 38-digit
+    -- decimal width (18,2 factors would hit width 56 = silent double
+    -- fallback); per-row magnitudes are scale-independent (< 1e10).
     SELECT
       l_returnflag,
       l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-      CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
+      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2))) * 1000000 AS BIGINT)) AS DOUBLE) / 1000000 AS sum_charge,
+      CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) / 100 / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) / 100 / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)) AS DOUBLE) / 100 / COUNT(*) AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -49,23 +59,37 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = fan_out(
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")), spark
     )
+    # int64-lattice sums (functions.dsum_lattice): these group sums
+    # cross 2^53 at large sf, where the direct decimal->double cast is
+    # not engine-portable (DESIGN.md rule 8; caught by the r7 sf1
+    # spot-replica on sum_charge).
+    qty100 = (money("l_quantity") * 100).cast("long")
+    price100 = (money("l_extendedprice") * 100).cast("long")
+    disc100 = (rate("l_discount") * 100).cast("long")
     return (
         filtered.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(money("l_quantity"), "sum_qty"),
-            dsum(money("l_extendedprice"), "sum_base_price"),
-            dsum(money("l_extendedprice") * (1 - rate("l_discount")), "sum_disc_price"),
-            dsum(
+            dsum_lattice(money("l_quantity"), "sum_qty", 100),
+            dsum_lattice(money("l_extendedprice"), "sum_base_price", 100),
+            dsum_lattice(
+                money("l_extendedprice") * (1 - rate("l_discount")),
+                "sum_disc_price",
+                10000,
+            ),
+            dsum_lattice(
                 money("l_extendedprice")
                 * (1 - rate("l_discount"))
                 * (1 + rate("l_tax")),
                 "sum_charge",
+                1000000,
             ),
-            (F.sum(money("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(money("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
+            (F.sum(qty100).cast("double") / 100 / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price100).cast("double") / 100 / F.count(F.lit(1))).alias(
                 "avg_price"
             ),
-            (F.sum(rate("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            (F.sum(disc100).cast("double") / 100 / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

@@ -2343,3 +2343,143 @@ def split_distribution_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2) * F.max("sn") * F.max("n_corpus")).cast("double")
         ).alias("tv"),
     )
+
+
+# ------------------------------------------- two-proportion A/B test ----
+#
+# Pearson chi-square / two-proportion z-test for an A/B experiment:
+# arm = user_id mod 2 (the deterministic hash-mod assignment the split
+# operators use), conversion = ACTIVATION — the user's first 'purchase'
+# lands within AB_CONV_DAYS of their first event (every user in this
+# corpus eventually purchases, so the raw >= 1-purchase rate is a
+# degenerate 100%; the activation-window rate is the metric an A/B
+# readout would actually test). The statistic is kept as the EXACT
+# rational
+#   z^2 = N * (c0*n1 - c1*n0)^2 / (n0 * n1 * C * (N - C))
+# (N = n0+n1 users, C = c0+c1 conversions) and the alpha = .05 decision
+# (z^2 > 3.8415) is the cross-multiplied integer compare
+#   10000 * num > 38415 * den
+# in decimal(38,0) / HUGEINT — no float stat, no p-value libm. Headroom:
+# both sides stay under 1e38 for arms up to ~3e5 users; beyond, divide
+# the four counts by their gcd (or widen to two-limb) — documented
+# lever, trapped loudly (rule-7 assert_true), never silent.
+AB_CRIT_X10000 = 38415  # chi2_{1, 0.05} = 3.8415
+AB_CONV_DAYS = 2        # activation window: first purchase within N days
+
+
+@register(
+    "events_two_proportion_test",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id % 2 AS arm,
+             CASE WHEN date_diff('day', MIN(CAST(ts AS DATE)),
+                    MIN(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS DATE) END)) <= {AB_CONV_DAYS}
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS c
+      FROM u GROUP BY arm
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS HUGEINT) AS nn, CAST(SUM(c) AS HUGEINT) AS cc,
+             CAST(MAX(CASE WHEN arm = 0 THEN n END) AS HUGEINT) AS n0,
+             CAST(MAX(CASE WHEN arm = 1 THEN n END) AS HUGEINT) AS n1,
+             CAST(MAX(CASE WHEN arm = 0 THEN c END) AS HUGEINT) AS c0,
+             CAST(MAX(CASE WHEN arm = 1 THEN c END) AS HUGEINT) AS c1
+      FROM arms
+    ),
+    stat AS (
+      SELECT nn * (c0 * n1 - c1 * n0) * (c0 * n1 - c1 * n0) AS num,
+             n0 * n1 * cc * (nn - cc) AS den
+      FROM tot
+    )
+    SELECT arms.arm, arms.n AS n_users, arms.c AS n_converted,
+           CAST((1000000 * arms.c) // arms.n AS BIGINT) AS rate_ppm,
+           CAST(stat.num AS VARCHAR) AS chi2_num,
+           CAST(stat.den AS VARCHAR) AS chi2_den,
+           CAST(CASE WHEN 10000 * stat.num > {AB_CRIT_X10000} * stat.den
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM arms CROSS JOIN stat
+    """,
+)
+def events_two_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion-rate hypothesis test: per arm the user and
+    converter counts and rate (ppm), plus the exact rational chi-square
+    statistic (num/den as strings — exceeds int64 by design) and the
+    alpha = .05 significance flag via cross-multiplied integer compare.
+
+    Scale: ONE event scan collapses map-side onto (user), then onto the
+    2-row arm relation; all test algebra is bounded 2-row crossJoins.
+    The decimal(38,0) legs trap overflow loudly (NULL can only mean
+    overflow) instead of Spark's silent decimal NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.datediff(
+                F.min(
+                    F.when(
+                        F.col("event_type") == "purchase", F.to_date("ts")
+                    )
+                ),
+                F.min(F.to_date("ts")),
+            )
+            <= AB_CONV_DAYS,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("conv")
+    )
+    arms = (
+        u.select(F.pmod("user_id", F.lit(2)).cast("long").alias("arm"), "conv")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("conv").cast("long").alias("c"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    tot = arms.agg(
+        F.sum("n").cast(d38).alias("nn"),
+        F.sum("c").cast(d38).alias("cc"),
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).cast(d38).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).cast(d38).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("c"))).cast(d38).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("c"))).cast(d38).alias("c1"),
+    )
+    diff = F.col("c0") * F.col("n1") - F.col("c1") * F.col("n0")
+    stat = tot.select(
+        (F.col("nn") * diff * diff).alias("num"),
+        (F.col("n0") * F.col("n1") * F.col("cc") * (F.col("nn") - F.col("cc"))).alias(
+            "den"
+        ),
+    ).select(
+        "num",
+        "den",
+        # rule-7 trap: inputs are non-null, so a NULL product can only
+        # mean decimal(38,0) overflow — raise, don't mis-flag
+        F.when(
+            F.col("num").isNull() | F.col("den").isNull(),
+            F.assert_true(
+                F.lit(False),
+                F.lit(
+                    "events_two_proportion_test: chi-square rational exceeded"
+                    " decimal(38,0); reduce counts by gcd or widen limbs"
+                ),
+            ).cast("boolean"),
+        )
+        .otherwise(
+            F.col("num") * 10000 > F.col("den") * AB_CRIT_X10000
+        )
+        .alias("sig"),
+    )
+    return arms.crossJoin(F.broadcast(stat)).select(
+        "arm",
+        F.col("n").alias("n_users"),
+        F.col("c").alias("n_converted"),
+        F.expr("(1000000 * c) div n").cast("long").alias("rate_ppm"),
+        F.col("num").cast("string").alias("chi2_num"),
+        F.col("den").cast("string").alias("chi2_den"),
+        F.col("sig").cast("long").alias("significant"),
+    )

@@ -1815,3 +1815,242 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_ltv_cents_per_customer"),
         )
     )
+
+
+# ------------------------------------------------ survival analysis ----
+#
+# Kaplan-Meier survival for time-to-first-purchase: duration = days from
+# a user's first event to their first 'purchase' (the "death"); users
+# who never purchase are right-censored at their last observed day.
+# S(t) = prod over death-days d <= t of (1 - deaths_d / at_risk_d). The
+# product is an ORDERED left fold of per-step double factors (each an
+# IEEE correctly-rounded division of two exact int64 counts), evaluated
+# by both engines over the same day-ascending list — bit-identical
+# without any log/exp detour.
+
+
+@register(
+    "events_survival_km",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS DATE) AS d FROM events
+    ),
+    pu AS (SELECT user_id, MIN(d) AS first_d, MAX(d) AS last_d
+           FROM ev GROUP BY user_id),
+    fp AS (SELECT user_id, MIN(d) AS purch_d FROM ev
+           WHERE event_type = 'purchase' GROUP BY user_id),
+    u AS (
+      SELECT COALESCE(date_diff('day', first_d, purch_d),
+                      date_diff('day', first_d, last_d)) AS dur,
+             CASE WHEN purch_d IS NULL THEN 1 ELSE 0 END AS cen
+      FROM pu LEFT JOIN fp USING (user_id)
+    ),
+    grid AS (
+      SELECT dur,
+             CAST(SUM(1 - cen) AS BIGINT) AS deaths,
+             CAST(SUM(cen) AS BIGINT) AS censored_n,
+             CAST(COUNT(*) AS BIGINT) AS ends
+      FROM u GROUP BY dur
+    ),
+    g2 AS (
+      SELECT dur, deaths, censored_n,
+             CAST(SUM(ends) OVER (ORDER BY dur DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS at_risk
+      FROM grid
+    ),
+    packed AS (
+      SELECT list(struct_pack(dur := dur, at_risk := at_risk,
+                              deaths := deaths, censored_n := censored_n)
+                  ORDER BY dur) AS arr
+      FROM g2 WHERE deaths > 0
+    ),
+    withf AS (
+      SELECT arr,
+             list_transform(arr,
+               s -> CAST(s.at_risk - s.deaths AS DOUBLE) / s.at_risk) AS farr
+      FROM packed
+    )
+    SELECT unnest(list_transform(arr, (s, i) -> struct_pack(
+             duration_days := CAST(s.dur AS BIGINT),
+             at_risk := s.at_risk,
+             deaths := s.deaths,
+             censored_n := s.censored_n,
+             survival := list_reduce(list_slice(farr, 1, i), (a, x) -> a * x))),
+           recursive := true)
+    FROM withf
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase: per
+    death-day, the at-risk count (suffix sum over the day grid), deaths
+    (users converting that day), right-censored count (users who never
+    purchase, censored at their last observed day), and the KM survival
+    estimate as an ordered product of per-step factors.
+
+    Scale: ONE event scan collapses map-side onto (user) twice (overall
+    bounds + first purchase), then onto the duration-day grid, which is
+    bounded by the CALENDAR SPAN (days), not the corpus — every window
+    and fold after the user aggregates runs on that bounded relation,
+    and the unpartitioned suffix-sum window is safe for the same reason
+    (<= days-in-window rows). The survival fold is per-row over a
+    <= |grid| factor list."""
+    ev = fan_out(load_table(spark, sf_dir, "events"), spark).select(
+        "user_id", "event_type", F.to_date("ts").alias("d")
+    )
+    pu = ev.groupBy("user_id").agg(
+        F.min("d").alias("first_d"), F.max("d").alias("last_d")
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("d").alias("purch_d"))
+    )
+    u = pu.join(fp, "user_id", "left").select(
+        F.coalesce(
+            F.datediff("purch_d", "first_d"), F.datediff("last_d", "first_d")
+        ).alias("dur"),
+        F.when(F.col("purch_d").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("cen"),
+    )
+    grid = u.groupBy("dur").agg(
+        F.sum(F.lit(1) - F.col("cen")).cast("long").alias("deaths"),
+        F.sum("cen").cast("long").alias("censored_n"),
+        F.count(F.lit(1)).cast("long").alias("ends"),
+    )
+    w_suffix = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    g2 = grid.withColumn("at_risk", F.sum("ends").over(w_suffix).cast("long"))
+    packed = (
+        g2.filter(F.col("deaths") > 0)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("dur", "at_risk", "deaths", "censored_n"))
+            ).alias("arr")
+        )
+        .withColumn(
+            "farr",
+            F.expr(
+                "transform(arr, s -> CAST(s.at_risk - s.deaths AS DOUBLE)"
+                " / s.at_risk)"
+            ),
+        )
+    )
+    return packed.select(
+        F.posexplode("arr").alias("i0", "s"), F.col("farr")
+    ).select(
+        F.col("s.dur").cast("long").alias("duration_days"),
+        F.col("s.at_risk").alias("at_risk"),
+        F.col("s.deaths").alias("deaths"),
+        F.col("s.censored_n").alias("censored_n"),
+        F.expr(
+            "aggregate(slice(farr, 1, i0 + 1), CAST(1.0 AS DOUBLE),"
+            " (a, x) -> a * x)"
+        ).alias("survival"),
+    )
+
+
+# ------------------------------------------------ Holt forecasting ----
+#
+# Holt's linear-trend exponential smoothing over the monthly revenue
+# series — the classic FP&A forecast readout. State recursion (t >= 2):
+#   l_t = a*y_t + (1-a)*(l_{t-1} + b_{t-1})
+#   b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}
+# with DYADIC coefficients (a = 0.5, g = 0.25) so every multiply is an
+# exact halving/quartering and the whole trace is a sequence of IEEE
+# correctly-rounded + * ops. Both engines run the SAME left fold over
+# the SAME month-ascending list (Spark `aggregate` with explicit init =
+# [[y_1, 0]], DuckDB `list_reduce` whose first element IS that init),
+# so the state trace is bit-identical — no libm, no decimal casts.
+HOLT_ALPHA = "0.5"
+HOLT_GAMMA = "0.25"
+
+
+@register(
+    "orders_holt_linear_forecast",
+    oracle=f"""
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS yc
+      FROM orders GROUP BY 1
+    ),
+    packed AS (
+      SELECT list(struct_pack(m := month, yc := yc) ORDER BY month) AS arr
+      FROM m
+    ),
+    folded AS (
+      SELECT arr,
+             list_reduce(
+               list_transform(arr, s -> [[CAST(s.yc AS DOUBLE), 0.0]]),
+               (acc, e) -> list_append(acc, [
+                 {HOLT_ALPHA} * e[1][1]
+                   + (1 - {HOLT_ALPHA}) * (acc[-1][1] + acc[-1][2]),
+                 {HOLT_GAMMA} * (({HOLT_ALPHA} * e[1][1]
+                   + (1 - {HOLT_ALPHA}) * (acc[-1][1] + acc[-1][2]))
+                   - acc[-1][1])
+                   + (1 - {HOLT_GAMMA}) * acc[-1][2]
+               ])) AS trace
+      FROM packed
+    )
+    SELECT unnest(list_transform(arr, (s, i) -> struct_pack(
+             month := s.m,
+             revenue_cents := s.yc,
+             level := trace[i][1],
+             trend := trace[i][2],
+             forecast_next := trace[i][1] + trace[i][2])),
+           recursive := true)
+    FROM folded
+    """,
+)
+def orders_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of monthly order revenue:
+    per month the exact cents total, the smoothed level and trend
+    state, and the one-step-ahead forecast (level + trend) — the
+    engine-side forecasting readout behind revenue planning.
+
+    Scale: ONE order scan collapses map-side onto the month grid
+    (bounded by the CALENDAR, not the corpus); the fold runs once over
+    that <= |months| list on one row. revenue cents ride the int64
+    lattice (9.2e16 dollars of monthly headroom); the smoothing trace
+    is dyadic-coefficient double arithmetic, deterministic in both
+    engines."""
+    o = fan_out(load_table(spark, sf_dir, "orders"), spark)
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.sum((money("o_totalprice") * 100).cast("long")).cast("long").alias("yc")
+    )
+    packed = m.agg(
+        F.sort_array(F.collect_list(F.struct("month", "yc"))).alias("arr")
+    )
+    a, g = HOLT_ALPHA, HOLT_GAMMA
+    lvl = f"element_at(element_at(acc, -1), 1)"
+    trd = f"element_at(element_at(acc, -1), 2)"
+    lnew = f"({a}D * e + (1 - {a}D) * ({lvl} + {trd}))"
+    folded = packed.withColumn(
+        "trace",
+        F.expr(
+            f"""aggregate(
+                 slice(transform(arr, s -> CAST(s.yc AS DOUBLE)), 2,
+                       size(arr) - 1),
+                 array(array(CAST(element_at(arr, 1).yc AS DOUBLE),
+                             CAST(0.0 AS DOUBLE))),
+                 (acc, e) -> array_append(acc, array(
+                   {lnew},
+                   {g}D * ({lnew} - {lvl}) + (1 - {g}D) * {trd}
+                 )))"""
+        ),
+    )
+    return folded.select(
+        F.posexplode("arr").alias("i0", "s"), F.col("trace")
+    ).select(
+        F.col("s.month").alias("month"),
+        F.col("s.yc").alias("revenue_cents"),
+        F.expr("element_at(element_at(trace, i0 + 1), 1)").alias("level"),
+        F.expr("element_at(element_at(trace, i0 + 1), 2)").alias("trend"),
+        F.expr(
+            "element_at(element_at(trace, i0 + 1), 1)"
+            " + element_at(element_at(trace, i0 + 1), 2)"
+        ).alias("forecast_next"),
+    )

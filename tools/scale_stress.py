@@ -241,6 +241,13 @@ QUERIES = [
     "graph_clustering_coefficient",
     "split_distribution_check",
     "multimodal_image_simpson",
+    # round-7 ops: KM survival (calendar-bounded grid), Holt forecast
+    # (month-grid fold), LPA communities (bounded graph rounds), and
+    # the exact two-proportion test (2-row algebra after one scan)
+    "events_survival_km",
+    "orders_holt_linear_forecast",
+    "graph_label_propagation",
+    "events_two_proportion_test",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
