@@ -303,6 +303,15 @@ HEADLINE_R21 = [
     "orders_holt_linear_forecast",
     "graph_label_propagation",
     "events_two_proportion_test",
+    "sample_coreset_kcenter",
+    "orders_open_backlog",
+    "dedup_entity_snm",
+    "retrieval_boolean_query",
+    "corpus_orc_roundtrip",
+    "text_blocklist_scan",
+    "orders_ar_aging",
+    "fs_permission_audit",
+    "events_conformance_audit",
 ]
 
 
@@ -416,8 +425,13 @@ def main() -> None:
         compact.pop("queries")
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
-    _alarm_on_subtotal_regressions(timings, sf)
+    hard = _alarm_on_subtotal_regressions(timings, sf)
     spark.stop()
+    if hard:
+        # r6 VERDICT #4: a >HARD_RATIO group regression must FAIL the
+        # run, not just warn — exit 3 so the driver records a nonzero
+        # rc next to the (still fully printed) result payload.
+        sys.exit(3)
 
 
 # Round-over-round regression gate (r4 VERDICT #6): every recorded
@@ -425,11 +439,16 @@ def main() -> None:
 # this run's matching subtotals exceeds 1.1x the most recent recorded
 # value, print an ALARM line so a regression is caught the run it lands,
 # not at judging time. Stderr-only: the driver parses stdout's one JSON
-# line and must keep doing so.
+# line and must keep doing so. Above HARD_RATIO the run FAILS (exit 3,
+# r6 VERDICT #4) — soft alarms tolerate host timing variance, the hard
+# gate catches real plan regressions.
 ALARM_RATIO = 1.1
+HARD_RATIO = 1.5
 
 
-def _alarm_on_subtotal_regressions(timings: dict[str, float], sf: str) -> None:
+def _alarm_on_subtotal_regressions(timings: dict[str, float], sf: str) -> bool:
+    """Print soft alarms (> ALARM_RATIO); return True iff any group
+    regressed past HARD_RATIO."""
     import glob
     import re
 
@@ -461,17 +480,21 @@ def _alarm_on_subtotal_regressions(timings: dict[str, float], sf: str) -> None:
         for key in groups:
             if key in rec:
                 prior[key] = (os.path.basename(path), float(rec[key]))
+    hard = False
     for key, names in groups.items():
         if key not in prior:
             continue
         src, old = prior[key]
         now = sum(timings[n] for n in names if n in timings)
         if old > 0 and now > ALARM_RATIO * old:
+            level = "ALARM_HARD" if now > HARD_RATIO * old else "ALARM"
+            hard = hard or now > HARD_RATIO * old
             print(
-                f"# ALARM subtotal regression: {key} {now:.3f}s vs "
+                f"# {level} subtotal regression: {key} {now:.3f}s vs "
                 f"{old:.3f}s in {src} ({now / old:.2f}x > {ALARM_RATIO}x)",
                 file=sys.stderr,
             )
+    return hard
 
 
 if __name__ == "__main__":

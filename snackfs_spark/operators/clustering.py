@@ -1157,3 +1157,113 @@ def emb_anisotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("vv").cast("double") * F.col("trace_g").cast("double"))
         ).alias("anisotropy"),
     )
+
+
+# ------------------------------------------ k-center coreset (greedy) ----
+#
+# Gonzalez's greedy k-center / farthest-point traversal: start from
+# vec_id 0, repeatedly add the vector FARTHEST (squared L2) from the
+# chosen set — the classic 2-approximation coreset / facility-location
+# selection that seeds diversity-aware sampling (and kmeans++-style
+# inits) without any randomness. Ties break to the SMALLEST vec_id.
+# Deterministic: per-pair L2 is the shared left-fold double; the min
+# over <= K chosen centers and the global max are order-independent
+# exact comparisons (no sums of floats across rows).
+KCENTER_K = 8
+
+
+def _kcenter_oracle(k: int = KCENTER_K) -> str:
+    l2 = _L2_DUCK.format(a="v.ev", b="c.ev")
+    parts = [
+        """WITH v AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      FROM embeddings
+    ),""",
+        "c1 AS (SELECT 1 AS round, vec_id, ev, CAST(0.0 AS DOUBLE) AS radius "
+        "FROM v WHERE vec_id = 0),",
+    ]
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT vec_id, ev FROM c{i}" for i in range(1, r))
+        parts.append(
+            f"""m{r} AS MATERIALIZED (
+      SELECT v.vec_id, v.ev, MIN({l2}) AS dmin
+      FROM v CROSS JOIN ({prev}) c
+      GROUP BY v.vec_id, v.ev
+    ),"""
+        )
+        parts.append(
+            f"""c{r} AS (
+      SELECT {r} AS round, vec_id, ev, dmin AS radius FROM (
+        SELECT vec_id, ev, dmin,
+               ROW_NUMBER() OVER (ORDER BY dmin DESC, vec_id) AS rn
+        FROM m{r}
+      ) WHERE rn = 1
+    ),"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT round, vec_id, radius FROM c{i}" for i in range(1, k + 1)
+    )
+    return (
+        "\n    ".join(parts)
+        + f"""
+    sel AS ({union})
+    SELECT CAST(round AS BIGINT) AS round, vec_id,
+           radius
+    FROM sel
+    """
+    )
+
+
+@register("sample_coreset_kcenter", oracle=_kcenter_oracle())
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding corpus: the KCENTER_K
+    selected vectors with their selection round and radius (the max-min
+    squared L2 at selection time — a monotone non-increasing coverage
+    certificate; Gonzalez's bound says the optimal k-center radius is
+    >= radius_K / 4 in squared distance).
+
+    Scale: K-1 corpus passes, each a crossJoin against the <= K-row
+    broadcast chosen set with a map-side-combining MIN per vector and a
+    one-row global argmax (max(struct(dmin, -vec_id)) — ties to the
+    smallest id); per-pass shuffle is ONE partial row per vector per
+    partition, the emb_kmeans_elbow posture. No per-vector state is
+    materialized between rounds — the min is recomputed against the
+    tiny chosen set, which is the cheap side at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev"),
+    ).localCheckpoint(eager=False)
+    d = F.expr(_L2.format(a="ev", b="cv"))
+    chosen = v.filter(F.col("vec_id") == 0).select(
+        F.lit(1).cast("long").alias("round"),
+        "vec_id",
+        F.col("ev").alias("cv"),
+        F.lit(0.0).alias("radius"),
+    )
+    for r in range(2, KCENTER_K + 1):
+        dmin = (
+            v.crossJoin(F.broadcast(chosen.select("cv")))
+            .select("vec_id", "ev", d.alias("dist"))
+            .groupBy("vec_id")
+            .agg(F.min("dist").alias("dmin"), F.any_value("ev").alias("ev"))
+        )
+        pick = (
+            dmin.agg(
+                F.max(
+                    F.struct(
+                        F.col("dmin").alias("dmin"),
+                        (-F.col("vec_id")).alias("nv"),
+                        F.col("ev").alias("ev"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                (-F.col("m.nv")).cast("long").alias("vec_id"),
+                F.col("m.ev").alias("cv"),
+                F.col("m.dmin").alias("radius"),
+            )
+        )
+        chosen = chosen.unionByName(pick).localCheckpoint(eager=False)
+    return chosen.select("round", "vec_id", "radius")

@@ -443,3 +443,47 @@ def corpus_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(out)
         .select("doc_id", "text", "lang", "source", "n_chars")
     )
+
+
+def orc_shards_for(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per dataset) the corpus as zlib ORC shards
+    under var/ — the third interchange container next to gzip-JSONL and
+    quoted CSV, and the only one that is BOTH compressed and splittable
+    (ORC stripes carry their own index, so read parallelism survives
+    compression — the property neither gzip JSONL nor single-shard CSV
+    has)."""
+    import os
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"/root/repo/var/orc_{tag}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        from snackfs_spark.sources.tables import load_table
+
+        (
+            load_table(spark, sf_dir, "documents")
+            .repartition(4)
+            .write.mode("overwrite")
+            .option("compression", "zlib")
+            .orc(out)
+        )
+    return out
+
+
+@register(
+    "corpus_orc_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def corpus_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange-format roundtrip #3: the corpus through zlib ORC and
+    back, hash-checked against the source table — the columnar
+    interchange container (typed schema travels with the file, stripes
+    split under compression, predicate pushdown works on read). Rounds
+    out the format matrix: row-oriented compressed (gzip JSONL),
+    row-oriented splittable (CSV), columnar compressed+splittable
+    (ORC), engine-native (parquet everywhere else).
+
+    Scale: a pure scan — correctness is the byte-exactness of every
+    field through the ORC writer/reader; read parallelism = stripe
+    count, independent of the write-time shard count."""
+    out = orc_shards_for(spark, sf_dir)
+    return spark.read.orc(out).select("doc_id", "text", "lang", "source", "n_chars")

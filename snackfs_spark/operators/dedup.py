@@ -18,7 +18,7 @@ PAPERS.md (EDBT 2022 LSH joins; ICDE 2021 distributed top-k).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snackfs_spark.functions import md5_bucket
@@ -2143,4 +2143,140 @@ def corpus_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("chars_retained_permille"),
+    )
+
+
+# -------------------------------- sorted-neighborhood ER (SNM) ----
+#
+# The sorted-neighborhood method (Hernandez & Stolfo 1995): instead of
+# hash-blocking (dedup_entity_resolution), SORT all registrations by a
+# fuzzy key (name suffix + full name) and compare only records within a
+# sliding window of SNM_W positions — the classic ER blocking strategy
+# for typo families that hash straight to different blocks. The global
+# order is materialized WITHOUT a global sort window: band by the
+# 2-char sort-key prefix, rank within bands, and add band offsets from
+# a prefix sum over the bounded band relation (the two-phase banded
+# rank the curriculum/Gini operators use). Window pairs come from an
+# equi-join on pos div SNM_W buckets (same + adjacent bucket covers
+# every gap <= SNM_W - 1) — no self-cross-join, no window state.
+SNM_W = 5
+
+_ER_REGS_SQL = """
+      SELECT c_custkey AS reg_id, c_name FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000000,
+             replace(c_name, 'Customer#', 'Customer #')
+      FROM customer
+      WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 7 = 2
+      UNION ALL
+      SELECT c_custkey + 2000000000, 'Client#' || substr(c_name, 10)
+      FROM customer
+      WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 11 = 4
+"""
+
+
+@register(
+    "dedup_entity_snm",
+    oracle=f"""
+    WITH regs AS ({_ER_REGS_SQL}),
+    pos AS (
+      SELECT reg_id, c_name,
+             ROW_NUMBER() OVER (
+               ORDER BY substr(c_name, -4) || '|' || c_name, reg_id) AS p
+      FROM regs
+    )
+    SELECT a.reg_id AS reg_a, b.reg_id AS reg_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev,
+           CAST(b.p - a.p AS BIGINT) AS pos_gap
+    FROM pos a JOIN pos b
+      ON b.p > a.p AND b.p - a.p <= {SNM_W - 1}
+    WHERE levenshtein(a.c_name, b.c_name) <= {ER_LEV_MAX}
+    """,
+)
+def dedup_entity_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution: registrations sorted by
+    (name suffix, name), candidate pairs = within SNM_W positions,
+    link iff levenshtein <= ER_LEV_MAX; pos_gap records where in the
+    window the match sat (window-size tuning evidence).
+
+    Scale: NO global sort executes — positions come from the two-phase
+    banded rank (per-band row_number + a prefix sum over the bounded
+    band relation), the oracle's plain ROW_NUMBER is the cross-
+    algorithm check; candidates come from an equi-join on pos div W
+    buckets (same + next bucket), so the shuffle is corpus-sized rows
+    with O(W) fan-out, never a window holding corpus state."""
+    cust = load_table(spark, sf_dir, "customer")
+    bucket7 = md5_bucket(F.col("c_custkey").cast("string"), 7)
+    bucket11 = md5_bucket(F.col("c_custkey").cast("string"), 11)
+    regs = (
+        cust.select(F.col("c_custkey").cast("long").alias("reg_id"), "c_name")
+        .unionByName(
+            cust.filter(bucket7 == 2).select(
+                (F.col("c_custkey") + 1000000000).cast("long").alias("reg_id"),
+                F.regexp_replace("c_name", "Customer#", "Customer #").alias(
+                    "c_name"
+                ),
+            )
+        )
+        .unionByName(
+            cust.filter(bucket11 == 4).select(
+                (F.col("c_custkey") + 2000000000).cast("long").alias("reg_id"),
+                F.concat(
+                    F.lit("Client#"), F.expr("substring(c_name, 10)")
+                ).alias("c_name"),
+            )
+        )
+        .select(
+            "reg_id",
+            "c_name",
+            F.concat(
+                F.expr("substring(c_name, -4)"), F.lit("|"), F.col("c_name")
+            ).alias("sk"),
+        )
+    )
+    # two-phase banded global rank: band = 2-char sort-key prefix
+    banded = regs.withColumn("band", F.expr("substring(sk, 1, 2)"))
+    w_in = Window.partitionBy("band").orderBy("sk", "reg_id")
+    ranked = banded.withColumn("r_in", F.row_number().over(w_in))
+    counts = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
+    w_off = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "band", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off")
+    )
+    pos = (
+        ranked.join(F.broadcast(offsets), "band")
+        .select(
+            "reg_id", "c_name", (F.col("off") + F.col("r_in")).cast("long").alias("p")
+        )
+        .withColumn("bkt", F.expr(f"(p - 1) div {SNM_W}"))
+        .localCheckpoint(eager=False)
+    )
+    a = pos.select(
+        F.col("bkt"),
+        F.col("p").alias("pa"),
+        F.col("reg_id").alias("reg_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = pos.select(
+        F.explode(F.array(F.col("bkt"), F.col("bkt") - 1)).alias("bkt"),
+        F.col("p").alias("pb"),
+        F.col("reg_id").alias("reg_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    return (
+        a.join(b.hint("shuffle_hash"), "bkt")
+        .filter(
+            (F.col("pb") > F.col("pa")) & (F.col("pb") - F.col("pa") <= SNM_W - 1)
+        )
+        .withColumn("lev", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("lev") <= ER_LEV_MAX)
+        .select(
+            "reg_a",
+            "reg_b",
+            "name_a",
+            "name_b",
+            "lev",
+            (F.col("pb") - F.col("pa")).cast("long").alias("pos_gap"),
+        )
     )

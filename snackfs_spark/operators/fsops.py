@@ -902,3 +902,81 @@ def fs_heat_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("size").cast("long").alias("tier_bytes"),
         F.sum("n_accesses").cast("long").alias("n_accesses"),
     )
+
+
+# ---------------------------------------------- permission audit ----
+#
+# Decode the octal-style permission column into the rwx mode string the
+# reference's shell renders per listing row (FsPermission.toString in
+# the `ls` output, SnackFSShell.scala:296-311 — there it is
+# presentation; here it is the AUDIT query over it) and roll up the
+# security posture: one row per (owner, group, permission, is_dir)
+# with entry/byte totals and world/group-writable flags. Digits decode
+# with pure integer arithmetic ((d div 4) % 2 etc.) — no bit operators,
+# whose typing rules differ across engines.
+
+
+@register(
+    "fs_permission_audit",
+    oracle=fs_sql(
+        """SELECT owner, grp, permission, is_dir,
+                  CASE WHEN is_dir THEN 'd' ELSE '-' END ||
+                  CASE WHEN (permission // 100 // 4) % 2 = 1 THEN 'r' ELSE '-' END ||
+                  CASE WHEN (permission // 100 // 2) % 2 = 1 THEN 'w' ELSE '-' END ||
+                  CASE WHEN (permission // 100) % 2 = 1 THEN 'x' ELSE '-' END ||
+                  CASE WHEN ((permission // 10) % 10 // 4) % 2 = 1 THEN 'r' ELSE '-' END ||
+                  CASE WHEN ((permission // 10) % 10 // 2) % 2 = 1 THEN 'w' ELSE '-' END ||
+                  CASE WHEN ((permission // 10) % 10) % 2 = 1 THEN 'x' ELSE '-' END ||
+                  CASE WHEN (permission % 10 // 4) % 2 = 1 THEN 'r' ELSE '-' END ||
+                  CASE WHEN (permission % 10 // 2) % 2 = 1 THEN 'w' ELSE '-' END ||
+                  CASE WHEN (permission % 10) % 2 = 1 THEN 'x' ELSE '-' END
+                    AS mode_str,
+                  CAST((permission % 10 // 4) % 2 AS BIGINT) AS world_readable,
+                  CAST((permission % 10 // 2) % 2 AS BIGINT) AS world_writable,
+                  CAST(((permission // 10) % 10 // 2) % 2 AS BIGINT)
+                    AS group_writable,
+                  CAST(COUNT(*) AS BIGINT) AS n_entries,
+                  CAST(SUM(size) AS BIGINT) AS total_bytes
+           FROM files
+           GROUP BY owner, grp, permission, is_dir""",
+        "files",
+    ),
+)
+def fs_permission_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Security-posture rollup of the namespace: per (owner, group,
+    permission, is_dir) the decoded `drwxr-xr-x` mode string, the
+    world/group-writable flags, and entry/byte totals — the audit a
+    storage admin runs before opening a namespace to a new tenant.
+
+    Scale: ONE metadata scan collapsing map-side onto the tiny
+    (owner x grp x permission x is_dir) lattice; the decode is pure
+    codegen integer arithmetic."""
+    f = files_df(spark, sf_dir)
+
+    def rwx(d):
+        return F.concat(
+            F.when((d / 4).cast("int") % 2 == 1, "r").otherwise("-"),
+            F.when((d / 2).cast("int") % 2 == 1, "w").otherwise("-"),
+            F.when(d % 2 == 1, "x").otherwise("-"),
+        )
+
+    du = (F.col("permission") / 100).cast("int")
+    dg = ((F.col("permission") / 10).cast("int")) % 10
+    do = F.col("permission") % 10
+    return f.groupBy("owner", "grp", "permission", "is_dir").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entries"),
+        F.sum("size").cast("long").alias("total_bytes"),
+    ).select(
+        "owner",
+        "grp",
+        "permission",
+        "is_dir",
+        F.concat(
+            F.when(F.col("is_dir"), "d").otherwise("-"), rwx(du), rwx(dg), rwx(do)
+        ).alias("mode_str"),
+        ((do / 4).cast("int") % 2).cast("long").alias("world_readable"),
+        ((do / 2).cast("int") % 2).cast("long").alias("world_writable"),
+        ((dg / 2).cast("int") % 2).cast("long").alias("group_writable"),
+        "n_entries",
+        "total_bytes",
+    )

@@ -3934,3 +3934,187 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.cast("long").alias("fre_den"),
         (num.cast("double") / den).alias("fre"),
     )
+
+
+# --------------------------------------------- boolean retrieval ----
+#
+# Boolean query evaluation over the inverted-index relation: the
+# AND/AND-NOT connectives a retrieval stack needs next to the ranked
+# BM25 path. The query terms are DATA-DERIVED (df ranks 5, 6 and 7 —
+# below the stopword head, so the result set is selective but
+# non-empty at every sf), making the whole operator reproducible in
+# both engines with zero literals. Evaluation is pure set algebra on
+# the (token, doc_id) postings: conjunction = per-doc flag counts over
+# the 3-term broadcast-filtered postings, negation = the flag being
+# zero — one shuffle, no distinct-heavy intersections.
+BOOL_RANKS = (5, 6, 7)  # (term_a AND term_b AND NOT term_not) by df rank
+
+
+@register(
+    "retrieval_boolean_query",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE token <> '' GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT token,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rnk
+      FROM tf GROUP BY token
+    ),
+    q AS (
+      SELECT MAX(CASE WHEN rnk = {BOOL_RANKS[0]} THEN token END) AS ta,
+             MAX(CASE WHEN rnk = {BOOL_RANKS[1]} THEN token END) AS tb,
+             MAX(CASE WHEN rnk = {BOOL_RANKS[2]} THEN token END) AS tn
+      FROM ranked
+    ),
+    hits AS (
+      SELECT tf.doc_id,
+             SUM(CASE WHEN tf.token = q.ta THEN tf.tf ELSE 0 END) AS tf_a,
+             SUM(CASE WHEN tf.token = q.tb THEN tf.tf ELSE 0 END) AS tf_b,
+             SUM(CASE WHEN tf.token = q.tn THEN tf.tf ELSE 0 END) AS tf_n
+      FROM tf CROSS JOIN q
+      WHERE tf.token IN (q.ta, q.tb, q.tn)
+      GROUP BY tf.doc_id
+    )
+    SELECT h.doc_id, q.ta AS term_a, q.tb AS term_b, q.tn AS term_not,
+           CAST(h.tf_a AS BIGINT) AS tf_a, CAST(h.tf_b AS BIGINT) AS tf_b
+    FROM hits h CROSS JOIN q
+    WHERE h.tf_a > 0 AND h.tf_b > 0 AND h.tf_n = 0
+    """,
+)
+def retrieval_boolean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval (term_a AND term_b AND NOT term_not, terms =
+    df-ranks 5/6/7): matching doc_ids with their per-term tfs — the
+    set-algebra query class next to the ranked BM25 path.
+
+    Scale: the postings explode collapses map-side onto (token, doc);
+    the 3 query terms arrive as a 1-row broadcast, so the postings
+    filter is a broadcast join cutting the relation to 3 tokens BEFORE
+    the doc-keyed conjunction aggregate (itself map-side combining);
+    negation costs nothing extra — it is the same flag aggregate read
+    as = 0. No distinct-set intersections, no per-term passes."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    wr = Window.orderBy(F.count(F.lit(1)).desc(), F.col("token"))
+    ranked = tf.groupBy("token").agg(F.row_number().over(wr).alias("rnk"))
+    q = ranked.agg(
+        F.max(F.when(F.col("rnk") == BOOL_RANKS[0], F.col("token"))).alias("ta"),
+        F.max(F.when(F.col("rnk") == BOOL_RANKS[1], F.col("token"))).alias("tb"),
+        F.max(F.when(F.col("rnk") == BOOL_RANKS[2], F.col("token"))).alias("tn"),
+    )
+    hits = (
+        tf.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("token") == F.col("ta"))
+            | (F.col("token") == F.col("tb"))
+            | (F.col("token") == F.col("tn"))
+        )
+        .groupBy("doc_id", "ta", "tb", "tn")
+        .agg(
+            F.sum(F.when(F.col("token") == F.col("ta"), F.col("tf")).otherwise(0))
+            .cast("long")
+            .alias("tf_a"),
+            F.sum(F.when(F.col("token") == F.col("tb"), F.col("tf")).otherwise(0))
+            .cast("long")
+            .alias("tf_b"),
+            F.sum(F.when(F.col("token") == F.col("tn"), F.col("tf")).otherwise(0))
+            .cast("long")
+            .alias("tf_n"),
+        )
+    )
+    return hits.filter(
+        (F.col("tf_a") > 0) & (F.col("tf_b") > 0) & (F.col("tf_n") == 0)
+    ).select(
+        "doc_id",
+        F.col("ta").alias("term_a"),
+        F.col("tb").alias("term_b"),
+        F.col("tn").alias("term_not"),
+        "tf_a",
+        "tf_b",
+    )
+
+
+# --------------------------------------------- phrase blocklist scan ----
+#
+# Dictionary / phrase matching at corpus scale: given a blocklist of
+# 2-word phrases, tag every document with its matches and counts. The
+# scalable form is NOT a per-row regex over the blocklist (that is
+# O(corpus x |list|) row-at-a-time work); it is the bigram explode the
+# graph/LM operators already use, equi-joined against the broadcast
+# blocklist — matching cost rides the one tokenize pass and the join
+# prunes to list hits before any aggregation. The blocklist here is
+# DATA-DERIVED (the BLOCK_TOP most frequent bigrams) so both engines
+# agree with zero literals; a real deployment broadcasts its curated
+# list into the identical plan.
+BLOCK_TOP = 5
+
+
+@register(
+    "text_blocklist_scan",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS phrase
+      FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t
+      WHERE ws[i] <> '' AND ws[i + 1] <> ''
+    ),
+    blocklist AS (
+      SELECT phrase FROM (
+        SELECT phrase, COUNT(*) AS c FROM grams GROUP BY phrase
+      ) QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, phrase) <= {BLOCK_TOP}
+    )
+    SELECT g.doc_id, g.phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM grams g JOIN blocklist b ON b.phrase = g.phrase
+    GROUP BY g.doc_id, g.phrase
+    """,
+)
+def text_blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-blocklist scan: per (document, blocked phrase) the
+    occurrence count, for the BLOCK_TOP most frequent 2-word phrases —
+    the dictionary-matching class (brand terms, banned phrases, attack
+    strings) next to the regex PII scan.
+
+    Scale: ONE tokenize pass produces bigrams as a zero-shuffle
+    zip_with projection; the blocklist is a broadcast equi-join that
+    prunes to hits BEFORE the (doc, phrase) count collapses map-side.
+    Cost is the scan + a hits-sized shuffle — independent of blocklist
+    size up to broadcast limits, with the bigram-explode fan-out shared
+    with the LM/graph operators."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(words) >= 2,
+                F.zip_with(
+                    F.slice(words, 1, F.size(words) - 1),
+                    F.slice(words, 2, F.size(words) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("phrase"),
+    ).filter(~F.col("phrase").startswith(" ") & ~F.col("phrase").endswith(" "))
+    wb = Window.orderBy(F.count(F.lit(1)).desc(), F.col("phrase"))
+    blocklist = (
+        grams.groupBy("phrase")
+        .agg(F.row_number().over(wb).alias("rnk"))
+        .filter(F.col("rnk") <= BLOCK_TOP)
+        .select("phrase")
+    )
+    return (
+        grams.join(F.broadcast(blocklist), "phrase")
+        .groupBy("doc_id", "phrase")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )

@@ -2054,3 +2054,334 @@ def orders_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + element_at(element_at(trace, i0 + 1), 2)"
         ).alias("forecast_next"),
     )
+
+
+# ------------------------------------------------ open-order backlog ----
+#
+# Operational backlog curve: how many orders are OPEN (placed, not yet
+# fully received) in each calendar month. The naive form is an interval
+# -stabbing join (months x orders); the scalable form used here is the
+# sweep decomposition: per order ONE +1 delta at its open month and ONE
+# -1 delta at the month AFTER its completion (max l_shipdate over
+# its lineitems), collapsed map-side onto the month grid, then a single
+# prefix sum over the CALENDAR-bounded axis. The axis is generated as
+# the full month sequence (min open .. max completion + 1), so months
+# with zero activity still report (the rule-8 prefix-sum-axis lesson).
+
+
+@register(
+    "orders_open_backlog",
+    oracle="""
+    WITH comp AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS done FROM lineitem
+      GROUP BY l_orderkey
+    ),
+    o AS (
+      -- clamp: a completion month before the open month (possible when
+      -- ship dates are not order-correlated) would make the sweep's -1
+      -- land before its +1 and transiently undercount; an order is open
+      -- for AT LEAST its own open month
+      SELECT date_trunc('month', o.o_orderdate) AS om,
+             greatest(date_trunc('month', COALESCE(c.done, o.o_orderdate)),
+                      date_trunc('month', o.o_orderdate)) AS cm
+      FROM orders o LEFT JOIN comp c ON c.l_orderkey = o.o_orderkey
+    ),
+    bounds AS (
+      SELECT MIN(om) AS lo, MAX(cm) + INTERVAL 1 MONTH AS hi FROM o
+    ),
+    axis AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m
+      FROM bounds
+    ),
+    opened AS (SELECT om AS m, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY om),
+    completed AS (SELECT cm AS m, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY cm)
+    SELECT strftime(a.m, '%Y-%m') AS month,
+           CAST(COALESCE(op.n, 0) AS BIGINT) AS n_opened,
+           CAST(COALESCE(cp.n, 0) AS BIGINT) AS n_completed,
+           CAST(SUM(COALESCE(op.n, 0)) OVER w
+                - COALESCE(SUM(COALESCE(cp.n, 0)) OVER (
+                    ORDER BY a.m ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS backlog
+    FROM axis a
+    LEFT JOIN opened op ON op.m = a.m
+    LEFT JOIN completed cp ON cp.m = a.m
+    WINDOW w AS (ORDER BY a.m ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    """,
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly open-order backlog: per calendar month the orders placed,
+    the orders completing (last lineitem shipped), and the running
+    count of open orders — the interval-stabbing count decomposed into
+    two map-side delta aggregates plus one prefix sum over the bounded
+    month axis (an order is open from its open month through its
+    completion month inclusive).
+
+    Scale: ONE lineitem scan collapses map-side onto order keys (the
+    max-receipt aggregate), one order-keyed shuffle-hash join (both
+    sides corpus-proportional and co-keyed — never broadcast), then
+    everything collapses onto the CALENDAR month grid; the
+    unpartitioned prefix-sum window is safe because the axis is
+    calendar-bounded, not corpus-bounded. The naive months x orders
+    stabbing join this replaces is what the oracle-side test recounts."""
+    li = fan_out(load_table(spark, sf_dir, "lineitem"), spark)
+    comp = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("done"))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            comp.withColumnRenamed("l_orderkey", "o_orderkey").hint("shuffle_hash"),
+            "o_orderkey",
+            "left",
+        )
+        .select(
+            F.date_trunc("month", "o_orderdate").alias("om"),
+            # clamped: open for at least the open month (see oracle note)
+            F.greatest(
+                F.date_trunc("month", F.coalesce("done", "o_orderdate")),
+                F.date_trunc("month", "o_orderdate"),
+            ).alias("cm"),
+        )
+    )
+    bounds = o.agg(
+        F.min("om").alias("lo"), F.add_months(F.max("cm"), 1).alias("hi")
+    )
+    axis = bounds.select(
+        F.explode(
+            F.expr("sequence(lo, cast(hi as timestamp), interval 1 month)")
+        ).alias("m")
+    )
+    opened = o.groupBy(F.col("om").alias("m")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_op")
+    )
+    completed = o.groupBy(F.col("cm").alias("m")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cp")
+    )
+    w_cur = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    w_prev = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        axis.join(opened, "m", "left")
+        .join(completed, "m", "left")
+        .select(
+            "m",
+            F.coalesce("n_op", F.lit(0)).cast("long").alias("n_opened"),
+            F.coalesce("n_cp", F.lit(0)).cast("long").alias("n_completed"),
+        )
+        .select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            "n_opened",
+            "n_completed",
+            (
+                F.sum("n_opened").over(w_cur)
+                - F.coalesce(F.sum("n_completed").over(w_prev), F.lit(0))
+            )
+            .cast("long")
+            .alias("backlog"),
+        )
+    )
+
+
+# --------------------------------------------------- AR-style aging ----
+#
+# Point-in-time aging report: at the reference month (the corpus max
+# order month), bucket the currently-OPEN orders (same open/completion
+# semantics as orders_open_backlog, completion = max lineitem shipdate
+# clamped >= open) by how many months they have been open — the
+# accounts-receivable-style "0-1 / 2-3 / 4-6 / 7+" exposure table, with
+# order counts and exact cents value per bucket.
+AGING_BUCKETS = ((0, 1), (2, 3), (4, 6), (7, None))
+
+
+@register(
+    "orders_ar_aging",
+    oracle="""
+    WITH comp AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS done FROM lineitem
+      GROUP BY l_orderkey
+    ),
+    o AS (
+      SELECT date_trunc('month', o.o_orderdate) AS om,
+             greatest(date_trunc('month', COALESCE(c.done, o.o_orderdate)),
+                      date_trunc('month', o.o_orderdate)) AS cm,
+             CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o LEFT JOIN comp c ON c.l_orderkey = o.o_orderkey
+    ),
+    ref AS (SELECT MAX(om) AS r FROM o),
+    open_now AS (
+      SELECT datediff('month', om, r) AS age, cents
+      FROM o CROSS JOIN ref WHERE om <= r AND cm >= r
+    )
+    SELECT CASE WHEN age <= 1 THEN '0-1'
+                WHEN age <= 3 THEN '2-3'
+                WHEN age <= 6 THEN '4-6'
+                ELSE '7+' END AS age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS value_cents
+    FROM open_now GROUP BY 1
+    """,
+)
+def orders_ar_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aging of open orders at the reference month: bucket counts and
+    exact cents value for 0-1 / 2-3 / 4-6 / 7+ months open — the
+    point-in-time exposure companion to the orders_open_backlog time
+    series.
+
+    Scale: the same two map-side collapses as the backlog sweep (one
+    lineitem max per order, one order-keyed shuffle-hash join), then a
+    1-row reference broadcast and a <= 4-key bucket aggregate; cents
+    ride the int64 lattice."""
+    li = fan_out(load_table(spark, sf_dir, "lineitem"), spark)
+    comp = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("done"))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            comp.withColumnRenamed("l_orderkey", "o_orderkey").hint("shuffle_hash"),
+            "o_orderkey",
+            "left",
+        )
+        .select(
+            F.date_trunc("month", "o_orderdate").alias("om"),
+            F.greatest(
+                F.date_trunc("month", F.coalesce("done", "o_orderdate")),
+                F.date_trunc("month", "o_orderdate"),
+            ).alias("cm"),
+            (money("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    ref = o.agg(F.max("om").alias("r"))
+    open_now = (
+        o.crossJoin(F.broadcast(ref))
+        .filter((F.col("om") <= F.col("r")) & (F.col("cm") >= F.col("r")))
+        .select(
+            F.months_between("r", "om").cast("long").alias("age"), "cents"
+        )
+    )
+    return open_now.select(
+        F.when(F.col("age") <= 1, "0-1")
+        .when(F.col("age") <= 3, "2-3")
+        .when(F.col("age") <= 6, "4-6")
+        .otherwise("7+")
+        .alias("age_bucket"),
+        "cents",
+    ).groupBy("age_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )
+
+
+# ------------------------------------------- conformance audit ----
+#
+# Process-mining conformance checking: score each user's event stream
+# against the funnel process model signup(0) < view(1) < click(2) <
+# purchase(3) — WITHIN a session (the 30-minute-gap rule shared with
+# sessionize_events) the stage rank must be non-decreasing; 'error'
+# events are neutral (skipped, not breaking adjacency). One row per
+# worst-conforming user: transition and violation counts plus the
+# conformance ppm — the audit that finds broken instrumentation or
+# replayed/bot traffic where the descriptive Markov matrix only shows
+# aggregate flow.
+CONFORM_GAP_S = 1800
+CONFORM_TOP = 25
+_STAGE_RANK_SQL = (
+    "CASE event_type WHEN 'signup' THEN 0 WHEN 'view' THEN 1 "
+    "WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 END"
+)
+
+
+@register(
+    "events_conformance_audit",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             {_STAGE_RANK_SQL} AS stage
+      FROM events WHERE event_type <> 'error'
+    ),
+    seq AS (
+      SELECT user_id,
+             LAG(t_us) OVER w AS prev_t,
+             LAG(stage) OVER w AS prev_stage,
+             t_us, stage
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+    ),
+    trans AS (
+      SELECT user_id,
+             CASE WHEN prev_t IS NOT NULL
+                  AND t_us - prev_t <= {CONFORM_GAP_S} * 1000000
+                  THEN 1 ELSE 0 END AS in_session,
+             CASE WHEN prev_t IS NOT NULL
+                  AND t_us - prev_t <= {CONFORM_GAP_S} * 1000000
+                  AND stage < prev_stage
+                  THEN 1 ELSE 0 END AS viol
+      FROM seq
+    )
+    SELECT user_id,
+           CAST(SUM(in_session) AS BIGINT) AS n_transitions,
+           CAST(SUM(viol) AS BIGINT) AS n_violations,
+           CAST((1000000 * (SUM(in_session) - SUM(viol)))
+                // NULLIF(SUM(in_session), 0) AS BIGINT) AS conformance_ppm
+    FROM trans
+    GROUP BY user_id
+    HAVING SUM(in_session) > 0
+    QUALIFY ROW_NUMBER() OVER (
+      ORDER BY SUM(viol) DESC, user_id) <= {CONFORM_TOP}
+    """,
+)
+def events_conformance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {CONFORM_TOP} worst-conforming users against the funnel
+    process model: within-session (30-min gap) stage-rank regressions
+    counted per user, with the conformance ppm.
+
+    Scale: one user-partitioned lag window (the sessionize_events
+    shuffle, state = one previous row), a map-side user rollup, and a
+    TakeOrderedAndProject top-k — no global sort, no rule-table join
+    (the model compiles to codegen CASE arithmetic)."""
+    ev = (
+        fan_out(load_table(spark, sf_dir, "events"), spark)
+        .filter(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("t_us"),
+            F.expr(_STAGE_RANK_SQL).alias("stage"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.lag("t_us").over(w).alias("prev_t"),
+        F.lag("stage").over(w).alias("prev_stage"),
+        "t_us",
+        "stage",
+    )
+    in_sess = F.col("prev_t").isNotNull() & (
+        F.col("t_us") - F.col("prev_t") <= CONFORM_GAP_S * 1_000_000
+    )
+    trans = seq.select(
+        "user_id",
+        F.when(in_sess, 1).otherwise(0).alias("in_session"),
+        F.when(in_sess & (F.col("stage") < F.col("prev_stage")), 1)
+        .otherwise(0)
+        .alias("viol"),
+    )
+    per_user = (
+        trans.groupBy("user_id")
+        .agg(
+            F.sum("in_session").cast("long").alias("n_transitions"),
+            F.sum("viol").cast("long").alias("n_violations"),
+        )
+        .filter(F.col("n_transitions") > 0)
+        .select(
+            "user_id",
+            "n_transitions",
+            "n_violations",
+            F.expr(
+                "(1000000 * (n_transitions - n_violations)) div n_transitions"
+            )
+            .cast("long")
+            .alias("conformance_ppm"),
+        )
+    )
+    return per_user.orderBy(
+        F.col("n_violations").desc(), F.col("user_id")
+    ).limit(CONFORM_TOP)

@@ -130,3 +130,222 @@ def test_label_propagation_well_formed(spark):
         assert sizes[comm] == len(members)
     assert len(by_comm) > 1
     assert len(rows) == len(nodes)
+
+
+def test_kcenter_greedy_replay(spark):
+    """numpy replay of Gonzalez's greedy selection (same tie rule)
+    reproduces the centers and radii; radii are non-increasing."""
+    import numpy as np
+
+    rows = sorted(
+        REG["sample_coreset_kcenter"].fn(spark, SF_ORACLE).collect(),
+        key=lambda r: r["round"],
+    )
+    emb = pd.read_parquet(f"{SF_ORACLE}/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    chosen = [0]
+    assert rows[0]["vec_id"] == ids[0] == 0 and rows[0]["radius"] == 0.0
+    radii = [0.0]
+    for r in rows[1:]:
+        d = ((X[:, None, :] - X[chosen][None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        best = d.max()
+        pick = ids[(d == best)].min()
+        assert r["vec_id"] == pick
+        radii.append(r["radius"])
+        chosen.append(int(np.where(ids == pick)[0][0]))
+    assert all(a >= b for a, b in zip(radii[1:], radii[2:]))
+
+
+def test_backlog_stabbing_recount(spark):
+    """backlog(m) equals the naive interval-stabbing count (open_month
+    <= m <= completion_month) and the opened/completed columns both sum
+    to the order count."""
+    rows = sorted(
+        REG["orders_open_backlog"].fn(spark, SF_ORACLE).collect(),
+        key=lambda r: r["month"],
+    )
+    orders = pd.read_parquet(f"{SF_ORACLE}/orders.parquet")
+    li = pd.read_parquet(f"{SF_ORACLE}/lineitem.parquet")
+    done = li.groupby("l_orderkey")["l_shipdate"].max()
+    om = pd.to_datetime(orders.o_orderdate).dt.strftime("%Y-%m")
+    cm = (
+        pd.to_datetime(done.reindex(orders.o_orderkey).values)
+        .to_series(index=orders.index)
+        .fillna(pd.to_datetime(orders.o_orderdate))
+        .dt.strftime("%Y-%m")
+    )
+    cm = pd.concat([om, cm], axis=1).max(axis=1)  # the operator's clamp
+    assert sum(r["n_opened"] for r in rows) == len(orders)
+    assert sum(r["n_completed"] for r in rows) == len(orders)
+    for r in rows[::7]:  # sample every 7th month; full loop is slow
+        m = r["month"]
+        assert r["backlog"] == int(((om <= m) & (cm >= m)).sum()), m
+
+
+def test_snm_planted_typo_recall(spark):
+    """The planted typo registrations (reg_id + 1e9, 'Customer #'
+    variant — sort-adjacent to their base by construction) must link to
+    their base in >= 90% of cases; pairs are well-formed (a < b,
+    lev <= 2, 0 < gap < window)."""
+    rows = REG["dedup_entity_snm"].fn(spark, SF_ORACLE).collect()
+    found = {(r["reg_a"], r["reg_b"]) for r in rows}
+    for r in rows:
+        # pairs are SORT-POSITION ordered (a before b in the sorted
+        # stream), not id-ordered
+        assert r["reg_a"] != r["reg_b"]
+        assert r["lev"] <= 2
+        assert 0 < r["pos_gap"] <= 4
+    cust = pd.read_parquet(f"{SF_ORACLE}/customer.parquet")
+    import hashlib
+
+    def b(k, m):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % m
+
+    typo_ids = [k for k in cust.c_custkey if b(k, 7) == 2]
+    hits = sum(
+        1 for k in typo_ids
+        if (k, k + 1000000000) in found or (k + 1000000000, k) in found
+    )
+    assert hits / len(typo_ids) >= 0.9, f"{hits}/{len(typo_ids)} typo pairs linked"
+
+
+def test_boolean_query_set_algebra(spark):
+    """The result set equals the pandas set algebra docs(ta) ∩ docs(tb)
+    \\ docs(tn) for the df-rank-5/6/7 terms, with exact tfs."""
+    rows = REG["retrieval_boolean_query"].fn(spark, SF_ORACLE).collect()
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    tok = docs.assign(token=docs.text.str.split(" ")).explode("token")
+    tok = tok[tok.token != ""]
+    tf = tok.groupby(["token", "doc_id"]).size()
+    df_rank = (
+        tf.groupby("token").size().to_frame("df").reset_index()
+        .sort_values(["df", "token"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    ta, tb, tn = df_rank.token[4], df_rank.token[5], df_rank.token[6]
+    d = lambda t: set(tf[t].index)
+    expect = (d(ta) & d(tb)) - d(tn)
+    assert {r["doc_id"] for r in rows} == expect
+    for r in rows:
+        assert (r["term_a"], r["term_b"], r["term_not"]) == (ta, tb, tn)
+        assert r["tf_a"] == tf[(ta, r["doc_id"])]
+        assert r["tf_b"] == tf[(tb, r["doc_id"])]
+
+
+def test_orc_roundtrip_byte_exact(spark):
+    """Every field survives the ORC container byte-exact; the shards
+    split (multiple files on disk)."""
+    import os
+
+    rows = REG["corpus_orc_roundtrip"].fn(spark, SF_ORACLE).collect()
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    got = {r["doc_id"]: (r["text"], r["lang"], r["source"], r["n_chars"]) for r in rows}
+    assert len(got) == len(docs)
+    for t in docs.itertuples():
+        assert got[t.doc_id] == (t.text, t.lang, t.source, t.n_chars)
+    tag = SF_ORACLE.strip("/").replace("/", "_")
+    files = [f for f in os.listdir(f"/root/repo/var/orc_{tag}") if f.endswith(".orc")]
+    assert len(files) >= 2
+
+
+def test_blocklist_scan_recount(spark):
+    """Per-(doc, phrase) counts recount from a pandas bigram pass over
+    the top-5 phrase list."""
+    from collections import Counter
+
+    rows = REG["text_blocklist_scan"].fn(spark, SF_ORACLE).collect()
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    counts: Counter = Counter()
+    for t in docs.itertuples():
+        ws = t.text.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            if a and b:
+                counts[(t.doc_id, f"{a} {b}")] += 1
+    phrase_tot = Counter()
+    for (_, p), c in counts.items():
+        phrase_tot[p] += c
+    top = {p for p, _ in sorted(phrase_tot.items(), key=lambda kv: (-kv[1], kv[0]))[:5]}
+    expect = {k: c for k, c in counts.items() if k[1] in top}
+    assert {(r["doc_id"], r["phrase"]): r["n_occ"] for r in rows} == expect
+
+
+def test_ar_aging_conserves_backlog(spark):
+    """The aging buckets partition the final-month backlog exactly:
+    sum(n_orders) equals orders_open_backlog's backlog at the reference
+    (max open) month."""
+    aging = REG["orders_ar_aging"].fn(spark, SF_ORACLE).collect()
+    backlog = sorted(
+        REG["orders_open_backlog"].fn(spark, SF_ORACLE).collect(),
+        key=lambda r: r["month"],
+    )
+    ref_rows = [r for r in backlog if r["n_opened"] > 0]
+    ref = ref_rows[-1]  # max month with any opening = the reference month
+    assert sum(r["n_orders"] for r in aging) == ref["backlog"]
+    assert {r["age_bucket"] for r in aging} <= {"0-1", "2-3", "4-6", "7+"}
+
+
+def test_permission_audit_decode(spark):
+    """Mode strings decode the octal digits exactly (pandas replay) and
+    entry counts conserve the namespace size."""
+    rows = REG["fs_permission_audit"].fn(spark, SF_ORACLE).collect()
+
+    def rwx(d):
+        return (
+            ("r" if (d // 4) % 2 else "-")
+            + ("w" if (d // 2) % 2 else "-")
+            + ("x" if d % 2 else "-")
+        )
+
+    for r in rows:
+        p = r["permission"]
+        expect = ("d" if r["is_dir"] else "-") + rwx(p // 100) + rwx((p // 10) % 10) + rwx(p % 10)
+        assert r["mode_str"] == expect
+        assert r["world_writable"] == ((p % 10) // 2) % 2
+        assert r["n_entries"] > 0
+
+
+def test_conformance_audit_recount(spark):
+    """Violation counts recount from a pandas per-user session replay
+    of the stage-rank rule."""
+    rows = REG["events_conformance_audit"].fn(spark, SF_ORACLE).collect()
+    ev = pd.read_parquet(f"{SF_ORACLE}/events.parquet")
+    ev = ev[ev.event_type != "error"].copy()
+    stage = {"signup": 0, "view": 1, "click": 2, "purchase": 3}
+    ev["stage"] = ev.event_type.map(stage)
+    # parquet ts is datetime64[us]: the int64 view IS microseconds
+    ev["t_us"] = pd.to_datetime(ev.ts).astype("datetime64[us]").astype("int64")
+    got = {r["user_id"]: r for r in rows}
+    checked = 0
+    for uid, g in ev.sort_values(["t_us", "event_id"]).groupby("user_id"):
+        n_tr = n_viol = 0
+        prev_t = prev_s = None
+        for t, s in zip(g.t_us, g.stage):
+            if prev_t is not None and t - prev_t <= 1800 * 1_000_000:
+                n_tr += 1
+                if s < prev_s:
+                    n_viol += 1
+            prev_t, prev_s = t, s
+        if uid in got:
+            r = got[uid]
+            assert r["n_transitions"] == n_tr and r["n_violations"] == n_viol
+            assert r["conformance_ppm"] == (1_000_000 * (n_tr - n_viol)) // n_tr
+            checked += 1
+    assert checked == len(rows) > 0
+
+
+def test_bench_regression_gate_levels():
+    """bench's regression gate: soft alarm above 1.1x, hard (failing)
+    above 1.5x, quiet on a baseline replay; prior floors recover even
+    from the truncated BENCH_r06 tail."""
+    import json
+
+    import bench
+
+    last = json.load(open("/root/repo/var/bench_last.json"))["queries"]
+    assert bench._alarm_on_subtotal_regressions(dict(last), "0.1") is False
+    inflated = {
+        n: (t * 2.0 if n in bench.HEADLINE else t) for n, t in last.items()
+    }
+    assert bench._alarm_on_subtotal_regressions(inflated, "0.1") is True

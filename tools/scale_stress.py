@@ -248,6 +248,23 @@ QUERIES = [
     "orders_holt_linear_forecast",
     "graph_label_propagation",
     "events_two_proportion_test",
+    # round-7 batch 2: K-1 broadcast-argmax corpus passes; delta sweep
+    # + calendar-bounded prefix sum
+    "sample_coreset_kcenter",
+    "orders_open_backlog",
+    # round-7 batch 3: two-phase banded rank + bucket join (no global
+    # sort); broadcast 3-term postings filter + one doc-keyed aggregate
+    "dedup_entity_snm",
+    "retrieval_boolean_query",
+    # round-7 batch 4: ORC interchange scan; bigram broadcast-join
+    # dictionary match; point-in-time aging (two map-side collapses)
+    "corpus_orc_roundtrip",
+    "text_blocklist_scan",
+    "orders_ar_aging",
+    # round-7 batch 5: metadata-lattice rollup; one lag window + user
+    # rollup + top-k
+    "fs_permission_audit",
+    "events_conformance_audit",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
