@@ -312,6 +312,7 @@ HEADLINE_R21 = [
     "orders_ar_aging",
     "fs_permission_audit",
     "events_conformance_audit",
+    "streaming_windowed_peak",
 ]
 
 

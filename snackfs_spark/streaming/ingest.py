@@ -402,3 +402,68 @@ def streaming_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the equivalent batch join+rollup (the oracle)."""
     out = run_stream_to_df(spark, enrichment_join_stream(spark, sf_dir))
     return out.withColumn("day_start", ts_str("day_start"))
+
+
+def windowed_peak_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED event-time window aggregations — Spark 4's multiple-
+    stateful-operator support: 10-minute tumbling counts per type, then
+    an hourly roll-up of those windows (peak 10-min count + windows
+    observed), the second agg keyed on window_time() of the first. Both
+    operators share one 2-hour watermark; append mode is REQUIRED for
+    chained stateful ops, so only watermark-finalized hours emit."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    lvl1 = ev.groupBy(F.window("ts", "10 minutes").alias("w10"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        lvl1.groupBy(
+            F.window(F.window_time("w10"), "1 hour").alias("wh"), "event_type"
+        )
+        .agg(
+            F.max("n").cast("long").alias("peak_10min"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select(
+            F.col("wh.start").alias("hour_start"),
+            "event_type",
+            "peak_10min",
+            "n_windows",
+        )
+    )
+
+
+@register(
+    "streaming_windowed_peak",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    w10 AS (
+      SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS t10, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    wh AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, t10) AS th, event_type,
+             CAST(MAX(n) AS BIGINT) AS peak_10min,
+             CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM w10 GROUP BY 1, 2
+    )
+    SELECT strftime(th, '%Y-%m-%d %H:%M:%S.%f') AS hour_start,
+           event_type, peak_10min, n_windows
+    FROM wh CROSS JOIN mx
+    WHERE th + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+    """,
+)
+def streaming_windowed_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained windowed aggregation (10-min counts -> hourly peak), the
+    multi-stateful-operator streaming shape: per finalized hour and
+    event type, the peak 10-minute event count and the number of 10-min
+    windows observed.
+
+    Oracled: in append mode a drained stream emits EXACTLY the hour
+    windows whose end <= the final watermark (max event time - 2h) —
+    the oracle is the batch two-level window twin under that cutoff,
+    which pins both the chained-agg semantics AND the append-mode
+    finalization rule. State at scale: open 10-min windows x types +
+    open hours x types, both watermark-bounded."""
+    out = run_stream_to_df(spark, windowed_peak_stream(spark, sf_dir), mode="append")
+    return out.withColumn("hour_start", ts_str("hour_start"))

@@ -477,3 +477,32 @@ def test_transform_with_state_probe():
         "transformWithStateInPandas (see DESIGN.md 'transformWithState "
         "evaluated, blocked by runtime')"
     )
+
+
+def test_windowed_peak_chained_stateful(spark):
+    """The chained-agg stream really contains TWO stateful window
+    aggregates (Spark 4 multi-stateful-operator support), and the
+    drained append-mode result equals the batch twin cut at the final
+    watermark."""
+    from pyspark.sql import functions as F
+
+    from snackfs_spark.registry import load_all
+    from snackfs_spark.sources.tables import load_table
+    from snackfs_spark.streaming.ingest import windowed_peak_stream
+    from tests.conftest import SF_ORACLE
+
+    sdf = windowed_peak_stream(spark, SF_ORACLE)
+    plan = sdf._jdf.queryExecution().analyzed().treeString()
+    assert plan.lower().count("aggregate [") >= 2, plan
+    assert "window_time" in plan.lower() or "windowtime" in plan.lower(), plan
+    out = load_all()["streaming_windowed_peak"].fn(spark, SF_ORACLE)
+    b = load_table(spark, SF_ORACLE, "events")
+    mx = b.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    twin = (
+        b.groupBy(F.window("ts", "10 minutes").alias("w10"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(F.window(F.window_time("w10"), "1 hour").alias("wh"), "event_type")
+        .agg(F.max("n").alias("peak_10min"), F.count(F.lit(1)).alias("n_windows"))
+        .filter(F.col("wh.end") <= F.lit(mx) - F.expr("interval 2 hours"))
+    )
+    assert out.count() == twin.count() > 0
