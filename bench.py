@@ -313,6 +313,7 @@ HEADLINE_R21 = [
     "fs_permission_audit",
     "events_conformance_audit",
     "streaming_windowed_peak",
+    "retrieval_mmr_topk",
 ]
 
 

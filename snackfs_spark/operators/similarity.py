@@ -943,3 +943,220 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_permille"),
     )
+
+
+# ------------------------------------------- MMR diversity re-rank ----
+#
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+# diversity-aware re-ranking a RAG stack runs on its dense-retrieval
+# pool: iteratively pick argmax of
+#   MMR(d) = LAMBDA * cos(q, d) - (1 - LAMBDA) * max_{s in S} cos(d, s)
+# with the max-over-empty-S convention 0 for the first pick. LAMBDA is
+# the dyadic 1/2 so both scores are exact halvings of left-fold double
+# cosines; ties break to the smallest vec_id. Query = vector 0; pool =
+# its MMR_POOL nearest neighbors (TakeOrderedAndProject — per-partition
+# heaps, no global sort); MMR_K rounds of bounded-relation argmax.
+MMR_POOL = 30
+MMR_K = 8
+MMR_LAMBDA = "0.5"
+
+
+def _mmr_oracle() -> str:
+    cos_qb = f"{_DOT_SQL_DUCK} / ({_NORM_SQL_DUCK.format(v='a')} * {_NORM_SQL_DUCK.format(v='b')})"
+    lam = MMR_LAMBDA
+    parts = [
+        f"""WITH pool AS MATERIALIZED (
+      SELECT vec_id, embedding, rel FROM (
+        SELECT b.vec_id, b.embedding, {cos_qb} AS rel,
+               ROW_NUMBER() OVER (ORDER BY {cos_qb} DESC, b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id = 0
+      ) WHERE rn <= {MMR_POOL}
+    ),"""
+    ]
+    cos_ds = (
+        "list_reduce(list_transform(range(1, 65), i -> "
+        "CAST(d.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE)), "
+        "(x, y) -> x + y) / "
+        "(sqrt(list_reduce(list_transform(range(1, 65), i -> "
+        "CAST(d.embedding[i] AS DOUBLE) * CAST(d.embedding[i] AS DOUBLE)), "
+        "(x, y) -> x + y)) * "
+        "sqrt(list_reduce(list_transform(range(1, 65), i -> "
+        "CAST(s.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE)), "
+        "(x, y) -> x + y)))"
+    )
+    parts.append(
+        f"""r1 AS MATERIALIZED (
+      SELECT 1 AS rank, vec_id, embedding, rel,
+             CAST(0.0 AS DOUBLE) AS max_sim_selected,
+             {lam} * rel AS mmr_score
+      FROM pool
+      QUALIFY ROW_NUMBER() OVER (ORDER BY {lam} * rel DESC, vec_id) = 1
+    ),"""
+    )
+    for k in range(2, MMR_K + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT vec_id, embedding FROM r{i}" for i in range(1, k)
+        )
+        prev_ids = " UNION ALL ".join(
+            f"SELECT vec_id FROM r{i}" for i in range(1, k)
+        )
+        parts.append(
+            f"""m{k} AS MATERIALIZED (
+      SELECT d.vec_id, d.embedding, d.rel,
+             MAX({cos_ds}) AS max_sim_selected
+      FROM pool d CROSS JOIN ({prev_union}) s
+      WHERE d.vec_id NOT IN (SELECT vec_id FROM ({prev_ids}))
+      GROUP BY d.vec_id, d.embedding, d.rel
+    ),"""
+        )
+        parts.append(
+            f"""r{k} AS MATERIALIZED (
+      SELECT {k} AS rank, vec_id, embedding, rel, max_sim_selected,
+             {lam} * rel - (1 - {lam}) * max_sim_selected AS mmr_score
+      FROM m{k}
+      QUALIFY ROW_NUMBER() OVER (
+        ORDER BY {lam} * rel - (1 - {lam}) * max_sim_selected DESC,
+                 vec_id) = 1
+    ),"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT rank, vec_id, rel, max_sim_selected, mmr_score FROM r{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return (
+        "\n    ".join(parts)
+        + f"""
+    sel AS ({union})
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+           rel AS relevance, max_sim_selected, mmr_score
+    FROM sel
+    """
+    )
+
+
+@register("retrieval_mmr_topk", oracle=_mmr_oracle())
+def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking: from query vector 0's MMR_POOL nearest
+    neighbors, the MMR_K picks in selection order with relevance,
+    similarity to the already-selected set, and the MMR score.
+
+    Scale: the corpus pays ONE brute-force pass (broadcast 1-row query,
+    TakeOrderedAndProject pool cut — per-partition heaps); every MMR
+    round is bounded algebra on the <= MMR_POOL-row checkpointed pool
+    crossJoined with the <= MMR_K-row selected set. The iterative
+    argmax is the k-center posture (min(struct(-score, vec_id)))."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    embn = _with_norm(emb)
+    q = F.broadcast(embn.filter(F.col("vec_id") == 0).alias("a"))
+    pool = (
+        q.join(embn.alias("b"), F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("b.embedding").alias("embedding"),
+            F.col("b.nrm").alias("nrm"),
+            _cosine_spark().alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(MMR_POOL)
+        .localCheckpoint(eager=False)
+    )
+    lam = float(MMR_LAMBDA)
+    cos_ds = (
+        F.expr(DOT_SPARK.format(a="embedding", b="s_embedding"))
+        / (F.col("nrm") * F.col("s_nrm"))
+    )
+    first = (
+        pool.select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "rel",
+            F.lit(0.0).alias("max_sim_selected"),
+            (F.lit(lam) * F.col("rel")).alias("mmr_score"),
+        )
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("mmr_score")).alias("ns"),
+                    F.col("vec_id").alias("vec_id"),
+                    F.col("embedding").alias("embedding"),
+                    F.col("nrm").alias("nrm"),
+                    F.col("rel").alias("rel"),
+                    F.col("max_sim_selected").alias("max_sim_selected"),
+                    F.col("mmr_score").alias("mmr_score"),
+                )
+            ).alias("m")
+        )
+        .select(
+            F.lit(1).cast("long").alias("rank"),
+            F.col("m.vec_id").alias("vec_id"),
+            F.col("m.embedding").alias("embedding"),
+            F.col("m.nrm").alias("nrm"),
+            F.col("m.rel").alias("rel"),
+            F.col("m.max_sim_selected").alias("max_sim_selected"),
+            F.col("m.mmr_score").alias("mmr_score"),
+        )
+    )
+    sel = first.localCheckpoint(eager=False)
+    for k in range(2, MMR_K + 1):
+        s = F.broadcast(
+            sel.select(
+                F.col("vec_id").alias("s_vec_id"),
+                F.col("embedding").alias("s_embedding"),
+                F.col("nrm").alias("s_nrm"),
+            )
+        )
+        cand = (
+            pool.join(
+                sel.select(F.col("vec_id").alias("s_vec_id")),
+                pool.vec_id == F.col("s_vec_id"),
+                "left_anti",
+            )
+            .crossJoin(s)
+            .groupBy("vec_id", "embedding", "nrm", "rel")
+            .agg(F.max(cos_ds).alias("max_sim_selected"))
+            .select(
+                "vec_id",
+                "embedding",
+                "nrm",
+                "rel",
+                "max_sim_selected",
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1 - lam) * F.col("max_sim_selected")
+                ).alias("mmr_score"),
+            )
+        )
+        pick = (
+            cand.agg(
+                F.min(
+                    F.struct(
+                        (-F.col("mmr_score")).alias("ns"),
+                        F.col("vec_id").alias("vec_id"),
+                        F.col("embedding").alias("embedding"),
+                        F.col("nrm").alias("nrm"),
+                        F.col("rel").alias("rel"),
+                        F.col("max_sim_selected").alias("max_sim_selected"),
+                        F.col("mmr_score").alias("mmr_score"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.lit(k).cast("long").alias("rank"),
+                F.col("m.vec_id").alias("vec_id"),
+                F.col("m.embedding").alias("embedding"),
+                F.col("m.nrm").alias("nrm"),
+                F.col("m.rel").alias("rel"),
+                F.col("m.max_sim_selected").alias("max_sim_selected"),
+                F.col("m.mmr_score").alias("mmr_score"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
+    return sel.select(
+        "rank",
+        "vec_id",
+        F.col("rel").alias("relevance"),
+        "max_sim_selected",
+        "mmr_score",
+    )

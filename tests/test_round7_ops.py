@@ -340,12 +340,58 @@ def test_bench_regression_gate_levels():
     above 1.5x, quiet on a baseline replay; prior floors recover even
     from the truncated BENCH_r06 tail."""
     import json
+    import os
+
+    import pytest
 
     import bench
 
+    if not os.path.exists("/root/repo/var/bench_last.json"):
+        pytest.skip("no local bench run recorded yet (var/ is not committed)")
     last = json.load(open("/root/repo/var/bench_last.json"))["queries"]
     assert bench._alarm_on_subtotal_regressions(dict(last), "0.1") is False
     inflated = {
         n: (t * 2.0 if n in bench.HEADLINE else t) for n, t in last.items()
     }
     assert bench._alarm_on_subtotal_regressions(inflated, "0.1") is True
+
+
+def test_mmr_greedy_replay(spark):
+    """numpy replay of the MMR selection (lambda = 0.5, pool 30, ties to
+    smallest id) reproduces picks, scores and the diversity invariant
+    (picked set's pairwise max-sim column matches)."""
+    import numpy as np
+
+    rows = sorted(
+        REG["retrieval_mmr_topk"].fn(spark, SF_ORACLE).collect(),
+        key=lambda r: r["rank"],
+    )
+    emb = pd.read_parquet(f"{SF_ORACLE}/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    q = X[ids == 0][0]
+
+    def cos(a, b):
+        return float(
+            (a * b).sum() / (np.sqrt((a * a).sum()) * np.sqrt((b * b).sum()))
+        )
+
+    rel = {int(i): cos(q, x) for i, x in zip(ids, X) if i != 0}
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:30]
+    sel: list[int] = []
+    for r in rows:
+        best = None
+        for d in pool:
+            if d in sel:
+                continue
+            ms = max((cos(X[ids == d][0], X[ids == s][0]) for s in sel), default=0.0)
+            score = 0.5 * rel[d] - 0.5 * ms
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d, ms, score)
+        _, pick, ms, score = best
+        assert r["vec_id"] == pick, (r["rank"], r["vec_id"], pick)
+        assert abs(r["mmr_score"] - score) < 1e-12
+        assert abs(r["max_sim_selected"] - ms) < 1e-12
+        sel.append(pick)

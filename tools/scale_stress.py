@@ -265,6 +265,8 @@ QUERIES = [
     # rollup + top-k
     "fs_permission_audit",
     "events_conformance_audit",
+    # round-7 batch 6: one corpus pass -> bounded-pool MMR rounds
+    "retrieval_mmr_topk",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
