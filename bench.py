@@ -314,6 +314,7 @@ HEADLINE_R21 = [
     "events_conformance_audit",
     "streaming_windowed_peak",
     "retrieval_mmr_topk",
+    "text_distinct_ngrams",
 ]
 
 

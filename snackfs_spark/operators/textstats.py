@@ -4118,3 +4118,100 @@ def text_blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "phrase")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
     )
+
+
+# --------------------------------------------- distinct-n diversity ----
+#
+# Distinct-n (Li et al. 2016): unique n-grams over total n-grams — the
+# standard lexical-diversity readout for comparing corpora or scoring
+# generated text against its training source. Reported per source for
+# n = 1 and n = 2 as exact permille ratios (distinct/total cross-
+# multiplied onto the 1e3 lattice; no float division in the hash).
+
+
+@register(
+    "text_distinct_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    uni AS (
+      SELECT source, ws[i] AS g
+      FROM toks, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) t
+      WHERE ws[i] <> ''
+    ),
+    bi AS (
+      SELECT source, ws[i] || ' ' || ws[i + 1] AS g
+      FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t
+      WHERE ws[i] <> '' AND ws[i + 1] <> ''
+    ),
+    u AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS total_1,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_1
+      FROM uni GROUP BY source
+    ),
+    b AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS total_2,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_2
+      FROM bi GROUP BY source
+    )
+    SELECT u.source, u.total_1, u.distinct_1,
+           CAST((1000 * u.distinct_1) // u.total_1 AS BIGINT)
+             AS distinct1_permille,
+           b.total_2, b.distinct_2,
+           CAST((1000 * b.distinct_2) // b.total_2 AS BIGINT)
+             AS distinct2_permille
+    FROM u JOIN b ON b.source = u.source
+    """,
+)
+def text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-1 / distinct-2 lexical diversity: unique and
+    total uni/bigram counts with the exact permille ratios — low
+    distinct-n flags templated or mode-collapsed text the way
+    repetition/boilerplate flags intra-document patterns, but at the
+    SOURCE level.
+
+    Scale: ONE tokenize pass feeds both gram relations (the bigram is
+    the zip_with projection); totals collapse map-side onto |sources|
+    keys, distincts are (source, gram)-keyed partial-distinct
+    aggregates (Spark plans Expand + two-phase distinct — the same
+    shuffle class as TF-IDF); the final join is |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    uni = docs.select(
+        "source", F.explode(words).alias("g")
+    ).filter(F.col("g") != "")
+    bi = docs.select(
+        "source",
+        F.explode(
+            F.when(
+                F.size(words) >= 2,
+                F.zip_with(
+                    F.slice(words, 1, F.size(words) - 1),
+                    F.slice(words, 2, F.size(words) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    ).filter(~F.col("g").startswith(" ") & ~F.col("g").endswith(" "))
+    u = uni.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("total_1"),
+        F.count_distinct("g").cast("long").alias("distinct_1"),
+    )
+    b = bi.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("total_2"),
+        F.count_distinct("g").cast("long").alias("distinct_2"),
+    )
+    return u.join(b, "source").select(
+        "source",
+        "total_1",
+        "distinct_1",
+        F.expr("(1000 * distinct_1) div total_1").cast("long").alias(
+            "distinct1_permille"
+        ),
+        "total_2",
+        "distinct_2",
+        F.expr("(1000 * distinct_2) div total_2").cast("long").alias(
+            "distinct2_permille"
+        ),
+    )

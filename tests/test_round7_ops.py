@@ -395,3 +395,32 @@ def test_mmr_greedy_replay(spark):
         assert abs(r["mmr_score"] - score) < 1e-12
         assert abs(r["max_sim_selected"] - ms) < 1e-12
         sel.append(pick)
+
+
+def test_distinct_ngrams_recount(spark):
+    """Distinct-n counts and permille ratios recount from a pandas gram
+    pass; distinct <= total and bigram diversity >= unigram diversity
+    on natural-ish text (more unique bigrams per occurrence)."""
+    rows = REG["text_distinct_ngrams"].fn(spark, SF_ORACLE).collect()
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    got = {r["source"]: r for r in rows}
+    assert len(got) == docs.source.nunique()
+    for src, g in docs.groupby("source"):
+        t1 = d1 = t2 = 0
+        u1: set = set()
+        u2: set = set()
+        for text in g.text:
+            ws = [w for w in text.split(" ")]
+            toks = [w for w in ws if w]
+            t1 += len(toks)
+            u1.update(toks)
+            for a, b in zip(ws, ws[1:]):
+                if a and b:
+                    t2 += 1
+                    u2.add(f"{a} {b}")
+        r = got[src]
+        assert (r["total_1"], r["distinct_1"]) == (t1, len(u1))
+        assert (r["total_2"], r["distinct_2"]) == (t2, len(u2))
+        assert r["distinct1_permille"] == (1000 * len(u1)) // t1
+        assert r["distinct2_permille"] == (1000 * len(u2)) // t2
+        assert r["distinct2_permille"] >= r["distinct1_permille"]

@@ -267,6 +267,8 @@ QUERIES = [
     "events_conformance_audit",
     # round-7 batch 6: one corpus pass -> bounded-pool MMR rounds
     "retrieval_mmr_topk",
+    # round-7 batch 7: one tokenize pass -> two partial-distinct aggs
+    "text_distinct_ngrams",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
