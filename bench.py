@@ -315,6 +315,7 @@ HEADLINE_R21 = [
     "streaming_windowed_peak",
     "retrieval_mmr_topk",
     "text_distinct_ngrams",
+    "fs_namespace_profile",
 ]
 
 

@@ -980,3 +980,101 @@ def fs_permission_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_entries",
         "total_bytes",
     )
+
+
+# ---------------------------------------------- namespace profile ----
+#
+# Namespace shape report: per tree depth the directory/file counts,
+# byte totals, and the maximum directory fanout at that depth — the
+# metadata-scaling diagnostic behind partition-layout choices (a flat
+# million-child directory and a 10-deep skinny tree stress different
+# parts of a path-keyed store; the reference's parent_path index,
+# ThriftStore.scala:184-187, has exactly this fanout sensitivity).
+
+
+@register(
+    "fs_namespace_profile",
+    oracle=fs_sql(
+        """SELECT e.depth,
+           CAST(SUM(CASE WHEN e.is_dir THEN 1 ELSE 0 END) AS BIGINT) AS n_dirs,
+           CAST(SUM(CASE WHEN e.is_dir THEN 0 ELSE 1 END) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN e.is_dir THEN 0 ELSE e.size END) AS BIGINT)
+             AS total_bytes,
+           CAST(COALESCE(MAX(f.max_children), 0) AS BIGINT) AS max_fanout
+    FROM (
+      SELECT path, is_dir, size,
+             CAST(len(string_split(path, '/')) - 2 AS BIGINT) AS depth
+      FROM files
+    ) e
+    LEFT JOIN (
+      SELECT child_depth, MAX(n_children) AS max_children
+      FROM (
+        SELECT CAST(len(string_split(parent_path, '/')) - 1 AS BIGINT)
+                 AS child_depth,
+               CAST(COUNT(*) AS BIGINT) AS n_children
+        FROM files
+        WHERE parent_path IS NOT NULL AND parent_path <> ''
+        GROUP BY parent_path
+      ) GROUP BY child_depth
+    ) f ON f.child_depth = e.depth
+    GROUP BY e.depth, f.max_children""",
+        "files",
+    ),
+)
+def fs_namespace_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-depth namespace profile: directory and file counts, byte
+    totals, and the widest directory (max fanout) whose CHILDREN sit at
+    that depth — `/` is depth 0's parent, so `/data` is depth 1.
+
+    Scale: two map-side collapses over ONE metadata scan — entries onto
+    the depth lattice, children onto parent_path (then onto the depth
+    lattice again) — joined on the bounded depth axis. No recursion,
+    no per-directory pass (the reference walks the tree client-side for
+    such stats; here it is one aggregate)."""
+    f = files_df(spark, sf_dir)
+    e = f.select(
+        "path",
+        "is_dir",
+        "size",
+        "parent_path",
+        (F.size(F.split("path", "/")) - 2).cast("long").alias("depth"),
+    )
+    fanout = (
+        e.filter(F.col("parent_path").isNotNull() & (F.col("parent_path") != ""))
+        .groupBy("parent_path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_children"))
+        .select(
+            (F.size(F.split("parent_path", "/")) - 1).cast("long").alias(
+                "child_depth"
+            ),
+            "n_children",
+        )
+        .groupBy("child_depth")
+        .agg(F.max("n_children").alias("max_children"))
+    )
+    return (
+        e.groupBy("depth")
+        .agg(
+            F.sum(F.when(F.col("is_dir"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dirs"),
+            F.sum(F.when(F.col("is_dir"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_files"),
+            F.sum(F.when(F.col("is_dir"), 0).otherwise(F.col("size")))
+            .cast("long")
+            .alias("total_bytes"),
+        )
+        .join(
+            F.broadcast(fanout.withColumnRenamed("child_depth", "depth")),
+            "depth",
+            "left",
+        )
+        .select(
+            "depth",
+            "n_dirs",
+            "n_files",
+            "total_bytes",
+            F.coalesce("max_children", F.lit(0)).cast("long").alias("max_fanout"),
+        )
+    )

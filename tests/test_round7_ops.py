@@ -424,3 +424,30 @@ def test_distinct_ngrams_recount(spark):
         assert r["distinct1_permille"] == (1000 * len(u1)) // t1
         assert r["distinct2_permille"] == (1000 * len(u2)) // t2
         assert r["distinct2_permille"] >= r["distinct1_permille"]
+
+
+def test_namespace_profile_recount(spark):
+    """Depth lattice, counts, bytes and max fanout recount from the
+    catalog's files relation in pandas."""
+    from snackfs_spark.sources.fsmodel import files_df
+
+    rows = REG["fs_namespace_profile"].fn(spark, SF_ORACLE).collect()
+    f = files_df(spark, SF_ORACLE).toPandas()
+    f["depth"] = f.path.str.split("/").str.len() - 2
+    got = {r["depth"]: r for r in rows}
+    fan = (
+        f[f.parent_path.fillna("") != ""]
+        .groupby("parent_path")
+        .size()
+        .rename("n")
+        .reset_index()
+    )
+    fan["child_depth"] = fan.parent_path.str.split("/").str.len() - 1
+    fan_max = fan.groupby("child_depth")["n"].max().to_dict()
+    for depth, g in f.groupby("depth"):
+        r = got[depth]
+        assert r["n_dirs"] == int(g.is_dir.sum())
+        assert r["n_files"] == int((~g.is_dir).sum())
+        assert r["total_bytes"] == int(g.loc[~g.is_dir, "size"].sum())
+        assert r["max_fanout"] == int(fan_max.get(depth, 0))
+    assert len(got) == f.depth.nunique() >= 2

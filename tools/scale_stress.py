@@ -269,6 +269,8 @@ QUERIES = [
     "retrieval_mmr_topk",
     # round-7 batch 7: one tokenize pass -> two partial-distinct aggs
     "text_distinct_ngrams",
+    # round-7 batch 8: one metadata scan -> depth-lattice collapses
+    "fs_namespace_profile",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
