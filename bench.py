@@ -367,6 +367,13 @@ def _subtotals(timings: dict[str, float]) -> dict[str, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # SPARK_GRAFT_BENCH_GROUPS=N runs only the first N round groups in a
+    # fresh session — the isolation probe for session-level drift (r7
+    # VERDICT #2: compare a group's alone-in-a-fresh-JVM subtotal to its
+    # in-battery subtotal to separate plan regressions from GC/codegen-
+    # cache pressure that grows with the 170+-query battery).
+    n_groups = int(os.environ.get("SPARK_GRAFT_BENCH_GROUPS", "0")) or len(ROUNDS)
+    rounds = ROUNDS[:n_groups]
     registry = load_all()
     spark = get_spark("snackfs_spark_bench")
 
@@ -383,7 +390,7 @@ def main() -> None:
     fsmodel.locks_df(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for name in (n for grp in ROUNDS for n in grp):
+    for name in (n for grp in rounds for n in grp):
         # best of 3: the first run pays one-time codegen/plan compilation
         # for the query's unique expressions; later runs are steady state
         # (three samples because host timing variance on shared boxes is

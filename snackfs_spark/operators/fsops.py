@@ -1003,13 +1003,15 @@ def fs_permission_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(MAX(f.max_children), 0) AS BIGINT) AS max_fanout
     FROM (
       SELECT path, is_dir, size,
-             CAST(len(string_split(path, '/')) - 2 AS BIGINT) AS depth
+             CAST(CASE WHEN path = '/' THEN 0
+                  ELSE len(string_split(path, '/')) - 1 END AS BIGINT) AS depth
       FROM files
     ) e
     LEFT JOIN (
       SELECT child_depth, MAX(n_children) AS max_children
       FROM (
-        SELECT CAST(len(string_split(parent_path, '/')) - 1 AS BIGINT)
+        SELECT CAST(CASE WHEN parent_path = '/' THEN 1
+                    ELSE len(string_split(parent_path, '/')) END AS BIGINT)
                  AS child_depth,
                CAST(COUNT(*) AS BIGINT) AS n_children
         FROM files
@@ -1024,7 +1026,9 @@ def fs_permission_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fs_namespace_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-depth namespace profile: directory and file counts, byte
     totals, and the widest directory (max fanout) whose CHILDREN sit at
-    that depth — `/` is depth 0's parent, so `/data` is depth 1.
+    that depth. Depth = count of non-empty path components, so `/` is
+    depth 0 and `/data` is depth 1; children of a parent at depth d sit
+    at depth d+1 (root's children land at depth 1, not 0 — r7 ADVICE).
 
     Scale: two map-side collapses over ONE metadata scan — entries onto
     the depth lattice, children onto parent_path (then onto the depth
@@ -1037,16 +1041,20 @@ def fs_namespace_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_dir",
         "size",
         "parent_path",
-        (F.size(F.split("path", "/")) - 2).cast("long").alias("depth"),
+        F.when(F.col("path") == "/", F.lit(0))
+        .otherwise(F.size(F.split("path", "/")) - 1)
+        .cast("long")
+        .alias("depth"),
     )
     fanout = (
         e.filter(F.col("parent_path").isNotNull() & (F.col("parent_path") != ""))
         .groupBy("parent_path")
         .agg(F.count(F.lit(1)).cast("long").alias("n_children"))
         .select(
-            (F.size(F.split("parent_path", "/")) - 1).cast("long").alias(
-                "child_depth"
-            ),
+            F.when(F.col("parent_path") == "/", F.lit(1))
+            .otherwise(F.size(F.split("parent_path", "/")))
+            .cast("long")
+            .alias("child_depth"),
             "n_children",
         )
         .groupBy("child_depth")

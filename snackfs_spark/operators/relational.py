@@ -366,21 +366,87 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
-@register("approx_aggregates", oracle=None)
+@register(
+    "approx_aggregates",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(1 AS BIGINT) AS parts_within_eps,
+           CAST(1 AS BIGINT) AS orders_within_eps,
+           CAST(1 AS BIGINT) AS p50_within_rank_eps,
+           CAST(1 AS BIGINT) AS p95_within_rank_eps,
+           CAST(1 AS BIGINT) AS p99_within_rank_eps
+    FROM lineitem
+    """,
+)
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates for the 100 TB posture (§2.C): HLL distinct
-    and approximate quantiles. Sketch internals differ between engines,
-    so this takes the driver's rows-only check; the exact counterparts
-    are oracle-checked elsewhere (q_distinct_parts)."""
+    """Approximate aggregates for the 100 TB posture (§2.C) with an
+    ERROR-BOUND oracle (r7 VERDICT #5): the sketches' internals differ
+    between engines, so instead of hashing raw estimates the query
+    emits the exact values (hash-matched) plus integer-exact
+    within-bound flags the oracle asserts as constant 1 — a violated
+    published bound becomes a hash mismatch, not a shrug.
+
+    Bounds checked: approx_count_distinct (HLL++, default rsd 0.05) to
+    3*rsd = 15% relative error via cross-multiplied integer compare;
+    percentile_approx(accuracy=10000) to its rank guarantee — the
+    returned element's rank interval [#(v<x)+1, #(v<=x)] must intersect
+    [floor(qN) - eN, ceil(qN) + eN] with eN = floor(N/accuracy) + 1
+    (the +1 absorbs the floor/ceil seam; GK merge order may shift the
+    element, never past the rank bound).
+
+    Scale: the sketch pass is one map-side-mergeable aggregate; the
+    verification pass broadcasts the 1-row sketch result back over the
+    scan. Both are single-shuffle at any corpus size."""
     li = load_table(spark, sf_dir, "lineitem")
-    # Scalar columns only: the driver's rows-only canonicalizer cannot
-    # hash ARRAY cells, so the three quantiles are projected individually.
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", F.lit(0.5), 10000).alias("p50_price"),
-        F.percentile_approx("l_extendedprice", F.lit(0.95), 10000).alias("p95_price"),
-        F.percentile_approx("l_extendedprice", F.lit(0.99), 10000).alias("p99_price"),
+    ap = li.agg(
+        F.approx_count_distinct("l_partkey").cast("long").alias("ap_parts"),
+        F.approx_count_distinct("l_orderkey").cast("long").alias("ap_orders"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), 10000).alias("ap50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.95), 10000).alias("ap95"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), 10000).alias("ap99"),
+    )
+    price = F.col("l_extendedprice")
+    chk = li.crossJoin(F.broadcast(ap)).agg(
+        F.count_distinct("l_partkey").cast("long").alias("exact_parts"),
+        F.count_distinct("l_orderkey").cast("long").alias("exact_orders"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("ap_parts").alias("ap_parts"),
+        F.max("ap_orders").alias("ap_orders"),
+        *[
+            F.sum((price <= F.col(f"ap{q}")).cast("long")).alias(f"le{q}")
+            for q in (50, 95, 99)
+        ],
+        *[
+            F.sum((price < F.col(f"ap{q}")).cast("long")).alias(f"lt{q}")
+            for q in (50, 95, 99)
+        ],
+    )
+
+    def _cd_ok(ap_col: str, ex_col: str):
+        # |ap - ex| <= 0.15 * ex  as  20*|ap - ex| <= 3*ex (int-exact)
+        return (
+            F.abs(F.col(ap_col) - F.col(ex_col)) * 20 <= F.col(ex_col) * 3
+        ).cast("long")
+
+    def _rank_ok(q: int):
+        # eN = floor(N/accuracy) + 1; target rank qN/100 on the int
+        # lattice; the element's rank interval must intersect the band
+        target = F.expr(f"(n * {q}) div 100")
+        eps = F.expr("(n div 10000) + 1")
+        lo, hi = target - eps, target + eps + 1
+        return (
+            (F.col(f"lt{q}") + 1 <= hi) & (F.col(f"le{q}") >= lo)
+        ).cast("long")
+
+    return chk.select(
+        "exact_parts",
+        "exact_orders",
+        _cd_ok("ap_parts", "exact_parts").alias("parts_within_eps"),
+        _cd_ok("ap_orders", "exact_orders").alias("orders_within_eps"),
+        _rank_ok(50).alias("p50_within_rank_eps"),
+        _rank_ok(95).alias("p95_within_rank_eps"),
+        _rank_ok(99).alias("p99_within_rank_eps"),
     )
 
 

@@ -936,12 +936,19 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "proj_cosine",
         "in_exact_topk",
-        # permille derived from TOP_K, not a hardcoded 100x — the unit
-        # survives re-parameterizing k (hits*1000 stays tiny; int div
-        # is exact for both engines on nonnegative operands)
-        ((F.lit(1000) * F.sum("in_exact_topk").over(wq)).cast("long") / TOP_K)
+        (F.lit(1000) * F.sum("in_exact_topk").over(wq))
         .cast("long")
-        .alias("recall_permille"),
+        .alias("_hits_x1000"),
+    ).select(
+        "query_id",
+        "proj_rank",
+        "vec_id",
+        "proj_cosine",
+        "in_exact_topk",
+        # permille derived from TOP_K, not a hardcoded 100x — true
+        # integer division (`div`), matching DuckDB's `//` at any
+        # magnitude, not double-divide-then-truncate (r7 ADVICE)
+        F.expr(f"_hits_x1000 div {TOP_K}").cast("long").alias("recall_permille"),
     )
 
 

@@ -51,15 +51,119 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # in-repo oracle replica, tests/test_correctness.py, which hash-checks
 # ALL registered queries at sf0.01 every test run).
 #
-# ROUND-7 ROTATION (r6 VERDICT #1): by round 6, 198 of 288 registered
-# queries had never produced a driver-side green row — their correctness
-# rested on the in-repo replica alone. This window keeps 15 veterans
-# (the fs skeleton crew + the connector + one anchor per §2.C pillar)
-# and hands 35 slots to queries that have NEVER been driver-checked
-# (70% of the window is first-time driver evidence). Every evicted
-# veteran stays green in the in-repo replica; the per-slot comments
-# name where each evicted family/class stays hash-checked.
+# ROUND-8 ROTATION (r7 VERDICT #3/#7): after r7, 180 of 305 registered
+# queries still had no driver-side green row. This window keeps 8
+# veterans — the SIX evicted §2.B Q-* targets that last saw the driver
+# in r4 (VERDICT #7: every Q-* driver-green within the trailing 3
+# rounds; the eleven Q-* that ran in the r7 window are green in
+# trailing-1 and rotate out), the connector, and the q1 flagship — and
+# hands 42 slots to queries that have NEVER been driver-checked (84%
+# first-time evidence; cumulative driver coverage 125 -> 167 of 305 if
+# the window lands green). Every evicted veteran stays green in the
+# in-repo replica; the per-slot comments name where each evicted
+# family/class stays hash-checked.
 PRIORITY: tuple[str, ...] = (
+    # -------- veterans kept (8): the six Q-* evicted in r5-r7 rotate
+    # back in on the trailing-3-rounds cadence (each has 1-6 prior
+    # green driver rounds; last driver row r4)...
+    "fs_lsr",  # Q-LSR recursive listing
+    "fs_dus",  # Q-DUS subtree summary
+    "fs_suboff_prefix_sum",  # Q-SUBOFF running-sum window (family rep too)
+    "fs_lock_arbitration",  # Q-LOCK row_number ranking
+    "fs_range_read",  # Q-RANGE byte-offset block slice
+    "fs_tail",  # Q-TAIL suffix slice
+    # ...plus the §7-M6 connector and the TPC-H flagship (sf1-verified
+    # decimal lattice) as permanent anchors
+    "fs_connector_roundtrip",
+    "q1_pricing_summary",
+    # -------- first-time driver rows (42) — never in any prior window.
+    # fs-flavored analytics: quota audit (Q-COUNT's quota variant; the
+    # plain fs_count is r7-green), permission audit + namespace profile
+    # (r7 additions, the latter carrying this round's depth-convention
+    # fix), and RF=3 token-ring replica sets
+    "fs_count_quota",
+    "fs_permission_audit",
+    "fs_namespace_profile",
+    "fs_replica_sets",
+    # TPC-H shapes: 6-table product-profit join (q9), view+max top
+    # supplier (q15), correlated-avg small-quantity (q17), disjunctive
+    # pushdown (q19) — q2/q21/q1-adjacent veterans are r7-green
+    "q9_product_profit",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_filter",
+    # relational families: EXISTS/NOT-EXISTS semi/anti (multi-join
+    # family rep; q21 is r7-green), unpivot, the exact-quantile battery
+    # (function-battery rep; stats_moments_battery is r7-green), and
+    # the first-order-per-customer ranking window (win ranking rep)
+    "rel_semi_anti_joins",
+    "unpivot_part_measures",
+    "quantile_battery",
+    "win_first_order_per_customer",
+    # event-time analytics: funnel, cohort retention, attribution,
+    # Kaplan-Meier survival, Holt forecast, A/B two-proportion test
+    # (causal rep; diff-in-diff is r7-green), point-in-time feature
+    # join (as-of family rep; asof_last_error is r7-green), and the
+    # grouping-sets Markov transition matrix (rollup/cube rep; cube_
+    # order_priorities is r7-green)
+    "events_conversion_funnel",
+    "events_cohort_retention",
+    "events_attribution",
+    "events_survival_km",
+    "orders_holt_linear_forecast",
+    "events_two_proportion_test",
+    "pit_feature_join",
+    "events_markov_transitions",
+    # graph: damped PageRank fixpoint + label-propagation communities
+    # (k-core is r7-green)
+    "graph_pagerank_tokens",
+    "graph_label_propagation",
+    # dedup rotates to the SimHash banding and the sorted-neighborhood
+    # entity-resolution forms (MinHash LSH + tuning + SemDeDup are
+    # r7-green)
+    "dedup_simhash_pairs",
+    "dedup_entity_snm",
+    # similarity: IVF multiprobe partition-pruned search and MMR
+    # diversity re-rank (brute-force/PQ/JL are r7-green)
+    "ann_ivf_multiprobe",
+    "retrieval_mmr_topk",
+    # text/retrieval: TF-IDF top-k, hybrid BM25+dense fusion, boolean
+    # retrieval (BM25/KN-LM/lang-id/quality are r7-green)
+    "text_tfidf_topk",
+    "hybrid_search_topk",
+    "retrieval_boolean_query",
+    # multimodal: real-decode WAV VAD and BMP tiling (scene cuts +
+    # pHash are r7-green)
+    "multimodal_audio_vad",
+    "multimodal_image_tiles",
+    # sampling/splits/packing: temporal holdout, DSIR importance
+    # sampling, k-center coresets, length-bucketed packing (stratified
+    # split + priority sampling + first-fit packing are r7-green)
+    "split_temporal_holdout",
+    "importance_sample_dsir",
+    "sample_coreset_kcenter",
+    "pack_length_buckets",
+    # corpus lifecycle: ORC roundtrip (source-format rep) and takedown
+    # audit (corpus_build_train is r7-green)
+    "corpus_orc_roundtrip",
+    "corpus_takedown_audit",
+    # eval + privacy: calibration ECE (conformal is r7-green) and
+    # k-anonymity (t-closeness is r7-green)
+    "eval_calibration_ece",
+    "privacy_k_anonymity",
+    # streaming: Spark-4 chained stateful windowed peak + dedup ingest
+    # (session windows are r7-green)
+    "streaming_windowed_peak",
+    "streaming_dedup_ingest",
+    # mergeable sketches: partition-built HLL registers merged by
+    # elementwise MAX (Count-Min heavy hitters are r7-green)
+    "approx_distinct_hll_merged",
+)
+
+
+# ROUND-7 window, kept for the changelog (every name stays registered
+# and repo-oracle green; see git history for the r7 slot comments).
+_PRIORITY_R7: tuple[str, ...] = (
     # -------- veterans kept (15): the fs skeleton crew (10 of the 17
     # Q-* targets — each evicted Q-* has 1-6 rounds of green driver rows
     # already and stays in the in-repo replica: fs_lsr/fs_dus (subtree

@@ -909,10 +909,20 @@ def test_pareto_abc_no_global_customer_sort(spark):
     df = REG["orders_pareto_abc"].fn(spark, SF_ORACLE)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
-    # running sum, not rank: the window spec is sum(...) over the
-    # band-partitioned frame, so no row_number/rank window appears
-    assert "row_number" not in plan.lower(), plan
-    assert "windowexpression" not in plan.lower() or "sum" in plan.lower(), plan
+    # running sum, not rank: every window-function line in the plan
+    # (formatted explain renders them as `sum(...)
+    # windowspecdefinition(...)`) must be a sum(...) frame, and no
+    # ranking function appears anywhere (the old disjunction was
+    # tautological — any plan containing the substring "sum" passed;
+    # r7 ADVICE)
+    assert "row_number(" not in plan.lower(), plan
+    assert "rank(" not in plan.lower(), plan
+    win_lines = [
+        ln for ln in plan.lower().splitlines() if "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan  # the running sum IS a window — it must exist
+    for ln in win_lines:
+        assert "sum(" in ln, plan
     assert "SortMergeJoin" not in plan, plan
 
 

@@ -1,9 +1,12 @@
 """The driver's correctness gate checks the FIRST 50 registered queries.
-These tests pin the ROUND-7 rotated window (r6 VERDICT #1): 15 veterans
-+ 35 queries that had never produced a driver-side green row, while the
-window still spans SURVEY.md §2 — the fs skeleton crew, every declared
-operator family (in-window rep or a documented evicted veteran that
-stays hash-checked in the in-repo replica), and every §2.C class."""
+These tests pin the ROUND-8 rotated window (r7 VERDICT #3/#7): 8
+veterans (the six §2.B Q-* evicted since r4, on the trailing-3-rounds
+cadence, plus the connector and q1) + 42 queries that had never
+produced a driver-side green row, while the window still spans
+SURVEY.md §2 — every declared operator family and §2.C class has an
+in-window rep or a documented evicted veteran with a green driver row
+in the trailing 3 rounds that stays hash-checked in the in-repo
+replica."""
 
 from __future__ import annotations
 
@@ -14,20 +17,36 @@ from snackfs_spark.registry import PRIORITY, load_all
 
 WINDOW = 50
 
-# Queries with a driver-side green row in ANY prior round's
-# CORRECTNESS_r*.json (r1-r6) — the rotation's freshness denominator.
+# Queries with a driver-side green row in any round BEFORE the current
+# one — the rotation's freshness denominator. The highest-numbered
+# CORRECTNESS file is the *current* window's own artifact (the driver
+# writes it the moment the window runs), so including it would make
+# every slot look stale the round after it passes (r7 VERDICT #1).
 _REPO = Path(__file__).resolve().parent.parent
+_ARTIFACTS = sorted(
+    _REPO.glob("CORRECTNESS_r*.json"),
+    key=lambda p: int("".join(c for c in p.stem if c.isdigit()) or 0),
+)
 DRIVER_CHECKED = set()
-for _p in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+for _p in _ARTIFACTS[:-1]:  # exclude the current round's artifact
     try:
         DRIVER_CHECKED.update(json.loads(_p.read_text()).keys())
     except ValueError:
         pass
 
-# Q-* → query name (SURVEY §2.B, 17 targets). In-window skeleton crew;
-# the evicted 7 keep their oracle + in-repo replica coverage (each has
-# 1-6 rounds of green driver rows on record).
+# Q-* → query name (SURVEY §2.B, 17 targets). The six in-window rows
+# rotated back in this round after 3 rounds out (r7 VERDICT #7); the
+# eleven evicted rows all have a green driver row in CORRECTNESS_r07
+# (trailing-1) and stay hash-checked in the in-repo replica.
 FS_IN_WINDOW = {
+    "Q-LSR": "fs_lsr",
+    "Q-DUS": "fs_dus",
+    "Q-SUBOFF": "fs_suboff_prefix_sum",
+    "Q-LOCK": "fs_lock_arbitration",
+    "Q-RANGE": "fs_range_read",
+    "Q-TAIL": "fs_tail",
+}
+FS_R7_GREEN = {
     "Q-STAT": "fs_stat",
     "Q-LS": "fs_ls",
     "Q-DU": "fs_du",
@@ -40,90 +59,125 @@ FS_IN_WINDOW = {
     "Q-DELETE": "fs_delete",
     "Q-MKDIR": "fs_mkdirs",
 }
-FS_REPO_ORACLE = {
-    "Q-LSR": "fs_lsr",
-    "Q-DUS": "fs_dus",
-    "Q-SUBOFF": "fs_suboff_prefix_sum",
-    "Q-LOCK": "fs_lock_arbitration",
-    "Q-RANGE": "fs_range_read",
-    "Q-TAIL": "fs_tail",
-}
 
-# family → representative query inside the window
+# family → representative query inside the window. Families whose r7
+# rep rotated out keep coverage through a same-shape in-window rep; the
+# r7 rep itself is trailing-1 driver-green.
 FAMILIES = {
-    # q6/q3/q5 evicted with 6 green rounds each; the filter+agg shape is
-    # q1, join+agg is q2/q21, broadcast dims is q2's region→nation→
-    # supplier chain
+    # q1 stays as the filter+agg anchor (sf1-verified decimal lattice)
     "filter/projection + group agg": "q1_pricing_summary",
-    "equi-join + agg": "q2_min_cost_supplier",
-    "broadcast dims": "q2_min_cost_supplier",
-    "multi-join exists/not-exists": "q21_straggler_suppliers",
-    "skew remedy (salted join)": "rel_salted_skew_join",
-    "non-equi join": "fs_block_locations",
-    "as-of join": "asof_last_error_before_purchase",
-    "window ranking": "ann_bruteforce_topk",
-    # fs_suboff_prefix_sum evicted; the running-sum family rep is the
-    # trailing-30d RANGE-frame revenue window
-    "running sum window": "win_trailing_30d_revenue",
-    # topk shapes: BM25 top-k + ann row_number top-k
-    "sort+limit / top-k": "text_bm25_topk",
-    # setops_customer_years (DISTINCT variants) evicted after 6 green
-    # rounds; the ALL-variants battery is the harder, fresher rep
-    "set ops": "setops_all_variants",
-    # rollup_pricing evicted (6 green rounds); the Expand-based operator
-    # stays driver-checked via the CUBE grouping-sets battery
-    "rollup/cube/groupingsets": "cube_order_priorities",
-    # scalar_function_battery evicted (4 green rounds); the exact-
-    # moments battery is the fresher function-battery rep
-    "function battery": "stats_moments_battery",
+    # q2/q21 are r7-green; the 6-table profit join is the fresher rep
+    "equi-join + agg": "q9_product_profit",
+    "broadcast dims": "q9_product_profit",
+    "multi-join exists/not-exists": "rel_semi_anti_joins",
+    # rel_salted_skew_join is r7-green (trailing-1); the skew posture
+    # stays plan-pinned in tests/test_plans.py
+    "non-equi join (band/interval)": "fs_range_read",
+    "as-of / point-in-time join": "pit_feature_join",
+    "window ranking": "win_first_order_per_customer",
+    "running sum window": "fs_suboff_prefix_sum",
+    "sort+limit / top-k": "text_tfidf_topk",
+    # setops_all_variants r7-green; snapshot-diff EXCEPT shapes stay
+    # repo-oracle. Rollup/cube rotates to the grouping-sets Markov cube
+    # (cube_order_priorities r7-green)
+    "rollup/cube/groupingsets": "events_markov_transitions",
+    "function battery": "quantile_battery",
+    "unpivot / reshape": "unpivot_part_measures",
+    "disjunctive pushdown": "q19_disjunctive_filter",
+    "correlated scalar subquery": "q17_small_quantity_revenue",
 }
 
 # §2.C class → representative inside the window
 CLASSES = {
-    "dedup (banded LSH)": "dedup_minhash_lsh",
-    "dedup (LSH tuning S-curve)": "dedup_lsh_tuning",
-    "semantic dedup": "dedup_semantic",
-    "similarity (exact top-k)": "ann_bruteforce_topk",
-    "similarity (compressed / PQ-ADC)": "ann_pq_adc",
-    "similarity (JL projection)": "emb_random_projection",
-    "clustering (iterative)": "emb_kmeans_elbow",
-    "dimensionality (PCA)": "emb_pca_power_iteration",
-    "text (LM)": "text_kneser_ney_bigram",
-    "text (lang id)": "text_lang_id",
-    "text (quality)": "text_quality_score",
-    "text (retrieval)": "text_bm25_topk",
-    "multimodal (real decode)": "multimodal_scene_cuts",
-    "multimodal (near-dup)": "multimodal_phash_dedup",
-    "sampling (priority/PPS)": "sample_reservoir_priority",
-    "splits (stratified)": "split_exact_stratified",
-    "packing": "pack_sequences",
-    "decontamination": "split_semantic_contamination",
-    "streaming": "streaming_session_windows",
+    "dedup (signature banding)": "dedup_simhash_pairs",
+    "dedup (entity resolution)": "dedup_entity_snm",
+    "similarity (IVF pruned)": "ann_ivf_multiprobe",
+    "similarity (diversity re-rank)": "retrieval_mmr_topk",
+    "retrieval (lexical ranking)": "text_tfidf_topk",
+    "retrieval (hybrid fusion)": "hybrid_search_topk",
+    "retrieval (boolean)": "retrieval_boolean_query",
+    "multimodal (audio decode)": "multimodal_audio_vad",
+    "multimodal (image decode)": "multimodal_image_tiles",
+    "sampling (importance/DSIR)": "importance_sample_dsir",
+    "sampling (coreset)": "sample_coreset_kcenter",
+    "splits (temporal)": "split_temporal_holdout",
+    "packing": "pack_length_buckets",
+    "source formats (ORC)": "corpus_orc_roundtrip",
+    "corpus lifecycle (takedown)": "corpus_takedown_audit",
+    "streaming (chained stateful)": "streaming_windowed_peak",
+    "streaming (dedup ingest)": "streaming_dedup_ingest",
     "connector": "fs_connector_roundtrip",
-    "sessionization": "sessionize_events",
-    "gap fill": "events_gap_fill",
-    "causal readout (diff-in-diff)": "events_diff_in_diff",
-    "mergeable sketches (CM)": "heavy_hitters_countmin",
-    "graph (iterative)": "graph_kcore_decomposition",
-    "market basket (PCY)": "basket_pairs_pcy",
-    "privacy": "privacy_t_closeness",
-    "FP&A (Pareto/ABC)": "orders_pareto_abc",
-    "eval (conformal)": "eval_conformal_threshold",
-    "capstone corpus build": "corpus_build_train",
+    "funnel": "events_conversion_funnel",
+    "cohort retention": "events_cohort_retention",
+    "attribution": "events_attribution",
+    "survival analysis": "events_survival_km",
+    "forecasting": "orders_holt_linear_forecast",
+    "causal readout (A/B test)": "events_two_proportion_test",
+    "mergeable sketches (HLL merge)": "approx_distinct_hll_merged",
+    "graph (fixpoint)": "graph_pagerank_tokens",
+    "graph (communities)": "graph_label_propagation",
+    "privacy": "privacy_k_anonymity",
+    "eval (calibration)": "eval_calibration_ece",
+    "fs analytics (audit/profile)": "fs_permission_audit",
 }
 
-# Evicted §2.C veterans that must STAY registered + oracled (repo
-# replica keeps hash-checking them every test run).
+# Evicted veterans that must STAY registered + oracled (repo replica
+# keeps hash-checking them every test run). The r7 window's 42 evicted
+# names all carry trailing-1 driver-green rows.
 EVICTED_STAY_ORACLED = [
+    # r7 window, all green in CORRECTNESS_r07
+    "fs_stat",
+    "fs_ls",
+    "fs_du",
+    "fs_count",
+    "fs_len_from_blocks",
+    "fs_block_locations",
+    "fs_content",
+    "fs_getmerge",
+    "fs_rename",
+    "fs_delete",
+    "fs_mkdirs",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "q2_min_cost_supplier",
+    "setops_all_variants",
+    "q21_straggler_suppliers",
+    "rel_salted_skew_join",
+    "sessionize_events",
+    "asof_last_error_before_purchase",
+    "events_gap_fill",
+    "events_diff_in_diff",
+    "heavy_hitters_countmin",
+    "graph_kcore_decomposition",
+    "stats_moments_battery",
+    "basket_pairs_pcy",
+    "cube_order_priorities",
+    "privacy_t_closeness",
+    "orders_pareto_abc",
+    "win_trailing_30d_revenue",
+    "eval_conformal_threshold",
+    "dedup_semantic",
+    "text_kneser_ney_bigram",
+    "text_lang_id",
+    "text_quality_score",
+    "text_bm25_topk",
+    "split_semantic_contamination",
+    "emb_pca_power_iteration",
+    "emb_kmeans_elbow",
+    "ann_pq_adc",
+    "emb_random_projection",
+    "dedup_lsh_tuning",
+    "sample_reservoir_priority",
+    "split_exact_stratified",
+    "pack_sequences",
+    "multimodal_scene_cuts",
+    "multimodal_phash_dedup",
+    "streaming_session_windows",
+    "corpus_build_train",
+    # older evicted veterans (r1-r6 green rows)
     "q3_shipping_priority",
     "q5_regional_revenue",
     "q6_revenue_forecast",
-    "fs_lsr",
-    "fs_dus",
-    "fs_suboff_prefix_sum",
-    "fs_lock_arbitration",
-    "fs_range_read",
-    "fs_tail",
     "fs_fsck",
     "dedup_prefix_filter",
     "dedup_span_ngrams",
@@ -168,19 +222,29 @@ def test_window_order_and_span():
         assert q in window, f"{target} ({q}) fell outside the driver's window"
 
 
+def test_fs_skeleton_trailing_cadence():
+    """Every §2.B Q-* target is either in the current window or has a
+    driver-green row in the trailing rounds (r7 VERDICT #7)."""
+    for target, q in FS_R7_GREEN.items():
+        assert q in DRIVER_CHECKED, (
+            f"{target} ({q}) rotated out without a prior driver-green row"
+        )
+
+
 def test_rotation_freshness():
-    """≥50% of the window must be first-time driver rows (r6 VERDICT #1).
-    Skipped-degrade: if no CORRECTNESS artifacts exist (fresh clone),
+    """≥35/50 window slots must be first-time driver rows while the
+    never-checked backlog exceeds 100 (r7 VERDICT #3). Skipped-degrade:
+    if no prior CORRECTNESS artifacts exist (fresh clone),
     DRIVER_CHECKED is empty and every slot counts as fresh."""
     fresh = [n for n in PRIORITY if n not in DRIVER_CHECKED]
-    assert len(fresh) >= WINDOW // 2, (
+    assert len(fresh) >= 35, (
         f"only {len(fresh)}/{WINDOW} window slots are first-time driver rows"
     )
 
 
 def test_evicted_veterans_stay_oracled():
     reg = load_all()
-    for name in EVICTED_STAY_ORACLED + list(FS_REPO_ORACLE.values()):
+    for name in EVICTED_STAY_ORACLED + list(FS_R7_GREEN.values()):
         assert name in reg, f"evicted veteran {name} fell out of the registry"
         assert reg[name].oracle is not None, f"{name} lost its oracle"
 
@@ -190,3 +254,11 @@ def test_window_is_oracle_checked():
     reg = load_all()
     for name in list(reg)[:WINDOW]:
         assert reg[name].oracle is not None, f"{name} has no oracle in the window"
+
+
+def test_registry_fully_oracled():
+    """r7 VERDICT #5: zero un-oracled queries — approx_aggregates got
+    an error-bound oracle, so every registered query is hash-checked."""
+    reg = load_all()
+    unoracled = [n for n, q in reg.items() if q.oracle is None]
+    assert unoracled == [], f"un-oracled queries: {unoracled}"
