@@ -2457,10 +2457,21 @@ def events_two_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "num",
         "den",
-        # rule-7 trap: inputs are non-null, so a NULL product can only
-        # mean decimal(38,0) overflow — raise, don't mis-flag
+        # the cross-multiplied comparison legs can overflow decimal(38,0)
+        # on their own even when num/den fit, so materialize them first
+        (F.col("num") * 10000).alias("num_x"),
+        (F.col("den") * AB_CRIT_X10000).alias("den_x"),
+    ).select(
+        "num",
+        "den",
+        # rule-7 trap: inputs are non-null, so a NULL anywhere in the
+        # rational OR its comparison products can only mean decimal(38,0)
+        # overflow — raise, don't silently mis-flag `significant`
         F.when(
-            F.col("num").isNull() | F.col("den").isNull(),
+            F.col("num").isNull()
+            | F.col("den").isNull()
+            | F.col("num_x").isNull()
+            | F.col("den_x").isNull(),
             F.assert_true(
                 F.lit(False),
                 F.lit(
@@ -2469,9 +2480,7 @@ def events_two_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).cast("boolean"),
         )
-        .otherwise(
-            F.col("num") * 10000 > F.col("den") * AB_CRIT_X10000
-        )
+        .otherwise(F.col("num_x") > F.col("den_x"))
         .alias("sig"),
     )
     return arms.crossJoin(F.broadcast(stat)).select(
