@@ -60,17 +60,19 @@ def _assert_rank_bound(con, row: dict) -> None:
 
 
 def test_registered_query_golden_and_bounded(spark, exact):
-    """The registered query: HLL outputs bit-exact; quantiles within the
-    declared rank error of DuckDB's exact distribution; HLL counts within
-    3x rsd of exact distinct counts."""
+    """The registered query (error-bound oracle form, r7 VERDICT #5):
+    exact distincts match DuckDB bit-exact, and every within-bound flag
+    the oracle pins to constant 1 is in fact 1 — i.e. the sketch
+    estimates honored their published bounds on this fixture."""
     row = REG["approx_aggregates"].fn(spark, SF_ORACLE).collect()[0].asDict()
-    assert {k: row[k] for k in GOLDEN_HLL} == GOLDEN_HLL
     exact_parts, exact_orders = exact.execute(
         "SELECT COUNT(DISTINCT l_partkey), COUNT(DISTINCT l_orderkey) FROM lineitem"
     ).fetchone()
-    assert abs(row["approx_parts"] - exact_parts) <= 0.15 * exact_parts
-    assert abs(row["approx_orders"] - exact_orders) <= 0.15 * exact_orders
-    _assert_rank_bound(exact, row)
+    assert row["exact_parts"] == exact_parts
+    assert row["exact_orders"] == exact_orders
+    flags = [k for k in row if k.endswith("_within_eps") or k.endswith("_rank_eps")]
+    assert len(flags) == 5
+    assert all(row[k] == 1 for k in flags), {k: row[k] for k in flags}
 
 
 def test_quantile_sketch_golden_fixed_layout(spark):
