@@ -319,6 +319,23 @@ HEADLINE_R21 = [
 ]
 
 
+# Round-22 additions (round 8): Jaccard link prediction, KMV theta
+# sketch set algebra, NDCG@10 + average precision on the shared BM25
+# workload, seasonal-naive MASE, association rules, streaming CDC
+# upsert state.
+HEADLINE_R22 = [
+    "graph_jaccard_link_prediction",
+    "approx_kmv_theta_sketch",
+    "eval_ndcg_at_k",
+    "eval_pr_auc",
+    "orders_seasonal_naive_mase",
+    "mining_association_rules",
+    "streaming_cdc_upsert",
+    "graph_modularity_score",
+    "corpus_budget_apportionment",
+]
+
+
 # Cumulative round groups: drives BOTH the emitted rNN_comparable_subtotal
 # keys and the regression-alarm baselines, so a new round group added here
 # is automatically reported AND gated (code-review r5: the hand-copied
@@ -345,6 +362,7 @@ ROUNDS = [
     HEADLINE_R19,
     HEADLINE_R20,
     HEADLINE_R21,
+    HEADLINE_R22,
 ]
 
 

@@ -898,13 +898,17 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ROUNDS = 3
 
 
-def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
+def _lpa_ctes(rounds: int = LPA_ROUNDS) -> str:
+    """The LPA round chain as a WITH body (shared by the LPA oracle and
+    the modularity oracle, which scores the same labeling): minhash ->
+    cand -> und -> l0..l{rounds}, ending after l{rounds} with a
+    trailing comma."""
     from snackfs_spark.operators.dedup import _MINHASH_CTE
 
     # MATERIALIZED rounds for the same reason as _kcore_oracle: the
     # chain references each prior round twice; inlining would re-run
     # the shingle scan exponentially.
-    parts = ["WITH " + _MINHASH_CTE + ","]
+    parts = [_MINHASH_CTE + ","]
     parts.append(
         "cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         "FROM bands a JOIN bands b ON a.band = b.band "
@@ -930,13 +934,16 @@ def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
             f"SELECT doc_id, lbl, ROW_NUMBER() OVER (PARTITION BY doc_id "
             f"ORDER BY c DESC, lbl) AS rn FROM cnt{r}) WHERE rn = 1),"
         )
-    parts.append(
-        f"sizes AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size "
-        f"FROM l{rounds} GROUP BY lbl)"
-    )
+    return "\n".join(parts)
+
+
+def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
     return (
-        "\n".join(parts)
+        "WITH "
+        + _lpa_ctes(rounds)
         + f"""
+    sizes AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+              FROM l{rounds} GROUP BY lbl)
     SELECT l.doc_id, l.lbl AS community, s.community_size
     FROM l{rounds} l JOIN sizes s ON s.lbl = l.lbl
     """
@@ -1007,4 +1014,262 @@ def graph_label_propagation(
     )
     return labels.join(sizes.hint("shuffle_hash"), "lbl").select(
         "doc_id", F.col("lbl").alias("community"), "community_size"
+    )
+
+
+# --------------------------------------------- Jaccard link prediction ----
+#
+# Neighbor-overlap link prediction (Liben-Nowell & Kleinberg 2003) on
+# the undirected token graph: for every NON-edge pair with at least
+# one common neighbor, Jaccard(N(a), N(b)) = |common| / (deg a + deg b
+# - |common|) — exact integers and a ppm floor, no floats. The corpus
+# curation use: predicted-but-absent collocations mark vocabulary that
+# behaves substitutably (same contexts, never adjacent) — a synonym /
+# template-variant signal complementing the observed-edge lift ranking.
+LP_TOP = 100
+
+
+@register(
+    "graph_jaccard_link_prediction",
+    oracle=f"""
+    WITH {_GRAPH_CTES},
+    und AS (
+      SELECT LEAST(w1, w2) AS a, GREATEST(w1, w2) AS b FROM edges
+      GROUP BY 1, 2
+    ),
+    nbr AS (SELECT a AS v, b AS n FROM und UNION SELECT b, a FROM und),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM nbr GROUP BY v),
+    common AS (
+      SELECT x.v AS a, y.v AS b, CAST(COUNT(*) AS BIGINT) AS common_nbrs
+      FROM nbr x JOIN nbr y ON y.n = x.n AND x.v < y.v
+      GROUP BY x.v, y.v
+    ),
+    nonedge AS (
+      SELECT c.* FROM common c
+      LEFT JOIN und u ON u.a = c.a AND u.b = c.b
+      WHERE u.a IS NULL
+    )
+    SELECT a AS w1, b AS w2, common_nbrs,
+           da.d AS deg1, db.d AS deg2,
+           CAST((1000000 * common_nbrs) // (da.d + db.d - common_nbrs)
+                AS BIGINT) AS jaccard_ppm
+    FROM nonedge
+    JOIN deg da ON da.v = a
+    JOIN deg db ON db.v = b
+    QUALIFY ROW_NUMBER() OVER (ORDER BY jaccard_ppm DESC, w1, w2) <= {LP_TOP}
+    """,
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{LP_TOP} predicted links in the token graph: non-adjacent
+    token pairs ranked by exact neighbor-set Jaccard (common-neighbor
+    count, both degrees, ppm floor) — the substitutable-vocabulary
+    readout (same contexts, never co-adjacent).
+
+    Scale: the corpus pays only the shared bigram scan (|V|²-bounded
+    edge relation, PR_VOCAB vocabulary); the wedge join that counts
+    common neighbors is a self-join of the <= 2|E| neighbor relation on
+    the neighbor key (AQE handles hub skew), the existing-edge removal
+    is a broadcast anti-join, and the final ranking is one
+    TakeOrderedAndProject over a <= |V|² relation — no corpus-sized
+    shuffle anywhere past the shared scan."""
+    _, edges, _ = _token_graph(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nbr = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("n"))
+        .union(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
+        .localCheckpoint(eager=False)
+    )
+    deg = nbr.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    x = nbr.alias("x")
+    y = nbr.alias("y").hint("shuffle_hash")
+    common = (
+        x.join(y, (F.col("y.n") == F.col("x.n")) & (F.col("x.v") < F.col("y.v")))
+        .groupBy(F.col("x.v").alias("a"), F.col("y.v").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common_nbrs"))
+    )
+    nonedge = common.join(F.broadcast(und), ["a", "b"], "left_anti")
+    return (
+        nonedge.join(F.broadcast(deg.withColumnsRenamed({"v": "a", "d": "deg1"})), "a")
+        .join(F.broadcast(deg.withColumnsRenamed({"v": "b", "d": "deg2"})), "b")
+        .select(
+            F.col("a").alias("w1"),
+            F.col("b").alias("w2"),
+            "common_nbrs",
+            "deg1",
+            "deg2",
+            F.expr("(1000000 * common_nbrs) div (deg1 + deg2 - common_nbrs)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy(F.col("jaccard_ppm").desc(), "w1", "w2")
+        .limit(LP_TOP)
+    )
+
+
+# ------------------------------------------------ modularity score ----
+#
+# Newman-Girvan modularity of the LPA labeling on the SAME candidate
+# graph — the quality readout for graph_label_propagation's output
+# (did propagation find real structure, or shred it?). For undirected
+# graph with m edges, communities c with L_c intra-edges and degree
+# sum D_c:  Q = sum_c [ L_c/m - (D_c/2m)^2 ]  =  sum_c (4m*L_c - D_c^2)
+# / (4m^2). Every quantity is an exact integer on decimal(38,0)/
+# HUGEINT legs (4m^2 passes int64 once edges pass ~10^9, i.e. exactly
+# the 100 TB regime); contributions CAN be negative, and both engines'
+# integer division truncates toward zero (verified), so the ppm floor
+# is portable as-is. Exact rationals ride along as strings, the
+# chi-square convention.
+
+
+def _modularity_oracle(rounds: int = LPA_ROUNDS) -> str:
+    return (
+        "WITH "
+        + _lpa_ctes(rounds)
+        + f"""
+    m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM cand),
+    lab AS (SELECT doc_id, lbl AS community FROM l{rounds}),
+    intra AS (
+      SELECT la.community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+      FROM cand c
+      JOIN lab la ON la.doc_id = c.doc_a
+      JOIN lab lb ON lb.doc_id = c.doc_b AND lb.community = la.community
+      GROUP BY la.community
+    ),
+    deg AS (
+      SELECT doc_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS d
+      FROM und GROUP BY doc_a
+    ),
+    comm AS (
+      SELECT la.community,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d.d) AS BIGINT) AS degree_sum
+      FROM lab la JOIN deg d ON d.doc_id = la.doc_id
+      GROUP BY la.community
+    ),
+    contrib AS (
+      SELECT c.community, c.n_nodes,
+             COALESCE(i.intra_edges, 0) AS intra_edges,
+             c.degree_sum,
+             4 * m.m * COALESCE(i.intra_edges, 0)
+               - CAST(c.degree_sum AS HUGEINT) * c.degree_sum AS num
+      FROM comm c LEFT JOIN intra i ON i.community = c.community
+      CROSS JOIN m
+    ),
+    q AS (
+      SELECT CAST(SUM(num) AS HUGEINT) AS q_num,
+             CAST(4 AS HUGEINT) * MAX(m.m) * MAX(m.m) AS q_den
+      FROM contrib CROSS JOIN m
+    )
+    SELECT c.community, c.n_nodes, c.intra_edges, c.degree_sum,
+           CAST(c.num AS VARCHAR) AS contrib_num,
+           CAST(q.q_num AS VARCHAR) AS q_num,
+           CAST(q.q_den AS VARCHAR) AS q_den,
+           CAST((1000000 * q.q_num) // q.q_den AS BIGINT) AS q_ppm
+    FROM contrib c CROSS JOIN q
+    """
+    )
+
+
+@register("graph_modularity_score", oracle=_modularity_oracle())
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity audit of the LPA communities: per community its node
+    count, intra-edge count, degree sum, and exact contribution
+    numerator (4m*L_c - D_c², possibly negative), plus the global
+    modularity Q as an exact rational (q_num / q_den strings) and its
+    ppm truncation — the did-the-clustering-find-structure readout
+    (Q near 0 = no better than random; the same candidate graph and
+    labeling as graph_label_propagation, so the score audits exactly
+    what that operator shipped).
+
+    Scale: the corpus pays only the shared shingle -> signature -> band
+    pipeline plus the LPA rounds (candidate-sized); the scoring adds
+    two candidate-sized equi-joins (edge endpoints -> labels), one
+    degree aggregate, and community-sized algebra. The 4m² denominator
+    rides decimal(38,0) because it passes int64 at ~10^9 edges — the
+    100 TB regime, not a test-scale hypothetical."""
+    labels = (
+        graph_label_propagation(spark, sf_dir)
+        .select("doc_id", "community")
+        .localCheckpoint(eager=False)
+    )
+    from snackfs_spark.operators.dedup import minhash_bands_df
+
+    bands = minhash_bands_df(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b").hint("shuffle_hash")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = cand.union(
+        cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    d38 = "decimal(38,0)"
+    m = cand.agg(F.count(F.lit(1)).cast(d38).alias("m"))
+    la = labels.select(F.col("doc_id").alias("doc_a"), "community")
+    lb = labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("community").alias("community_b")
+    )
+    intra = (
+        cand.join(la.hint("shuffle_hash"), "doc_a")
+        .join(lb.hint("shuffle_hash"), "doc_b")
+        .filter(F.col("community") == F.col("community_b"))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    deg = und.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    comm = (
+        labels.join(deg.hint("shuffle_hash"), "doc_id")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("degree_sum"),
+        )
+    )
+    contrib = (
+        comm.join(F.broadcast(intra), "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+            "degree_sum",
+            (
+                F.lit(4).cast(d38) * F.col("m") * F.coalesce("intra_edges", F.lit(0))
+                - F.col("degree_sum").cast(d38) * F.col("degree_sum")
+            ).alias("num"),
+            F.col("m"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    q = contrib.agg(
+        F.sum("num").cast(d38).alias("q_num"),
+        (F.lit(4).cast(d38) * F.max("m") * F.max("m")).cast(d38).alias("q_den"),
+    )
+    return contrib.crossJoin(F.broadcast(q)).select(
+        "community",
+        "n_nodes",
+        "intra_edges",
+        "degree_sum",
+        F.col("num").cast(d38).cast("string").alias("contrib_num"),
+        F.col("q_num").cast("string").alias("q_num"),
+        F.col("q_den").cast("string").alias("q_den"),
+        F.expr("(CAST(1000000 AS decimal(38,0)) * q_num) div q_den")
+        .cast("long")
+        .alias("q_ppm"),
     )

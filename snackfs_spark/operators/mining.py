@@ -380,3 +380,132 @@ def basket_pairs_pcy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pair_support") >= F.col("minsup"))
         .select("part_a", "part_b", "pair_support")
     )
+
+
+# ------------------------------------------------- association rules ----
+#
+# Directional association rules from the frequent 2-itemsets: each
+# frequent pair {a, b} yields a -> b and b -> a with the three classic
+# measures — support (pair count), confidence P(b|a) and lift
+# P(b|a)/P(b) — all exact-integer ppm via cross-multiplied truncating
+# division (no floats; HUGEINT/decimal(38,0) legs where products can
+# pass int64). The rule table is what a recommender or inventory
+# planner actually consumes; the pair relation alone is symmetric and
+# hides the direction confidence lives on.
+RULE_MIN_CONF_PPM = 100_000  # 10%: drop rules the antecedent barely predicts
+
+
+@register(
+    "mining_association_rules",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM li),
+    item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS support FROM li GROUP BY l_partkey
+    ),
+    freq AS (SELECT l_partkey, support FROM item WHERE support >= {BASKET_MINSUP}),
+    b AS (SELECT li.l_orderkey, li.l_partkey FROM li JOIN freq USING (l_partkey)),
+    pairs AS (
+      SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS pair_support
+      FROM b x JOIN b y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {BASKET_MINSUP}
+    ),
+    rules AS (
+      SELECT part_a AS antecedent, part_b AS consequent, pair_support FROM pairs
+      UNION ALL
+      SELECT part_b, part_a, pair_support FROM pairs
+    )
+    SELECT r.antecedent, r.consequent, r.pair_support,
+           fa.support AS support_ante, fb.support AS support_cons,
+           CAST((1000000 * r.pair_support) // fa.support AS BIGINT)
+             AS confidence_ppm,
+           CAST((1000000 * CAST(r.pair_support AS HUGEINT) * n.n_baskets)
+                // (CAST(fa.support AS HUGEINT) * fb.support) AS BIGINT)
+             AS lift_ppm
+    FROM rules r
+    JOIN freq fa ON fa.l_partkey = r.antecedent
+    JOIN freq fb ON fb.l_partkey = r.consequent
+    CROSS JOIN n
+    WHERE (1000000 * r.pair_support) // fa.support >= {RULE_MIN_CONF_PPM}
+    """,
+)
+def mining_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules a -> b from the frequent order-basket pairs:
+    rule support, antecedent/consequent supports, confidence and lift
+    in exact ppm, filtered to confidence >= {RULE_MIN_CONF_PPM} ppm —
+    the directional readout (which item PREDICTS which) the symmetric
+    pair table can't express.
+
+    Scale: identical posture to basket_frequent_pairs (A-priori
+    downward closure — items prune before any pair is generated; pair
+    fan-out bounded by basket size), plus two broadcast joins of the
+    minsup-bounded item relation and one ppm filter. Rules are <= 2x
+    frequent pairs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n = li.agg(F.count_distinct("l_orderkey").cast("long").alias("n_baskets"))
+    item = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    freq = item.filter(F.col("support") >= BASKET_MINSUP).localCheckpoint(
+        eager=False
+    )
+    b = li.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+    x = b.alias("x")
+    y = b.alias("y").hint("shuffle_hash")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_support"))
+        .filter(F.col("pair_support") >= BASKET_MINSUP)
+    )
+    rules = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "pair_support",
+    ).unionByName(
+        pairs.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "pair_support",
+        )
+    )
+    fa = freq.select(
+        F.col("l_partkey").alias("antecedent"), F.col("support").alias("support_ante")
+    )
+    fb = freq.select(
+        F.col("l_partkey").alias("consequent"), F.col("support").alias("support_cons")
+    )
+    return (
+        rules.join(F.broadcast(fa), "antecedent")
+        .join(F.broadcast(fb), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_support",
+            "support_ante",
+            "support_cons",
+            F.expr("(1000000 * pair_support) div support_ante")
+            .cast("long")
+            .alias("confidence_ppm"),
+            F.expr(
+                "(CAST(1000000 AS decimal(38,0)) * pair_support * n_baskets)"
+                " div (CAST(support_ante AS decimal(38,0)) * support_cons)"
+            )
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .filter(F.col("confidence_ppm") >= RULE_MIN_CONF_PPM)
+    )

@@ -4862,3 +4862,169 @@ def orders_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("stable"),
     )
+
+
+# ------------------------------------------------ KMV / theta sketch ----
+#
+# K-minimum-values (theta) distinct sketch (Bar-Yossef et al. 2002;
+# Dasgupta et al., "Theta Sketch Framework", 2016) — the OTHER
+# mergeable-distinct sketch family next to the explicit-register HLL
+# (approx_distinct_hll / approx_overlap_hll). Where HLL intersections
+# go through inclusion-exclusion (error compounds), a theta sketch is a
+# uniform hash SAMPLE of the key space below a threshold, so set
+# algebra happens on the retained values themselves: union = values
+# below min(theta_a, theta_b); intersection = retained values present
+# in BOTH. Estimates are |retained| * M / theta on the shared md5_fp
+# 60-bit lattice (M = 2^60) — every quantity here is integer-exact and
+# identical across engines, so the oracle hash-matches the ESTIMATES,
+# not just error flags. This is the unbounded-union variant (the
+# retained union set is not re-capped at K; with per-group sketches
+# <= K rows the union is <= 2K rows — the cap matters only for deep
+# union chains, which approx_hll_daily_union covers).
+KMV_K = 256
+KMV_M = 1 << 60
+
+
+@register(
+    "approx_kmv_theta_sketch",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS v
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM h
+    ),
+    sk AS (SELECT event_type, v, rn, n FROM ranked WHERE rn <= {KMV_K}),
+    theta AS (
+      SELECT event_type,
+             CAST(MAX(n) AS BIGINT) AS n_exact,
+             CASE WHEN MAX(n) >= {KMV_K} THEN MAX(v) ELSE {KMV_M} END AS theta,
+             CASE WHEN MAX(n) >= {KMV_K}
+                  THEN CAST((CAST({KMV_K - 1} AS HUGEINT) * {KMV_M}) // MAX(v) AS BIGINT)
+                  ELSE CAST(MAX(n) AS BIGINT) END AS est_distinct
+      FROM sk GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             LEAST(a.theta, b.theta) AS theta_u,
+             a.est_distinct AS est_a, b.est_distinct AS est_b
+      FROM theta a JOIN theta b ON a.event_type < b.event_type
+    ),
+    uni AS (
+      SELECT p.ta, p.tb, p.theta_u, p.est_a, p.est_b,
+             CAST(COUNT(DISTINCT s.v) AS BIGINT) AS n_union_retained,
+             CAST(COUNT(DISTINCT CASE WHEN o2.v IS NOT NULL THEN s.v END)
+                  AS BIGINT) AS n_common
+      FROM pairs p
+      JOIN sk s ON s.event_type IN (p.ta, p.tb) AND s.v < p.theta_u
+      LEFT JOIN sk o2 ON o2.v = s.v
+        AND o2.event_type = CASE WHEN s.event_type = p.ta THEN p.tb ELSE p.ta END
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT ta, tb, est_a, est_b, n_union_retained, n_common,
+           CAST((CAST(n_union_retained AS HUGEINT) * {KMV_M}) // theta_u
+                AS BIGINT) AS est_union,
+           CAST((CAST(n_common AS HUGEINT) * {KMV_M}) // theta_u
+                AS BIGINT) AS est_intersect
+    FROM uni
+    """,
+)
+def approx_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience set algebra on KMV/theta sketches: per
+    event-type pair the per-side distinct estimates, the retained
+    union-sample and common-value counts below the merged threshold,
+    and the union / intersection estimates — all integer-exact on the
+    md5_fp lattice, so the oracle checks the estimator itself.
+
+    Scale: one scan collapses to DISTINCT (type, hash) map-side; the
+    per-group K smallest survive a WindowGroupLimit-shaped rank (top-K
+    ascending per group — partial per partition, never a global sort);
+    everything after operates on <= K rows per group (the mergeable
+    sketch property: ship K values per group, not the audience)."""
+    ev = fan_out(load_table(spark, sf_dir, "events"), spark)
+    from snackfs_spark.functions import md5_fp
+
+    h = ev.select(
+        "event_type", md5_fp(F.col("user_id").cast("string")).alias("v")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("v")
+    ranked = h.select(
+        "event_type",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    sk = ranked.filter(F.col("rn") <= KMV_K).localCheckpoint(eager=False)
+    # estimate on the exact integer lattice: (K-1)*M div theta (decimal
+    # legs — K*M exceeds int64; `div` truncates like DuckDB's //)
+    theta = sk.groupBy("event_type").agg(
+        F.when(F.max("n") >= KMV_K, F.max("v")).otherwise(F.lit(KMV_M)).alias("theta"),
+        F.when(
+            F.max("n") >= KMV_K,
+            F.expr(
+                f"CAST(CAST({KMV_K - 1} AS decimal(38,0)) * {KMV_M} AS decimal(38,0))"
+                f" div CAST(max(v) AS decimal(38,0))"
+            ),
+        )
+        .otherwise(F.max("n"))
+        .cast("long")
+        .alias("est_distinct"),
+    )
+    a = theta.alias("a")
+    b = theta.alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+            F.least("a.theta", "b.theta").alias("theta_u"),
+            F.col("a.est_distinct").alias("est_a"),
+            F.col("b.est_distinct").alias("est_b"),
+        )
+    )
+    s = sk.select("event_type", "v")
+    both = sk.select(F.col("event_type").alias("bt"), F.col("v").alias("bv"))
+    uni = pairs.join(
+        F.broadcast(s),
+        ((F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb")))
+        & (F.col("v") < F.col("theta_u")),
+    )
+    uni = (
+        uni.join(
+            F.broadcast(both),
+            (F.col("bv") == F.col("v"))
+            & (
+                F.col("bt")
+                == F.when(F.col("event_type") == F.col("ta"), F.col("tb")).otherwise(
+                    F.col("ta")
+                )
+            ),
+            "left",
+        )
+        .groupBy("ta", "tb", "theta_u", "est_a", "est_b")
+        .agg(
+            F.count_distinct("v").cast("long").alias("n_union_retained"),
+            F.count_distinct(F.when(F.col("bv").isNotNull(), F.col("v")))
+            .cast("long")
+            .alias("n_common"),
+        )
+    )
+    est = lambda c: F.expr(  # noqa: E731
+        f"CAST(CAST({c} AS decimal(38,0)) * {KMV_M} AS decimal(38,0))"
+        f" div CAST(theta_u AS decimal(38,0))"
+    ).cast("long")
+    return uni.select(
+        "ta",
+        "tb",
+        "est_a",
+        "est_b",
+        "n_union_retained",
+        "n_common",
+        est("n_union_retained").alias("est_union"),
+        est("n_common").alias("est_intersect"),
+    )

@@ -2492,3 +2492,104 @@ def events_two_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("den").cast("string").alias("chi2_den"),
         F.col("sig").cast("long").alias("significant"),
     )
+
+
+# ------------------------------------ budget apportionment (Hamilton) ----
+#
+# Exact token-budget apportionment across sources by the Hamilton /
+# largest-remainder method: each source's ideal share of the global
+# budget is B * w_s / W (an exact rational); every source gets the
+# floor, and the R = B - sum(floors) leftover seats go to the R largest
+# remainders (B*w_s mod W), ties to the lexicographically smallest
+# source. The output quotas sum to EXACTLY B — the property
+# proportional-rounding by multiplication cannot give — which is what a
+# sampling pass downstream needs (mixture_temperature reweights
+# shares; this turns shares into integral per-source quotas).
+APPORTION_BUDGET = 100_000  # tokens
+
+
+@register(
+    "corpus_budget_apportionment",
+    oracle=f"""
+    WITH w AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM w),
+    q AS (
+      SELECT w.source, w.tokens, tot.total,
+             ({APPORTION_BUDGET} * w.tokens) // tot.total AS floor_quota,
+             ({APPORTION_BUDGET} * w.tokens) % tot.total AS remainder_num
+      FROM w CROSS JOIN tot
+    ),
+    r AS (
+      SELECT CAST({APPORTION_BUDGET} - SUM(floor_quota) AS BIGINT) AS leftover
+      FROM q
+    ),
+    ranked AS (
+      SELECT q.*, r.leftover,
+             ROW_NUMBER() OVER (ORDER BY q.remainder_num DESC, q.source)
+               AS rem_rank
+      FROM q CROSS JOIN r
+    )
+    SELECT source, tokens,
+           CAST((1000000 * tokens) // total AS BIGINT) AS share_ppm,
+           CAST(floor_quota AS BIGINT) AS floor_quota,
+           CAST(remainder_num AS BIGINT) AS remainder_num,
+           CAST(CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS extra_token,
+           CAST(floor_quota + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS final_quota
+    FROM ranked
+    """,
+)
+def corpus_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integral per-source token quotas for a {APPORTION_BUDGET}-token
+    build by largest-remainder apportionment: per source its token
+    weight, exact ppm share, floored ideal quota, the remainder that
+    competes for leftover tokens, and the final quota — final quotas
+    sum to EXACTLY the budget (the invariant multiplicative rounding
+    breaks, and the reason quota systems use Hamilton's method).
+
+    Scale: ONE corpus scan collapses map-side onto sources; everything
+    after is |sources|-sized exact-integer algebra (the remainder rank
+    is a window over the source relation, bounded by the catalog, not
+    the corpus)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens")
+    )
+    tot = w.agg(F.sum("tokens").cast("long").alias("total"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        "total",
+        F.expr(f"({APPORTION_BUDGET} * tokens) div total").alias("floor_quota"),
+        (F.lit(APPORTION_BUDGET) * F.col("tokens") % F.col("total")).alias(
+            "remainder_num"
+        ),
+    )
+    r = q.agg(
+        (F.lit(APPORTION_BUDGET) - F.sum("floor_quota")).cast("long").alias(
+            "leftover"
+        )
+    )
+    ranked = q.crossJoin(F.broadcast(r)).withColumn(
+        "rem_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("remainder_num").desc(), F.col("source"))
+        ),
+    )
+    extra = F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+    return ranked.select(
+        "source",
+        "tokens",
+        F.expr("(1000000 * tokens) div total").cast("long").alias("share_ppm"),
+        F.col("floor_quota").cast("long").alias("floor_quota"),
+        F.col("remainder_num").cast("long").alias("remainder_num"),
+        extra.cast("long").alias("extra_token"),
+        (F.col("floor_quota") + extra).cast("long").alias("final_quota"),
+    )

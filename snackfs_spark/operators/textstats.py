@@ -1910,7 +1910,12 @@ EVAL_RETRIEVAL_QUERIES: dict[str, tuple[str, ...]] = {
 }
 
 
-def _retrieval_oracle() -> str:
+def _retrieval_ctes() -> str:
+    """Shared oracle CTE block (workload -> BM25 top-k -> relevance ->
+    per-query relevant counts) — the SQL mirror of
+    ``_retrieval_rank_rel``; eval_retrieval_ranks / eval_ndcg_at_k /
+    eval_pr_auc all append their metric to this same prefix so the
+    three oracles can never drift apart."""
     qvals = ", ".join(
         f"('{qid}', '{t}')"
         for qid, terms in EVAL_RETRIEVAL_QUERIES.items()
@@ -1922,7 +1927,7 @@ def _retrieval_oracle() -> str:
     k1 = f"{BM25_K1_NUM}.0 / {BM25_K1_DEN}"
     b = f"{BM25_B_NUM}.0 / {BM25_B_DEN}"
     return f"""
-    WITH q(query_id, token) AS (VALUES {qvals}),
+    q(query_id, token) AS (VALUES {qvals}),
     qsize(query_id, n_terms) AS (VALUES {qsizes}),
     toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
@@ -1967,7 +1972,12 @@ def _retrieval_oracle() -> str:
       HAVING COUNT(DISTINCT tf.token) = s.n_terms
     ),
     nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
-             FROM rel GROUP BY query_id)
+             FROM rel GROUP BY query_id)"""
+
+
+def _retrieval_oracle() -> str:
+    return f"""
+    WITH {_retrieval_ctes()}
     SELECT s.query_id,
            COALESCE(nr.n_rel, 0) AS n_rel,
            CAST(COUNT(r.doc_id) AS BIGINT) AS rel_in_topk,
@@ -1981,19 +1991,14 @@ def _retrieval_oracle() -> str:
     """
 
 
-@register("eval_retrieval_ranks", oracle=_retrieval_oracle())
-def eval_retrieval_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking eval of the BM25 retriever over a fixed 3-query
-    workload: per query, the corpus relevant-doc count (docs containing
-    ALL query terms), how many relevant docs made the top-20, and the
-    rank of the first relevant hit (NULL if none) — the integer
-    substrate of MRR and recall@k.
-
-    Scale: one token scan feeds everything; per-query term stats are
-    query-sized broadcasts, only matching postings join, the per-query
-    ranking is a WindowGroupLimit top-k (partial per partition, never a
-    global sort of non-candidates), and the relevance set is an
-    AND-semi-join over the same postings. Output is |queries| rows."""
+def _retrieval_rank_rel(spark: SparkSession, sf_dir: str):
+    """Shared BM25 ranking + relevance pipeline for the retrieval-eval
+    family: (qsize, topk, rel, nrel) — the Spark mirror of
+    ``_retrieval_ctes``. One token scan feeds everything; per-query
+    term stats are query-sized broadcasts, only matching postings join,
+    the per-query ranking is a WindowGroupLimit top-k, and the
+    relevance set is an AND-count over the same (localCheckpointed)
+    postings relation."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     qterms = spark.createDataFrame(
         [
@@ -2050,6 +2055,22 @@ def eval_retrieval_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id")
     )
     nrel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    return qsize, topk, rel, nrel
+
+
+@register("eval_retrieval_ranks", oracle=_retrieval_oracle())
+def eval_retrieval_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking eval of the BM25 retriever over a fixed 3-query
+    workload: per query, the corpus relevant-doc count (docs containing
+    ALL query terms), how many relevant docs made the top-20, and the
+    rank of the first relevant hit (NULL if none) — the integer
+    substrate of MRR and recall@k.
+
+    Scale: the shared ``_retrieval_rank_rel`` pipeline (one token scan,
+    broadcast term stats, WindowGroupLimit top-k, AND-semi-join
+    relevance); this query adds only |queries|-sized joins on top.
+    Output is |queries| rows."""
+    qsize, topk, rel, nrel = _retrieval_rank_rel(spark, sf_dir)
     hits = topk.join(
         rel.withColumn("is_rel", F.lit(1)), ["query_id", "doc_id"], "left"
     )
@@ -2072,6 +2093,191 @@ def eval_retrieval_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("rel_in_topk"),
             "first_rel_rank",
+        )
+    )
+
+
+# Graded ranking metrics on the shared BM25 workload. Both stay on the
+# exact integer lattice so the oracle checks the metric itself:
+# - NDCG's 1/log2(i+1) discounts are irrational, so they are
+#   PRECOMPUTED once in Python as micro-unit integers and injected into
+#   BOTH plans as a literal table — engine parity by construction, the
+#   same injected-constant trick as the perceptron weights.
+# - Average precision uses per-position P@k floored to ppm BEFORE the
+#   sum (a deterministic, well-defined quantity: the mean of floored
+#   precisions at relevant ranks), then floors the mean — truncating
+#   integer division agrees across engines; float P@k sums would not.
+NDCG_K = 10
+_NDCG_W = {
+    i: round(1_000_000 / __import__("math").log2(i + 1))
+    for i in range(1, BM25_TOP + 1)
+}
+
+
+def _ndcg_oracle() -> str:
+    wvals = ", ".join(f"({i}, {w})" for i, w in _NDCG_W.items())
+    return f"""
+    WITH {_retrieval_ctes()},
+    w(rn, wgt) AS (VALUES {wvals}),
+    dcg AS (
+      SELECT t.query_id, CAST(SUM(w.wgt) AS BIGINT) AS dcg_micro
+      FROM topk t
+      JOIN rel r ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+      JOIN w ON w.rn = t.rn
+      WHERE t.rn <= {NDCG_K}
+      GROUP BY t.query_id
+    ),
+    idcg AS (
+      SELECT nr.query_id, CAST(SUM(w.wgt) AS BIGINT) AS idcg_micro
+      FROM nrel nr JOIN w ON w.rn <= LEAST(nr.n_rel, {NDCG_K})
+      GROUP BY nr.query_id
+    )
+    SELECT s.query_id,
+           COALESCE(nr.n_rel, 0) AS n_rel,
+           COALESCE(d.dcg_micro, 0) AS dcg_micro,
+           COALESCE(i.idcg_micro, 0) AS idcg_micro,
+           CAST(CASE WHEN COALESCE(i.idcg_micro, 0) > 0
+                THEN (1000000 * COALESCE(d.dcg_micro, 0)) // i.idcg_micro
+                ELSE 0 END AS BIGINT) AS ndcg_ppm
+    FROM qsize s
+    LEFT JOIN nrel nr ON nr.query_id = s.query_id
+    LEFT JOIN dcg d ON d.query_id = s.query_id
+    LEFT JOIN idcg i ON i.query_id = s.query_id
+    """
+
+
+@register("eval_ndcg_at_k", oracle=_ndcg_oracle())
+def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{NDCG_K} of the BM25 retriever per workload query: the
+    discounted cumulative gain over relevant docs in the top-{NDCG_K}
+    (micro-unit integer discounts), the ideal DCG for the query's
+    relevant count, and their ppm ratio — the position-sensitive
+    ranking score MRR/recall@k flatten away.
+
+    Scale: the shared ``_retrieval_rank_rel`` pipeline does all data
+    work; the metric itself is |queries| x {NDCG_K} arithmetic over a
+    broadcast literal weight table."""
+    qsize, topk, rel, nrel = _retrieval_rank_rel(spark, sf_dir)
+    w = spark.createDataFrame(list(_NDCG_W.items()), "rn int, wgt long")
+    dcg = (
+        topk.filter(F.col("rn") <= NDCG_K)
+        .join(rel, ["query_id", "doc_id"])
+        .join(F.broadcast(w), "rn")
+        .groupBy("query_id")
+        .agg(F.sum("wgt").cast("long").alias("dcg_micro"))
+    )
+    idcg = (
+        nrel.crossJoin(F.broadcast(w))
+        .filter(F.col("rn") <= F.least(F.col("n_rel"), F.lit(NDCG_K)))
+        .groupBy("query_id")
+        .agg(F.sum("wgt").cast("long").alias("idcg_micro"))
+    )
+    return (
+        qsize.select("query_id")
+        .join(F.broadcast(nrel), "query_id", "left")
+        .join(F.broadcast(dcg), "query_id", "left")
+        .join(F.broadcast(idcg), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
+            F.coalesce("dcg_micro", F.lit(0)).cast("long").alias("dcg_micro"),
+            F.coalesce("idcg_micro", F.lit(0)).cast("long").alias("idcg_micro"),
+            F.when(
+                F.coalesce("idcg_micro", F.lit(0)) > 0,
+                F.expr("(1000000 * coalesce(dcg_micro, 0)) div idcg_micro"),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("ndcg_ppm"),
+        )
+    )
+
+
+def _pr_auc_oracle() -> str:
+    return f"""
+    WITH {_retrieval_ctes()},
+    hits AS (
+      SELECT t.query_id, t.rn,
+             CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+      FROM topk t
+      LEFT JOIN rel r ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+    ),
+    prec AS (
+      SELECT query_id, rn, is_rel,
+             (1000000 * SUM(is_rel) OVER (PARTITION BY query_id ORDER BY rn))
+               // rn AS p_ppm
+      FROM hits
+    ),
+    ap AS (
+      SELECT query_id,
+             CAST(SUM(CASE WHEN is_rel = 1 THEN p_ppm ELSE 0 END) AS BIGINT)
+               AS sum_p_ppm
+      FROM prec GROUP BY query_id
+    )
+    SELECT s.query_id,
+           COALESCE(nr.n_rel, 0) AS n_rel,
+           COALESCE(a.sum_p_ppm, 0) AS sum_p_ppm,
+           CAST(CASE WHEN COALESCE(nr.n_rel, 0) > 0
+                THEN COALESCE(a.sum_p_ppm, 0) // LEAST(nr.n_rel, {BM25_TOP})
+                ELSE 0 END AS BIGINT) AS ap_ppm
+    FROM qsize s
+    LEFT JOIN nrel nr ON nr.query_id = s.query_id
+    LEFT JOIN ap a ON a.query_id = s.query_id
+    """
+
+
+@register("eval_pr_auc", oracle=_pr_auc_oracle())
+def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (the PR-curve area) at {BM25_TOP} of the BM25
+    retriever per workload query: cumulative P@k floored to ppm at each
+    relevant rank, summed, and divided by min(n_rel, {BM25_TOP}) — the
+    order-sensitive companion to eval_quality_auc's ROC readout
+    (PR-AUC is the one that stays informative under class imbalance,
+    the usual regime for retrieval relevance).
+
+    Scale: the shared ``_retrieval_rank_rel`` pipeline does all data
+    work; the metric is a |queries| x {BM25_TOP} running-sum window on
+    the already-ranked top-k relation."""
+    qsize, topk, rel, nrel = _retrieval_rank_rel(spark, sf_dir)
+    hits = topk.join(
+        rel.withColumn("is_rel", F.lit(1)), ["query_id", "doc_id"], "left"
+    ).select(
+        "query_id", "rn", F.coalesce("is_rel", F.lit(0)).alias("is_rel")
+    )
+    prec = hits.select(
+        "query_id",
+        "rn",
+        "is_rel",
+        F.expr("1000000 * sum(is_rel) over (partition by query_id order by rn)")
+        .cast("long")
+        .alias("cum_scaled"),
+    ).select(
+        "query_id",
+        "is_rel",
+        F.expr("cum_scaled div rn").alias("p_ppm"),
+    )
+    ap = prec.groupBy("query_id").agg(
+        F.sum(F.when(F.col("is_rel") == 1, F.col("p_ppm")).otherwise(0))
+        .cast("long")
+        .alias("sum_p_ppm")
+    )
+    return (
+        qsize.select("query_id")
+        .join(F.broadcast(nrel), "query_id", "left")
+        .join(F.broadcast(ap), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
+            F.coalesce("sum_p_ppm", F.lit(0)).cast("long").alias("sum_p_ppm"),
+            F.when(
+                F.coalesce("n_rel", F.lit(0)) > 0,
+                F.expr(
+                    f"coalesce(sum_p_ppm, 0) div least(n_rel, {BM25_TOP})"
+                ),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("ap_ppm"),
         )
     )
 

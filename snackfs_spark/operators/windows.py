@@ -2385,3 +2385,131 @@ def events_conformance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.orderBy(
         F.col("n_violations").desc(), F.col("user_id")
     ).limit(CONFORM_TOP)
+
+
+# --------------------------------- seasonal-naive forecast + MASE ----
+#
+# Seasonal-naive forecasting with MASE (Hyndman & Koehler 2006) over
+# the monthly revenue series: forecast_t = y_{t-12} (same month last
+# year), scored by the Mean Absolute SCALED Error — the seasonal
+# forecast's mean |error| divided by the in-sample mean |error| of the
+# one-step random-walk naive (y_{t-1}), the denominator that makes the
+# score unit-free and comparable across series. MASE < 1e6 ppm means
+# seasonality beats the random walk. Companion to
+# orders_holt_linear_forecast (trend smoothing) — this is the
+# seasonality benchmark every fancier model must beat. All error sums
+# are exact int64 cents; the final ratio is cross-multiplied on
+# decimal(38,0)/HUGEINT legs and floored to ppm.
+SN_LAG = 12  # months
+
+
+@register(
+    "orders_seasonal_naive_mase",
+    oracle=f"""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mo,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS yc
+      FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(mo) AS lo, MAX(mo) AS hi FROM m),
+    axis AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS mo
+      FROM bounds
+    ),
+    y AS (
+      SELECT a.mo, CAST(COALESCE(m.yc, 0) AS BIGINT) AS yc
+      FROM axis a LEFT JOIN m ON m.mo = a.mo
+    ),
+    lagged AS (
+      SELECT mo, yc,
+             LAG(yc, {SN_LAG}) OVER (ORDER BY mo) AS fc,
+             LAG(yc, 1) OVER (ORDER BY mo) AS prev
+      FROM y
+    ),
+    scale AS (
+      SELECT CAST(SUM(CASE WHEN fc IS NOT NULL THEN abs(yc - fc) END)
+                  AS BIGINT) AS num,
+             CAST(COUNT(fc) AS BIGINT) AS cn,
+             CAST(SUM(CASE WHEN prev IS NOT NULL THEN abs(yc - prev) END)
+                  AS BIGINT) AS den,
+             CAST(COUNT(prev) AS BIGINT) AS cd
+      FROM lagged
+    )
+    SELECT strftime(l.mo, '%Y-%m') AS month,
+           l.yc AS revenue_cents,
+           l.fc AS seasonal_forecast_cents,
+           CAST(CASE WHEN l.fc IS NOT NULL THEN abs(l.yc - l.fc) END
+                AS BIGINT) AS abs_err_cents,
+           CAST(CASE WHEN s.den > 0 AND s.cn > 0
+                THEN (1000000 * CAST(s.num AS HUGEINT) * s.cd)
+                     // (CAST(s.den AS HUGEINT) * s.cn)
+                ELSE NULL END AS BIGINT) AS mase_ppm
+    FROM lagged l CROSS JOIN scale s
+    """,
+)
+def orders_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (same-month-last-year) revenue forecast scored by
+    MASE: per calendar month the exact cents revenue, the lag-{SN_LAG}
+    forecast, its absolute error, and the series-level MASE in ppm
+    (seasonal MAE / random-walk MAE — < 1,000,000 means seasonality
+    carries signal). The benchmark readout any learned forecaster must
+    beat before it earns cluster time.
+
+    Scale: ONE order scan collapses map-side onto the calendar month
+    grid; the axis is the generated full month sequence (gap months
+    report 0 — the rule-8 prefix-sum-axis lesson), so the lag windows
+    run over a CALENDAR-bounded unpartitioned frame (<= |months| rows,
+    never corpus-sized). The MASE ratio is one 1-row broadcast back
+    over the month rows."""
+    o = fan_out(load_table(spark, sf_dir, "orders"), spark)
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mo")).agg(
+        F.sum((money("o_totalprice") * 100).cast("long")).cast("long").alias("yc")
+    )
+    axis = (
+        m.agg(F.min("mo").alias("lo"), F.max("mo").alias("hi"))
+        .select(
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 month)")
+            ).alias("mo")
+        )
+    )
+    y = axis.join(m.hint("shuffle_hash"), "mo", "left").select(
+        "mo", F.coalesce("yc", F.lit(0)).cast("long").alias("yc")
+    )
+    w = Window.orderBy("mo")
+    lagged = y.select(
+        "mo",
+        "yc",
+        F.lag("yc", SN_LAG).over(w).alias("fc"),
+        F.lag("yc", 1).over(w).alias("prev"),
+    ).localCheckpoint(eager=False)
+    scale = lagged.agg(
+        F.sum(F.when(F.col("fc").isNotNull(), F.abs(F.col("yc") - F.col("fc"))))
+        .cast("long")
+        .alias("num"),
+        F.count("fc").cast("long").alias("cn"),
+        F.sum(
+            F.when(F.col("prev").isNotNull(), F.abs(F.col("yc") - F.col("prev")))
+        )
+        .cast("long")
+        .alias("den"),
+        F.count("prev").cast("long").alias("cd"),
+    )
+    return lagged.crossJoin(F.broadcast(scale)).select(
+        F.date_format("mo", "yyyy-MM").alias("month"),
+        F.col("yc").alias("revenue_cents"),
+        F.col("fc").alias("seasonal_forecast_cents"),
+        F.when(F.col("fc").isNotNull(), F.abs(F.col("yc") - F.col("fc")))
+        .cast("long")
+        .alias("abs_err_cents"),
+        F.when(
+            (F.col("den") > 0) & (F.col("cn") > 0),
+            F.expr(
+                "(CAST(1000000 AS decimal(38,0)) * num * cd)"
+                " div (CAST(den AS decimal(38,0)) * cn)"
+            ),
+        )
+        .cast("long")
+        .alias("mase_ppm"),
+    )

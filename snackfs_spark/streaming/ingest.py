@@ -467,3 +467,69 @@ def streaming_windowed_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     open hours x types, both watermark-bounded."""
     out = run_stream_to_df(spark, windowed_peak_stream(spark, sf_dir), mode="append")
     return out.withColumn("hour_start", ts_str("hour_start"))
+
+
+def cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed last-write-wins state over the event stream: per user the
+    latest event (by event time, event_id tie-break), the change count,
+    and a tombstone flag — the streaming materialization of a CDC
+    upsert feed (SCD1 table maintenance). State = ONE row per live key,
+    updated map-side per micro-batch; the total order (ts, event_id) is
+    what makes replayed/duplicated deliveries converge to the same
+    table (the exactly-once-by-idempotence argument the connector's
+    tail-follow replay relies on)."""
+    ev = stream_events(spark, sf_dir)
+    last = F.max_by(
+        F.struct("event_type", "value", "ts"), F.struct("ts", "event_id")
+    ).alias("last")
+    return (
+        ev.groupBy("user_id")
+        .agg(last, F.count(F.lit(1)).alias("n_changes"))
+        .select(
+            "user_id",
+            F.col("last.event_type").alias("last_event_type"),
+            F.col("last.value").alias("last_value"),
+            F.col("last.ts").alias("last_ts"),
+            "n_changes",
+            (F.col("last.event_type") == "error").cast("long").alias("tombstoned"),
+        )
+    )
+
+
+@register(
+    "streaming_cdc_upsert",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_event_type,
+           value AS last_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           CAST(n AS BIGINT) AS n_changes,
+           CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS BIGINT)
+             AS tombstoned
+    FROM r WHERE rn = 1
+    """,
+)
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC upsert state table, drained to completion: one row per
+    user carrying the last-write-wins column values, the applied change
+    count, and the tombstone flag — must equal the batch arg-max (the
+    same Catalyst plan run incrementally, Structured Streaming's
+    contract).
+
+    Scale: streaming state is one row per key (the upsert table
+    itself); each micro-batch combines map-side into the state store,
+    so throughput is bounded by keys-touched-per-batch, not history.
+    The complete-mode memory sink is the test harness; a production
+    sink is foreachBatch MERGE into the serving table (the
+    stream_ingest_documents pattern)."""
+    out = run_stream_to_df(spark, cdc_upsert_stream(spark, sf_dir))
+    return out.withColumn("last_ts", ts_str("last_ts")).withColumn(
+        "n_changes", F.col("n_changes").cast("long")
+    )

@@ -1197,3 +1197,39 @@ def test_image_simpson_zero_data_shuffle(spark):
     plan = formatted_plan(df)
     assert "MapInPandas" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_link_prediction_topk_and_no_cartesian(spark):
+    """The predicted-link ranking is a TakeOrderedAndProject (top-100
+    of the |V|²-bounded non-edge relation), the observed-edge removal
+    is a broadcast anti-join, and nothing degenerates to a cartesian
+    product."""
+    df = REG["graph_jaccard_link_prediction"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert_no_cartesian(df)
+    assert "LeftAnti" in plan, plan
+
+
+def test_kmv_sketch_pair_algebra_is_broadcast(spark):
+    """Everything after the (checkpointed, <= K-per-group) sketch build
+    is broadcast-side algebra: every join in the pairwise set-ops plan
+    is a Broadcast* join — no SortMergeJoin, no shuffle of anything
+    sketch-sized. (The rank-bounded build itself sits behind the
+    localCheckpoint; its K-per-group property is pinned by
+    test_round8_ops.test_kmv_estimates_within_bound.)"""
+    df = REG["approx_kmv_theta_sketch"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_seasonal_mase_single_order_scan(spark):
+    """The month series comes from ONE order scan collapsed map-side;
+    the MASE ratio is broadcast back — no second scan of orders."""
+    df = REG["orders_seasonal_naive_mase"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert plan.count("o_orderdate") <= plan.count("Scan") * 4
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l and "orders" in l]
+    assert len(scans) <= 2, plan  # axis bounds + series legs share the cache

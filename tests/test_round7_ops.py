@@ -433,7 +433,13 @@ def test_namespace_profile_recount(spark):
 
     rows = REG["fs_namespace_profile"].fn(spark, SF_ORACLE).collect()
     f = files_df(spark, SF_ORACLE).toPandas()
-    f["depth"] = f.path.str.split("/").str.len() - 2
+    # depth = count of non-empty path components ('/' = 0, '/data' = 1
+    # — the r7 ADVICE convention); children of depth-d parents sit at
+    # depth d+1, so root children land at child_depth 1.
+    n_comp = lambda s: s.str.split("/").map(  # noqa: E731
+        lambda parts: sum(1 for p in parts if p)
+    )
+    f["depth"] = n_comp(f.path)
     got = {r["depth"]: r for r in rows}
     fan = (
         f[f.parent_path.fillna("") != ""]
@@ -442,7 +448,7 @@ def test_namespace_profile_recount(spark):
         .rename("n")
         .reset_index()
     )
-    fan["child_depth"] = fan.parent_path.str.split("/").str.len() - 1
+    fan["child_depth"] = n_comp(fan.parent_path) + 1
     fan_max = fan.groupby("child_depth")["n"].max().to_dict()
     for depth, g in f.groupby("depth"):
         r = got[depth]

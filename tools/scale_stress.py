@@ -271,6 +271,21 @@ QUERIES = [
     "text_distinct_ngrams",
     # round-7 batch 8: one metadata scan -> depth-lattice collapses
     "fs_namespace_profile",
+    # round-8 ops: |V|²-bounded wedge join + anti-join + top-k;
+    # K-per-group sketch then broadcast algebra; two ranking evals on
+    # the shared BM25 pipeline; calendar-bounded lag windows; basket
+    # self-join with downward-closure pruning; streaming keyed state
+    "graph_jaccard_link_prediction",
+    "approx_kmv_theta_sketch",
+    "eval_ndcg_at_k",
+    "eval_pr_auc",
+    "orders_seasonal_naive_mase",
+    "mining_association_rules",
+    "streaming_cdc_upsert",
+    # modularity rides the LPA rounds + two candidate-sized joins;
+    # apportionment is one scan -> |sources| algebra
+    "graph_modularity_score",
+    "corpus_budget_apportionment",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
