@@ -333,6 +333,8 @@ HEADLINE_R22 = [
     "streaming_cdc_upsert",
     "graph_modularity_score",
     "corpus_budget_apportionment",
+    "emb_triplet_mining",
+    "sample_ab_power_grid",
 ]
 
 

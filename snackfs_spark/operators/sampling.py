@@ -2593,3 +2593,176 @@ def corpus_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra.cast("long").alias("extra_token"),
         (F.col("floor_quota") + extra).cast("long").alias("final_quota"),
     )
+
+
+# ----------------------------------------- A/B power analysis grid ----
+#
+# Pre-test power analysis for the two-proportion experiment: given the
+# OBSERVED baseline conversion (arm 0 of events_two_proportion_test's
+# assignment) and the current per-arm size, which absolute lifts (ppm
+# grid) are detectable at alpha = .05 two-sided / 80% power, and what
+# per-arm n would each lift need? The normal-quantile constant
+# (z_.975 + z_.80)^2 = (1.959964 + 0.841621)^2 is injected as the exact
+# rational 7849/1000 (the standard 3-digit rounding of 7.84896...),
+# so the whole readout is integer-exact: with p1 = c0/n0, delta = e/1e6
+# and p2 = p1 + delta, the bracket
+#   S = c0*(n0 - c0)*1e12 + (c0*1e6 + n0*e)*(n0*1e6 - c0*1e6 - n0*e)
+# equals (p1(1-p1) + p2(1-p2)) * n0^2 * 1e12 exactly, and
+#   detectable  <=>  n * e^2 * n0^2 * Z2_DEN >= Z2_NUM * S
+#   required_n  =    ceil(Z2_NUM * S / (Z2_DEN * e^2 * n0^2))
+# — cross-multiplied on decimal(38,0)/HUGEINT legs (the products pass
+# int64 exactly when arms pass ~10^5 users; rule-7 traps cover the
+# decimal(38,0) ceiling itself).
+AB_POWER_Z2_NUM, AB_POWER_Z2_DEN = 7849, 1000
+AB_POWER_EFFECTS_PPM = (10_000, 20_000, 50_000, 100_000)
+
+
+@register(
+    "sample_ab_power_grid",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN datediff('day',
+                    MIN(CAST(ts AS DATE)),
+                    MIN(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS DATE) END)) <= {AB_CONV_DAYS}
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT user_id % 2 AS arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS c
+      FROM u GROUP BY 1
+    ),
+    base AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 0 THEN c END) AS c0,
+             LEAST(MAX(CASE WHEN arm = 0 THEN n END),
+                   MAX(CASE WHEN arm = 1 THEN n END)) AS n_arm
+      FROM arms
+    ),
+    grid AS (SELECT unnest([{", ".join(str(e) for e in AB_POWER_EFFECTS_PPM)}]) AS effect_ppm),
+    calc AS (
+      SELECT g.effect_ppm, b.n0, b.c0, b.n_arm,
+             CAST(b.c0 AS HUGEINT) * (b.n0 - b.c0) * 1000000000000
+               + (CAST(b.c0 AS HUGEINT) * 1000000 + CAST(b.n0 AS HUGEINT) * g.effect_ppm)
+                 * (CAST(b.n0 AS HUGEINT) * 1000000
+                    - CAST(b.c0 AS HUGEINT) * 1000000
+                    - CAST(b.n0 AS HUGEINT) * g.effect_ppm) AS s
+      FROM grid g CROSS JOIN base b
+    )
+    SELECT effect_ppm,
+           n_arm AS n_per_arm,
+           CAST((1000000 * c0) // n0 AS BIGINT) AS baseline_ppm,
+           CAST(CASE WHEN CAST(n_arm AS HUGEINT) * effect_ppm * effect_ppm
+                          * n0 * n0 * {AB_POWER_Z2_DEN}
+                          >= {AB_POWER_Z2_NUM} * s
+                THEN 1 ELSE 0 END AS BIGINT) AS detectable,
+           CAST(({AB_POWER_Z2_NUM} * s
+                 + CAST(effect_ppm AS HUGEINT) * effect_ppm * n0 * n0
+                   * {AB_POWER_Z2_DEN} - 1)
+                // (CAST(effect_ppm AS HUGEINT) * effect_ppm * n0 * n0
+                    * {AB_POWER_Z2_DEN}) AS BIGINT) AS required_n_per_arm
+    FROM calc
+    """,
+)
+def sample_ab_power_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing readout: for each candidate absolute lift on
+    the ppm grid, whether the CURRENT per-arm size already detects it
+    (alpha = .05 two-sided, 80% power, observed baseline) and the exact
+    ceil required per-arm n — the go/no-go table a team reads before
+    burning traffic on an undersized test. Integer-exact end to end
+    (injected rational z-constant, cross-multiplied comparisons).
+
+    Scale: ONE event scan collapses map-side onto users then onto the
+    2-row arm relation (the events_two_proportion_test posture); the
+    grid algebra is |grid| rows of decimal arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.datediff(
+                F.min(
+                    F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+                ),
+                F.min(F.to_date("ts")),
+            )
+            <= AB_CONV_DAYS,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("conv")
+    )
+    arms = (
+        u.select(F.pmod("user_id", F.lit(2)).cast("long").alias("arm"), "conv")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("conv").cast("long").alias("c"),
+        )
+    )
+    base = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("c"))).alias("c0"),
+        F.least(
+            F.max(F.when(F.col("arm") == 0, F.col("n"))),
+            F.max(F.when(F.col("arm") == 1, F.col("n"))),
+        ).alias("n_arm"),
+    )
+    grid = spark.createDataFrame(
+        [(e,) for e in AB_POWER_EFFECTS_PPM], "effect_ppm long"
+    )
+    d38 = "decimal(38,0)"
+    calc = grid.crossJoin(F.broadcast(base)).select(
+        "effect_ppm",
+        "n0",
+        "c0",
+        "n_arm",
+        (
+            F.col("c0").cast(d38) * (F.col("n0") - F.col("c0"))
+            * F.lit(1_000_000_000_000).cast(d38)
+            + (
+                F.col("c0").cast(d38) * 1_000_000
+                + F.col("n0").cast(d38) * F.col("effect_ppm")
+            )
+            * (
+                F.col("n0").cast(d38) * 1_000_000
+                - F.col("c0").cast(d38) * 1_000_000
+                - F.col("n0").cast(d38) * F.col("effect_ppm")
+            )
+        ).alias("s"),
+    )
+    lhs = F.expr(
+        f"CAST(n_arm AS decimal(38,0)) * effect_ppm * effect_ppm * n0 * n0"
+        f" * {AB_POWER_Z2_DEN}"
+    )
+    den = F.expr(
+        f"CAST(effect_ppm AS decimal(38,0)) * effect_ppm * n0 * n0"
+        f" * {AB_POWER_Z2_DEN}"
+    )
+    num = F.lit(AB_POWER_Z2_NUM).cast(d38) * F.col("s")
+    # rule-7 trap: all inputs non-null, so NULL in any decimal leg can
+    # only mean decimal(38,0) overflow — raise, don't mis-flag
+    guarded = calc.select(
+        "*",
+        F.when(
+            lhs.isNull() | num.isNull() | den.isNull(),
+            F.assert_true(
+                F.lit(False),
+                F.lit(
+                    "sample_ab_power_grid: power comparison exceeded"
+                    " decimal(38,0); reduce by gcd or widen limbs"
+                ),
+            ).cast("boolean"),
+        )
+        .otherwise(lhs >= num)
+        .alias("det"),
+        ((num + den - 1).cast(d38)).alias("ceil_num"),
+        den.alias("ceil_den"),
+    )
+    return guarded.select(
+        "effect_ppm",
+        F.col("n_arm").alias("n_per_arm"),
+        F.expr("(1000000 * c0) div n0").cast("long").alias("baseline_ppm"),
+        F.col("det").cast("long").alias("detectable"),
+        F.expr("ceil_num div ceil_den").cast("long").alias("required_n_per_arm"),
+    )

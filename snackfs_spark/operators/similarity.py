@@ -1167,3 +1167,114 @@ def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_sim_selected",
         "mmr_score",
     )
+
+
+# ------------------------------------------------- triplet mining ----
+#
+# Hard-triplet mining for contrastive embedding training (FaceNet,
+# Schroff et al. 2015): per anchor, the HARDEST POSITIVE (same-label
+# vector with the LOWEST cosine — the pair the model most confuses
+# apart) and the HARDEST NEGATIVE (different-label vector with the
+# HIGHEST cosine — the impostor), plus the margin-violation flag
+# cos_neg + margin > cos_pos that selects the triplets worth training
+# on. Margin is dyadic (1/8) and cosines are the shared left-fold
+# doubles, so the flag compares bit-identical values in both engines.
+TRIPLET_ANCHORS = 20
+TRIPLET_MARGIN = "0.125"  # dyadic: exact in both engines
+
+
+@register(
+    "emb_triplet_mining",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS anchor_id, a.label AS label,
+             b.vec_id AS cand_id,
+             CASE WHEN b.label = a.label THEN 1 ELSE 0 END AS same,
+             {_COSINE_DUCK} AS cosine
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {TRIPLET_ANCHORS}
+    ),
+    pos AS (
+      SELECT anchor_id, label, cand_id AS pos_id, cosine AS pos_cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY cosine, cand_id) AS rn
+        FROM scored WHERE same = 1
+      ) WHERE rn = 1
+    ),
+    neg AS (
+      SELECT anchor_id, cand_id AS neg_id, cosine AS neg_cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY cosine DESC, cand_id) AS rn
+        FROM scored WHERE same = 0
+      ) WHERE rn = 1
+    )
+    SELECT p.anchor_id, p.label, p.pos_id, p.pos_cosine,
+           n.neg_id, n.neg_cosine,
+           CAST(CASE WHEN n.neg_cosine + {TRIPLET_MARGIN} > p.pos_cosine
+                THEN 1 ELSE 0 END AS BIGINT) AS violates_margin
+    FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+    """,
+)
+def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining over the labeled embeddings: per anchor the
+    hardest positive (lowest same-label cosine), the hardest negative
+    (highest other-label cosine), and the margin-violation flag that
+    admits the triplet into a contrastive training batch — the data
+    side of metric-learning fine-tunes.
+
+    Scale: the ann_bruteforce posture — the bounded anchor set
+    broadcasts against ONE corpus scan; hardest-pos/neg are per-anchor
+    ranking windows (WindowGroupLimit partials, never a global sort).
+    At 100 TB the corpus side swaps in the IVF/LSH candidate relation
+    (ann_ivf_multiprobe / ann_lsh_bucketed) so each anchor scores
+    candidates, not the corpus — the mining algebra is unchanged."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    anchors = F.broadcast(
+        emb.filter(F.col("vec_id") < TRIPLET_ANCHORS).alias("a")
+    )
+    corpus = emb.alias("b")
+    scored = anchors.join(
+        corpus, F.col("b.vec_id") != F.col("a.vec_id")
+    ).select(
+        F.col("a.vec_id").alias("anchor_id"),
+        F.col("a.label").alias("label"),
+        F.col("b.vec_id").alias("cand_id"),
+        (F.col("b.label") == F.col("a.label")).alias("same"),
+        _cosine_spark().alias("cosine"),
+    )
+    wp = Window.partitionBy("anchor_id").orderBy("cosine", "cand_id")
+    wn = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), "cand_id"
+    )
+    pos = (
+        scored.filter(F.col("same"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            "label",
+            F.col("cand_id").alias("pos_id"),
+            F.col("cosine").alias("pos_cosine"),
+        )
+    )
+    neg = (
+        scored.filter(~F.col("same"))
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("cosine").alias("neg_cosine"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "label",
+        "pos_id",
+        "pos_cosine",
+        "neg_id",
+        "neg_cosine",
+        (F.col("neg_cosine") + F.lit(float(TRIPLET_MARGIN)) > F.col("pos_cosine"))
+        .cast("long")
+        .alias("violates_margin"),
+    )

@@ -458,9 +458,14 @@ def test_cluster_agreement_no_vector_pair_join(spark):
 
 def test_retrieval_eval_group_limit_and_broadcast_stats(spark):
     """The per-query top-20 must be a WindowGroupLimit (partial per
-    partition) and the per-query term stats must broadcast."""
-    df = REG["eval_retrieval_ranks"].fn(spark, SF_ORACLE)
-    plan = formatted_plan(df)
+    partition) and the per-query term stats must broadcast. The
+    registered queries consume the memoized/checkpointed relations
+    (which hide the pipeline), so the pin targets the raw builder they
+    all share."""
+    from snackfs_spark.operators.textstats import _retrieval_rank_rel_raw
+
+    _, topk, _, _ = _retrieval_rank_rel_raw(spark, SF_ORACLE)
+    plan = formatted_plan(topk)
     assert "WindowGroupLimit" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
 

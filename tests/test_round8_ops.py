@@ -321,3 +321,82 @@ def test_apportionment_sums_to_budget_exactly(spark):
         (-r["remainder_num"], r["source"]) for r in rows if not r["extra_token"]
     )
     assert all(e < n for e in got_extra for n in no_extra[:1]) or not no_extra
+
+
+def test_triplet_mining_recount(spark):
+    """Hardest positive/negative recounted from a numpy cosine matrix;
+    violation flag is exactly cos_neg + margin > cos_pos."""
+    import numpy as np
+
+    from snackfs_spark.operators.similarity import (
+        TRIPLET_ANCHORS,
+        TRIPLET_MARGIN,
+    )
+
+    rows = {r["anchor_id"]: r for r in REG["emb_triplet_mining"].fn(spark, SF_ORACLE).collect()}
+    emb = pd.read_parquet(f"{SF_ORACLE}/embeddings.parquet")
+    vecs = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    labels = emb.label.to_numpy()
+    ids = emb.vec_id.to_numpy()
+    norms = np.linalg.norm(vecs, axis=1)
+    margin = float(TRIPLET_MARGIN)
+    assert len(rows) == TRIPLET_ANCHORS
+    for a_i in range(TRIPLET_ANCHORS):
+        ai = int(np.where(ids == a_i)[0][0])
+        cos = vecs @ vecs[ai] / (norms * norms[ai])
+        same = (labels == labels[ai]) & (ids != a_i)
+        diff = labels != labels[ai]
+        # ties broken to the smallest cand_id, matching the windows
+        pos_pool = sorted(zip(cos[same], ids[same]), key=lambda t: (t[0], t[1]))
+        neg_pool = sorted(zip(cos[diff], ids[diff]), key=lambda t: (-t[0], t[1]))
+        r = rows[a_i]
+        assert r["pos_id"] == pos_pool[0][1]
+        assert r["neg_id"] == neg_pool[0][1]
+        assert abs(r["pos_cosine"] - pos_pool[0][0]) < 1e-9
+        assert abs(r["neg_cosine"] - neg_pool[0][0]) < 1e-9
+        assert r["violates_margin"] == int(
+            r["neg_cosine"] + margin > r["pos_cosine"]
+        )
+
+
+def test_ab_power_grid_recount(spark):
+    """Detectability and required n replayed with python Fractions:
+    required_n is the exact ceil, detectable iff n_per_arm clears it,
+    and required n is monotone decreasing in effect size."""
+    from fractions import Fraction
+
+    from snackfs_spark.operators.sampling import (
+        AB_POWER_EFFECTS_PPM,
+        AB_POWER_Z2_DEN,
+        AB_POWER_Z2_NUM,
+    )
+
+    rows = sorted(
+        REG["sample_ab_power_grid"].fn(spark, SF_ORACLE).collect(),
+        key=lambda r: r["effect_ppm"],
+    )
+    assert [r["effect_ppm"] for r in rows] == sorted(AB_POWER_EFFECTS_PPM)
+    ev = pd.read_parquet(f"{SF_ORACLE}/events.parquet")
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.floor("D")
+    first = ev.groupby("user_id")["d"].min()
+    purch = ev[ev.event_type == "purchase"].groupby("user_id")["d"].min()
+    conv = ((purch - first).dt.days <= 2).reindex(first.index, fill_value=False)
+    arm0 = first.index % 2 == 0
+    n0, c0 = int(arm0.sum()), int(conv[arm0].sum())
+    n_arm = min(n0, len(first) - n0)
+    z2 = Fraction(AB_POWER_Z2_NUM, AB_POWER_Z2_DEN)
+    prev_req = None
+    for r in rows:
+        e = Fraction(r["effect_ppm"], 1_000_000)
+        p1 = Fraction(c0, n0)
+        p2 = p1 + e
+        var = p1 * (1 - p1) + p2 * (1 - p2)
+        req = z2 * var / (e * e)
+        req_ceil = -((-req.numerator) // req.denominator)
+        assert r["n_per_arm"] == n_arm
+        assert r["baseline_ppm"] == (1_000_000 * c0) // n0
+        assert r["required_n_per_arm"] == req_ceil
+        assert r["detectable"] == int(n_arm >= req)
+        if prev_req is not None:
+            assert r["required_n_per_arm"] <= prev_req
+        prev_req = r["required_n_per_arm"]

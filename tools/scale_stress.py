@@ -286,6 +286,10 @@ QUERIES = [
     # apportionment is one scan -> |sources| algebra
     "graph_modularity_score",
     "corpus_budget_apportionment",
+    # triplet mining = ann_bruteforce posture (broadcast anchors, one
+    # corpus scan, WindowGroupLimit); power grid = 2-row arm algebra
+    "emb_triplet_mining",
+    "sample_ab_power_grid",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
