@@ -229,6 +229,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CAND_EDGES_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def candidate_edges_df(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(cand, und): the distinct MinHash-LSH band-collision pair
+    relation and its undirected doubling — the candidate GRAPH every
+    graph-family operator iterates on (k-core, LPA, modularity).
+    Memoized per (session, sf_dir) with lazy localCheckpoints, the
+    prefix-filter pattern (r7 VERDICT #6): in a bench session three
+    graph operators would otherwise each re-run the shingle ->
+    signature -> band pipeline; semantics and hashes unchanged (the
+    expression is identical to dedup_minhash_lsh's)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CAND_EDGES_MEMO.get(key)
+    if cached is not None:
+        return cached
+    cand = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=False)
+    und = (
+        cand.union(
+            cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    out = (cand, und)
+    _CAND_EDGES_MEMO[key] = out
+    return out
+
+
 def verify_jaccard_pairs(
     spark: SparkSession,
     sf_dir: str,

@@ -517,29 +517,10 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the edge relation against the alive set plus one degree
     aggregate, localCheckpointed so lineage stays flat. Every relation
     in the loop is candidate-sized, not corpus-sized, after round 1."""
-    from snackfs_spark.operators.dedup import minhash_bands_df
+    from snackfs_spark.operators.dedup import candidate_edges_df
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    bands = minhash_bands_df(spark, sf_dir)
-    a = bands.alias("a")
-    b = bands.alias("b").hint("shuffle_hash")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    und = (
-        cand.union(
-            cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    _, und = candidate_edges_df(spark, sf_dir)
     alive = docs.select("doc_id")
     rounds = []
     for r in range(1, KCORE_ROUNDS + 1):
@@ -967,28 +948,9 @@ def graph_label_propagation(
     min(struct(-count, label)) — all candidate-sized relations,
     localCheckpointed so lineage stays flat. Every node has an edge by
     construction, so no keep-own-label leg is needed."""
-    from snackfs_spark.operators.dedup import minhash_bands_df
+    from snackfs_spark.operators.dedup import candidate_edges_df
 
-    bands = minhash_bands_df(spark, sf_dir)
-    a = bands.alias("a")
-    b = bands.alias("b").hint("shuffle_hash")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    und = (
-        cand.union(
-            cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    _, und = candidate_edges_df(spark, sf_dir)
     labels = und.select(F.col("doc_a").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("lbl")
     )
@@ -1198,25 +1160,9 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "community")
         .localCheckpoint(eager=False)
     )
-    from snackfs_spark.operators.dedup import minhash_bands_df
+    from snackfs_spark.operators.dedup import candidate_edges_df
 
-    bands = minhash_bands_df(spark, sf_dir)
-    a = bands.alias("a")
-    b = bands.alias("b").hint("shuffle_hash")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    und = cand.union(
-        cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).distinct()
+    cand, und = candidate_edges_df(spark, sf_dir)
     d38 = "decimal(38,0)"
     m = cand.agg(F.count(F.lit(1)).cast(d38).alias("m"))
     la = labels.select(F.col("doc_id").alias("doc_a"), "community")
