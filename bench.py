@@ -335,6 +335,7 @@ HEADLINE_R22 = [
     "corpus_budget_apportionment",
     "emb_triplet_mining",
     "sample_ab_power_grid",
+    "eval_isotonic_calibration",
 ]
 
 

@@ -2549,9 +2549,12 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 ECE_BIN = 100  # permille per bin -> 11 reliability bins (0..10)
 
 
-def _ece_oracle() -> str:
-    return f"""
-    WITH scores AS ({_bigram_oracle()}),
+def _reliability_bins_ctes() -> str:
+    """Shared oracle CTE block: stopword-permille score + bigram-LM
+    head-tertile label collapsed onto occupied score deciles — the
+    reliability histogram both eval_calibration_ece and
+    eval_isotonic_calibration read."""
+    return f"""scores AS ({_bigram_oracle()}),
     labeled AS (
       SELECT d.doc_id,
              {STOPWORD_PERMILLE_SQL} AS score_cell,
@@ -2570,7 +2573,12 @@ def _ece_oracle() -> str:
              CAST(SUM(l.score_cell) AS BIGINT) AS sum_score
       FROM labeled l JOIN cell_label cl ON cl.cell = l.cell
       GROUP BY 1
-    ),
+    )"""
+
+
+def _ece_oracle() -> str:
+    return f"""
+    WITH {_reliability_bins_ctes()},
     tots AS (
       SELECT CAST(SUM(n) AS BIGINT) AS n_total,
              SUM(abs(CAST(1000 AS DECIMAL(38,0)) * pos - sum_score)) AS gap_sum
@@ -2582,6 +2590,34 @@ def _ece_oracle() -> str:
              / CAST(CAST(1000 AS DECIMAL(38,0)) * t.n_total AS DOUBLE) AS ece
     FROM bins b CROSS JOIN tots t
     """
+
+
+def _reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reliability histogram (bin, n, pos, sum_score) both
+    calibration evals read — Spark mirror of ``_reliability_bins_ctes``.
+    The bigram scoring pass is the only corpus-proportional work; the
+    histogram collapses map-side onto <= 11 bins."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    labeled = _with_fluency_cell(
+        docs.select("doc_id", F.expr(STOPWORD_PERMILLE_SPARK).alias("score_cell")),
+        text_bigram_prob(spark, sf_dir),
+    ).select("doc_id", "score_cell", "cell")
+    labeled = labeled.localCheckpoint(eager=False)
+    cell_label = _cell_cum_before(labeled).select(
+        "cell",
+        F.when(3 * F.col("cum_before") < F.col("n"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label"),
+    )
+    return (
+        labeled.join(F.broadcast(cell_label), "cell")
+        .groupBy((F.col("score_cell") / ECE_BIN).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label").cast("long").alias("pos"),
+            F.sum("score_cell").cast("long").alias("sum_score"),
+        )
+    )
 
 
 @register("eval_calibration_ece", oracle=_ece_oracle())
@@ -2596,27 +2632,7 @@ def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass is the only corpus-proportional work; the reliability histogram
     collapses map-side onto <= 11 bins and every downstream step is
     arithmetic over that bounded relation."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    labeled = _with_fluency_cell(
-        docs.select("doc_id", F.expr(STOPWORD_PERMILLE_SPARK).alias("score_cell")),
-        text_bigram_prob(spark, sf_dir),
-    ).select("doc_id", "score_cell", "cell")
-    labeled = labeled.localCheckpoint(eager=False)
-    cell_label = _cell_cum_before(labeled).select(
-        "cell",
-        F.when(3 * F.col("cum_before") < F.col("n"), F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("label"),
-    )
-    bins = (
-        labeled.join(F.broadcast(cell_label), "cell")
-        .groupBy((F.col("score_cell") / ECE_BIN).cast("long").alias("bin"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("label").cast("long").alias("pos"),
-            F.sum("score_cell").cast("long").alias("sum_score"),
-        )
-    )
+    bins = _reliability_bins(spark, sf_dir)
     tots = bins.agg(
         F.sum("n").alias("n_total"),
         F.sum(
@@ -2635,6 +2651,126 @@ def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("gap_sum").cast("double")
             / (F.lit(1000).cast("decimal(38,0)") * F.col("n_total")).cast("double")
         ).alias("ece"),
+    )
+
+
+def _isotonic_oracle() -> str:
+    return f"""
+    WITH {_reliability_bins_ctes()},
+    pre AS (
+      SELECT bin, n, pos,
+             SUM(n) OVER (ORDER BY bin) AS cn,
+             SUM(pos) OVER (ORDER BY bin) AS cp,
+             COALESCE(SUM(n) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn0,
+             COALESCE(SUM(pos) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp0
+      FROM bins
+    ),
+    pairs AS (
+      SELECT a.bin AS jb, b.bin AS kb,
+             CAST(b.cp - a.cp0 AS BIGINT) AS pnum,
+             CAST(b.cn - a.cn0 AS BIGINT) AS pden,
+             CAST(b.cp - a.cp0 AS DOUBLE) / (b.cn - a.cn0) AS v
+      FROM pre a JOIN pre b ON b.bin >= a.bin
+    ),
+    tri AS (
+      SELECT i.bin AS ib, p.jb, p.kb, p.pnum, p.pden, p.v
+      FROM pre i JOIN pairs p ON p.jb <= i.bin AND p.kb >= i.bin
+    ),
+    inner_min AS (
+      SELECT ib, jb, pnum, pden, v FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY ib, jb
+                                     ORDER BY v, kb) AS rn
+        FROM tri
+      ) WHERE rn = 1
+    ),
+    fit AS (
+      SELECT ib, pnum, pden FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY ib
+                                     ORDER BY v DESC, jb) AS rn
+        FROM inner_min
+      ) WHERE rn = 1
+    )
+    SELECT b.bin, b.n, b.pos,
+           CAST((1000000 * b.pos) // b.n AS BIGINT) AS raw_ppm,
+           f.pnum AS fitted_num,
+           f.pden AS fitted_den,
+           CAST((1000000 * f.pnum) // f.pden AS BIGINT) AS fitted_ppm
+    FROM bins b JOIN fit f ON f.ib = b.bin
+    """
+
+
+@register("eval_isotonic_calibration", oracle=_isotonic_oracle())
+def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the same reliability histogram ECE
+    reads: per occupied score decile the raw positive rate and the
+    L2-isotonic fitted rate — the monotone recalibration map a scorer
+    ships when its raw scores rank well but mis-state probabilities
+    (the remedy for exactly the gaps eval_calibration_ece measures).
+
+    Computed by the exact max-min identity fitted_i = max_{{j<=i}}
+    min_{{k>=i}} avg(pos, bins j..k) — algebraically equal to
+    pool-adjacent-violators but expressible as two ranking passes over
+    the (i, j, k) triple relation instead of a sequential pooling loop.
+    Weighted means stay exact rationals; the selection key is their
+    correctly-rounded double quotient (one division — bit-identical in
+    both engines, ties broken by bin index).
+
+    Scale: the corpus pays only the shared bigram scoring pass; the
+    histogram is <= 11 bins, so the triple relation is <= 11³ rows of
+    driver-free bounded algebra — the same calendar-grid argument as
+    the survival/backlog windows."""
+    bins = _reliability_bins(spark, sf_dir).localCheckpoint(eager=False)
+    wcum = Window.orderBy("bin")
+    wprev = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    pre = bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("pos").over(wcum).alias("cp"),
+        F.coalesce(F.sum("n").over(wprev), F.lit(0)).alias("cn0"),
+        F.coalesce(F.sum("pos").over(wprev), F.lit(0)).alias("cp0"),
+    ).localCheckpoint(eager=False)
+    a = pre.alias("a")
+    b = pre.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("b.bin") >= F.col("a.bin")).select(
+        F.col("a.bin").alias("jb"),
+        F.col("b.bin").alias("kb"),
+        (F.col("b.cp") - F.col("a.cp0")).cast("long").alias("pnum"),
+        (F.col("b.cn") - F.col("a.cn0")).cast("long").alias("pden"),
+        (
+            (F.col("b.cp") - F.col("a.cp0")).cast("double")
+            / (F.col("b.cn") - F.col("a.cn0"))
+        ).alias("v"),
+    )
+    tri = pre.select(F.col("bin").alias("ib")).join(
+        F.broadcast(pairs),
+        (F.col("jb") <= F.col("ib")) & (F.col("kb") >= F.col("ib")),
+    )
+    w_min = Window.partitionBy("ib", "jb").orderBy("v", "kb")
+    inner_min = (
+        tri.withColumn("rn", F.row_number().over(w_min))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "kb")
+    )
+    w_max = Window.partitionBy("ib").orderBy(F.col("v").desc(), "jb")
+    fit = (
+        inner_min.withColumn("rn", F.row_number().over(w_max))
+        .filter(F.col("rn") == 1)
+        .select("ib", "pnum", "pden")
+    )
+    return bins.join(
+        F.broadcast(fit.withColumnRenamed("ib", "bin")), "bin"
+    ).select(
+        "bin",
+        "n",
+        "pos",
+        F.expr("(1000000 * pos) div n").cast("long").alias("raw_ppm"),
+        F.col("pnum").alias("fitted_num"),
+        F.col("pden").alias("fitted_den"),
+        F.expr("(1000000 * pnum) div pden").cast("long").alias("fitted_ppm"),
     )
 
 

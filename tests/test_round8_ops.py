@@ -400,3 +400,49 @@ def test_ab_power_grid_recount(spark):
         if prev_req is not None:
             assert r["required_n_per_arm"] <= prev_req
         prev_req = r["required_n_per_arm"]
+
+
+def test_isotonic_calibration_pav_replay(spark):
+    """The max-min fitted rates equal a classic sequential PAV pooling
+    replay (exact Fractions), are monotone non-decreasing in bin, and
+    preserve the weighted total (sum n_b * fitted_b == sum pos)."""
+    from fractions import Fraction
+
+    rows = sorted(
+        REG["eval_isotonic_calibration"].fn(spark, SF_ORACLE).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert rows, "no occupied bins"
+    # sequential PAV: pools of (pos, n); merge while violating
+    pools: list[list[int]] = []
+    for r in rows:
+        pools.append([r["pos"], r["n"]])
+        while len(pools) > 1 and Fraction(pools[-2][0], pools[-2][1]) >= Fraction(
+            pools[-1][0], pools[-1][1]
+        ):
+            p2 = pools.pop()
+            pools[-1][0] += p2[0]
+            pools[-1][1] += p2[1]
+    # expand pooled rates back over bins (pool width recovered by
+    # walking each pool's accumulated n)
+    fitted = []
+    pool_iter = iter(pools)
+    cur = next(pool_iter)
+    used = 0
+    for r in rows:
+        if used == cur[1]:
+            cur = next(pool_iter)
+            used = 0
+        fitted.append(Fraction(cur[0], cur[1]))
+        used += r["n"]
+    prev = None
+    total = 0
+    for r, f in zip(rows, fitted):
+        got = Fraction(r["fitted_num"], r["fitted_den"])
+        assert got == f, (r["bin"], got, f)
+        assert r["fitted_ppm"] == (1_000_000 * r["fitted_num"]) // r["fitted_den"]
+        if prev is not None:
+            assert got >= prev, "isotonic fit must be non-decreasing"
+        prev = got
+        total += r["n"] * got
+    assert total == sum(r["pos"] for r in rows)

@@ -290,6 +290,8 @@ QUERIES = [
     # corpus scan, WindowGroupLimit); power grid = 2-row arm algebra
     "emb_triplet_mining",
     "sample_ab_power_grid",
+    # isotonic fit: bigram scoring pass + <= 11^3 bounded algebra
+    "eval_isotonic_calibration",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
