@@ -336,6 +336,8 @@ HEADLINE_R22 = [
     "emb_triplet_mining",
     "sample_ab_power_grid",
     "eval_isotonic_calibration",
+    "orders_max_drawdown",
+    "sample_mann_whitney_u",
 ]
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from snackfs_spark.functions import STOPWORD_PERMILLE_SPARK, STOPWORD_PERMILLE_SQL, md5_fp
 from snackfs_spark.operators.dedup import SHINGLES_CTE, shingles_df
 from snackfs_spark.registry import register
-from snackfs_spark.sources.tables import load_table
+from snackfs_spark.sources.tables import fan_out, load_table
 
 TRAIN_PCT = 80
 VAL_PCT = 10  # test = remainder
@@ -2765,4 +2765,219 @@ def sample_ab_power_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * c0) div n0").cast("long").alias("baseline_ppm"),
         F.col("det").cast("long").alias("detectable"),
         F.expr("ceil_num div ceil_den").cast("long").alias("required_n_per_arm"),
+    )
+
+
+# ------------------------------------------- Mann-Whitney U test ----
+#
+# Non-parametric two-sample test on the per-user value totals between
+# the two experiment arms (Mann-Whitney-Wilcoxon): exact tie-corrected
+# rank algebra on the integer lattice. Midranks are held DOUBLED
+# (2*midrank = rank_before*2 + tie_count + 1 — always an integer), the
+# U statistic doubled likewise, and the normal-approximation
+# significance uses the tie-corrected variance as an exact rational
+#   var = n1*n2*((n+1)*n*(n-1) - SUM(t^3 - t)) / (12*n*(n-1))
+# compared cross-multiplied against z_.975^2 = 38415/10000 — no
+# floats, no sqrt. The oracle computes midranks with plain windowed
+# ranks (cross-algorithm check of the banded-rank decomposition).
+#
+# Scale: the engine never executes a global sort — cumulative
+# counts-before come from the two-phase banded rank (dedup_entity_snm
+# posture): per-VALUE tie groups collapse map-side, value-range bands
+# aggregate, ONE prefix sum runs over the bounded band axis, and
+# within-band prefixes are band-partitioned windows. The decimal(38,0)
+# legs hold to ~10^6 users per arm and trap loudly past that (rule 7).
+MW_BAND_CENTS = 1_000_000  # $10k value-range band for the rank prefix
+
+
+@register(
+    "sample_mann_whitney_u",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(SUM(CAST(round_even(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS metric
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT arm, metric,
+             CAST(2 * COUNT(*) OVER (ORDER BY metric
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - COUNT(*) OVER (PARTITION BY metric
+                 ORDER BY metric ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) * 2
+               + COUNT(*) OVER (PARTITION BY metric) + 1 AS BIGINT) AS r2
+      FROM u
+    ),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(r2) AS BIGINT) AS rank_sum_x2
+      FROM ranked GROUP BY arm
+    ),
+    ties AS (
+      SELECT CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS t
+      FROM (SELECT COUNT(*) AS c FROM u GROUP BY metric)
+    ),
+    stat AS (
+      SELECT a0.n_users AS n1, a1.n_users AS n2,
+             a0.rank_sum_x2 - a0.n_users * (a0.n_users + 1) AS u1_x2,
+             CAST(a0.n_users AS HUGEINT) + a1.n_users AS n
+      FROM (SELECT * FROM arms WHERE arm = 0) a0,
+           (SELECT * FROM arms WHERE arm = 1) a1
+    ),
+    sig AS (
+      SELECT s.*,
+             CAST(s.u1_x2 - s.n1 * s.n2 AS HUGEINT) AS d2,
+             CAST(s.n1 AS HUGEINT) * s.n2
+               * ((s.n + 1) * s.n * (s.n - 1) - t.t) AS v_num,
+             CAST(12 AS HUGEINT) * s.n * (s.n - 1) AS v_den
+      FROM stat s CROSS JOIN ties t
+    )
+    SELECT a.arm, a.n_users, a.rank_sum_x2,
+           CAST(CASE WHEN a.arm = 0 THEN g.u1_x2
+                ELSE 2 * g.n1 * g.n2 - g.u1_x2 END AS BIGINT) AS u_x2,
+           CAST(g.v_num AS VARCHAR) AS var_num,
+           CAST(g.v_den AS VARCHAR) AS var_den,
+           CAST(CASE WHEN g.d2 * g.d2 * 10000 * g.v_den
+                          >= 38415 * 4 * g.v_num
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM arms a CROSS JOIN sig g
+    """,
+)
+def sample_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the two experiment arms on per-user total
+    event value (cents lattice): per arm the doubled tie-midrank sum
+    and doubled U, the exact rational tie-corrected variance (strings),
+    and the alpha = .05 two-sided significance via cross-multiplied
+    integer compare — the distribution-free companion to the
+    two-proportion test (medians/stochastic dominance instead of
+    rates).
+
+    Scale: one event scan collapses map-side onto users; tie groups
+    collapse onto distinct metric values; counts-before come from the
+    two-phase banded rank (band aggregates + ONE prefix sum over the
+    bounded value-band axis + band-partitioned within prefixes) — no
+    global row sort at any size. The final test is 2-row algebra."""
+    ev = fan_out(load_table(spark, sf_dir, "events"), spark)
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.bround(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("metric")
+    ).select(
+        F.pmod("user_id", F.lit(2)).cast("long").alias("arm"), "metric"
+    )
+    # tie groups: one row per distinct metric with per-arm counts
+    groups = u.groupBy("metric").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+    )
+    # two-phase banded rank: counts-before per metric without a global
+    # sort — band totals -> one bounded-axis prefix -> in-band prefix
+    banded = groups.withColumn(
+        "band", F.expr(f"metric div {MW_BAND_CENTS}")
+    )
+    band_tot = banded.groupBy("band").agg(F.sum("c").alias("bc"))
+    wband = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    band_off = band_tot.select(
+        "band", F.coalesce(F.sum("bc").over(wband), F.lit(0)).alias("boff")
+    )
+    win_in = (
+        Window.partitionBy("band")
+        .orderBy("metric")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        banded.join(band_off.hint("shuffle_hash"), "band")
+        .withColumn(
+            "before",
+            F.col("boff") + F.coalesce(F.sum("c").over(win_in), F.lit(0)),
+        )
+        # doubled midrank: 2*before + c + 1
+        .withColumn("r2", 2 * F.col("before") + F.col("c") + 1)
+        .localCheckpoint(eager=False)
+    )
+    arms_rows = []
+    for arm, cnt in ((0, F.col("c0")), (1, F.col("c") - F.col("c0"))):
+        arms_rows.append(
+            ranked.agg(
+                F.lit(arm).cast("long").alias("arm"),
+                F.sum(cnt).cast("long").alias("n_users"),
+                F.sum(cnt * F.col("r2")).cast("long").alias("rank_sum_x2"),
+            )
+        )
+    arms = arms_rows[0].unionByName(arms_rows[1]).localCheckpoint(eager=False)
+    d38 = "decimal(38,0)"
+    ties = ranked.agg(
+        F.sum(F.col("c").cast(d38) * F.col("c") * F.col("c") - F.col("c"))
+        .cast(d38)
+        .alias("t")
+    )
+    a0 = arms.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("n1"), F.col("rank_sum_x2").alias("rs1")
+    )
+    a1 = arms.filter(F.col("arm") == 1).select(F.col("n_users").alias("n2"))
+    stat = (
+        a0.crossJoin(F.broadcast(a1))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n1",
+            "n2",
+            (F.col("rs1") - F.col("n1") * (F.col("n1") + 1)).alias("u1_x2"),
+            (F.col("n1").cast(d38) + F.col("n2")).alias("n"),
+            "t",
+        )
+        .select(
+            "n1",
+            "n2",
+            "u1_x2",
+            (F.col("u1_x2").cast(d38) - F.col("n1").cast(d38) * F.col("n2")).alias(
+                "d2"
+            ),
+            (
+                F.col("n1").cast(d38)
+                * F.col("n2")
+                * (
+                    (F.col("n") + 1) * F.col("n") * (F.col("n") - 1)
+                    - F.col("t")
+                )
+            ).alias("v_num"),
+            (F.lit(12).cast(d38) * F.col("n") * (F.col("n") - 1)).alias("v_den"),
+        )
+    )
+    lhs = F.col("d2") * F.col("d2") * 10000 * F.col("v_den")
+    rhs = F.lit(38415).cast(d38) * 4 * F.col("v_num")
+    sig = stat.select(
+        "n1",
+        "n2",
+        "u1_x2",
+        "v_num",
+        "v_den",
+        # rule-7 trap: inputs non-null => NULL leg means decimal overflow
+        F.when(
+            lhs.isNull() | rhs.isNull(),
+            F.assert_true(
+                F.lit(False),
+                F.lit(
+                    "sample_mann_whitney_u: variance comparison exceeded"
+                    " decimal(38,0); reduce by gcd or widen limbs"
+                ),
+            ).cast("boolean"),
+        )
+        .otherwise(lhs >= rhs)
+        .alias("sig"),
+    )
+    return arms.crossJoin(F.broadcast(sig)).select(
+        "arm",
+        "n_users",
+        "rank_sum_x2",
+        F.when(F.col("arm") == 0, F.col("u1_x2"))
+        .otherwise(2 * F.col("n1").cast(d38) * F.col("n2") - F.col("u1_x2"))
+        .cast("long")
+        .alias("u_x2"),
+        F.col("v_num").cast("string").alias("var_num"),
+        F.col("v_den").cast("string").alias("var_den"),
+        F.col("sig").cast("long").alias("significant"),
     )

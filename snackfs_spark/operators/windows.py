@@ -2513,3 +2513,98 @@ def orders_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mase_ppm"),
     )
+
+
+# -------------------------------------------------- max drawdown ----
+#
+# Running-extremes readout over the monthly revenue series: per month
+# the running peak, the drawdown from that peak (exact cents and ppm of
+# the peak), plus the series-level maximum drawdown — the classic
+# risk/health curve (how far below the best month-cumulative level did
+# the trajectory fall, and when). Uses the CUMULATIVE revenue curve
+# (running total), where "drawdown" is the standard peak-to-trough
+# measure; on raw monthly values the notion is meaningless when months
+# are independent. All integers; ppm by truncating division.
+
+
+@register(
+    "orders_max_drawdown",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mo,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS yc
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT mo, yc,
+             SUM(yc) OVER (ORDER BY mo) AS cum
+      FROM m
+    ),
+    d AS (
+      SELECT mo, yc, cum,
+             MAX(cum) OVER (ORDER BY mo) AS peak
+      FROM c
+    ),
+    x AS (
+      SELECT mo, yc, cum, peak,
+             CAST(peak - cum AS BIGINT) AS drawdown_cents,
+             CAST((1000000 * (peak - cum)) // peak AS BIGINT) AS drawdown_ppm
+      FROM d
+    ),
+    mx AS (SELECT CAST(MAX(drawdown_cents) AS BIGINT) AS max_dd FROM x)
+    SELECT strftime(x.mo, '%Y-%m') AS month,
+           x.yc AS revenue_cents,
+           CAST(x.cum AS BIGINT) AS cum_cents,
+           CAST(x.peak AS BIGINT) AS peak_cents,
+           x.drawdown_cents,
+           x.drawdown_ppm,
+           mx.max_dd AS max_drawdown_cents
+    FROM x CROSS JOIN mx
+    """,
+)
+def orders_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-to-trough drawdown curve of cumulative monthly revenue:
+    per month the running total, its running peak, the drawdown in
+    exact cents and ppm-of-peak, and the series max drawdown — the
+    running-extremes window shape (MAX OVER preceding) next to the
+    running-sum family.
+
+    Scale: ONE order scan collapses map-side onto the CALENDAR month
+    grid; both unpartitioned windows run over <= |months| rows (the
+    calendar-bounded-axis rule). Cents ride int64 (9.2e16-dollar
+    cumulative headroom)."""
+    o = fan_out(load_table(spark, sf_dir, "orders"), spark)
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mo")).agg(
+        F.sum((money("o_totalprice") * 100).cast("long")).cast("long").alias("yc")
+    )
+    w = Window.orderBy("mo")
+    d = m.select(
+        "mo",
+        "yc",
+        F.sum("yc").over(w).alias("cum"),
+    ).select(
+        "mo",
+        "yc",
+        "cum",
+        F.max("cum").over(w).alias("peak"),
+    ).select(
+        "mo",
+        "yc",
+        "cum",
+        "peak",
+        (F.col("peak") - F.col("cum")).cast("long").alias("drawdown_cents"),
+        F.expr("(1000000 * (peak - cum)) div peak")
+        .cast("long")
+        .alias("drawdown_ppm"),
+    ).localCheckpoint(eager=False)
+    mx = d.agg(F.max("drawdown_cents").cast("long").alias("max_drawdown_cents"))
+    return d.crossJoin(F.broadcast(mx)).select(
+        F.date_format("mo", "yyyy-MM").alias("month"),
+        F.col("yc").alias("revenue_cents"),
+        F.col("cum").cast("long").alias("cum_cents"),
+        F.col("peak").cast("long").alias("peak_cents"),
+        "drawdown_cents",
+        "drawdown_ppm",
+        "max_drawdown_cents",
+    )

@@ -446,3 +446,73 @@ def test_isotonic_calibration_pav_replay(spark):
         prev = got
         total += r["n"] * got
     assert total == sum(r["pos"] for r in rows)
+
+
+def test_max_drawdown_recount(spark):
+    """Cumulative curve, running peak, drawdowns and the series max
+    recounted in pandas over the month axis."""
+    rows = sorted(
+        REG["orders_max_drawdown"].fn(spark, SF_ORACLE).collect(),
+        key=lambda r: r["month"],
+    )
+    o = pd.read_parquet(f"{SF_ORACLE}/orders.parquet")
+    o["mo"] = pd.to_datetime(o.o_orderdate).dt.to_period("M")
+    cents = (o.o_totalprice.round(2) * 100).round().astype("int64")
+    y = cents.groupby(o.mo).sum().sort_index()
+    cum = y.cumsum()
+    peak = cum.cummax()
+    dd = peak - cum
+    assert [r["month"] for r in rows] == [str(p) for p in y.index]
+    for i, r in enumerate(rows):
+        assert r["revenue_cents"] == int(y.iloc[i])
+        assert r["cum_cents"] == int(cum.iloc[i])
+        assert r["peak_cents"] == int(peak.iloc[i])
+        assert r["drawdown_cents"] == int(dd.iloc[i]) >= 0
+        assert r["drawdown_ppm"] == (1_000_000 * int(dd.iloc[i])) // int(
+            peak.iloc[i]
+        )
+        assert r["max_drawdown_cents"] == int(dd.max())
+
+
+def test_mann_whitney_recount(spark):
+    """Doubled midrank sums, U statistics and the tie-corrected
+    variance replayed with scipy-free exact Fractions; U0 + U1 must
+    equal n1*n2 and the significance flag must match the exact
+    z^2-vs-3.8415 comparison."""
+    from fractions import Fraction
+
+    rows = {r["arm"]: r for r in REG["sample_mann_whitney_u"].fn(spark, SF_ORACLE).collect()}
+    ev = pd.read_parquet(f"{SF_ORACLE}/events.parquet")
+    # mirror the engine's lattice: half-even per event, sum per user
+    cents = (ev.value * 100).round().astype("int64")  # numpy rounds half-even
+    metric = cents.groupby(ev.user_id).sum()
+    arm = pd.Series(metric.index % 2, index=metric.index)
+    ranks2 = {}
+    sorted_vals = metric.sort_values()
+    # doubled midranks by tie group
+    import collections
+
+    counts = collections.Counter(metric)
+    before = 0
+    r2_of = {}
+    for v in sorted(counts):
+        c = counts[v]
+        r2_of[v] = 2 * before + c + 1
+        before += c
+    for a in (0, 1):
+        vals = metric[arm == a]
+        ranks2[a] = sum(r2_of[v] for v in vals)
+        assert rows[a]["n_users"] == len(vals)
+        assert rows[a]["rank_sum_x2"] == ranks2[a]
+    n1 = rows[0]["n_users"]
+    n2 = rows[1]["n_users"]
+    u1_x2 = ranks2[0] - n1 * (n1 + 1)
+    assert rows[0]["u_x2"] == u1_x2
+    assert rows[1]["u_x2"] == 2 * n1 * n2 - u1_x2
+    n = n1 + n2
+    t = sum(c**3 - c for c in counts.values())
+    v = Fraction(n1 * n2 * ((n + 1) * n * (n - 1) - t), 12 * n * (n - 1))
+    assert Fraction(int(rows[0]["var_num"]), int(rows[0]["var_den"])) == v
+    d2 = Fraction(u1_x2 - n1 * n2)
+    z2 = d2 * d2 / (4 * v)
+    assert rows[0]["significant"] == int(z2 >= Fraction(38415, 10000))

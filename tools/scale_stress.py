@@ -292,6 +292,10 @@ QUERIES = [
     "sample_ab_power_grid",
     # isotonic fit: bigram scoring pass + <= 11^3 bounded algebra
     "eval_isotonic_calibration",
+    # drawdown: calendar-bounded running-extremes windows;
+    # Mann-Whitney: two-phase banded rank, 2-row test algebra
+    "orders_max_drawdown",
+    "sample_mann_whitney_u",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
