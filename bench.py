@@ -338,6 +338,7 @@ HEADLINE_R22 = [
     "eval_isotonic_calibration",
     "orders_max_drawdown",
     "sample_mann_whitney_u",
+    "sample_ks_two_sample",
 ]
 
 

@@ -2981,3 +2981,154 @@ def sample_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_den").cast("string").alias("var_den"),
         F.col("sig").cast("long").alias("significant"),
     )
+
+
+# --------------------------------------- Kolmogorov-Smirnov test ----
+#
+# Two-sample KS test between the experiment arms on the same per-user
+# value totals the Mann-Whitney test reads — the DISTRIBUTION-SHAPE
+# companion (MW detects location shift; KS detects any ECDF gap:
+# variance, tails, bimodality). Exact integers end to end: the KS
+# statistic D = max |F1(x) - F2(x)| over distinct metric values is held
+# as the cross-multiplied gap max|c1*n2 - c2*n1| over n1*n2, and the
+# alpha = .05 decision D > c(alpha)*sqrt((n1+n2)/(n1*n2)) squares into
+#   gap^2 * 1000 >= 1844 * n1 * n2 * (n1 + n2)
+# with c(.05)^2 = 1.358^2 = 1.844 injected as the exact rational
+# 1844/1000 — no sqrt, no floats. Cumulative per-arm counts ride the
+# SAME two-phase banded rank as sample_mann_whitney_u (no global sort).
+KS_C2_NUM, KS_C2_DEN = 1844, 1000
+
+
+@register(
+    "sample_ks_two_sample",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(SUM(CAST(round_even(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS metric
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT metric,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM u GROUP BY metric
+    ),
+    n AS (
+      SELECT CAST(SUM(c0) AS BIGINT) AS n1, CAST(SUM(c1) AS BIGINT) AS n2
+      FROM g
+    ),
+    cum AS (
+      SELECT metric,
+             SUM(c0) OVER (ORDER BY metric) AS f0,
+             SUM(c1) OVER (ORDER BY metric) AS f1
+      FROM g
+    ),
+    gap AS (
+      SELECT CAST(MAX(abs(CAST(c.f0 AS HUGEINT) * n.n2
+                          - CAST(c.f1 AS HUGEINT) * n.n1)) AS BIGINT) AS d_num
+      FROM cum c CROSS JOIN n
+    )
+    SELECT n.n1, n.n2,
+           g.d_num AS d_gap_num,
+           CAST(n.n1 AS BIGINT) * n.n2 AS d_gap_den,
+           CAST((1000000 * CAST(g.d_num AS HUGEINT)) // (CAST(n.n1 AS HUGEINT) * n.n2)
+                AS BIGINT) AS d_ppm,
+           CAST(CASE WHEN CAST(g.d_num AS HUGEINT) * g.d_num * {KS_C2_DEN}
+                          >= {KS_C2_NUM} * CAST(n.n1 AS HUGEINT) * n.n2 * (n.n1 + n.n2)
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM n CROSS JOIN gap g
+    """,
+)
+def sample_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the experiment arms
+    on per-user value totals: the exact rational KS statistic (gap
+    numerator over n1*n2, plus its ppm floor) and the alpha = .05
+    significance via the squared cross-multiplied comparison — the
+    shape-sensitive companion to sample_mann_whitney_u's location test.
+
+    Scale: one event scan collapses map-side onto users, then onto
+    distinct metric values with per-arm counts; cumulative per-arm
+    counts ride the two-phase banded rank (band aggregates + ONE
+    bounded-axis prefix + band-partitioned prefixes — no global row
+    sort); the max-gap collapse and the test are 1-row algebra."""
+    ev = fan_out(load_table(spark, sf_dir, "events"), spark)
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.bround(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("metric")
+    ).select(
+        F.pmod("user_id", F.lit(2)).cast("long").alias("arm"), "metric"
+    )
+    g = u.groupBy("metric").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+    )
+    n = g.agg(
+        F.sum("c0").cast("long").alias("n1"), F.sum("c1").cast("long").alias("n2")
+    )
+    banded = g.withColumn("band", F.expr(f"metric div {MW_BAND_CENTS}"))
+    band_tot = banded.groupBy("band").agg(
+        F.sum("c0").alias("b0"), F.sum("c1").alias("b1")
+    )
+    wband = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    band_off = band_tot.select(
+        "band",
+        F.coalesce(F.sum("b0").over(wband), F.lit(0)).alias("o0"),
+        F.coalesce(F.sum("b1").over(wband), F.lit(0)).alias("o1"),
+    )
+    win_in = (
+        Window.partitionBy("band")
+        .orderBy("metric")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = banded.join(band_off.hint("shuffle_hash"), "band").select(
+        (F.col("o0") + F.sum("c0").over(win_in)).alias("f0"),
+        (F.col("o1") + F.sum("c1").over(win_in)).alias("f1"),
+    )
+    d38 = "decimal(38,0)"
+    gap = cum.crossJoin(F.broadcast(n)).agg(
+        F.max(
+            F.abs(
+                F.col("f0").cast(d38) * F.col("n2")
+                - F.col("f1").cast(d38) * F.col("n1")
+            )
+        )
+        .cast("long")
+        .alias("d_num")
+    )
+    lhs = F.col("d_num").cast(d38) * F.col("d_num") * KS_C2_DEN
+    rhs = (
+        F.lit(KS_C2_NUM).cast(d38)
+        * F.col("n1")
+        * F.col("n2")
+        * (F.col("n1") + F.col("n2"))
+    )
+    return (
+        n.crossJoin(F.broadcast(gap))
+        .select(
+            "n1",
+            "n2",
+            F.col("d_num").alias("d_gap_num"),
+            (F.col("n1") * F.col("n2")).cast("long").alias("d_gap_den"),
+            F.expr(
+                "CAST((CAST(1000000 AS decimal(38,0)) * d_num)"
+                " div (CAST(n1 AS decimal(38,0)) * n2) AS BIGINT)"
+            ).alias("d_ppm"),
+            # rule-7 trap: NULL legs can only mean decimal overflow
+            F.when(
+                lhs.isNull() | rhs.isNull(),
+                F.assert_true(
+                    F.lit(False),
+                    F.lit(
+                        "sample_ks_two_sample: significance comparison"
+                        " exceeded decimal(38,0); widen limbs"
+                    ),
+                ).cast("boolean"),
+            )
+            .otherwise(lhs >= rhs)
+            .cast("long")
+            .alias("significant"),
+        )
+    )

@@ -516,3 +516,41 @@ def test_mann_whitney_recount(spark):
     d2 = Fraction(u1_x2 - n1 * n2)
     z2 = d2 * d2 / (4 * v)
     assert rows[0]["significant"] == int(z2 >= Fraction(38415, 10000))
+
+
+def test_ks_two_sample_recount(spark):
+    """KS gap replayed exactly in python ints over the per-user metric
+    ECDFs; the significance flag matches the squared comparison (and
+    scipy's D when scipy is importable)."""
+    rows = REG["sample_ks_two_sample"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    ev = pd.read_parquet(f"{SF_ORACLE}/events.parquet")
+    cents = (ev.value * 100).round().astype("int64")
+    metric = cents.groupby(ev.user_id).sum()
+    arm = metric.index % 2
+    m0 = sorted(metric[arm == 0])
+    m1 = sorted(metric[arm == 1])
+    n1, n2 = len(m0), len(m1)
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    values = sorted(set(m0) | set(m1))
+    import bisect
+
+    d_num = max(
+        abs(bisect.bisect_right(m0, v) * n2 - bisect.bisect_right(m1, v) * n1)
+        for v in values
+    )
+    assert r["d_gap_num"] == d_num
+    assert r["d_gap_den"] == n1 * n2
+    assert r["d_ppm"] == (1_000_000 * d_num) // (n1 * n2)
+    from snackfs_spark.operators.sampling import KS_C2_DEN, KS_C2_NUM
+
+    assert r["significant"] == int(
+        d_num * d_num * KS_C2_DEN >= KS_C2_NUM * n1 * n2 * (n1 + n2)
+    )
+    try:
+        from scipy.stats import ks_2samp
+    except ImportError:
+        return
+    d = ks_2samp(m0, m1).statistic
+    assert abs(d - d_num / (n1 * n2)) < 1e-12

@@ -296,6 +296,8 @@ QUERIES = [
     # Mann-Whitney: two-phase banded rank, 2-row test algebra
     "orders_max_drawdown",
     "sample_mann_whitney_u",
+    # KS: same banded-rank substrate, 1-row max-gap algebra
+    "sample_ks_two_sample",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
