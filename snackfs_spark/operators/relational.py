@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from snackfs_spark.functions import davg, dsum, dsum_lattice, money, rate
+from snackfs_spark.functions import dsum, dsum_lattice, money, rate
 from snackfs_spark.functions import ts_str
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import fan_out, load_table
