@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snackfs_spark.functions import md5_bucket
+from snackfs_spark.memo import SessionMemo
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import fan_out, load_table
 
@@ -229,7 +230,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CAND_EDGES_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_CAND_EDGES_MEMO = SessionMemo(maxsize=4)
 
 
 def candidate_edges_df(
@@ -242,22 +243,25 @@ def candidate_edges_df(
     prefix-filter pattern (r7 VERDICT #6): in a bench session three
     graph operators would otherwise each re-run the shingle ->
     signature -> band pipeline; semantics and hashes unchanged (the
-    expression is identical to dedup_minhash_lsh's)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _CAND_EDGES_MEMO.get(key)
-    if cached is not None:
-        return cached
-    cand = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=False)
-    und = (
-        cand.union(
-            cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    expression is identical to dedup_minhash_lsh's). Bounded + locked
+    via SessionMemo (r8 ADVICE: no unbounded growth across sf_dirs,
+    no first-population race leaking a losing checkpoint)."""
+
+    def build() -> tuple[DataFrame, DataFrame]:
+        cand = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=False)
+        und = (
+            cand.union(
+                cand.select(
+                    F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
         )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    out = (cand, und)
-    _CAND_EDGES_MEMO[key] = out
-    return out
+        return (cand, und)
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _CAND_EDGES_MEMO.get_or_build(key, build)
 
 
 def verify_jaccard_pairs(
@@ -893,7 +897,7 @@ assert PREFIX_T_NUM / PREFIX_T_DEN == PREFIX_JACCARD_T
 # truth set) so a bench session computes the expensive candidate join
 # once. Keyed by applicationId so a restarted session never sees another
 # session's (now-invalid) checkpoint.
-_PREFIX_FILTER_MEMO: dict[tuple[str, str], DataFrame] = {}
+_PREFIX_FILTER_MEMO = SessionMemo(maxsize=4)
 
 
 @register(
@@ -966,11 +970,15 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a bench session both headline queries would otherwise pay the
     ~full candidate join twice (r7 VERDICT #6). The memo is a lazy
     localCheckpoint — materialized by whichever query runs first,
-    reused by the other; semantics and hashes unchanged."""
+    reused by the other; semantics and hashes unchanged. Bounded +
+    locked via SessionMemo (r8 ADVICE)."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _PREFIX_FILTER_MEMO.get(key)
-    if cached is not None:
-        return cached
+    return _PREFIX_FILTER_MEMO.get_or_build(
+        key, lambda: _dedup_prefix_filter_build(spark, sf_dir)
+    )
+
+
+def _dedup_prefix_filter_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles_df(spark, sf_dir, distinct=True).localCheckpoint(eager=False)
     from pyspark.sql import Window
 
@@ -1058,11 +1066,9 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    out = verify_jaccard_pairs(
+    return verify_jaccard_pairs(
         spark, sf_dir, cand, threshold=PREFIX_JACCARD_T, shingles=sh
     ).localCheckpoint(eager=False)
-    _PREFIX_FILTER_MEMO[key] = out
-    return out
 
 
 # ----------------------------------------------------- LSH tuning report ----

@@ -2362,7 +2362,11 @@ def split_distribution_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in decimal(38,0) / HUGEINT — no float stat, no p-value libm. Headroom:
 # both sides stay under 1e38 for arms up to ~3e5 users; beyond, divide
 # the four counts by their gcd (or widen to two-limb) — documented
-# lever, trapped loudly (rule-7 assert_true), never silent.
+# lever, never silent. Under the session's pinned ANSI mode
+# (session.py) decimal(38,0) overflow raises ARITHMETIC_OVERFLOW at the
+# expression itself — that raise is the PRIMARY guard; the in-plan
+# isNull->assert_true traps below are the backstop for non-ANSI
+# deployments where overflow yields NULL (r8 ADVICE).
 AB_CRIT_X10000 = 38415  # chi2_{1, 0.05} = 3.8415
 AB_CONV_DAYS = 2        # activation window: first purchase within N days
 
@@ -2412,8 +2416,9 @@ def events_two_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE event scan collapses map-side onto (user), then onto the
     2-row arm relation; all test algebra is bounded 2-row crossJoins.
-    The decimal(38,0) legs trap overflow loudly (NULL can only mean
-    overflow) instead of Spark's silent decimal NULL."""
+    The decimal(38,0) legs fail loudly on overflow: ANSI mode (pinned
+    in session.py) raises at the expression; the isNull trap is the
+    non-ANSI backstop."""
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.when(
@@ -2464,9 +2469,11 @@ def events_two_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "num",
         "den",
-        # rule-7 trap: inputs are non-null, so a NULL anywhere in the
-        # rational OR its comparison products can only mean decimal(38,0)
-        # overflow — raise, don't silently mis-flag `significant`
+        # rule-7 trap (non-ANSI backstop; under the pinned ANSI mode the
+        # overflow already raised upstream): inputs are non-null, so a
+        # NULL anywhere in the rational OR its comparison products can
+        # only mean decimal(38,0) overflow — raise, don't silently
+        # mis-flag `significant`
         F.when(
             F.col("num").isNull()
             | F.col("den").isNull()
@@ -2740,8 +2747,8 @@ def sample_ab_power_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" * {AB_POWER_Z2_DEN}"
     )
     num = F.lit(AB_POWER_Z2_NUM).cast(d38) * F.col("s")
-    # rule-7 trap: all inputs non-null, so NULL in any decimal leg can
-    # only mean decimal(38,0) overflow — raise, don't mis-flag
+    # rule-7 trap (non-ANSI backstop; ANSI raises upstream): all inputs
+    # non-null, so NULL in any decimal leg can only mean overflow
     guarded = calc.select(
         "*",
         F.when(
@@ -2955,7 +2962,8 @@ def sample_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u1_x2",
         "v_num",
         "v_den",
-        # rule-7 trap: inputs non-null => NULL leg means decimal overflow
+        # rule-7 trap (non-ANSI backstop; ANSI raises upstream):
+        # inputs non-null => NULL leg means decimal overflow
         F.when(
             lhs.isNull() | rhs.isNull(),
             F.assert_true(
@@ -3116,7 +3124,8 @@ def sample_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST((CAST(1000000 AS decimal(38,0)) * d_num)"
                 " div (CAST(n1 AS decimal(38,0)) * n2) AS BIGINT)"
             ).alias("d_ppm"),
-            # rule-7 trap: NULL legs can only mean decimal overflow
+            # rule-7 trap (non-ANSI backstop; ANSI raises upstream):
+            # NULL legs can only mean decimal overflow
             F.when(
                 lhs.isNull() | rhs.isNull(),
                 F.assert_true(

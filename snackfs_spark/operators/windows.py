@@ -2517,14 +2517,20 @@ def orders_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------- max drawdown ----
 #
-# Running-extremes readout over the monthly revenue series: per month
-# the running peak, the drawdown from that peak (exact cents and ppm of
-# the peak), plus the series-level maximum drawdown — the classic
-# risk/health curve (how far below the best month-cumulative level did
-# the trajectory fall, and when). Uses the CUMULATIVE revenue curve
-# (running total), where "drawdown" is the standard peak-to-trough
-# measure; on raw monthly values the notion is meaningless when months
-# are independent. All integers; ppm by truncating division.
+# Running-extremes readout over the monthly revenue series. The r8 form
+# cumulated RAW monthly revenue — but monthly sums are strictly
+# positive (TPC-H o_totalprice > 0), so that curve is monotone and
+# every drawdown is identically 0 (r8 ADVICE: degenerate readout). The
+# series that CAN decline — and the one analysts actually chart — is
+# the cumulative EXCESS curve: each month's revenue minus the series
+# mean, summed. Months above the mean push it up, below-mean months
+# pull it down, and its peak-to-trough drawdown measures the deepest
+# sustained under-performance streak. To stay on the exact integer
+# lattice the mean is never divided out: everything is scaled by
+# n_months (excess_i = yc_i * n - tot, an integer), so cum/peak/
+# drawdown are exact in cents x n units and ppm is drawdown relative
+# to the n-scaled total revenue (i.e. (drawdown/n)/tot), by truncating
+# HUGEINT/decimal(38,0) division.
 
 
 @register(
@@ -2536,75 +2542,101 @@ def orders_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
                            AS BIGINT)) AS BIGINT) AS yc
       FROM orders GROUP BY 1
     ),
-    c AS (
-      SELECT mo, yc,
-             SUM(yc) OVER (ORDER BY mo) AS cum
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(yc) AS BIGINT) AS tot
       FROM m
     ),
+    c AS (
+      SELECT mo, yc, n, tot,
+             SUM(yc * n - tot) OVER (ORDER BY mo) AS cum
+      FROM m CROSS JOIN s
+    ),
     d AS (
-      SELECT mo, yc, cum,
+      SELECT mo, yc, n, tot, cum,
              MAX(cum) OVER (ORDER BY mo) AS peak
       FROM c
     ),
     x AS (
       SELECT mo, yc, cum, peak,
-             CAST(peak - cum AS BIGINT) AS drawdown_cents,
-             CAST((1000000 * (peak - cum)) // peak AS BIGINT) AS drawdown_ppm
+             CAST(peak - cum AS BIGINT) AS drawdown_scaled,
+             CAST((CAST(1000000 AS HUGEINT) * (peak - cum))
+                  // (CAST(n AS HUGEINT) * tot) AS BIGINT) AS drawdown_ppm
       FROM d
     ),
-    mx AS (SELECT CAST(MAX(drawdown_cents) AS BIGINT) AS max_dd FROM x)
+    mx AS (SELECT CAST(MAX(drawdown_scaled) AS BIGINT) AS max_dd FROM x)
     SELECT strftime(x.mo, '%Y-%m') AS month,
            x.yc AS revenue_cents,
-           CAST(x.cum AS BIGINT) AS cum_cents,
-           CAST(x.peak AS BIGINT) AS peak_cents,
-           x.drawdown_cents,
+           CAST(x.cum AS BIGINT) AS cum_excess_scaled,
+           CAST(x.peak AS BIGINT) AS peak_excess_scaled,
+           x.drawdown_scaled,
            x.drawdown_ppm,
-           mx.max_dd AS max_drawdown_cents
+           mx.max_dd AS max_drawdown_scaled
     FROM x CROSS JOIN mx
     """,
 )
 def orders_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Peak-to-trough drawdown curve of cumulative monthly revenue:
-    per month the running total, its running peak, the drawdown in
-    exact cents and ppm-of-peak, and the series max drawdown — the
-    running-extremes window shape (MAX OVER preceding) next to the
-    running-sum family.
+    """Peak-to-trough drawdown curve of the cumulative EXCESS revenue
+    series (monthly revenue net of the series mean, n-scaled to stay
+    integer): per month the cumulative excess, its running peak, the
+    drawdown in exact scaled cents and in ppm of n-scaled total
+    revenue, and the series max drawdown — the running-extremes window
+    shape (MAX OVER preceding) next to the running-sum family, on a
+    curve that genuinely rises and falls (r8 ADVICE fix: the raw
+    cumulative-revenue curve is monotone, so its drawdown was
+    identically 0 and the peak/trough logic untested).
 
     Scale: ONE order scan collapses map-side onto the CALENDAR month
     grid; both unpartitioned windows run over <= |months| rows (the
-    calendar-bounded-axis rule). Cents ride int64 (9.2e16-dollar
-    cumulative headroom)."""
+    calendar-bounded-axis rule). The excess lattice rides int64
+    (|excess| < tot, cum < n*tot; 9.2e18 headroom holds past $900 T
+    total revenue); the ppm numerator alone needs decimal(38,0)."""
     o = fan_out(load_table(spark, sf_dir, "orders"), spark)
     m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mo")).agg(
         F.sum((money("o_totalprice") * 100).cast("long")).cast("long").alias("yc")
     )
+    s = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yc").cast("long").alias("tot"),
+    )
     w = Window.orderBy("mo")
-    d = m.select(
-        "mo",
-        "yc",
-        F.sum("yc").over(w).alias("cum"),
-    ).select(
-        "mo",
-        "yc",
-        "cum",
-        F.max("cum").over(w).alias("peak"),
-    ).select(
-        "mo",
-        "yc",
-        "cum",
-        "peak",
-        (F.col("peak") - F.col("cum")).cast("long").alias("drawdown_cents"),
-        F.expr("(1000000 * (peak - cum)) div peak")
-        .cast("long")
-        .alias("drawdown_ppm"),
-    ).localCheckpoint(eager=False)
-    mx = d.agg(F.max("drawdown_cents").cast("long").alias("max_drawdown_cents"))
+    d = (
+        m.crossJoin(F.broadcast(s))
+        .select(
+            "mo",
+            "yc",
+            "n",
+            "tot",
+            F.sum(F.col("yc") * F.col("n") - F.col("tot")).over(w).alias("cum"),
+        )
+        .select(
+            "mo",
+            "yc",
+            "n",
+            "tot",
+            "cum",
+            F.max("cum").over(w).alias("peak"),
+        )
+        .select(
+            "mo",
+            "yc",
+            "cum",
+            "peak",
+            (F.col("peak") - F.col("cum")).cast("long").alias("drawdown_scaled"),
+            F.expr(
+                "CAST((CAST(1000000 AS decimal(38,0)) * (peak - cum))"
+                " div (CAST(n AS decimal(38,0)) * tot) AS BIGINT)"
+            ).alias("drawdown_ppm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    mx = d.agg(F.max("drawdown_scaled").cast("long").alias("max_drawdown_scaled"))
     return d.crossJoin(F.broadcast(mx)).select(
         F.date_format("mo", "yyyy-MM").alias("month"),
         F.col("yc").alias("revenue_cents"),
-        F.col("cum").cast("long").alias("cum_cents"),
-        F.col("peak").cast("long").alias("peak_cents"),
-        "drawdown_cents",
+        F.col("cum").cast("long").alias("cum_excess_scaled"),
+        F.col("peak").cast("long").alias("peak_excess_scaled"),
+        "drawdown_scaled",
         "drawdown_ppm",
-        "max_drawdown_cents",
+        "max_drawdown_scaled",
     )

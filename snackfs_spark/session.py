@@ -28,6 +28,16 @@ def get_spark(app_name: str = "snackfs_spark", cpus: int | None = None) -> Spark
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Pinned EXPLICITLY (r8 ADVICE): the exact-rational operators
+        # (two-proportion, Mann-Whitney, KS, KMV, power grid) rely on
+        # decimal(38,0) overflow failing LOUDLY. Under ANSI mode Spark
+        # raises ARITHMETIC_OVERFLOW / NUMERIC_VALUE_OUT_OF_RANGE at the
+        # offending expression — that raise IS the primary guard. The
+        # in-plan isNull->assert_true traps next to those expressions are
+        # the backstop for deployments that run with ANSI disabled
+        # (where overflow silently yields NULL). Do not flip this to
+        # false without auditing DESIGN.md rule 7.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

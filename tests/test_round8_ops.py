@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 
 import pandas as pd
+import pytest
 
 from snackfs_spark.registry import load_all
 from tests.conftest import SF_ORACLE
@@ -449,8 +450,11 @@ def test_isotonic_calibration_pav_replay(spark):
 
 
 def test_max_drawdown_recount(spark):
-    """Cumulative curve, running peak, drawdowns and the series max
-    recounted in pandas over the month axis."""
+    """Cumulative EXCESS curve (n-scaled, mean-free), running peak,
+    drawdowns and the series max recounted in pandas over the month
+    axis — and the drawdown must be NONZERO somewhere (r8 ADVICE: the
+    raw cumulative-revenue form was monotone, so the peak/trough logic
+    was never exercised)."""
     rows = sorted(
         REG["orders_max_drawdown"].fn(spark, SF_ORACLE).collect(),
         key=lambda r: r["month"],
@@ -459,19 +463,23 @@ def test_max_drawdown_recount(spark):
     o["mo"] = pd.to_datetime(o.o_orderdate).dt.to_period("M")
     cents = (o.o_totalprice.round(2) * 100).round().astype("int64")
     y = cents.groupby(o.mo).sum().sort_index()
-    cum = y.cumsum()
+    n = int(len(y))
+    tot = int(y.sum())
+    excess = y.astype(object) * n - tot  # exact python ints, no overflow
+    cum = excess.cumsum()
     peak = cum.cummax()
     dd = peak - cum
     assert [r["month"] for r in rows] == [str(p) for p in y.index]
+    # the excess curve must actually decline somewhere: below-mean
+    # months exist in any non-constant series
+    assert int(dd.max()) > 0, "drawdown degenerate again — series monotone?"
     for i, r in enumerate(rows):
         assert r["revenue_cents"] == int(y.iloc[i])
-        assert r["cum_cents"] == int(cum.iloc[i])
-        assert r["peak_cents"] == int(peak.iloc[i])
-        assert r["drawdown_cents"] == int(dd.iloc[i]) >= 0
-        assert r["drawdown_ppm"] == (1_000_000 * int(dd.iloc[i])) // int(
-            peak.iloc[i]
-        )
-        assert r["max_drawdown_cents"] == int(dd.max())
+        assert r["cum_excess_scaled"] == int(cum.iloc[i])
+        assert r["peak_excess_scaled"] == int(peak.iloc[i])
+        assert r["drawdown_scaled"] == int(dd.iloc[i]) >= 0
+        assert r["drawdown_ppm"] == (1_000_000 * int(dd.iloc[i])) // (n * tot)
+        assert r["max_drawdown_scaled"] == int(dd.max())
 
 
 def test_mann_whitney_recount(spark):
@@ -548,9 +556,30 @@ def test_ks_two_sample_recount(spark):
     assert r["significant"] == int(
         d_num * d_num * KS_C2_DEN >= KS_C2_NUM * n1 * n2 * (n1 + n2)
     )
-    try:
-        from scipy.stats import ks_2samp
-    except ImportError:
-        return
+
+
+def test_ks_two_sample_scipy_crosscheck(spark):
+    """Library cross-check of the KS D statistic. Split out of the
+    exact-rational recount (which always runs) so the optional
+    dependency SKIPS VISIBLY under `pytest -rs` instead of silently
+    returning mid-test (r8 VERDICT #4); test_optional_deps.py pins the
+    skip reason."""
+    import importlib.util
+
+    if importlib.util.find_spec("scipy") is None:
+        pytest.skip(
+            "scipy not installed in this env — exact-rational recount "
+            "still validates the KS test (test_ks_two_sample_recount)"
+        )
+    from scipy.stats import ks_2samp
+
+    rows = REG["sample_ks_two_sample"].fn(spark, SF_ORACLE).collect()
+    r = rows[0]
+    ev = pd.read_parquet(f"{SF_ORACLE}/events.parquet")
+    cents = (ev.value * 100).round().astype("int64")
+    metric = cents.groupby(ev.user_id).sum()
+    arm = metric.index % 2
+    m0 = sorted(metric[arm == 0])
+    m1 = sorted(metric[arm == 1])
     d = ks_2samp(m0, m1).statistic
-    assert abs(d - d_num / (n1 * n2)) < 1e-12
+    assert abs(d - r["d_gap_num"] / (r["n1"] * r["n2"])) < 1e-12
