@@ -51,18 +51,118 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # in-repo oracle replica, tests/test_correctness.py, which hash-checks
 # ALL registered queries at sf0.01 every test run).
 #
-# ROUND-8 ROTATION (r7 VERDICT #3/#7): after r7, 180 of 305 registered
-# queries still had no driver-side green row. This window keeps 8
-# veterans — the SIX evicted §2.B Q-* targets that last saw the driver
-# in r4 (VERDICT #7: every Q-* driver-green within the trailing 3
-# rounds; the eleven Q-* that ran in the r7 window are green in
-# trailing-1 and rotate out), the connector, and the q1 flagship — and
-# hands 42 slots to queries that have NEVER been driver-checked (84%
-# first-time evidence; cumulative driver coverage 125 -> 167 of 305 if
-# the window lands green). Every evicted veteran stays green in the
-# in-repo replica; the per-slot comments name where each evicted
-# family/class stays hash-checked.
+# ROUND-9 ROTATION (r8 VERDICT #1): after r8, 153 of 320 registered
+# queries still had no driver-side green row. This window keeps THREE
+# veterans — the q1 flagship and the connector (permanent anchors) plus
+# approx_aggregates, whose only driver rows (r1-r4) predate its r7
+# error-bound oracle (r8 VERDICT "what's missing" #2: convert the new
+# oracle into a driver-verified fact) — and hands 47 slots to queries
+# that have NEVER been driver-checked (94% first-time evidence;
+# cumulative driver coverage 167 -> 214 of 320 if the window lands
+# green). Every evicted veteran stays green in the in-repo replica; the
+# §2.B Q-* skeleton is ALL driver-green in r7/r8 (trailing <= 2) and
+# per the trailing-3-rounds cadence the eleven r7-green Q-* rows must
+# rotate back in by ROUND 10 (r8 VERDICT #7) — planned for the r10
+# window, freeing this one to drain the backlog at maximum rate.
 PRIORITY: tuple[str, ...] = (
+    # -------- veterans kept (3)
+    "q1_pricing_summary",  # flagship anchor (sf1-verified decimal lattice)
+    "fs_connector_roundtrip",  # §7-M6 Python Data Source anchor
+    "approx_aggregates",  # r7 error-bound oracle, never driver-checked under it
+    # -------- first-time driver rows (47) — never in any prior window.
+    # fs analytics: Hadoop-style text decode (gzip/ZIP magic sniff),
+    # SCD2 history, compaction/repair planning, quorum staleness, ring
+    # scaling (the r7/r8-green fs rows rotate out on trailing cadence)
+    "fs_text_decode",
+    "fs_scd2_history",
+    "fs_compaction_plan",
+    "fs_quorum_staleness",
+    "fs_ring_scaling_plan",
+    # source formats: gzip-JSONL and quoted-CSV roundtrips (ORC is
+    # r8-green)
+    "corpus_jsonl_roundtrip",
+    "corpus_csv_roundtrip",
+    # dedup ladder: chunk-exact, TF-cosine verified pairs, containment
+    # (asymmetric near-dup), golden-record survivorship (MinHash/LSH/
+    # SimHash/SNM forms are r7/r8-green)
+    "dedup_chunk_exact",
+    "dedup_tf_cosine",
+    "dedup_containment",
+    "dedup_golden_record",
+    # graph over the LSH candidate graph: triangle count + BFS hop
+    # frontier (pagerank/LPA are r8-green, k-core r7-green)
+    "graph_triangle_count",
+    "graph_bfs_hops",
+    # frequent-pattern mining: co-occurrence pairs and association
+    # rules with lift (PCY is r7-green)
+    "basket_frequent_pairs",
+    "mining_association_rules",
+    # multimodal real-decode: BMP brightness drift and WAV linear
+    # resample (VAD/tiles are r8-green, scene cuts/pHash r7-green)
+    "multimodal_brightness_drift",
+    "multimodal_audio_resample",
+    # TPC-H shapes: EXISTS priority count (q4), 8-table market share
+    # (q8), HAVING-over-sum important parts (q11), bulk suppliers with
+    # correlated half-avg threshold (q20) — q9/q15/q17/q19 are r8-green
+    "q4_priority_exists",
+    "q8_market_share",
+    "q11_important_parts",
+    "q20_bulk_suppliers",
+    # correlated min-per-group scalar subquery (family rep; q17's
+    # correlated-avg form is r8-green)
+    "rel_min_per_group_subquery",
+    # event-time analytics: sliding windows, rate anomaly (MAD), trend
+    # regression (exact OLS), purchase conversion lag (as-of shape;
+    # pit_feature_join is r8-green)
+    "events_sliding_window",
+    "events_rate_anomaly",
+    "events_trend_regression",
+    "events_conversion_lag",
+    # privacy: l-diversity (k-anonymity is r8-green, t-closeness r7)
+    "privacy_l_diversity",
+    # sampling/stats: stratified + mixture samples, Mann-Whitney U and
+    # two-sample KS exact-rational tests (DSIR/coreset are r8-green)
+    "stratified_sample",
+    "mixture_sample",
+    "sample_mann_whitney_u",
+    "sample_ks_two_sample",
+    # embeddings: JL-LSH recall evaluator and int8 quantization
+    # (IVF-multiprobe/MMR are r8-green, PQ-ADC r7-green)
+    "ann_lsh_recall",
+    "embedding_quantize_int8",
+    # text/retrieval: vocab top-k, inverted index, NDCG@k retrieval
+    # eval, isotonic (PAV) calibration, sliding-window chunking
+    # (TF-IDF/hybrid/boolean are r8-green, BM25 r7-green)
+    "text_vocab_topk",
+    "text_inverted_index",
+    "eval_ndcg_at_k",
+    "eval_isotonic_calibration",
+    "text_chunk_sliding",
+    # order/window analytics: RFM segments, max-drawdown curve (the r8
+    # ADVICE excess-series fix — first driver row exercises the
+    # non-degenerate form), cohort LTV, seasonal-naive MASE forecast
+    # (Holt forecast is r8-green)
+    "orders_rfm_segments",
+    "orders_max_drawdown",
+    "orders_cohort_ltv",
+    "orders_seasonal_naive_mase",
+    # mergeable sketches: pairwise HLL register overlap (the merged
+    # daily-union form is r8-green)
+    "approx_overlap_hll",
+    # streaming: CDC upsert drain and exactly-once tail follow
+    # (windowed-peak/dedup-ingest are r8-green)
+    "streaming_cdc_upsert",
+    "streaming_tail_follow",
+    # splits + data quality: per-split token summary and the DQ check
+    # battery (temporal holdout/packing are r8-green)
+    "split_summary_tokens",
+    "dq_check_battery",
+)
+
+
+# ROUND-8 window, kept for the changelog (every name stays registered
+# and repo-oracle green; see git history for the r8 slot comments).
+_PRIORITY_R8: tuple[str, ...] = (
     # -------- veterans kept (8): the six Q-* evicted in r5-r7 rotate
     # back in on the trailing-3-rounds cadence (each has 1-6 prior
     # green driver rounds; last driver row r4)...

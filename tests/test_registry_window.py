@@ -1,12 +1,15 @@
 """The driver's correctness gate checks the FIRST 50 registered queries.
-These tests pin the ROUND-8 rotated window (r7 VERDICT #3/#7): 8
-veterans (the six §2.B Q-* evicted since r4, on the trailing-3-rounds
-cadence, plus the connector and q1) + 42 queries that had never
-produced a driver-side green row, while the window still spans
-SURVEY.md §2 — every declared operator family and §2.C class has an
-in-window rep or a documented evicted veteran with a green driver row
-in the trailing 3 rounds that stays hash-checked in the in-repo
-replica."""
+These tests pin the ROUND-9 rotated window (r8 VERDICT #1): 3 veterans
+(the q1 flagship + the connector as permanent anchors, plus
+approx_aggregates whose only driver rows predate its r7 error-bound
+oracle) + 47 queries that had never produced a driver-side green row,
+while the window still spans SURVEY.md §2 — every declared operator
+family and §2.C class has an in-window rep or a documented evicted
+veteran with a green driver row in the trailing rounds that stays
+hash-checked in the in-repo replica. The §2.B Q-* skeleton is all
+driver-green in r7/r8 (trailing <= 2); per the trailing-3-rounds
+cadence (r8 VERDICT #7) the eleven r7-green Q-* must rotate back into
+the ROUND-10 window — recorded below in FS_DUE_R10."""
 
 from __future__ import annotations
 
@@ -18,35 +21,38 @@ from snackfs_spark.registry import PRIORITY, load_all
 WINDOW = 50
 
 # Queries with a driver-side green row in any round BEFORE the current
-# one — the rotation's freshness denominator. The highest-numbered
-# CORRECTNESS file is the *current* window's own artifact (the driver
-# writes it the moment the window runs), so including it would make
-# every slot look stale the round after it passes (r7 VERDICT #1).
+# one — the rotation's freshness denominator. The CURRENT window's own
+# artifact (the driver writes it the moment the window runs) must be
+# excluded, else every slot looks stale the round after it passes (r7
+# VERDICT #1). Positional exclusion ("drop the highest-numbered file")
+# was wrong the round AFTER a rotation: it also dropped the previous
+# round's artifact, erasing exactly the trailing-green evidence the
+# span policy leans on. Exclude SEMANTICALLY instead: an artifact is
+# "this window's own run" iff most of its keys are the current
+# PRIORITY names — prior-round artifacts of a rotated window overlap
+# only on the few kept veterans.
 _REPO = Path(__file__).resolve().parent.parent
 _ARTIFACTS = sorted(
     _REPO.glob("CORRECTNESS_r*.json"),
     key=lambda p: int("".join(c for c in p.stem if c.isdigit()) or 0),
 )
 DRIVER_CHECKED = set()
-for _p in _ARTIFACTS[:-1]:  # exclude the current round's artifact
+for _p in _ARTIFACTS:
     try:
-        DRIVER_CHECKED.update(json.loads(_p.read_text()).keys())
+        _keys = set(json.loads(_p.read_text()).keys())
     except ValueError:
-        pass
+        continue
+    if _keys and len(_keys & set(PRIORITY)) / len(_keys) > 0.5:
+        continue  # the current window's own artifact
+    DRIVER_CHECKED.update(_keys)
 
-# Q-* → query name (SURVEY §2.B, 17 targets). The six in-window rows
-# rotated back in this round after 3 rounds out (r7 VERDICT #7); the
-# eleven evicted rows all have a green driver row in CORRECTNESS_r07
-# (trailing-1) and stay hash-checked in the in-repo replica.
-FS_IN_WINDOW = {
-    "Q-LSR": "fs_lsr",
-    "Q-DUS": "fs_dus",
-    "Q-SUBOFF": "fs_suboff_prefix_sum",
-    "Q-LOCK": "fs_lock_arbitration",
-    "Q-RANGE": "fs_range_read",
-    "Q-TAIL": "fs_tail",
-}
-FS_R7_GREEN = {
+# Q-* → query name (SURVEY §2.B, 17 targets). NONE are in the r9
+# window: all 17 are driver-green in r7 or r8 (trailing <= 2 rounds)
+# and every slot they'd occupy went to the never-checked backlog
+# instead (r8 VERDICT #1: drain hard). The eleven r7-green rows reach
+# the trailing-3 cadence boundary after r9, so they are DUE in the
+# ROUND-10 window (r8 VERDICT #7).
+FS_DUE_R10 = {
     "Q-STAT": "fs_stat",
     "Q-LS": "fs_ls",
     "Q-DU": "fs_du",
@@ -59,73 +65,157 @@ FS_R7_GREEN = {
     "Q-DELETE": "fs_delete",
     "Q-MKDIR": "fs_mkdirs",
 }
+FS_R8_GREEN = {
+    "Q-LSR": "fs_lsr",
+    "Q-DUS": "fs_dus",
+    "Q-SUBOFF": "fs_suboff_prefix_sum",
+    "Q-LOCK": "fs_lock_arbitration",
+    "Q-RANGE": "fs_range_read",
+    "Q-TAIL": "fs_tail",
+}
 
-# family → representative query inside the window. Families whose r7
-# rep rotated out keep coverage through a same-shape in-window rep; the
-# r7 rep itself is trailing-1 driver-green.
+# family → representative query INSIDE the r9 window.
 FAMILIES = {
     # q1 stays as the filter+agg anchor (sf1-verified decimal lattice)
     "filter/projection + group agg": "q1_pricing_summary",
-    # q2/q21 are r7-green; the 6-table profit join is the fresher rep
-    "equi-join + agg": "q9_product_profit",
-    "broadcast dims": "q9_product_profit",
-    "multi-join exists/not-exists": "rel_semi_anti_joins",
-    # rel_salted_skew_join is r7-green (trailing-1); the skew posture
-    # stays plan-pinned in tests/test_plans.py
-    "non-equi join (band/interval)": "fs_range_read",
-    "as-of / point-in-time join": "pit_feature_join",
-    "window ranking": "win_first_order_per_customer",
-    "running sum window": "fs_suboff_prefix_sum",
-    "sort+limit / top-k": "text_tfidf_topk",
-    # setops_all_variants r7-green; snapshot-diff EXCEPT shapes stay
-    # repo-oracle. Rollup/cube rotates to the grouping-sets Markov cube
-    # (cube_order_priorities r7-green)
-    "rollup/cube/groupingsets": "events_markov_transitions",
-    "function battery": "quantile_battery",
-    "unpivot / reshape": "unpivot_part_measures",
-    "disjunctive pushdown": "q19_disjunctive_filter",
-    "correlated scalar subquery": "q17_small_quantity_revenue",
+    # 8-table join with market-share ratio; q9/q15 are r8-green
+    "equi-join + agg": "q8_market_share",
+    "broadcast dims": "q8_market_share",
+    # EXISTS order-priority count; q21/rel_semi_anti are r7/r8-green
+    "multi-join exists/not-exists": "q4_priority_exists",
+    # running-sum + running-max windows on the excess-revenue curve
+    "running sum window": "orders_max_drawdown",
+    "sort+limit / top-k": "text_vocab_topk",
+    # correlated scalar subqueries: per-group min and half-avg forms
+    "correlated scalar subquery": "rel_min_per_group_subquery",
+    "correlated threshold subquery": "q20_bulk_suppliers",
+    "function battery": "dq_check_battery",
+}
+# family → evicted veteran with a TRAILING driver-green row (r7/r8),
+# still hash-checked by the in-repo replica every test run.
+FAMILIES_TRAILING = {
+    "non-equi join (band/interval)": "fs_range_read",  # r8
+    "as-of / point-in-time join": "pit_feature_join",  # r8
+    "window ranking": "win_first_order_per_customer",  # r8
+    "rollup/cube/groupingsets": "events_markov_transitions",  # r8
+    "unpivot / reshape": "unpivot_part_measures",  # r8
+    "disjunctive pushdown": "q19_disjunctive_filter",  # r8
+    "set operations": "setops_all_variants",  # r7
+    "skewed join salting": "rel_salted_skew_join",  # r7
 }
 
-# §2.C class → representative inside the window
+# §2.C class → representative inside the r9 window
 CLASSES = {
-    "dedup (signature banding)": "dedup_simhash_pairs",
-    "dedup (entity resolution)": "dedup_entity_snm",
-    "similarity (IVF pruned)": "ann_ivf_multiprobe",
-    "similarity (diversity re-rank)": "retrieval_mmr_topk",
-    "retrieval (lexical ranking)": "text_tfidf_topk",
-    "retrieval (hybrid fusion)": "hybrid_search_topk",
-    "retrieval (boolean)": "retrieval_boolean_query",
-    "multimodal (audio decode)": "multimodal_audio_vad",
-    "multimodal (image decode)": "multimodal_image_tiles",
-    "sampling (importance/DSIR)": "importance_sample_dsir",
-    "sampling (coreset)": "sample_coreset_kcenter",
-    "splits (temporal)": "split_temporal_holdout",
-    "packing": "pack_length_buckets",
-    "source formats (ORC)": "corpus_orc_roundtrip",
-    "corpus lifecycle (takedown)": "corpus_takedown_audit",
-    "streaming (chained stateful)": "streaming_windowed_peak",
-    "streaming (dedup ingest)": "streaming_dedup_ingest",
+    "dedup (verified cosine pairs)": "dedup_tf_cosine",
+    "dedup (chunk exact)": "dedup_chunk_exact",
+    "dedup (asymmetric containment)": "dedup_containment",
+    "dedup (golden record)": "dedup_golden_record",
+    "similarity (LSH recall eval)": "ann_lsh_recall",
+    "similarity (int8 quantization)": "embedding_quantize_int8",
+    "retrieval (inverted index)": "text_inverted_index",
+    "retrieval eval (NDCG@k)": "eval_ndcg_at_k",
+    "multimodal (audio decode)": "multimodal_audio_resample",
+    "multimodal (image decode)": "multimodal_brightness_drift",
+    "sampling (stratified)": "stratified_sample",
+    "sampling (mixture weights)": "mixture_sample",
+    "splits (token accounting)": "split_summary_tokens",
+    "chunking / packing": "text_chunk_sliding",
+    "source formats (JSONL)": "corpus_jsonl_roundtrip",
+    "source formats (CSV)": "corpus_csv_roundtrip",
+    "streaming (CDC upsert)": "streaming_cdc_upsert",
+    "streaming (tail follow)": "streaming_tail_follow",
     "connector": "fs_connector_roundtrip",
-    "funnel": "events_conversion_funnel",
-    "cohort retention": "events_cohort_retention",
-    "attribution": "events_attribution",
-    "survival analysis": "events_survival_km",
-    "forecasting": "orders_holt_linear_forecast",
-    "causal readout (A/B test)": "events_two_proportion_test",
-    "mergeable sketches (HLL merge)": "approx_distinct_hll_merged",
-    "graph (fixpoint)": "graph_pagerank_tokens",
-    "graph (communities)": "graph_label_propagation",
-    "privacy": "privacy_k_anonymity",
-    "eval (calibration)": "eval_calibration_ece",
-    "fs analytics (audit/profile)": "fs_permission_audit",
+    "cohort LTV": "orders_cohort_ltv",
+    "forecasting (seasonal-naive MASE)": "orders_seasonal_naive_mase",
+    "causal readout (Mann-Whitney)": "sample_mann_whitney_u",
+    "causal readout (two-sample KS)": "sample_ks_two_sample",
+    "mergeable sketches (HLL overlap)": "approx_overlap_hll",
+    "mergeable sketches (error bounds)": "approx_aggregates",
+    "graph (triangles)": "graph_triangle_count",
+    "graph (BFS frontier)": "graph_bfs_hops",
+    "frequent-pattern mining": "mining_association_rules",
+    "privacy": "privacy_l_diversity",
+    "eval (isotonic calibration)": "eval_isotonic_calibration",
+    "fs analytics (SCD2 history)": "fs_scd2_history",
+    "fs analytics (text decode)": "fs_text_decode",
+}
+# §2.C class → trailing driver-green veteran (r7/r8)
+CLASSES_TRAILING = {
+    "dedup (signature banding)": "dedup_simhash_pairs",  # r8
+    "dedup (entity resolution)": "dedup_entity_snm",  # r8
+    "similarity (IVF pruned)": "ann_ivf_multiprobe",  # r8
+    "similarity (diversity re-rank)": "retrieval_mmr_topk",  # r8
+    "retrieval (hybrid fusion)": "hybrid_search_topk",  # r8
+    "retrieval (boolean)": "retrieval_boolean_query",  # r8
+    "funnel": "events_conversion_funnel",  # r8
+    "cohort retention": "events_cohort_retention",  # r8
+    "attribution": "events_attribution",  # r8
+    "survival analysis": "events_survival_km",  # r8
+    "corpus lifecycle (takedown)": "corpus_takedown_audit",  # r8
+    "source formats (ORC)": "corpus_orc_roundtrip",  # r8
+    "packing (length buckets)": "pack_length_buckets",  # r8
+    "streaming (chained stateful)": "streaming_windowed_peak",  # r8
+    "graph (fixpoint)": "graph_pagerank_tokens",  # r8
+    "graph (communities)": "graph_label_propagation",  # r8
+    "eval (calibration ECE)": "eval_calibration_ece",  # r8
+    "privacy (k-anonymity)": "privacy_k_anonymity",  # r8
 }
 
 # Evicted veterans that must STAY registered + oracled (repo replica
-# keeps hash-checking them every test run). The r7 window's 42 evicted
-# names all carry trailing-1 driver-green rows.
+# keeps hash-checking them every test run). The r8 window's 42
+# first-time names all carry trailing-1 driver-green rows; the r7-era
+# and earlier veterans carry older green rows.
 EVICTED_STAY_ORACLED = [
-    # r7 window, all green in CORRECTNESS_r07
+    # r8 window, all green in CORRECTNESS_r08
+    "fs_lsr",
+    "fs_dus",
+    "fs_suboff_prefix_sum",
+    "fs_lock_arbitration",
+    "fs_range_read",
+    "fs_tail",
+    "fs_count_quota",
+    "fs_permission_audit",
+    "fs_namespace_profile",
+    "fs_replica_sets",
+    "q9_product_profit",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_filter",
+    "rel_semi_anti_joins",
+    "unpivot_part_measures",
+    "quantile_battery",
+    "win_first_order_per_customer",
+    "events_conversion_funnel",
+    "events_cohort_retention",
+    "events_attribution",
+    "events_survival_km",
+    "orders_holt_linear_forecast",
+    "events_two_proportion_test",
+    "pit_feature_join",
+    "events_markov_transitions",
+    "graph_pagerank_tokens",
+    "graph_label_propagation",
+    "dedup_simhash_pairs",
+    "dedup_entity_snm",
+    "ann_ivf_multiprobe",
+    "retrieval_mmr_topk",
+    "text_tfidf_topk",
+    "hybrid_search_topk",
+    "retrieval_boolean_query",
+    "multimodal_audio_vad",
+    "multimodal_image_tiles",
+    "split_temporal_holdout",
+    "importance_sample_dsir",
+    "sample_coreset_kcenter",
+    "pack_length_buckets",
+    "corpus_orc_roundtrip",
+    "corpus_takedown_audit",
+    "eval_calibration_ece",
+    "privacy_k_anonymity",
+    "streaming_windowed_peak",
+    "streaming_dedup_ingest",
+    "approx_distinct_hll_merged",
+    # r7 window veterans (green in CORRECTNESS_r07)
     "fs_stat",
     "fs_ls",
     "fs_du",
@@ -218,14 +308,27 @@ def test_window_order_and_span():
     window = set(names[:WINDOW])
     # load_all puts PRIORITY first, verbatim
     assert names[: len(PRIORITY)] == list(PRIORITY)
-    for target, q in {**FS_IN_WINDOW, **FAMILIES, **CLASSES}.items():
+    for target, q in {**FAMILIES, **CLASSES}.items():
         assert q in window, f"{target} ({q}) fell outside the driver's window"
+
+
+def test_trailing_reps_are_driver_green():
+    """Families/classes without an in-window rep must be covered by an
+    evicted veteran with a PRIOR driver-green row (the replica keeps
+    hash-checking them every run)."""
+    for target, q in {**FAMILIES_TRAILING, **CLASSES_TRAILING}.items():
+        assert q in DRIVER_CHECKED, (
+            f"{target} ({q}) has neither an in-window rep nor a prior"
+            " driver-green row"
+        )
 
 
 def test_fs_skeleton_trailing_cadence():
     """Every §2.B Q-* target is either in the current window or has a
-    driver-green row in the trailing rounds (r7 VERDICT #7)."""
-    for target, q in FS_R7_GREEN.items():
+    driver-green row in the trailing rounds (r7 VERDICT #7). The
+    FS_DUE_R10 names reach the cadence boundary after this round and
+    must be rotated into the round-10 window."""
+    for target, q in {**FS_DUE_R10, **FS_R8_GREEN}.items():
         assert q in DRIVER_CHECKED, (
             f"{target} ({q}) rotated out without a prior driver-green row"
         )
@@ -244,7 +347,14 @@ def test_rotation_freshness():
 
 def test_evicted_veterans_stay_oracled():
     reg = load_all()
-    for name in EVICTED_STAY_ORACLED + list(FS_R7_GREEN.values()):
+    veterans = (
+        EVICTED_STAY_ORACLED
+        + list(FS_DUE_R10.values())
+        + list(FS_R8_GREEN.values())
+        + list(FAMILIES_TRAILING.values())
+        + list(CLASSES_TRAILING.values())
+    )
+    for name in veterans:
         assert name in reg, f"evicted veteran {name} fell out of the registry"
         assert reg[name].oracle is not None, f"{name} lost its oracle"
 

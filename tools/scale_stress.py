@@ -298,9 +298,32 @@ QUERIES = [
     "sample_mann_whitney_u",
     # KS: same banded-rank substrate, 1-row max-gap algebra
     "sample_ks_two_sample",
+    # round-9 ops: chi-square keyword selection (one DISTINCT presence
+    # shuffle + broadcast contingency algebra + per-class top-k), RBO
+    # (k-row algebra off the memoized hybrid pipeline), Yule's K (one
+    # token scan -> (source, token) counts -> |sources| rows)
+    "text_chi2_keywords",
+    "eval_rank_rbo",
+    "text_yule_k",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
+
+
+def driver_mem_for(max_sf: float) -> str:
+    """sf -> driver memory for a local[N] sweep (r8 VERDICT #6): in
+    local mode the driver JVM hosts all executor threads, so the heap
+    must scale with the largest fixture or the sweep half-runs (the r8
+    100x sweep OOMed at the default 8g until 48g was found by hand).
+    An explicit SPARK_GRAFT_DRIVER_MEM always wins — this is only the
+    default the sweep script derives from its own arguments."""
+    if max_sf <= 1:
+        return "8g"
+    if max_sf <= 3:
+        return "24g"
+    if max_sf <= 10:
+        return "48g"
+    return "96g"
 
 
 def main() -> None:
@@ -321,6 +344,16 @@ def main() -> None:
     if only:
         queries = [q for q in queries if q in only]
     registry = load_all()
+    # size the local-mode driver heap to the sweep's largest fixture
+    # BEFORE the JVM starts (r8 VERDICT #6); explicit env wins
+    if "SPARK_GRAFT_DRIVER_MEM" not in os.environ:
+        max_sf = max(float(sf) for sf in labels)
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = driver_mem_for(max_sf)
+        print(
+            f"# driver memory {os.environ['SPARK_GRAFT_DRIVER_MEM']}"
+            f" (max sf {max_sf})",
+            file=sys.stderr,
+        )
     spark = get_spark("scale_stress")
     # the larger fixture has Nx the rows per shuffle key-space; size
     # partitions so a partition stays ~base-sized (the knob a real
