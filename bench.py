@@ -323,6 +323,17 @@ HEADLINE_R21 = [
 # sketch set algebra, NDCG@10 + average precision on the shared BM25
 # workload, seasonal-naive MASE, association rules, streaming CDC
 # upsert state.
+HEADLINE_R23 = [
+    # round-9 additions: chi-square keyword selection (one presence
+    # shuffle + broadcast algebra), exact dyadic-lattice RBO over the
+    # memoized hybrid ranking (k-row algebra), and per-source Yule's K
+    # (one token scan -> |sources| rows)
+    "text_chi2_keywords",
+    "eval_rank_rbo",
+    "text_yule_k",
+]
+
+
 HEADLINE_R22 = [
     "graph_jaccard_link_prediction",
     "approx_kmv_theta_sketch",
@@ -369,6 +380,7 @@ ROUNDS = [
     HEADLINE_R20,
     HEADLINE_R21,
     HEADLINE_R22,
+    HEADLINE_R23,
 ]
 
 

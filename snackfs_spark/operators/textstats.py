@@ -21,6 +21,7 @@ from snackfs_spark.functions import (
     STOPWORD_PERMILLE_SQL,
     md5_bucket,
 )
+from snackfs_spark.memo import SessionMemo
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import fan_out, load_table
 
@@ -1993,7 +1994,7 @@ def _retrieval_oracle() -> str:
     """
 
 
-_RANK_REL_MEMO: dict[tuple[str, str], tuple] = {}
+_RANK_REL_MEMO = SessionMemo(maxsize=4)
 
 
 def _retrieval_rank_rel(spark: SparkSession, sf_dir: str):
@@ -2011,20 +2012,20 @@ def _retrieval_rank_rel(spark: SparkSession, sf_dir: str):
     scan once — lazy localCheckpoints, materialized by whichever query
     runs first; semantics and hashes unchanged. The checkpoint hides
     the pipeline from the consumers' plans, so the plan pin targets
-    ``_retrieval_rank_rel_raw``."""
+    ``_retrieval_rank_rel_raw``. Bounded + locked via SessionMemo
+    (r8 ADVICE)."""
+
+    def build():
+        qsize, topk, rel, nrel = _retrieval_rank_rel_raw(spark, sf_dir)
+        return (
+            qsize,
+            topk.localCheckpoint(eager=False),
+            rel.localCheckpoint(eager=False),
+            nrel.localCheckpoint(eager=False),
+        )
+
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _RANK_REL_MEMO.get(key)
-    if cached is not None:
-        return cached
-    qsize, topk, rel, nrel = _retrieval_rank_rel_raw(spark, sf_dir)
-    out = (
-        qsize,
-        topk.localCheckpoint(eager=False),
-        rel.localCheckpoint(eager=False),
-        nrel.localCheckpoint(eager=False),
-    )
-    _RANK_REL_MEMO[key] = out
-    return out
+    return _RANK_REL_MEMO.get_or_build(key, build)
 
 
 def _retrieval_rank_rel_raw(spark: SparkSession, sf_dir: str):
@@ -4586,4 +4587,315 @@ def text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000 * distinct_2) div total_2").cast("long").alias(
             "distinct2_permille"
         ),
+    )
+
+
+# ------------------------------------------------ round-9 additions ----
+#
+# Three readouts the LLM-pipeline inventory lacked: supervised keyword
+# selection (chi-square class association), ranking agreement between
+# the lexical and hybrid retrievers (rank-biased overlap on an exact
+# dyadic lattice), and per-source vocabulary richness (Yule's K).
+
+CHI2_MIN_DF = 5       # ignore tokens in fewer than 5 docs (noise floor)
+CHI2_TOP_PER_CLASS = 10
+
+
+@register(
+    "text_chi2_keywords",
+    oracle=f"""
+    WITH pres AS (
+      SELECT DISTINCT d.doc_id, d.source, t.token
+      FROM documents d,
+           unnest(string_split(d.text, ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    cls AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_c
+      FROM documents GROUP BY source
+    ),
+    dfall AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df_all
+      FROM pres GROUP BY token
+      HAVING COUNT(*) >= {CHI2_MIN_DF}
+    ),
+    cell AS (
+      SELECT p.source, p.token, CAST(COUNT(*) AS BIGINT) AS n11
+      FROM pres p JOIN dfall USING (token)
+      GROUP BY p.source, p.token
+    ),
+    contingency AS (
+      SELECT c.source, c.token, c.n11, f.df_all, cl.n_c, n.n_docs,
+             cl.n_c - c.n11 AS n10,
+             f.df_all - c.n11 AS n01,
+             n.n_docs - cl.n_c - (f.df_all - c.n11) AS n00
+      FROM cell c
+      JOIN dfall f USING (token)
+      JOIN cls cl USING (source)
+      CROSS JOIN n
+      WHERE f.df_all < n.n_docs
+    ),
+    scored AS (
+      SELECT source, token, n11, df_all,
+             CAST((CAST(1000000 AS HUGEINT) * n_docs
+                   * (n11 * n00 - n10 * n01) * (n11 * n00 - n10 * n01))
+                  // (CAST(n_c AS HUGEINT) * (n_docs - n_c)
+                      * df_all * (n_docs - df_all)) AS BIGINT) AS chi2_micro
+      FROM contingency
+      WHERE n11 * n00 > n10 * n01
+    )
+    SELECT source, token, n11 AS df_in_class, df_all, chi2_micro,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY chi2_micro DESC, token) AS rn
+      FROM scored
+    ) WHERE rn <= {CHI2_TOP_PER_CLASS}
+    """,
+)
+def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection: per source class, the tokens most
+    POSITIVELY associated with that class by the 2x2 doc-presence
+    contingency test — the classic supervised keyword/feature selector
+    for corpus routing and classifier vocab pruning. chi2 rides the
+    exact integer lattice (x 1e6, truncating division): numerator
+    N*(ad-bc)^2 is O(N^5), within decimal(38,0)/HUGEINT up to ~2.5M
+    docs; past that, divide the four cell counts by their gcd (rule-7:
+    ANSI raises on overflow, never silently nulls).
+
+    Scale: presence collapses to DISTINCT (doc, token) — the same
+    (doc, token)-keyed shuffle every tf aggregate pays; class sizes and
+    per-token df are broadcast-sized; the per-class top-k is a ranking
+    window with WindowGroupLimit, never a global sort."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    pres = (
+        docs.select(
+            "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    cls = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_c"))
+    dfall = (
+        pres.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_all"))
+        .filter(F.col("df_all") >= CHI2_MIN_DF)
+    )
+    cell = (
+        pres.join(F.broadcast(dfall.select("token")), "token")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n11"))
+    )
+    cont = (
+        cell.join(F.broadcast(dfall), "token")
+        .join(F.broadcast(cls), "source")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df_all") < F.col("n_docs"))
+        .select(
+            "source",
+            "token",
+            "n11",
+            "df_all",
+            "n_c",
+            "n_docs",
+            (F.col("n_c") - F.col("n11")).alias("n10"),
+            (F.col("df_all") - F.col("n11")).alias("n01"),
+            (
+                F.col("n_docs") - F.col("n_c") - (F.col("df_all") - F.col("n11"))
+            ).alias("n00"),
+        )
+    )
+    scored = cont.filter(
+        F.col("n11") * F.col("n00") > F.col("n10") * F.col("n01")
+    ).select(
+        "source",
+        "token",
+        F.col("n11").alias("df_in_class"),
+        "df_all",
+        F.expr(
+            "CAST((CAST(1000000 AS decimal(38,0)) * n_docs"
+            " * (n11 * n00 - n10 * n01) * (n11 * n00 - n10 * n01))"
+            " div (CAST(n_c AS decimal(38,0)) * (n_docs - n_c)"
+            " * df_all * (n_docs - df_all)) AS BIGINT)"
+        ).alias("chi2_micro"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("chi2_micro").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= CHI2_TOP_PER_CLASS)
+        .select("source", "token", "df_in_class", "df_all", "chi2_micro", "rn")
+    )
+
+
+RBO_K = 20                 # evaluation depth = the BM25 top-k
+RBO_POW2_K = 1 << RBO_K    # 2^20: p = 1/2 makes every weight dyadic-exact
+RBO_LCM = 232792560        # lcm(1..20): clears every /d exactly
+
+
+@register(
+    "eval_rank_rbo",
+    oracle=f"""
+    WITH hybrid AS ({_hybrid_oracle()}),
+    r1 AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score_lattice DESC, doc_id) AS ra
+      FROM hybrid
+    ),
+    r2 AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rb
+      FROM hybrid
+    ),
+    matched AS (SELECT r1.ra, r2.rb FROM r1 JOIN r2 USING (doc_id)),
+    depths AS (SELECT CAST(unnest(range(1, {RBO_K} + 1)) AS BIGINT) AS depth),
+    ov AS (
+      SELECT d.depth,
+             CAST(COALESCE(SUM(CASE WHEN m.ra <= d.depth
+                                     AND m.rb <= d.depth THEN 1 END), 0)
+                  AS BIGINT) AS overlap
+      FROM depths d LEFT JOIN matched m ON TRUE
+      GROUP BY d.depth
+    ),
+    terms AS (
+      SELECT depth, overlap,
+             (CAST({RBO_POW2_K} AS HUGEINT) // (CAST(1 AS BIGINT) << depth))
+               * ({RBO_LCM} // depth) * overlap AS term_scaled
+      FROM ov
+    )
+    SELECT CAST(depth AS BIGINT) AS depth, overlap,
+           CAST((CAST(1000000 AS HUGEINT)
+                 * SUM(term_scaled) OVER (ORDER BY depth))
+                // (CAST({RBO_POW2_K} AS HUGEINT) * {RBO_LCM}) AS BIGINT)
+             AS rbo_cum_ppm
+    FROM terms
+    """,
+)
+def eval_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the lexical
+    BM25 ranking and the dense-reranked hybrid ranking of the same
+    candidates — "how much did the embedding rerank change the order".
+    p = 1/2 on purpose: every RBO weight (1-p)p^(d-1) = 2^-d is a
+    dyadic rational, so scaling by 2^k * lcm(1..k) makes the whole
+    curve EXACT integers (no libm, no float ranking drift; DESIGN.md
+    rule 3). Emits the per-depth overlap and cumulative RBO in ppm;
+    the depth-k row is the headline RBO@20.
+
+    Scale: both rankings are k-row relations (k = 20) coming off the
+    memoized BM25/hybrid pipelines; everything after is k x k bounded
+    algebra — a broadcast join and a k-row window."""
+    hybrid = hybrid_search_topk(spark, sf_dir).localCheckpoint(eager=False)
+    r1 = hybrid.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_lattice").desc(), F.col("doc_id")))
+        .alias("ra"),
+    )
+    r2 = hybrid.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), F.col("doc_id")))
+        .alias("rb"),
+    )
+    matched = r1.join(r2, "doc_id").select("ra", "rb")
+    depths = spark.range(1, RBO_K + 1).select(F.col("id").cast("long").alias("depth"))
+    ov = (
+        depths.crossJoin(F.broadcast(matched))
+        .groupBy("depth")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("ra") <= F.col("depth"))
+                        & (F.col("rb") <= F.col("depth")),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("overlap")
+        )
+    )
+    terms = ov.select(
+        "depth",
+        "overlap",
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), {RBO_K} - CAST(depth AS INT))"
+            f" * (CAST({RBO_LCM} AS BIGINT) div depth) * overlap"
+        ).alias("term_scaled"),
+    )
+    return terms.select(
+        "depth",
+        "overlap",
+        F.expr(
+            f"CAST((CAST(1000000 AS decimal(38,0))"
+            f" * (SUM(term_scaled) OVER (ORDER BY depth)))"
+            f" div (CAST({RBO_POW2_K} AS decimal(38,0)) * {RBO_LCM}) AS BIGINT)"
+        ).alias("rbo_cum_ppm"),
+    )
+
+
+@register(
+    "text_yule_k",
+    oracle="""
+    WITH toks AS (
+      SELECT d.source, t.token
+      FROM documents d,
+           unnest(string_split(d.text, ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    tok_counts AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS m
+      FROM toks GROUP BY source, token
+    )
+    SELECT source,
+           CAST(SUM(m) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COALESCE(SUM(CASE WHEN m = 1 THEN 1 END), 0) AS BIGINT) AS hapax,
+           CAST(COALESCE(SUM(CASE WHEN m = 2 THEN 1 END), 0) AS BIGINT)
+             AS dis_legomena,
+           CAST((CAST(10000000 AS HUGEINT) * (SUM(m * m) - SUM(m)))
+                // (CAST(SUM(m) AS HUGEINT) * SUM(m)) AS BIGINT)
+             AS yule_k_milli
+    FROM tok_counts
+    GROUP BY source
+    """,
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per source — the scale-invariant
+    vocabulary-richness / repetitiveness constant (K = 1e4 *
+    (sum m^2 V_m - N) / N^2 over the frequency-of-frequencies
+    spectrum), reported as K x 1000 on the exact integer lattice, plus
+    the hapax/dis-legomena counts quality dashboards chart next to it.
+    High K = repetitive vocabulary (template/boilerplate-heavy
+    sources); low K = rich vocabulary.
+
+    Scale: one token scan -> (source, token) counts (map-side partial),
+    then a |sources|-row collapse. The 1e7-scaled numerator is O(N^2)
+    -> decimal(38,0) holds past 1e15 tokens per source."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    toks = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tc = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    return tc.groupBy("source").agg(
+        F.sum("m").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.coalesce(F.sum(F.when(F.col("m") == 1, 1)), F.lit(0))
+        .cast("long")
+        .alias("hapax"),
+        F.coalesce(F.sum(F.when(F.col("m") == 2, 1)), F.lit(0))
+        .cast("long")
+        .alias("dis_legomena"),
+        F.expr(
+            "CAST((CAST(10000000 AS decimal(38,0)) * (SUM(m * m) - SUM(m)))"
+            " div (CAST(SUM(m) AS decimal(38,0)) * SUM(m)) AS BIGINT)"
+        ).alias("yule_k_milli"),
     )
