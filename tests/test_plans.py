@@ -1238,3 +1238,37 @@ def test_seasonal_mase_single_order_scan(spark):
     assert plan.count("o_orderdate") <= plan.count("Scan") * 4
     scans = [l for l in plan.splitlines() if "Scan parquet" in l and "orders" in l]
     assert len(scans) <= 2, plan  # axis bounds + series legs share the cache
+
+
+def test_chi2_keywords_partial_topk_no_cartesian(spark):
+    """Per-class top-k must be a partial WindowGroupLimit; the only
+    nested-loop join is the bounded 1-row n_docs broadcast; df/class
+    stats ride broadcast hash joins."""
+    df = REG["text_chi2_keywords"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rank_rbo_bounded_algebra(spark):
+    """Everything downstream of the memoized hybrid ranking is k-row
+    algebra: no corpus-table scan may appear in the RBO plan (the
+    checkpointed ranking hides the pipeline), and no cartesian
+    product beyond the bounded k x k broadcast."""
+    df = REG["eval_rank_rbo"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_yule_k_single_scan_two_stage(spark):
+    """One parquet scan, map-side partial aggregates on (source, token)
+    then source — no joins, no windows."""
+    df = REG["text_yule_k"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    # one file-scan detail block (the formatted plan repeats the tree
+    # node as a numbered detail, so count scan LOCATIONS, not mentions)
+    assert plan.count("InMemoryFileIndex") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
