@@ -82,6 +82,15 @@ PROBES = [
     # float per day over an exact integer lattice sum — the windows
     # and per-bucket maxes feeding it must be partition-independent)
     "approx_hll_daily_union",
+    # round 9: the chi2 lattice over distinct-presence counts (the
+    # DISTINCT dedup + per-class top-k ties must be partition-free),
+    # the RBO curve off the double-ordered hybrid rerank, Yule's K
+    # frequency-of-frequencies sums, and the excess-curve drawdown
+    # (1-row mean broadcast feeding an ordered window)
+    "text_chi2_keywords",
+    "eval_rank_rbo",
+    "text_yule_k",
+    "orders_max_drawdown",
 ]
 
 
