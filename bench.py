@@ -331,6 +331,10 @@ HEADLINE_R23 = [
     "text_chi2_keywords",
     "eval_rank_rbo",
     "text_yule_k",
+    # batch 2: Kendall tau over the same k-row matched ranking, and the
+    # stratified k-fold balance table (one ranking window per stratum)
+    "eval_rank_kendall",
+    "split_kfold_assignment",
 ]
 
 

@@ -3141,3 +3141,66 @@ def sample_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("significant"),
         )
     )
+
+
+# ----------------------------------------------------- k-fold assignment ----
+#
+# Stratified k-fold cross-validation assignment: within each source
+# stratum, docs get the md5-rank total order (the same seedless shuffle
+# split_exact_stratified uses) and fold = rank mod K — every fold's
+# per-stratum size is within 1 of exact n/K, which no hash-mod split
+# can guarantee. The readout is the per-(stratum, fold) balance table
+# with an assignment checksum, so the whole mapping is pinned without
+# shipping |corpus| rows through the driver compare.
+KFOLD_K = 5
+
+
+@register(
+    "split_kfold_assignment",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                        doc_id
+             ) - 1 AS rnk
+      FROM documents
+    )
+    SELECT source, CAST(rnk % {KFOLD_K} AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_id_checksum
+    FROM r GROUP BY 1, 2
+    """,
+)
+def split_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified K-fold CV assignment (K = {KFOLD_K}): md5-rank docs
+    within each source stratum, fold = rank mod K — exact per-stratum
+    balance (fold sizes within 1 doc), deterministic across engines and
+    partitionings, no RNG state to persist. Emits the (stratum, fold)
+    balance table with doc-count, char mass and a doc_id checksum that
+    pins the full assignment.
+
+    Scale: one ranking window per stratum (stratum-bounded total order,
+    the split_exact_stratified posture) then a map-side collapse to
+    |sources| x K rows. For the bulk 100 TB train partition the
+    order-free hash-mod split remains the right tool; k-fold is the
+    EVAL-set protocol where exact balance matters."""
+    fp = md5_fp(F.col("doc_id").cast("string"))
+    ws = Window.partitionBy("source").orderBy("fp", "doc_id")
+    r = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars", fp.alias("fp"))
+        .withColumn("rnk", F.row_number().over(ws) - 1)
+    )
+    return (
+        r.groupBy(
+            "source", (F.col("rnk") % KFOLD_K).cast("long").alias("fold")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("doc_id").cast("long").alias("doc_id_checksum"),
+        )
+    )

@@ -4899,3 +4899,82 @@ def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(SUM(m) AS decimal(38,0)) * SUM(m)) AS BIGINT)"
         ).alias("yule_k_milli"),
     )
+
+
+@register(
+    "eval_rank_kendall",
+    oracle=f"""
+    WITH hybrid AS ({_hybrid_oracle()}),
+    r1 AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score_lattice DESC, doc_id) AS ra
+      FROM hybrid
+    ),
+    r2 AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rb
+      FROM hybrid
+    ),
+    m AS (SELECT r1.doc_id, ra, rb FROM r1 JOIN r2 USING (doc_id))
+    SELECT CAST(COALESCE(SUM(CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) > 0
+                                  THEN 1 END), 0) AS BIGINT) AS concordant,
+           CAST(COALESCE(SUM(CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) < 0
+                                  THEN 1 END), 0) AS BIGINT) AS discordant,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST((1000000 * (COALESCE(SUM(CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) > 0
+                                              THEN 1 END), 0)
+                            - COALESCE(SUM(CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) < 0
+                                                THEN 1 END), 0)))
+                // COUNT(*) AS BIGINT) AS tau_ppm
+    FROM m a JOIN m b ON a.doc_id < b.doc_id
+    """,
+)
+def eval_rank_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation between the BM25 and hybrid rankings —
+    the uniform-weight complement to eval_rank_rbo's top-weighted
+    agreement: every pair of documents votes concordant or discordant,
+    tau = (C - D) / C(n,2) in exact ppm (row_number ranks are strict,
+    so there are no ties and tau-b = tau-a; truncating division is sign-
+    symmetric in both engines per DESIGN.md rule 5, so negative tau
+    hashes identically).
+
+    Scale: the pair self-join is k x k over the k-row (k = 20) matched
+    ranking — bounded algebra off the memoized hybrid pipeline, exactly
+    like RBO."""
+    hybrid = hybrid_search_topk(spark, sf_dir).localCheckpoint(eager=False)
+    r1 = hybrid.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_lattice").desc(), F.col("doc_id")))
+        .alias("ra"),
+    )
+    r2 = hybrid.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), F.col("doc_id")))
+        .alias("rb"),
+    )
+    m = r1.join(r2, "doc_id")
+    a = m.alias("a")
+    b = m.alias("b")
+    sgn = (F.col("a.ra") - F.col("b.ra")) * (F.col("a.rb") - F.col("b.rb"))
+    return (
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .agg(
+            F.coalesce(F.sum(F.when(sgn > 0, 1)), F.lit(0))
+            .cast("long")
+            .alias("concordant"),
+            F.coalesce(F.sum(F.when(sgn < 0, 1)), F.lit(0))
+            .cast("long")
+            .alias("discordant"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+        .select(
+            "concordant",
+            "discordant",
+            "n_pairs",
+            F.expr("(1000000 * (concordant - discordant)) div n_pairs")
+            .cast("long")
+            .alias("tau_ppm"),
+        )
+    )

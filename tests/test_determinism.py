@@ -91,6 +91,10 @@ PROBES = [
     "eval_rank_rbo",
     "text_yule_k",
     "orders_max_drawdown",
+    # round-9 batch 2: pair algebra off the double-ordered rerank, and
+    # the per-stratum md5-rank fold assignment
+    "eval_rank_kendall",
+    "split_kfold_assignment",
 ]
 
 

@@ -1272,3 +1272,22 @@ def test_yule_k_single_scan_two_stage(spark):
     assert plan.count("InMemoryFileIndex") == 1, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_kendall_bounded_algebra(spark):
+    """Like RBO: no corpus scan may appear downstream of the
+    checkpointed hybrid ranking; the pair self-join is k x k bounded."""
+    df = REG["eval_rank_kendall"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kfold_single_scan_stratum_window(spark):
+    """One parquet scan, one per-stratum ranking window, one grouped
+    collapse — no joins."""
+    df = REG["split_kfold_assignment"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert plan.count("InMemoryFileIndex") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Window") >= 1, plan

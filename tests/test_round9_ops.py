@@ -315,3 +315,66 @@ def test_yule_k_recount(spark):
         assert r["hapax"] == sum(1 for m in c.values() if m == 1)
         assert r["dis_legomena"] == sum(1 for m in c.values() if m == 2)
         assert r["yule_k_milli"] == (10_000_000 * (s2 - n)) // (n * n)
+
+
+def test_kendall_recount(spark):
+    """Concordant/discordant pairs replayed in python over the hybrid
+    ranking; strict ranks mean C + D = C(n,2), and tau matches the
+    truncating-ppm formula (sign-symmetric per DESIGN.md rule 5)."""
+    from snackfs_spark.registry import load_all
+    from tests.conftest import SF_ORACLE
+
+    reg = load_all()
+    hybrid = reg["hybrid_search_topk"].fn(spark, SF_ORACLE).collect()
+    r1 = {
+        r["doc_id"]: i
+        for i, r in enumerate(
+            sorted(hybrid, key=lambda r: (-r["score_lattice"], r["doc_id"]))
+        )
+    }
+    r2 = {
+        r["doc_id"]: i
+        for i, r in enumerate(
+            sorted(hybrid, key=lambda r: (-r["cosine"], r["doc_id"]))
+        )
+    }
+    docs = list(r1)
+    c = d = 0
+    for i, x in enumerate(docs):
+        for y in docs[i + 1 :]:
+            s = (r1[x] - r1[y]) * (r2[x] - r2[y])
+            c += s > 0
+            d += s < 0
+    (row,) = reg["eval_rank_kendall"].fn(spark, SF_ORACLE).collect()
+    n = len(docs)
+    assert row["n_pairs"] == n * (n - 1) // 2 == c + d
+    assert (row["concordant"], row["discordant"]) == (c, d)
+    num = 1_000_000 * (c - d)
+    want = num // row["n_pairs"] if num >= 0 else -((-num) // row["n_pairs"])
+    assert row["tau_ppm"] == want
+    assert -1_000_000 <= row["tau_ppm"] <= 1_000_000
+
+
+def test_kfold_balance_and_checksum(spark):
+    """Every stratum's fold sizes are within 1 of each other (the
+    exactness hash-mod can't give), all K folds appear, and the
+    doc_id checksums partition the stratum's total."""
+    import pandas as pd
+
+    from snackfs_spark.operators.sampling import KFOLD_K
+    from snackfs_spark.registry import load_all
+    from tests.conftest import SF_ORACLE
+
+    rows = load_all()["split_kfold_assignment"].fn(spark, SF_ORACLE).collect()
+    d = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, grp in d.groupby("source"):
+        rs = by_src[str(src)]
+        assert len(rs) == min(KFOLD_K, len(grp))
+        sizes = [r["n_docs"] for r in rs]
+        assert max(sizes) - min(sizes) <= 1, (src, sizes)
+        assert sum(sizes) == len(grp)
+        assert sum(r["doc_id_checksum"] for r in rs) == int(grp.doc_id.sum())
+        assert sum(r["sum_chars"] for r in rs) == int(grp.n_chars.sum())

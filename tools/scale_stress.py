@@ -305,6 +305,10 @@ QUERIES = [
     "text_chi2_keywords",
     "eval_rank_rbo",
     "text_yule_k",
+    # round-9 batch 2: k x k pair algebra off the memoized ranking;
+    # per-stratum ranking window -> |sources| x K collapse
+    "eval_rank_kendall",
+    "split_kfold_assignment",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
