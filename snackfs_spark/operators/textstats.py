@@ -4731,6 +4731,22 @@ def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HYBRID_RANKED_MEMO = SessionMemo(maxsize=4)
+
+
+def _hybrid_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized, lazily checkpointed hybrid ranking shared by the
+    ranking-agreement evals (RBO, Kendall tau): one BM25 + dense-rerank
+    pipeline per (session, sf_dir) instead of one per eval — the same
+    r7 session-memo pattern as the BM25 eval relations (semantics and
+    hashes unchanged; the expression is hybrid_search_topk's own)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _HYBRID_RANKED_MEMO.get_or_build(
+        key,
+        lambda: hybrid_search_topk(spark, sf_dir).localCheckpoint(eager=False),
+    )
+
+
 RBO_K = 20                 # evaluation depth = the BM25 top-k
 RBO_POW2_K = 1 << RBO_K    # 2^20: p = 1/2 makes every weight dyadic-exact
 RBO_LCM = 232792560        # lcm(1..20): clears every /d exactly
@@ -4787,7 +4803,7 @@ def eval_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both rankings are k-row relations (k = 20) coming off the
     memoized BM25/hybrid pipelines; everything after is k x k bounded
     algebra — a broadcast join and a k-row window."""
-    hybrid = hybrid_search_topk(spark, sf_dir).localCheckpoint(eager=False)
+    hybrid = _hybrid_ranked(spark, sf_dir)
     r1 = hybrid.select(
         "doc_id",
         F.row_number()
@@ -4941,7 +4957,7 @@ def eval_rank_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the pair self-join is k x k over the k-row (k = 20) matched
     ranking — bounded algebra off the memoized hybrid pipeline, exactly
     like RBO."""
-    hybrid = hybrid_search_topk(spark, sf_dir).localCheckpoint(eager=False)
+    hybrid = _hybrid_ranked(spark, sf_dir)
     r1 = hybrid.select(
         "doc_id",
         F.row_number()

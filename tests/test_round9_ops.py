@@ -58,7 +58,7 @@ def test_session_memo_single_build_under_race():
 
 
 def test_operator_memos_are_session_memos():
-    """The three shared-pipeline caches must stay on the bounded/locked
+    """The shared-pipeline caches must stay on the bounded/locked
     implementation — a module-level dict regression reintroduces the
     unbounded-growth + race defects."""
     from snackfs_spark.operators import dedup, textstats
@@ -66,6 +66,7 @@ def test_operator_memos_are_session_memos():
     assert isinstance(dedup._CAND_EDGES_MEMO, SessionMemo)
     assert isinstance(dedup._PREFIX_FILTER_MEMO, SessionMemo)
     assert isinstance(textstats._RANK_REL_MEMO, SessionMemo)
+    assert isinstance(textstats._HYBRID_RANKED_MEMO, SessionMemo)
 
 
 # ------------------------------------------------------------ ANSI ----
