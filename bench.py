@@ -335,6 +335,8 @@ HEADLINE_R23 = [
     # stratified k-fold balance table (one ranking window per stratum)
     "eval_rank_kendall",
     "split_kfold_assignment",
+    # batch 3: pairwise 1D EMD on the bounded (source, bin) lattice
+    "source_drift_emd",
 ]
 
 

@@ -3204,3 +3204,128 @@ def split_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("doc_id_checksum"),
         )
     )
+
+
+# ------------------------------------------------- 1D EMD source drift ----
+#
+# Earth-mover's distance between per-source document-length
+# distributions — the transport-metric complement to the total-variation
+# drift monitor (events_drift_tv): TV counts how much mass differs, EMD
+# measures how FAR it must move, so it separates "slightly shifted" from
+# "bimodally different" sources that TV scores the same. For 1D
+# distributions on an ordered bin axis with unit ground distance the
+# closed form is exact: EMD = sum_k |CDF_a(k) - CDF_b(k)|, and with
+# counts cross-multiplied to the common denominator n_a*n_b every term
+# is an integer — no floats anywhere.
+EMD_BIN_WIDTH = 32   # n_chars per bin
+EMD_MAX_BIN = 63     # cap: the axis is the bounded 0..63 lattice
+
+
+@register(
+    "source_drift_emd",
+    oracle=f"""
+    WITH h AS (
+      SELECT source,
+             LEAST(CAST(n_chars AS BIGINT) // {EMD_BIN_WIDTH}, {EMD_MAX_BIN}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY source),
+    axis AS (SELECT CAST(unnest(range(0, {EMD_MAX_BIN} + 1)) AS BIGINT) AS bin),
+    cdf AS (
+      SELECT s.source, a.bin, n.n,
+             CAST(SUM(COALESCE(h.c, 0)) OVER (
+               PARTITION BY s.source ORDER BY a.bin) AS BIGINT) AS cum
+      FROM (SELECT DISTINCT source FROM h) s
+      CROSS JOIN axis a
+      JOIN n ON n.source = s.source
+      LEFT JOIN h ON h.source = s.source AND h.bin = a.bin
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           a.n AS n_a, b.n AS n_b,
+           CAST(SUM(ABS(a.cum * b.n - b.cum * a.n)) AS BIGINT) AS emd_num,
+           CAST(a.n * b.n AS BIGINT) AS emd_den,
+           CAST((1000 * SUM(ABS(a.cum * b.n - b.cum * a.n)))
+                // (a.n * b.n) AS BIGINT) AS emd_milli_bins
+    FROM cdf a JOIN cdf b ON a.bin = b.bin AND a.source < b.source
+    GROUP BY a.source, b.source, a.n, b.n
+    """,
+)
+def source_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 1D earth-mover's distance between per-source doc-length
+    distributions (bin width {EMD_BIN_WIDTH} chars, axis capped at
+    {EMD_MAX_BIN}): EMD = sum over bins of |CDF_a - CDF_b|, exact on the
+    cross-multiplied integer lattice (emd_num / emd_den, plus the
+    milli-bins readout by truncating division). Complements the TV
+    drift monitor: TV is flow-insensitive, EMD prices the distance mass
+    must travel.
+
+    Scale: ONE doc scan collapses map-side onto (source, bin) — at most
+    |sources| x 64 rows; the dense-axis CDF and the pairwise join are
+    bounded algebra on that lattice (|sources|^2 x 64 peak), never
+    corpus-shaped."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    # the histogram is <= |sources| x 64 rows; checkpoint it so the
+    # four downstream references (totals, CDF join, both pair sides)
+    # share ONE corpus scan instead of re-deriving the subtree
+    h = (
+        docs.groupBy(
+            "source",
+            F.least(
+                (F.col("n_chars").cast("long") / EMD_BIN_WIDTH).cast("long"),
+                F.lit(EMD_MAX_BIN).cast("long"),
+            ).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    n = h.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    axis = spark.range(0, EMD_MAX_BIN + 1).select(
+        F.col("id").cast("long").alias("bin")
+    )
+    cdf = (
+        n.crossJoin(F.broadcast(axis))
+        .join(h, ["source", "bin"], "left")
+        .select(
+            "source",
+            "bin",
+            "n",
+            F.sum(F.coalesce(F.col("c"), F.lit(0)))
+            .over(Window.partitionBy("source").orderBy("bin"))
+            .cast("long")
+            .alias("cum"),
+        )
+    )
+    a = cdf.alias("a")
+    b = cdf.alias("b").hint("broadcast")
+    return (
+        a.join(
+            b,
+            (F.col("a.bin") == F.col("b.bin"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(
+            F.sum(
+                F.abs(F.col("a.cum") * F.col("b.n") - F.col("b.cum") * F.col("a.n"))
+            )
+            .cast("long")
+            .alias("emd_num")
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "emd_num",
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("emd_den"),
+            F.expr("(1000 * emd_num) div (n_a * n_b)")
+            .cast("long")
+            .alias("emd_milli_bins"),
+        )
+    )

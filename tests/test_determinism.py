@@ -95,6 +95,8 @@ PROBES = [
     # the per-stratum md5-rank fold assignment
     "eval_rank_kendall",
     "split_kfold_assignment",
+    # round-9 batch 3: the dense-axis CDF windows under repartition
+    "source_drift_emd",
 ]
 
 

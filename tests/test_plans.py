@@ -1291,3 +1291,16 @@ def test_kfold_single_scan_stratum_window(spark):
     assert plan.count("InMemoryFileIndex") == 1, plan
     assert "Join" not in plan, plan
     assert plan.count("Window") >= 1, plan
+
+
+def test_emd_single_scan_bounded_pairs(spark):
+    """The (source, bin) histogram is checkpointed, so the corpus never
+    appears in the EMD plan (everything downstream is bounded lattice
+    algebra); no cartesian product."""
+    df = REG["source_drift_emd"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "InMemoryFileIndex" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the scan lives in the checkpointed histogram, computed once: the
+    # UNCHECKPOINTED pipeline would re-derive it four times
+    from snackfs_spark.operators.sampling import EMD_MAX_BIN  # noqa: F401

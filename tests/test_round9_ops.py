@@ -379,3 +379,50 @@ def test_kfold_balance_and_checksum(spark):
         assert sum(sizes) == len(grp)
         assert sum(r["doc_id_checksum"] for r in rs) == int(grp.doc_id.sum())
         assert sum(r["sum_chars"] for r in rs) == int(grp.n_chars.sum())
+
+
+def test_emd_recount_and_metric_properties(spark):
+    """EMD replayed in python from raw histograms; symmetry-free (a<b
+    canonical), nonnegative, zero iff identical histograms, and the
+    triangle inequality holds on the exact rationals for all source
+    triples."""
+    from fractions import Fraction
+    from itertools import combinations
+
+    import pandas as pd
+
+    from snackfs_spark.operators.sampling import EMD_BIN_WIDTH, EMD_MAX_BIN
+    from snackfs_spark.registry import load_all
+    from tests.conftest import SF_ORACLE
+
+    rows = load_all()["source_drift_emd"].fn(spark, SF_ORACLE).collect()
+    d = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    d["bin"] = (d.n_chars // EMD_BIN_WIDTH).clip(upper=EMD_MAX_BIN)
+    cdfs: dict[str, list[Fraction]] = {}
+    for src, grp in d.groupby("source"):
+        counts = grp.bin.value_counts()
+        n = len(grp)
+        cum = 0
+        cdf = []
+        for k in range(EMD_MAX_BIN + 1):
+            cum += int(counts.get(k, 0))
+            cdf.append(Fraction(cum, n))
+        cdfs[str(src)] = cdf
+
+    def emd(x: str, y: str) -> Fraction:
+        return sum(abs(p - q) for p, q in zip(cdfs[x], cdfs[y]))
+
+    seen = set()
+    for r in rows:
+        a, b = r["source_a"], r["source_b"]
+        assert a < b
+        seen.add((a, b))
+        want = emd(a, b)
+        assert Fraction(r["emd_num"], r["emd_den"]) == want
+        assert r["emd_milli_bins"] == (1000 * r["emd_num"]) // r["emd_den"]
+        assert r["emd_num"] >= 0
+    assert seen == {(a, b) for a, b in combinations(sorted(cdfs), 2)}
+    # triangle inequality on the exact rationals
+    srcs = sorted(cdfs)
+    for x, y, z in combinations(srcs, 3):
+        assert emd(x, z) <= emd(x, y) + emd(y, z)

@@ -309,6 +309,9 @@ QUERIES = [
     # per-stratum ranking window -> |sources| x K collapse
     "eval_rank_kendall",
     "split_kfold_assignment",
+    # round-9 batch 3: one doc scan -> (source, bin) lattice -> bounded
+    # pairwise CDF algebra
+    "source_drift_emd",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
