@@ -347,7 +347,11 @@ def test_bench_regression_gate_levels():
     import bench
 
     if not os.path.exists("/root/repo/var/bench_last.json"):
-        pytest.skip("no local bench run recorded yet (var/ is not committed)")
+        pytest.skip(
+            "no local bench run recorded yet — run `python bench.py` to "
+            "create var/bench_last.json (fresh clones lack it; selected "
+            "var/ artifacts are committed individually with -f)"
+        )
     last = json.load(open("/root/repo/var/bench_last.json"))["queries"]
     assert bench._alarm_on_subtotal_regressions(dict(last), "0.1") is False
     inflated = {
