@@ -36,16 +36,24 @@ TABLES = (
 def main() -> int:
     argv = sys.argv[1:]
     window = None
+    skip = 0
     if "--window" in argv:
         i = argv.index("--window")
         window = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    # --skip N drops the first N registered queries: pair with --window
+    # runs to split a long sweep (e.g. the window is already green at a
+    # fixture, verify only the rest there) without re-running the head.
+    if "--skip" in argv:
+        i = argv.index("--skip")
+        skip = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
     sfs = argv or ["0.01", "0.1"]
     spark = get_spark("verify", cpus=8)
     print("entry rows:", len(e.entry(spark).collect()))
     qs, osql = e.queries(), e.oracle_sql()
-    if window is not None:
-        qs = {n: qs[n] for n in list(qs)[:window]}
+    names = list(qs)[skip : skip + window if window is not None else None]
+    qs = {n: qs[n] for n in names}
     failed = False
     for sf in sfs:
         sf_dir = sf if "/" in sf else f"/root/testdata/sf{sf}"
