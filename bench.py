@@ -337,6 +337,8 @@ HEADLINE_R23 = [
     "split_kfold_assignment",
     # batch 3: pairwise 1D EMD on the bounded (source, bin) lattice
     "source_drift_emd",
+    # batch 4: rank-mirrored DPO pair construction (per-stratum windows)
+    "train_preference_pairs",
 ]
 
 

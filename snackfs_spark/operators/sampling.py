@@ -3329,3 +3329,96 @@ def source_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("emd_milli_bins"),
         )
     )
+
+
+# ---------------------------------------------- preference pair mining ----
+#
+# Reward-model / DPO data prep: contrastive (chosen, rejected) document
+# pairs per source, matched by quality rank — the i-th best doc pairs
+# with the i-th worst, strongest contrast first, no doc reused. The
+# quality signal is the stopword-density permille (the same cheap
+# fluency proxy text_quality_score uses), exact on the integer lattice;
+# mirrored tie-breaks make the top and bottom rankings exact reverses,
+# so the pairing is a rank equi-join, not a quadratic match.
+PREF_STOPWORDS = ("the", "a", "and", "with", "of", "in")
+
+
+@register(
+    "train_preference_pairs",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST((1000 * len(list_filter(string_split(text, ' '),
+                       t -> t IN ({", ".join(f"'{w}'" for w in PREF_STOPWORDS)}))))
+                  // len(string_split(text, ' ')) AS BIGINT) AS q
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, q,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY q DESC, doc_id) AS rt,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY q ASC, doc_id DESC) AS rb,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM s
+    )
+    SELECT a.source, CAST(a.rt AS BIGINT) AS pair_rank,
+           a.doc_id AS chosen_doc_id, b.doc_id AS rejected_doc_id,
+           a.q AS chosen_permille, b.q AS rejected_permille,
+           CAST(a.q - b.q AS BIGINT) AS margin_permille
+    FROM r a
+    JOIN r b ON b.source = a.source AND b.rb = a.rt
+    WHERE a.rt * 2 <= a.n AND a.q > b.q
+    """,
+)
+def train_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive preference pairs for reward-model/DPO training: per
+    source, rank docs by stopword-density permille (exact integers,
+    mirrored tie-breaks) and equi-join the i-th best to the i-th worst
+    while i <= n/2 and the margin is positive — each doc appears in at
+    most one pair, strongest contrasts get the lowest pair_rank, and
+    the whole construction is deterministic (no RNG) so both engines
+    emit identical pairs.
+
+    Scale: one doc scan -> per-stratum ranking windows (the kfold /
+    exact-split posture: stratum-bounded total order), then a keyed
+    self-join on (source, rank) — no quadratic matching, no floats."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    q = F.expr(
+        "CAST((1000 * size(filter(split(text, ' '),"
+        f" t -> array_contains(array({', '.join(repr(w) for w in PREF_STOPWORDS)}), t))))"
+        " div size(split(text, ' ')) AS BIGINT)"
+    )
+    s = docs.select("doc_id", "source", q.alias("q"))
+    wt = Window.partitionBy("source").orderBy(F.col("q").desc(), F.col("doc_id"))
+    wb = Window.partitionBy("source").orderBy(
+        F.col("q").asc(), F.col("doc_id").desc()
+    )
+    wn = Window.partitionBy("source")
+    r = s.select(
+        "doc_id",
+        "source",
+        "q",
+        F.row_number().over(wt).alias("rt"),
+        F.row_number().over(wb).alias("rb"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    a = r.alias("a")
+    b = r.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.source") == F.col("a.source"))
+            & (F.col("b.rb") == F.col("a.rt")),
+        )
+        .filter((F.col("a.rt") * 2 <= F.col("a.n")) & (F.col("a.q") > F.col("b.q")))
+        .select(
+            F.col("a.source").alias("source"),
+            F.col("a.rt").cast("long").alias("pair_rank"),
+            F.col("a.doc_id").alias("chosen_doc_id"),
+            F.col("b.doc_id").alias("rejected_doc_id"),
+            F.col("a.q").alias("chosen_permille"),
+            F.col("b.q").alias("rejected_permille"),
+            (F.col("a.q") - F.col("b.q")).cast("long").alias("margin_permille"),
+        )
+    )

@@ -97,6 +97,8 @@ PROBES = [
     "split_kfold_assignment",
     # round-9 batch 3: the dense-axis CDF windows under repartition
     "source_drift_emd",
+    # round-9 batch 4: mirrored-rank pairing must be partition-free
+    "train_preference_pairs",
 ]
 
 

@@ -426,3 +426,45 @@ def test_emd_recount_and_metric_properties(spark):
     srcs = sorted(cdfs)
     for x, y, z in combinations(srcs, 3):
         assert emd(x, z) <= emd(x, y) + emd(y, z)
+
+
+def test_preference_pairs_properties(spark):
+    """DPO-pair invariants: every doc in at most one pair, chosen
+    strictly outranks rejected, pair_rank i matches the i-th best vs
+    i-th worst construction replayed in python, and margins are
+    non-increasing in pair_rank within a stratum is NOT required (ties
+    in q break it) — but the exact pair set must match the replay."""
+    import pandas as pd
+
+    from snackfs_spark.operators.sampling import PREF_STOPWORDS
+    from snackfs_spark.registry import load_all
+    from tests.conftest import SF_ORACLE
+
+    rows = load_all()["train_preference_pairs"].fn(spark, SF_ORACLE).collect()
+    used = [r["chosen_doc_id"] for r in rows] + [r["rejected_doc_id"] for r in rows]
+    assert len(used) == len(set(used)), "a doc appears in two pairs"
+    d = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    stop = set(PREF_STOPWORDS)
+
+    def q(text: str) -> int:
+        toks = text.split(" ")
+        return (1000 * sum(t in stop for t in toks)) // len(toks)
+
+    d["q"] = d.text.map(q)
+    want = set()
+    for src, grp in d.groupby("source"):
+        top = sorted(grp.itertuples(), key=lambda r: (-r.q, r.doc_id))
+        bot = sorted(grp.itertuples(), key=lambda r: (r.q, -r.doc_id))
+        n = len(top)
+        for i in range(n // 2):
+            if top[i].q > bot[i].q:
+                want.add((str(src), i + 1, top[i].doc_id, bot[i].doc_id,
+                          top[i].q, bot[i].q))
+    got = {
+        (r["source"], r["pair_rank"], r["chosen_doc_id"], r["rejected_doc_id"],
+         r["chosen_permille"], r["rejected_permille"])
+        for r in rows
+    }
+    assert got == want
+    for r in rows:
+        assert r["margin_permille"] == r["chosen_permille"] - r["rejected_permille"] > 0

@@ -312,6 +312,9 @@ QUERIES = [
     # round-9 batch 3: one doc scan -> (source, bin) lattice -> bounded
     # pairwise CDF algebra
     "source_drift_emd",
+    # round-9 batch 4: per-stratum mirrored ranking windows + rank
+    # equi-join (no quadratic matching)
+    "train_preference_pairs",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
