@@ -1304,3 +1304,13 @@ def test_emd_single_scan_bounded_pairs(spark):
     # the scan lives in the checkpointed histogram, computed once: the
     # UNCHECKPOINTED pipeline would re-derive it four times
     from snackfs_spark.operators.sampling import EMD_MAX_BIN  # noqa: F401
+
+
+def test_preference_pairs_rank_equijoin(spark):
+    """The pairing is a keyed (source, rank) equi-join over per-stratum
+    windows — no cartesian product, no nested-loop matching."""
+    df = REG["train_preference_pairs"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Window") >= 2, plan
