@@ -160,6 +160,19 @@ PRIORITY: tuple[str, ...] = (
 )
 
 
+# ROUND-10 ROTATION PLAN (pre-staged; execute next round): the eleven
+# r7-green Q-* fs targets reach the trailing-3 cadence boundary and are
+# DUE back in the window (fs_stat fs_ls fs_du fs_count fs_len_from_
+# blocks fs_block_locations fs_content fs_getmerge fs_rename fs_delete
+# fs_mkdirs — tests/test_registry_window.py FS_DUE_R10), alongside the
+# q1 + connector anchors = 13 veterans, leaving 37 slots for the
+# never-driver-checked backlog (113 after r9's 47 land green: the 106
+# remaining from the r8 backlog plus the seven round-9 additions —
+# text_chi2_keywords, eval_rank_rbo, text_yule_k, eval_rank_kendall,
+# split_kfold_assignment, source_drift_emd, train_preference_pairs).
+# Keep the freshness test's >=35 first-time bound satisfied (37 >= 35)
+# and re-point FS_DUE_R10 -> FS_IN_WINDOW in the policy test.
+
 # ROUND-8 window, kept for the changelog (every name stays registered
 # and repo-oracle green; see git history for the r8 slot comments).
 _PRIORITY_R8: tuple[str, ...] = (
