@@ -339,6 +339,8 @@ HEADLINE_R23 = [
     "source_drift_emd",
     # batch 4: rank-mirrored DPO pair construction (per-stratum windows)
     "train_preference_pairs",
+    # batch 5: Murphy decomposition on the shared reliability bins
+    "eval_brier_decomposition",
 ]
 
 

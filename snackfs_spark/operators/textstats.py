@@ -2571,7 +2571,9 @@ def _reliability_bins_ctes() -> str:
       SELECT l.score_cell // {ECE_BIN} AS bin,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(cl.label) AS BIGINT) AS pos,
-             CAST(SUM(l.score_cell) AS BIGINT) AS sum_score
+             CAST(SUM(l.score_cell) AS BIGINT) AS sum_score,
+             CAST(SUM(l.score_cell * l.score_cell) AS BIGINT) AS sum_score2,
+             CAST(SUM(l.score_cell * cl.label) AS BIGINT) AS sum_score_label
       FROM labeled l JOIN cell_label cl ON cl.cell = l.cell
       GROUP BY 1
     )"""
@@ -2617,6 +2619,15 @@ def _reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("label").cast("long").alias("pos"),
             F.sum("score_cell").cast("long").alias("sum_score"),
+            # the two extra moments the Brier decomposition needs; ECE
+            # and isotonic select their columns explicitly, so these
+            # ride along for free
+            F.sum(F.col("score_cell") * F.col("score_cell"))
+            .cast("long")
+            .alias("sum_score2"),
+            F.sum(F.col("score_cell") * F.col("label"))
+            .cast("long")
+            .alias("sum_score_label"),
         )
     )
 
@@ -4992,5 +5003,118 @@ def eval_rank_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * (concordant - discordant)) div n_pairs")
             .cast("long")
             .alias("tau_ppm"),
+        )
+    )
+
+
+# ------------------------------------------ Brier / Murphy decomposition ----
+#
+# The third calibration readout on the shared reliability substrate:
+# ECE answers "how far off are the bin probabilities", isotonic fits
+# the monotone correction, and the Murphy decomposition splits the
+# Brier score into WHY — reliability (calibration error, lower better),
+# resolution (how much the bins separate the base rate, higher better),
+# uncertainty (the irreducible o(1-o) of the base rate):
+#     binned_brier = reliability - resolution + uncertainty.
+# Everything rides exact integers with explicitly-floored ppm lattices:
+# per-bin contributions are (1e6 * num^2) div n_b in decimal(38,0)
+# (both engines truncate identically), summed and floored once more by
+# the corpus denominators; the RAW per-doc Brier has the single common
+# denominator 1e6*N, so its numerator is exactly integral. Headroom:
+# the resolution numerator is O(N^4) per bin — decimal(38,0) holds to
+# ~6e7 docs; past that, divide (pos_b*N - P*n_b) by gcd first (rule 7:
+# ANSI raises loudly on overflow).
+
+
+def _brier_oracle() -> str:
+    return f"""
+    WITH {_reliability_bins_ctes()},
+    tots AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(pos) AS BIGINT) AS pt,
+             CAST(SUM(sum_score2) AS BIGINT) AS ss2,
+             CAST(SUM(sum_score_label) AS BIGINT) AS ssl,
+             CAST(COUNT(*) AS BIGINT) AS n_bins
+      FROM bins
+    ),
+    contribs AS (
+      SELECT CAST(SUM((CAST(1000000 AS HUGEINT)
+                       * (1000 * b.pos - b.sum_score)
+                       * (1000 * b.pos - b.sum_score)) // b.n)
+                  AS HUGEINT) AS rel_sum,
+             CAST(SUM((CAST(1000000 AS HUGEINT)
+                       * (b.pos * t.nt - t.pt * b.n)
+                       * (b.pos * t.nt - t.pt * b.n)) // b.n)
+                  AS HUGEINT) AS res_sum
+      FROM bins b CROSS JOIN tots t
+    )
+    SELECT t.nt AS n_total, t.pt AS pos_total, t.n_bins,
+           CAST((t.ss2 - 2000 * t.ssl + CAST(1000000 AS HUGEINT) * t.pt)
+                // t.nt AS BIGINT) AS brier_ppm,
+           CAST(c.rel_sum // (CAST(1000000 AS HUGEINT) * t.nt)
+                AS BIGINT) AS rel_ppm,
+           CAST(c.res_sum // (CAST(t.nt AS HUGEINT) * t.nt * t.nt)
+                AS BIGINT) AS res_ppm,
+           CAST((CAST(1000000 AS HUGEINT) * t.pt * (t.nt - t.pt))
+                // (CAST(t.nt AS HUGEINT) * t.nt) AS BIGINT) AS unc_ppm
+    FROM tots t CROSS JOIN contribs c
+    """
+
+
+@register("eval_brier_decomposition", oracle=_brier_oracle())
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score over the shared
+    reliability bins: raw per-doc Brier (exact numerator over the
+    single denominator 1e6*N), binned reliability, resolution and
+    uncertainty — all in ppm on explicitly-floored integer lattices
+    (rel - res + unc equals the binned Brier on the exact rationals;
+    the recount test pins the identity with Fractions).
+
+    Scale: identical posture to eval_calibration_ece — the bigram
+    scoring pass is the only corpus-proportional work; the histogram
+    collapses map-side onto <= 11 bins and everything downstream is
+    bounded decimal algebra."""
+    bins = _reliability_bins(spark, sf_dir).localCheckpoint(eager=False)
+    d38 = "decimal(38,0)"
+    tots = bins.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("pos").cast("long").alias("pt"),
+        F.sum("sum_score2").cast("long").alias("ss2"),
+        F.sum("sum_score_label").cast("long").alias("ssl"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    contribs = (
+        bins.crossJoin(F.broadcast(tots))
+        .select(
+            F.expr(
+                f"(CAST(1000000 AS {d38}) * (1000 * pos - sum_score)"
+                f" * (1000 * pos - sum_score)) div n"
+            ).alias("rel_c"),
+            F.expr(
+                f"(CAST(1000000 AS {d38}) * (pos * nt - pt * n)"
+                f" * (pos * nt - pt * n)) div n"
+            ).alias("res_c"),
+        )
+        .agg(F.sum("rel_c").alias("rel_sum"), F.sum("res_c").alias("res_sum"))
+    )
+    return (
+        tots.crossJoin(F.broadcast(contribs))
+        .select(
+            F.col("nt").alias("n_total"),
+            F.col("pt").alias("pos_total"),
+            "n_bins",
+            F.expr(
+                f"CAST((ss2 - 2000 * ssl + CAST(1000000 AS {d38}) * pt)"
+                f" div nt AS BIGINT)"
+            ).alias("brier_ppm"),
+            F.expr(
+                f"CAST(rel_sum div (CAST(1000000 AS {d38}) * nt) AS BIGINT)"
+            ).alias("rel_ppm"),
+            F.expr(
+                f"CAST(res_sum div (CAST(nt AS {d38}) * nt * nt) AS BIGINT)"
+            ).alias("res_ppm"),
+            F.expr(
+                f"CAST((CAST(1000000 AS {d38}) * pt * (nt - pt))"
+                f" div (CAST(nt AS {d38}) * nt) AS BIGINT)"
+            ).alias("unc_ppm"),
         )
     )

@@ -99,6 +99,8 @@ PROBES = [
     "source_drift_emd",
     # round-9 batch 4: mirrored-rank pairing must be partition-free
     "train_preference_pairs",
+    # round-9 batch 5: decimal contribution sums over the bin lattice
+    "eval_brier_decomposition",
 ]
 
 

@@ -468,3 +468,68 @@ def test_preference_pairs_properties(spark):
     assert got == want
     for r in rows:
         assert r["margin_permille"] == r["chosen_permille"] - r["rejected_permille"] > 0
+
+
+def test_brier_decomposition_identity(spark):
+    """Murphy identity replayed with exact Fractions from the bins:
+    rel - res + unc == the BINNED Brier; the emitted ppm values equal
+    the documented floor-lattice forms; and the raw per-doc Brier
+    matches its single-denominator numerator."""
+    from fractions import Fraction
+
+    from snackfs_spark.operators.textstats import _reliability_bins
+    from snackfs_spark.registry import load_all
+    from tests.conftest import SF_ORACLE
+
+    (row,) = load_all()["eval_brier_decomposition"].fn(spark, SF_ORACLE).collect()
+    bins = _reliability_bins(spark, SF_ORACLE).collect()
+    nt = sum(b["n"] for b in bins)
+    pt = sum(b["pos"] for b in bins)
+    assert (row["n_total"], row["pos_total"], row["n_bins"]) == (
+        nt,
+        pt,
+        len(bins),
+    )
+    # exact rational decomposition
+    rel = sum(
+        Fraction(b["n"])
+        * (Fraction(b["sum_score"], 1000 * b["n"]) - Fraction(b["pos"], b["n"]))
+        ** 2
+        for b in bins
+    ) / nt
+    res = sum(
+        Fraction(b["n"])
+        * (Fraction(b["pos"], b["n"]) - Fraction(pt, nt)) ** 2
+        for b in bins
+    ) / nt
+    unc = Fraction(pt, nt) * (1 - Fraction(pt, nt))
+    binned_brier = (
+        sum(
+            sum(
+                (Fraction(b["sum_score"], 1000 * b["n"]) - lab) ** 2 * cnt
+                for lab, cnt in ((1, b["pos"]), (0, b["n"] - b["pos"]))
+            )
+            for b in bins
+        )
+        / nt
+    )
+    assert rel - res + unc == binned_brier  # the Murphy identity, exact
+    # emitted floor-lattice forms
+    rel_sum = sum(
+        (1_000_000 * (1000 * b["pos"] - b["sum_score"]) ** 2) // b["n"]
+        for b in bins
+    )
+    res_sum = sum(
+        (1_000_000 * (b["pos"] * nt - pt * b["n"]) ** 2) // b["n"] for b in bins
+    )
+    assert row["rel_ppm"] == rel_sum // (1_000_000 * nt)
+    assert row["res_ppm"] == res_sum // (nt**3)
+    assert row["unc_ppm"] == (1_000_000 * pt * (nt - pt)) // (nt * nt)
+    # raw per-doc Brier from the extended bin moments
+    ss2 = sum(b["sum_score2"] for b in bins)
+    ssl = sum(b["sum_score_label"] for b in bins)
+    assert row["brier_ppm"] == (ss2 - 2000 * ssl + 1_000_000 * pt) // nt
+    # lattice values stay within a ppm of the exact rationals
+    assert abs(row["rel_ppm"] - 1_000_000 * rel) <= 1
+    assert abs(row["res_ppm"] - 1_000_000 * res) <= 1
+    assert abs(row["unc_ppm"] - 1_000_000 * unc) <= 1

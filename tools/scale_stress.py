@@ -315,6 +315,9 @@ QUERIES = [
     # round-9 batch 4: per-stratum mirrored ranking windows + rank
     # equi-join (no quadratic matching)
     "train_preference_pairs",
+    # round-9 batch 5: the ece posture — bigram scoring pass, <= 11-bin
+    # histogram, bounded decimal algebra
+    "eval_brier_decomposition",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
