@@ -51,340 +51,113 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # in-repo oracle replica, tests/test_correctness.py, which hash-checks
 # ALL registered queries at sf0.01 every test run).
 #
-# ROUND-9 ROTATION (r8 VERDICT #1): after r8, 153 of 320 registered
-# queries still had no driver-side green row. This window keeps THREE
-# veterans — the q1 flagship and the connector (permanent anchors) plus
-# approx_aggregates, whose only driver rows (r1-r4) predate its r7
-# error-bound oracle (r8 VERDICT "what's missing" #2: convert the new
-# oracle into a driver-verified fact) — and hands 47 slots to queries
-# that have NEVER been driver-checked (94% first-time evidence;
-# cumulative driver coverage 167 -> 214 of 320 if the window lands
-# green). Every evicted veteran stays green in the in-repo replica; the
-# §2.B Q-* skeleton is ALL driver-green in r7/r8 (trailing <= 2) and
-# per the trailing-3-rounds cadence the eleven r7-green Q-* rows must
-# rotate back in by ROUND 10 (r8 VERDICT #7) — planned for the r10
-# window, freeing this one to drain the backlog at maximum rate.
+# ROUND-10 ROTATION (r9 VERDICT #1, executing the pre-staged plan): the
+# eleven r7-green Q-* fs veterans reach the trailing-3-rounds cadence
+# boundary and rotate back in, alongside the two permanent anchors
+# (q1 flagship + connector) = 13 veterans. The remaining 37 slots go to
+# the never-driver-checked backlog (114 after r9 landed 50/50 green),
+# REQUIRED to include all 8 round-9 additions (text_chi2_keywords,
+# eval_rank_rbo, text_yule_k, eval_rank_kendall, split_kfold_assignment,
+# source_drift_emd, train_preference_pairs, eval_brier_decomposition).
+# 37 >= the freshness test's 35-slot bound; cumulative driver-green goes
+# 214 -> 251 of 329 if the window lands green (mixture_doremi_reweight
+# is the one round-10 addition), draining the backlog to 78 (on track
+# for ~0 by r12, r9 VERDICT #7). Every evicted r9 name stays registered
+# and hash-checked by the in-repo replica (tests/test_correctness.py)
+# every test run.
 PRIORITY: tuple[str, ...] = (
-    # -------- veterans kept (3)
-    "q1_pricing_summary",  # flagship anchor (sf1-verified decimal lattice)
-    "fs_connector_roundtrip",  # §7-M6 Python Data Source anchor
-    "approx_aggregates",  # r7 error-bound oracle, never driver-checked under it
-    # -------- first-time driver rows (47) — never in any prior window.
-    # fs analytics: Hadoop-style text decode (gzip/ZIP magic sniff),
-    # SCD2 history, compaction/repair planning, quorum staleness, ring
-    # scaling (the r7/r8-green fs rows rotate out on trailing cadence)
-    "fs_text_decode",
-    "fs_scd2_history",
-    "fs_compaction_plan",
-    "fs_quorum_staleness",
-    "fs_ring_scaling_plan",
-    # source formats: gzip-JSONL and quoted-CSV roundtrips (ORC is
-    # r8-green)
-    "corpus_jsonl_roundtrip",
-    "corpus_csv_roundtrip",
-    # dedup ladder: chunk-exact, TF-cosine verified pairs, containment
-    # (asymmetric near-dup), golden-record survivorship (MinHash/LSH/
-    # SimHash/SNM forms are r7/r8-green)
-    "dedup_chunk_exact",
-    "dedup_tf_cosine",
-    "dedup_containment",
-    "dedup_golden_record",
-    # graph over the LSH candidate graph: triangle count + BFS hop
-    # frontier (pagerank/LPA are r8-green, k-core r7-green)
-    "graph_triangle_count",
-    "graph_bfs_hops",
-    # frequent-pattern mining: co-occurrence pairs and association
-    # rules with lift (PCY is r7-green)
-    "basket_frequent_pairs",
-    "mining_association_rules",
-    # multimodal real-decode: BMP brightness drift and WAV linear
-    # resample (VAD/tiles are r8-green, scene cuts/pHash r7-green)
-    "multimodal_brightness_drift",
-    "multimodal_audio_resample",
-    # TPC-H shapes: EXISTS priority count (q4), 8-table market share
-    # (q8), HAVING-over-sum important parts (q11), bulk suppliers with
-    # correlated half-avg threshold (q20) — q9/q15/q17/q19 are r8-green
-    "q4_priority_exists",
-    "q8_market_share",
-    "q11_important_parts",
-    "q20_bulk_suppliers",
-    # correlated min-per-group scalar subquery (family rep; q17's
-    # correlated-avg form is r8-green)
-    "rel_min_per_group_subquery",
-    # event-time analytics: sliding windows, rate anomaly (MAD), trend
-    # regression (exact OLS), purchase conversion lag (as-of shape;
-    # pit_feature_join is r8-green)
-    "events_sliding_window",
-    "events_rate_anomaly",
-    "events_trend_regression",
-    "events_conversion_lag",
-    # privacy: l-diversity (k-anonymity is r8-green, t-closeness r7)
-    "privacy_l_diversity",
-    # sampling/stats: stratified + mixture samples, Mann-Whitney U and
-    # two-sample KS exact-rational tests (DSIR/coreset are r8-green)
-    "stratified_sample",
-    "mixture_sample",
-    "sample_mann_whitney_u",
-    "sample_ks_two_sample",
-    # embeddings: JL-LSH recall evaluator and int8 quantization
-    # (IVF-multiprobe/MMR are r8-green, PQ-ADC r7-green)
-    "ann_lsh_recall",
-    "embedding_quantize_int8",
-    # text/retrieval: vocab top-k, inverted index, NDCG@k retrieval
-    # eval, isotonic (PAV) calibration, sliding-window chunking
-    # (TF-IDF/hybrid/boolean are r8-green, BM25 r7-green)
-    "text_vocab_topk",
-    "text_inverted_index",
-    "eval_ndcg_at_k",
-    "eval_isotonic_calibration",
-    "text_chunk_sliding",
-    # order/window analytics: RFM segments, max-drawdown curve (the r8
-    # ADVICE excess-series fix — first driver row exercises the
-    # non-degenerate form), cohort LTV, seasonal-naive MASE forecast
-    # (Holt forecast is r8-green)
-    "orders_rfm_segments",
-    "orders_max_drawdown",
-    "orders_cohort_ltv",
-    "orders_seasonal_naive_mase",
-    # mergeable sketches: pairwise HLL register overlap (the merged
-    # daily-union form is r8-green)
-    "approx_overlap_hll",
-    # streaming: CDC upsert drain and exactly-once tail follow
-    # (windowed-peak/dedup-ingest are r8-green)
-    "streaming_cdc_upsert",
-    "streaming_tail_follow",
-    # splits + data quality: per-split token summary and the DQ check
-    # battery (temporal holdout/packing are r8-green)
-    "split_summary_tokens",
-    "dq_check_battery",
-)
-
-
-# ROUND-10 ROTATION PLAN (pre-staged; execute next round): the eleven
-# r7-green Q-* fs targets reach the trailing-3 cadence boundary and are
-# DUE back in the window (fs_stat fs_ls fs_du fs_count fs_len_from_
-# blocks fs_block_locations fs_content fs_getmerge fs_rename fs_delete
-# fs_mkdirs — tests/test_registry_window.py FS_DUE_R10), alongside the
-# q1 + connector anchors = 13 veterans, leaving 37 slots for the
-# never-driver-checked backlog (113 after r9's 47 land green: the 106
-# remaining from the r8 backlog plus the seven round-9 additions —
-# text_chi2_keywords, eval_rank_rbo, text_yule_k, eval_rank_kendall,
-# split_kfold_assignment, source_drift_emd, train_preference_pairs).
-# Keep the freshness test's >=35 first-time bound satisfied (37 >= 35)
-# and re-point FS_DUE_R10 -> FS_IN_WINDOW in the policy test.
-
-# ROUND-8 window, kept for the changelog (every name stays registered
-# and repo-oracle green; see git history for the r8 slot comments).
-_PRIORITY_R8: tuple[str, ...] = (
-    # -------- veterans kept (8): the six Q-* evicted in r5-r7 rotate
-    # back in on the trailing-3-rounds cadence (each has 1-6 prior
-    # green driver rounds; last driver row r4)...
-    "fs_lsr",  # Q-LSR recursive listing
-    "fs_dus",  # Q-DUS subtree summary
-    "fs_suboff_prefix_sum",  # Q-SUBOFF running-sum window (family rep too)
-    "fs_lock_arbitration",  # Q-LOCK row_number ranking
-    "fs_range_read",  # Q-RANGE byte-offset block slice
-    "fs_tail",  # Q-TAIL suffix slice
-    # ...plus the §7-M6 connector and the TPC-H flagship (sf1-verified
-    # decimal lattice) as permanent anchors
-    "fs_connector_roundtrip",
+    # -------- veterans (13): the cadence-due Q-* fs skeleton...
+    "fs_stat",  # Q-STAT
+    "fs_ls",  # Q-LS
+    "fs_du",  # Q-DU
+    "fs_count",  # Q-COUNT
+    "fs_len_from_blocks",  # Q-LEN nested Array(Struct) fold
+    "fs_block_locations",  # Q-BLOCKLOC wraparound interval match
+    "fs_content",  # Q-CONTENT two-level reassembly
+    "fs_getmerge",  # Q-MERGE
+    "fs_rename",  # Q-RENAME anchored-prefix rewrite
+    "fs_delete",  # Q-DELETE subtree + orphan cascade
+    "fs_mkdirs",  # Q-MKDIR ancestor closure
+    # ...plus the permanent anchors: TPC-H flagship (sf1-verified
+    # decimal lattice) and the 7-M6 Python Data Source connector
     "q1_pricing_summary",
-    # -------- first-time driver rows (42) — never in any prior window.
-    # fs-flavored analytics: quota audit (Q-COUNT's quota variant; the
-    # plain fs_count is r7-green), permission audit + namespace profile
-    # (r7 additions, the latter carrying this round's depth-convention
-    # fix), and RF=3 token-ring replica sets
-    "fs_count_quota",
-    "fs_permission_audit",
-    "fs_namespace_profile",
-    "fs_replica_sets",
-    # TPC-H shapes: 6-table product-profit join (q9), view+max top
-    # supplier (q15), correlated-avg small-quantity (q17), disjunctive
-    # pushdown (q19) — q2/q21/q1-adjacent veterans are r7-green
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_filter",
-    # relational families: EXISTS/NOT-EXISTS semi/anti (multi-join
-    # family rep; q21 is r7-green), unpivot, the exact-quantile battery
-    # (function-battery rep; stats_moments_battery is r7-green), and
-    # the first-order-per-customer ranking window (win ranking rep)
-    "rel_semi_anti_joins",
-    "unpivot_part_measures",
-    "quantile_battery",
-    "win_first_order_per_customer",
-    # event-time analytics: funnel, cohort retention, attribution,
-    # Kaplan-Meier survival, Holt forecast, A/B two-proportion test
-    # (causal rep; diff-in-diff is r7-green), point-in-time feature
-    # join (as-of family rep; asof_last_error is r7-green), and the
-    # grouping-sets Markov transition matrix (rollup/cube rep; cube_
-    # order_priorities is r7-green)
-    "events_conversion_funnel",
-    "events_cohort_retention",
-    "events_attribution",
-    "events_survival_km",
-    "orders_holt_linear_forecast",
-    "events_two_proportion_test",
-    "pit_feature_join",
-    "events_markov_transitions",
-    # graph: damped PageRank fixpoint + label-propagation communities
-    # (k-core is r7-green)
-    "graph_pagerank_tokens",
-    "graph_label_propagation",
-    # dedup rotates to the SimHash banding and the sorted-neighborhood
-    # entity-resolution forms (MinHash LSH + tuning + SemDeDup are
-    # r7-green)
-    "dedup_simhash_pairs",
-    "dedup_entity_snm",
-    # similarity: IVF multiprobe partition-pruned search and MMR
-    # diversity re-rank (brute-force/PQ/JL are r7-green)
-    "ann_ivf_multiprobe",
-    "retrieval_mmr_topk",
-    # text/retrieval: TF-IDF top-k, hybrid BM25+dense fusion, boolean
-    # retrieval (BM25/KN-LM/lang-id/quality are r7-green)
-    "text_tfidf_topk",
-    "hybrid_search_topk",
-    "retrieval_boolean_query",
-    # multimodal: real-decode WAV VAD and BMP tiling (scene cuts +
-    # pHash are r7-green)
-    "multimodal_audio_vad",
-    "multimodal_image_tiles",
-    # sampling/splits/packing: temporal holdout, DSIR importance
-    # sampling, k-center coresets, length-bucketed packing (stratified
-    # split + priority sampling + first-fit packing are r7-green)
-    "split_temporal_holdout",
-    "importance_sample_dsir",
-    "sample_coreset_kcenter",
-    "pack_length_buckets",
-    # corpus lifecycle: ORC roundtrip (source-format rep) and takedown
-    # audit (corpus_build_train is r7-green)
-    "corpus_orc_roundtrip",
-    "corpus_takedown_audit",
-    # eval + privacy: calibration ECE (conformal is r7-green) and
-    # k-anonymity (t-closeness is r7-green)
-    "eval_calibration_ece",
-    "privacy_k_anonymity",
-    # streaming: Spark-4 chained stateful windowed peak + dedup ingest
-    # (session windows are r7-green)
-    "streaming_windowed_peak",
-    "streaming_dedup_ingest",
-    # mergeable sketches: partition-built HLL registers merged by
-    # elementwise MAX (Count-Min heavy hitters are r7-green)
-    "approx_distinct_hll_merged",
-)
-
-
-# ROUND-7 window, kept for the changelog (every name stays registered
-# and repo-oracle green; see git history for the r7 slot comments).
-_PRIORITY_R7: tuple[str, ...] = (
-    # -------- veterans kept (15): the fs skeleton crew (10 of the 17
-    # Q-* targets — each evicted Q-* has 1-6 rounds of green driver rows
-    # already and stays in the in-repo replica: fs_lsr/fs_dus (subtree
-    # aggregation shapes live on via fs_du), fs_suboff_prefix_sum /
-    # fs_lock_arbitration (window shapes live on via win_trailing_30d_
-    # revenue and sessionize_events), fs_range_read/fs_tail (byte-offset
-    # slicing lives on via fs_content's block-bounded reassembly),
-    # fs_fsck (its FULL OUTER JOIN shape lives on via corpus_build_train
-    # legs)), the connector, and one anchor per §2.C pillar.
-    "fs_stat",
-    "fs_ls",
-    "fs_du",
-    "fs_count",
-    "fs_len_from_blocks",
-    "fs_block_locations",
-    "fs_content",
-    "fs_getmerge",
-    "fs_rename",
-    "fs_delete",
-    "fs_mkdirs",
     "fs_connector_roundtrip",
-    # TPC-H anchor: filter + group-agg with decimal lattice sums (q3/q5/
-    # q6 have 6 rounds of green rows each; their join/broadcast shapes
-    # stay driver-checked via q2/q21 below)
-    "q1_pricing_summary",
-    # §2.C anchors: banded-signature dedup and broadcast top-k ANN (the
-    # two load-bearing similarity postures every rotated-in variant
-    # composes with)
-    "dedup_minhash_lsh",
-    "ann_bruteforce_topk",
-    # -------- first-time driver rows (35) — never in any prior window.
-    # TPC-H shapes: correlated-min subquery + broadcast dim chain (q2),
-    # UNION/INTERSECT/EXCEPT ALL variants (setops_customer_years's
-    # 3-branch distinct form is the veteran), 4-way exists/not-exists
-    # self-join (q21), and the salting remedy for skewed join keys
-    "q2_min_cost_supplier",
-    "setops_all_variants",
-    "q21_straggler_suppliers",
-    "rel_salted_skew_join",
-    # event-time analytics: 30-min-gap sessionization, as-of backward
-    # join, calendar gap-fill, CUPED-free diff-in-diff readout
-    "sessionize_events",
-    "asof_last_error_before_purchase",
-    "events_gap_fill",
-    "events_diff_in_diff",
-    # sketches: Count-Min heavy hitters (events_quantiles_binned and
-    # approx_distinct_hll each hold 1-2 green driver rounds; the
-    # mergeable-sketch class rep rotates to the CM row — the HLL and
-    # binned-quantile forms stay repo-oracle green)
-    "heavy_hitters_countmin",
-    # graph: iterative k-core peeling over LSH-candidate edges
-    "graph_kcore_decomposition",
-    # function batteries: exact moments (skew/kurtosis as decimal-exact
-    # rationals) rotate in for scalar_function_battery (4 green rounds;
-    # scalar/string/date/array/map batteries stay repo-oracle green)
-    "stats_moments_battery",
-    # market-basket mining with PCY bucket pruning + first-order Markov
-    # transition matrix via grouping-sets cube
-    "basket_pairs_pcy",
-    "cube_order_priorities",
-    # privacy ladder capstone: t-closeness (EMD over ordered quantiles);
-    # k-anonymity/l-diversity stay repo-oracle green
-    "privacy_t_closeness",
-    # FP&A: Pareto/ABC banding (the decimal(38,0) widening exhibit) and
-    # the trailing-30d range-frame running sum (the running-sum family
-    # rep after fs_suboff_prefix_sum's eviction)
-    "orders_pareto_abc",
-    "win_trailing_30d_revenue",
-    # eval: split-conformal threshold calibration
-    "eval_conformal_threshold",
-    # semantic dedup: the fixed-k SemDeDup form gets its first driver
-    # row (the size-adaptive production variant dedup_semantic_scaled
-    # holds 2 green rounds and stays repo-oracle green)
-    "dedup_semantic",
-    # text: interpolated Kneser-Ney bigram LM, n-gram language ID,
-    # Gopher-style quality gate, and BM25 retrieval top-k (text_profile
-    # composes lang_id+quality and holds 2 green rounds)
-    "text_kneser_ney_bigram",
-    "text_lang_id",
-    "text_quality_score",
-    "text_bm25_topk",
-    # decontamination rotates to the embedding-space variant
-    # (split_contamination_check holds 2 green rounds, stays repo-green)
-    "split_semantic_contamination",
-    # embeddings/ANN: PCA power iteration, k-means elbow (model
-    # selection), PQ/ADC compressed search, JL projection acceptance
-    "emb_pca_power_iteration",
-    "emb_kmeans_elbow",
-    "ann_pq_adc",
-    "emb_random_projection",
-    # LSH banding S-curve tuning (measured precision/recall vs truth)
-    "dedup_lsh_tuning",
-    # sampling/splits: priority (sequential-Poisson) sampling, exact
-    # stratified split, greedy first-fit sequence packing
-    "sample_reservoir_priority",
-    "split_exact_stratified",
-    "pack_sequences",
-    # multimodal: real-decode scene cuts (BMP luma deltas) and pHash
-    # near-dup banding (multimodal_audio_energy holds 2 green rounds)
-    "multimodal_scene_cuts",
-    "multimodal_phash_dedup",
-    # streaming rotates to session windows (streaming_hourly_rollup
-    # holds 5 green rounds; drained-equality pins stay in tests)
-    "streaming_session_windows",
-    # capstone rotates to the train-split builder (corpus_build_v2
-    # holds 2 green rounds, stays repo-oracle green)
-    "corpus_build_train",
+    # -------- first-time driver rows (37), never in any prior window.
+    # the 8 round-9 additions (r9 VERDICT #1 requires all of them):
+    "text_chi2_keywords",  # supervised keyword selection (this round:
+    # single presence pass + pinned overflow ladder, r9 VERDICT #5)
+    "eval_rank_rbo",  # rank-biased overlap on the dyadic lattice
+    "text_yule_k",  # vocabulary-richness constant
+    "eval_rank_kendall",  # Kendall tau ranking agreement
+    "split_kfold_assignment",  # k-fold CV protocol
+    "source_drift_emd",  # pairwise EMD drift (this round: div-idiom fix)
+    "train_preference_pairs",  # DPO pairs (this round: banded-rank
+    # de-skew, r9 VERDICT #4 -- first driver row exercises the new plan)
+    "eval_brier_decomposition",  # Murphy decomposition
+    # fs analytics: maintenance planners never driver-checked
+    "fs_repair_plan",
+    "fs_heat_tiering",
+    "fs_erasure_layout",
+    # TPC-H shapes: two-flag distribution (q12), supplier variety with
+    # NOT-IN complaint filter (q16)
+    "q12_priority_by_returnflag",
+    "q16_part_supplier_variety",
+    # relational profiling: whole-table profile + join-key skew profile
+    "table_profile",
+    "skew_key_profile",
+    # graph battery over the LSH candidate graph: degree spectrum,
+    # clustering coefficient, modularity of the LPA communities
+    "graph_degree_distribution",
+    "graph_clustering_coefficient",
+    "graph_modularity_score",
+    # dedup: fuzzy prefix-blocked verify + cross-source overlap matrix
+    "dedup_fuzzy_prefix",
+    "dedup_source_matrix",
+    # multimodal: image diversity (Simpson index over pixel classes)
+    "multimodal_image_simpson",
+    # privacy: per-user contribution bounding (DP prep)
+    "privacy_contribution_bounds",
+    # sampling: systematic PPS, Neyman allocation, balanced classes
+    # (the banded-rank pattern train_preference_pairs now shares),
+    # temperature-scaled mixture weights
+    "sample_systematic_pps",
+    "sample_neyman_allocation",
+    "sample_balanced_classes",
+    "mixture_temperature",
+    # embeddings: hard-negative triplet mining + per-label centroids
+    "emb_triplet_mining",
+    "embedding_label_centroids",
+    # text: exact token accounting, rolling-hash fingerprint,
+    # readability battery
+    "text_token_count",
+    "text_fingerprint",
+    "text_readability",
+    # eval: PR-AUC (exact trapezoid lattice) + Cohen's kappa
+    "eval_pr_auc",
+    "eval_kappa_agreement",
+    # event-time: hourly EWMA (exact rational) + bot detection
+    "events_ewma_hourly",
+    "events_bot_detection",
+    # streaming: stream-static enrichment join
+    "streaming_enrichment_join",
+    # FP&A: Benford first-digit audit
+    "orders_benford_audit",
 )
+
+# ROUND-11 ROTATION PLAN (pre-staged; execute next round): keep the two
+# permanent anchors (q1 + connector); the r8-green six Q-* veterans
+# (fs_lsr fs_dus fs_suboff_prefix_sum fs_lock_arbitration fs_range_read
+# fs_tail) reach the trailing-3 boundary after r10 and are DUE; that
+# leaves ~42 slots for the backlog (77 after this window lands),
+# prioritizing the oldest never-checked names (the r5-r6-era text/eval
+# battery additions) and any round-10 additions. Keep the freshness
+# test's >=35 bound satisfied and update FS_IN_WINDOW -> FS_DUE_R11 in
+# tests/test_registry_window.py.
+#
+# Prior windows (r1-r9): see git history for each round's slot-by-slot
+# changelog -- CORRECTNESS_r{N}.json records what each window proved.
+# (The full tuples were kept here as dead data through r9; r9 ADVICE:
+# git history IS the changelog.)
 
 
 def load_all() -> dict[str, Query]:

@@ -1,15 +1,14 @@
 """The driver's correctness gate checks the FIRST 50 registered queries.
-These tests pin the ROUND-9 rotated window (r8 VERDICT #1): 3 veterans
-(the q1 flagship + the connector as permanent anchors, plus
-approx_aggregates whose only driver rows predate its r7 error-bound
-oracle) + 47 queries that had never produced a driver-side green row,
-while the window still spans SURVEY.md §2 — every declared operator
-family and §2.C class has an in-window rep or a documented evicted
-veteran with a green driver row in the trailing rounds that stays
-hash-checked in the in-repo replica. The §2.B Q-* skeleton is all
-driver-green in r7/r8 (trailing <= 2); per the trailing-3-rounds
-cadence (r8 VERDICT #7) the eleven r7-green Q-* must rotate back into
-the ROUND-10 window — recorded below in FS_DUE_R10."""
+These tests pin the ROUND-10 rotated window (r9 VERDICT #1, executing
+the plan pre-staged in r9): 13 veterans — the eleven r7-green Q-* fs
+targets that reached the trailing-3-rounds cadence boundary, plus the
+q1 flagship and the connector as permanent anchors — and 37 queries
+that have never produced a driver-side green row, REQUIRED to include
+all 8 round-9 additions. The window still spans SURVEY.md §2: every
+declared operator family and §2.C class has an in-window rep or a
+documented evicted veteran with a green driver row in the trailing
+rounds that stays hash-checked in the in-repo replica
+(tests/test_correctness.py) every test run."""
 
 from __future__ import annotations
 
@@ -30,7 +29,8 @@ WINDOW = 50
 # span policy leans on. Exclude SEMANTICALLY instead: an artifact is
 # "this window's own run" iff most of its keys are the current
 # PRIORITY names — prior-round artifacts of a rotated window overlap
-# only on the few kept veterans.
+# only on the few kept veterans (this round: the 13 veterans = 26% of
+# the r7 artifact's keys, safely under the 0.5 bar).
 _REPO = Path(__file__).resolve().parent.parent
 _ARTIFACTS = sorted(
     _REPO.glob("CORRECTNESS_r*.json"),
@@ -46,13 +46,11 @@ for _p in _ARTIFACTS:
         continue  # the current window's own artifact
     DRIVER_CHECKED.update(_keys)
 
-# Q-* → query name (SURVEY §2.B, 17 targets). NONE are in the r9
-# window: all 17 are driver-green in r7 or r8 (trailing <= 2 rounds)
-# and every slot they'd occupy went to the never-checked backlog
-# instead (r8 VERDICT #1: drain hard). The eleven r7-green rows reach
-# the trailing-3 cadence boundary after r9, so they are DUE in the
-# ROUND-10 window (r8 VERDICT #7).
-FS_DUE_R10 = {
+# Q-* → query name (SURVEY §2.B, 17 targets). The eleven r7-green rows
+# reached the trailing-3 cadence boundary after r9 and are IN the r10
+# window (r9 VERDICT #1); the six r8-green rows reach the boundary
+# after r10 and are DUE in the ROUND-11 window.
+FS_IN_WINDOW = {
     "Q-STAT": "fs_stat",
     "Q-LS": "fs_ls",
     "Q-DU": "fs_du",
@@ -65,7 +63,7 @@ FS_DUE_R10 = {
     "Q-DELETE": "fs_delete",
     "Q-MKDIR": "fs_mkdirs",
 }
-FS_R8_GREEN = {
+FS_DUE_R11 = {
     "Q-LSR": "fs_lsr",
     "Q-DUS": "fs_dus",
     "Q-SUBOFF": "fs_suboff_prefix_sum",
@@ -74,29 +72,29 @@ FS_R8_GREEN = {
     "Q-TAIL": "fs_tail",
 }
 
-# family → representative query INSIDE the r9 window.
+# family → representative query INSIDE the r10 window.
 FAMILIES = {
     # q1 stays as the filter+agg anchor (sf1-verified decimal lattice)
     "filter/projection + group agg": "q1_pricing_summary",
-    # 8-table join with market-share ratio; q9/q15 are r8-green
-    "equi-join + agg": "q8_market_share",
-    "broadcast dims": "q8_market_share",
-    # EXISTS order-priority count; q21/rel_semi_anti are r7/r8-green
-    "multi-join exists/not-exists": "q4_priority_exists",
-    # running-sum + running-max windows on the excess-revenue curve
-    "running sum window": "orders_max_drawdown",
-    "sort+limit / top-k": "text_vocab_topk",
-    # correlated scalar subqueries: per-group min and half-avg forms
-    "correlated scalar subquery": "rel_min_per_group_subquery",
-    "correlated threshold subquery": "q20_bulk_suppliers",
-    "function battery": "dq_check_battery",
+    # lineitem ⋈ orders two-flag distribution; q8/q9/q15 are r8/r9-green
+    "equi-join + agg": "q12_priority_by_returnflag",
+    # NOT-IN complaint-supplier exclusion (anti-join shape)
+    "multi-join exists/not-exists": "q16_part_supplier_variety",
+    # wraparound interval match is back in the window via Q-BLOCKLOC
+    "non-equi join (band/interval)": "fs_block_locations",
+    # the banded two-phase ranking (this round's de-skewed form)
+    "window ranking": "train_preference_pairs",
+    "sort+limit / top-k": "text_chi2_keywords",
+    "function battery": "text_readability",
 }
-# family → evicted veteran with a TRAILING driver-green row (r7/r8),
+# family → evicted veteran with a TRAILING driver-green row (r7-r9),
 # still hash-checked by the in-repo replica every test run.
 FAMILIES_TRAILING = {
-    "non-equi join (band/interval)": "fs_range_read",  # r8
-    "as-of / point-in-time join": "pit_feature_join",  # r8
-    "window ranking": "win_first_order_per_customer",  # r8
+    "broadcast dims": "q8_market_share",  # r9
+    "running sum window": "orders_max_drawdown",  # r9
+    "correlated scalar subquery": "rel_min_per_group_subquery",  # r9
+    "correlated threshold subquery": "q20_bulk_suppliers",  # r9
+    "as-of / point-in-time join": "events_conversion_lag",  # r9
     "rollup/cube/groupingsets": "events_markov_transitions",  # r8
     "unpivot / reshape": "unpivot_part_measures",  # r8
     "disjunctive pushdown": "q19_disjunctive_filter",  # r8
@@ -104,69 +102,142 @@ FAMILIES_TRAILING = {
     "skewed join salting": "rel_salted_skew_join",  # r7
 }
 
-# §2.C class → representative inside the r9 window
+# §2.C class → representative inside the r10 window
 CLASSES = {
-    "dedup (verified cosine pairs)": "dedup_tf_cosine",
-    "dedup (chunk exact)": "dedup_chunk_exact",
-    "dedup (asymmetric containment)": "dedup_containment",
-    "dedup (golden record)": "dedup_golden_record",
-    "similarity (LSH recall eval)": "ann_lsh_recall",
-    "similarity (int8 quantization)": "embedding_quantize_int8",
-    "retrieval (inverted index)": "text_inverted_index",
-    "retrieval eval (NDCG@k)": "eval_ndcg_at_k",
-    "multimodal (audio decode)": "multimodal_audio_resample",
-    "multimodal (image decode)": "multimodal_brightness_drift",
-    "sampling (stratified)": "stratified_sample",
-    "sampling (mixture weights)": "mixture_sample",
-    "splits (token accounting)": "split_summary_tokens",
-    "chunking / packing": "text_chunk_sliding",
-    "source formats (JSONL)": "corpus_jsonl_roundtrip",
-    "source formats (CSV)": "corpus_csv_roundtrip",
-    "streaming (CDC upsert)": "streaming_cdc_upsert",
-    "streaming (tail follow)": "streaming_tail_follow",
+    "dedup (fuzzy prefix-blocked verify)": "dedup_fuzzy_prefix",
+    "dedup (cross-source overlap matrix)": "dedup_source_matrix",
+    "similarity (triplet mining)": "emb_triplet_mining",
+    "similarity (label centroids)": "embedding_label_centroids",
+    "ranking agreement (RBO)": "eval_rank_rbo",
+    "ranking agreement (Kendall tau)": "eval_rank_kendall",
+    "multimodal (image diversity)": "multimodal_image_simpson",
+    "sampling (systematic PPS)": "sample_systematic_pps",
+    "sampling (Neyman allocation)": "sample_neyman_allocation",
+    "sampling (balanced classes)": "sample_balanced_classes",
+    "mixture (temperature weights)": "mixture_temperature",
+    "splits (k-fold protocol)": "split_kfold_assignment",
+    "drift (earth-mover's)": "source_drift_emd",
+    "preference pairs (DPO prep)": "train_preference_pairs",
+    "eval (Brier/Murphy decomposition)": "eval_brier_decomposition",
+    "eval (PR-AUC)": "eval_pr_auc",
+    "eval (Cohen's kappa)": "eval_kappa_agreement",
+    "text (chi2 keyword selection)": "text_chi2_keywords",
+    "text (Yule's K richness)": "text_yule_k",
+    "text (token accounting)": "text_token_count",
+    "text (rolling-hash fingerprint)": "text_fingerprint",
+    "graph (degree spectrum)": "graph_degree_distribution",
+    "graph (clustering coefficient)": "graph_clustering_coefficient",
+    "graph (modularity)": "graph_modularity_score",
+    "privacy (contribution bounds)": "privacy_contribution_bounds",
+    "fs analytics (repair plan)": "fs_repair_plan",
+    "fs analytics (heat tiering)": "fs_heat_tiering",
+    "fs analytics (erasure layout)": "fs_erasure_layout",
+    "profiling (whole table)": "table_profile",
+    "profiling (join-key skew)": "skew_key_profile",
+    "events (EWMA smoothing)": "events_ewma_hourly",
+    "events (bot detection)": "events_bot_detection",
+    "streaming (enrichment join)": "streaming_enrichment_join",
+    "FP&A (Benford audit)": "orders_benford_audit",
     "connector": "fs_connector_roundtrip",
-    "cohort LTV": "orders_cohort_ltv",
-    "forecasting (seasonal-naive MASE)": "orders_seasonal_naive_mase",
-    "causal readout (Mann-Whitney)": "sample_mann_whitney_u",
-    "causal readout (two-sample KS)": "sample_ks_two_sample",
-    "mergeable sketches (HLL overlap)": "approx_overlap_hll",
-    "mergeable sketches (error bounds)": "approx_aggregates",
-    "graph (triangles)": "graph_triangle_count",
-    "graph (BFS frontier)": "graph_bfs_hops",
-    "frequent-pattern mining": "mining_association_rules",
-    "privacy": "privacy_l_diversity",
-    "eval (isotonic calibration)": "eval_isotonic_calibration",
-    "fs analytics (SCD2 history)": "fs_scd2_history",
-    "fs analytics (text decode)": "fs_text_decode",
 }
-# §2.C class → trailing driver-green veteran (r7/r8)
+# §2.C class → trailing driver-green veteran (r7-r9)
 CLASSES_TRAILING = {
-    "dedup (signature banding)": "dedup_simhash_pairs",  # r8
+    "dedup (signature banding)": "dedup_tf_cosine",  # r9
+    "dedup (chunk exact)": "dedup_chunk_exact",  # r9
+    "dedup (golden record)": "dedup_golden_record",  # r9
     "dedup (entity resolution)": "dedup_entity_snm",  # r8
+    "similarity (LSH recall eval)": "ann_lsh_recall",  # r9
     "similarity (IVF pruned)": "ann_ivf_multiprobe",  # r8
-    "similarity (diversity re-rank)": "retrieval_mmr_topk",  # r8
-    "retrieval (hybrid fusion)": "hybrid_search_topk",  # r8
-    "retrieval (boolean)": "retrieval_boolean_query",  # r8
-    "funnel": "events_conversion_funnel",  # r8
-    "cohort retention": "events_cohort_retention",  # r8
-    "attribution": "events_attribution",  # r8
-    "survival analysis": "events_survival_km",  # r8
-    "corpus lifecycle (takedown)": "corpus_takedown_audit",  # r8
+    "retrieval (inverted index)": "text_inverted_index",  # r9
+    "retrieval eval (NDCG@k)": "eval_ndcg_at_k",  # r9
+    "multimodal (audio decode)": "multimodal_audio_resample",  # r9
+    "multimodal (image decode)": "multimodal_brightness_drift",  # r9
+    "sampling (stratified)": "stratified_sample",  # r9
+    "sampling (mixture weights)": "mixture_sample",  # r9
+    "splits (token accounting)": "split_summary_tokens",  # r9
+    "chunking / packing": "text_chunk_sliding",  # r9
+    "source formats (JSONL)": "corpus_jsonl_roundtrip",  # r9
+    "source formats (CSV)": "corpus_csv_roundtrip",  # r9
     "source formats (ORC)": "corpus_orc_roundtrip",  # r8
-    "packing (length buckets)": "pack_length_buckets",  # r8
+    "streaming (CDC upsert)": "streaming_cdc_upsert",  # r9
+    "streaming (tail follow)": "streaming_tail_follow",  # r9
     "streaming (chained stateful)": "streaming_windowed_peak",  # r8
+    "cohort LTV": "orders_cohort_ltv",  # r9
+    "forecasting (seasonal-naive MASE)": "orders_seasonal_naive_mase",  # r9
+    "causal readout (Mann-Whitney)": "sample_mann_whitney_u",  # r9
+    "causal readout (two-sample KS)": "sample_ks_two_sample",  # r9
+    "mergeable sketches (HLL overlap)": "approx_overlap_hll",  # r9
+    "mergeable sketches (error bounds)": "approx_aggregates",  # r9
+    "graph (triangles)": "graph_triangle_count",  # r9
+    "graph (BFS frontier)": "graph_bfs_hops",  # r9
     "graph (fixpoint)": "graph_pagerank_tokens",  # r8
     "graph (communities)": "graph_label_propagation",  # r8
-    "eval (calibration ECE)": "eval_calibration_ece",  # r8
+    "frequent-pattern mining": "mining_association_rules",  # r9
+    "privacy (l-diversity)": "privacy_l_diversity",  # r9
     "privacy (k-anonymity)": "privacy_k_anonymity",  # r8
+    "eval (isotonic calibration)": "eval_isotonic_calibration",  # r9
+    "eval (calibration ECE)": "eval_calibration_ece",  # r8
+    "fs analytics (SCD2 history)": "fs_scd2_history",  # r9
+    "fs analytics (text decode)": "fs_text_decode",  # r9
+    "corpus lifecycle (takedown)": "corpus_takedown_audit",  # r8
 }
 
 # Evicted veterans that must STAY registered + oracled (repo replica
-# keeps hash-checking them every test run). The r8 window's 42
-# first-time names all carry trailing-1 driver-green rows; the r7-era
-# and earlier veterans carry older green rows.
+# keeps hash-checking them every test run). The r9 window's 50 names
+# all carry trailing-1 driver-green rows; r8-era and earlier veterans
+# carry older green rows.
 EVICTED_STAY_ORACLED = [
-    # r8 window, all green in CORRECTNESS_r08
+    # r9 window, all green in CORRECTNESS_r09 (anchors excluded: they
+    # stay in the r10 window)
+    "approx_aggregates",
+    "fs_text_decode",
+    "fs_scd2_history",
+    "fs_compaction_plan",
+    "fs_quorum_staleness",
+    "fs_ring_scaling_plan",
+    "corpus_jsonl_roundtrip",
+    "corpus_csv_roundtrip",
+    "dedup_chunk_exact",
+    "dedup_tf_cosine",
+    "dedup_containment",
+    "dedup_golden_record",
+    "graph_triangle_count",
+    "graph_bfs_hops",
+    "basket_frequent_pairs",
+    "mining_association_rules",
+    "multimodal_brightness_drift",
+    "multimodal_audio_resample",
+    "q4_priority_exists",
+    "q8_market_share",
+    "q11_important_parts",
+    "q20_bulk_suppliers",
+    "rel_min_per_group_subquery",
+    "events_sliding_window",
+    "events_rate_anomaly",
+    "events_trend_regression",
+    "events_conversion_lag",
+    "privacy_l_diversity",
+    "stratified_sample",
+    "mixture_sample",
+    "sample_mann_whitney_u",
+    "sample_ks_two_sample",
+    "ann_lsh_recall",
+    "embedding_quantize_int8",
+    "text_vocab_topk",
+    "text_inverted_index",
+    "eval_ndcg_at_k",
+    "eval_isotonic_calibration",
+    "text_chunk_sliding",
+    "orders_rfm_segments",
+    "orders_max_drawdown",
+    "orders_cohort_ltv",
+    "orders_seasonal_naive_mase",
+    "approx_overlap_hll",
+    "streaming_cdc_upsert",
+    "streaming_tail_follow",
+    "split_summary_tokens",
+    "dq_check_battery",
+    # r8 window veterans (green in CORRECTNESS_r08)
     "fs_lsr",
     "fs_dus",
     "fs_suboff_prefix_sum",
@@ -215,18 +286,7 @@ EVICTED_STAY_ORACLED = [
     "streaming_windowed_peak",
     "streaming_dedup_ingest",
     "approx_distinct_hll_merged",
-    # r7 window veterans (green in CORRECTNESS_r07)
-    "fs_stat",
-    "fs_ls",
-    "fs_du",
-    "fs_count",
-    "fs_len_from_blocks",
-    "fs_block_locations",
-    "fs_content",
-    "fs_getmerge",
-    "fs_rename",
-    "fs_delete",
-    "fs_mkdirs",
+    # r7 window veterans not back in the window (green in CORRECTNESS_r07)
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
     "q2_min_cost_supplier",
@@ -296,6 +356,19 @@ EVICTED_STAY_ORACLED = [
     "streaming_hourly_rollup",
 ]
 
+# The 8 round-9 additions the r10 window is REQUIRED to carry
+# (r9 VERDICT #1).
+R9_ADDITIONS_IN_WINDOW = [
+    "text_chi2_keywords",
+    "eval_rank_rbo",
+    "text_yule_k",
+    "eval_rank_kendall",
+    "split_kfold_assignment",
+    "source_drift_emd",
+    "train_preference_pairs",
+    "eval_brier_decomposition",
+]
+
 
 def test_priority_fits_window():
     assert len(PRIORITY) == WINDOW
@@ -312,6 +385,12 @@ def test_window_order_and_span():
         assert q in window, f"{target} ({q}) fell outside the driver's window"
 
 
+def test_r9_additions_all_in_window():
+    window = set(PRIORITY)
+    for q in R9_ADDITIONS_IN_WINDOW:
+        assert q in window, f"round-9 addition {q} missing from the r10 window"
+
+
 def test_trailing_reps_are_driver_green():
     """Families/classes without an in-window rep must be covered by an
     evicted veteran with a PRIOR driver-green row (the replica keeps
@@ -323,12 +402,14 @@ def test_trailing_reps_are_driver_green():
         )
 
 
-def test_fs_skeleton_trailing_cadence():
-    """Every §2.B Q-* target is either in the current window or has a
-    driver-green row in the trailing rounds (r7 VERDICT #7). The
-    FS_DUE_R10 names reach the cadence boundary after this round and
-    must be rotated into the round-10 window."""
-    for target, q in {**FS_DUE_R10, **FS_R8_GREEN}.items():
+def test_fs_skeleton_cadence():
+    """Every §2.B Q-* target is either IN the r10 window (the eleven
+    cadence-due r7 veterans, r9 VERDICT #1) or driver-green in the
+    trailing rounds (the six r8-green rows, DUE in the r11 window)."""
+    window = set(PRIORITY)
+    for target, q in FS_IN_WINDOW.items():
+        assert q in window, f"{target} ({q}) missed its cadence-due window"
+    for target, q in FS_DUE_R11.items():
         assert q in DRIVER_CHECKED, (
             f"{target} ({q}) rotated out without a prior driver-green row"
         )
@@ -336,7 +417,7 @@ def test_fs_skeleton_trailing_cadence():
 
 def test_rotation_freshness():
     """≥35/50 window slots must be first-time driver rows while the
-    never-checked backlog exceeds 100 (r7 VERDICT #3). Skipped-degrade:
+    never-checked backlog exceeds 50 (r7 VERDICT #3). Skipped-degrade:
     if no prior CORRECTNESS artifacts exist (fresh clone),
     DRIVER_CHECKED is empty and every slot counts as fresh."""
     fresh = [n for n in PRIORITY if n not in DRIVER_CHECKED]
@@ -349,8 +430,7 @@ def test_evicted_veterans_stay_oracled():
     reg = load_all()
     veterans = (
         EVICTED_STAY_ORACLED
-        + list(FS_DUE_R10.values())
-        + list(FS_R8_GREEN.values())
+        + list(FS_DUE_R11.values())
         + list(FAMILIES_TRAILING.values())
         + list(CLASSES_TRAILING.values())
     )
