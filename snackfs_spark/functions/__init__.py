@@ -105,16 +105,20 @@ def md5_bucket(col: Column, modulus: int) -> Column:
 
 # The ONE stopword-permille quality score (cheap C4-style fluency
 # proxy, 0..1000): shared by the Pareto-front objective, the AUC
-# calibration eval, and their oracles/tests. Like md5_bucket, change it
-# nowhere without changing every consumer — drift between copies would
-# silently decouple operators that claim to score the same thing.
+# calibration eval, the DPO preference pairing, and their oracles/
+# tests. Like md5_bucket, change it nowhere without changing every
+# consumer — drift between copies would silently decouple operators
+# that claim to score the same thing. Both expression strings derive
+# from the ONE tuple so the word list cannot fork either.
+STOPWORDS = ("the", "a", "and", "with", "of", "in")
+_STOPWORD_LIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 STOPWORD_PERMILLE_SPARK = (
     "(1000 * size(filter(split(text, ' '),"
-    " t -> t IN ('the', 'a', 'and', 'with', 'of', 'in'))))"
+    f" t -> t IN ({_STOPWORD_LIST_SQL}))))"
     " div size(split(text, ' '))"
 )
 STOPWORD_PERMILLE_SQL = (
     "(1000 * len(list_filter(string_split(text, ' '),"
-    " t -> t IN ('the', 'a', 'and', 'with', 'of', 'in'))))"
+    f" t -> t IN ({_STOPWORD_LIST_SQL}))))"
     " // len(string_split(text, ' '))"
 )

@@ -1091,6 +1091,138 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DoReMi-style mixture reweighting (Xie et al. 2023, arXiv:2305.10429,
+# simplified): iterative multiplicative-weights updates that shift the
+# training mixture toward sources with EXCESS loss over the current
+# weighted average — the optimization-driven alternative to the static
+# temperature recipe above (the two bracket the mixture design space:
+# size-driven vs loss-driven). The published algorithm multiplies by
+# exp(eta * excess) with a trained proxy model's per-domain loss; the
+# engine version stays on the exact integer lattice: the loss proxy is
+# the shared stopword-permille disfluency (1000 - mean fluency — the
+# same signal text_quality_score ships), and the update multiplies by
+# (1000 + excess_permille) ~ a linearized exp at eta = 1e-3, followed
+# by ppm renormalization and a 10% uniform smoothing (DoReMi's
+# zero-weight guard). DOREMI_ROUNDS rounds are unrolled identically in
+# both engines, so every intermediate is a bigint and the output is
+# bit-identical at any partition count.
+DOREMI_ROUNDS = 3
+DOREMI_BUDGET = 10_000_000  # char budget the final weights allocate
+
+
+def _doremi_oracle() -> str:
+    """The round-unrolled DuckDB oracle, generated from DOREMI_ROUNDS so
+    engine and oracle can never disagree on the round count."""
+    sql = f"""
+    WITH q AS (
+      SELECT source, CAST({STOPWORD_PERMILLE_SQL} AS BIGINT) AS q
+      FROM documents
+    ),
+    s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(1000 - SUM(q) // COUNT(*) AS BIGINT) AS loss
+      FROM q GROUP BY source
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM s),
+    w0 AS (
+      SELECT s.source, s.n_docs, s.loss,
+             CAST(1000000 // n.c AS BIGINT) AS w,
+             CAST(1000000 // n.c AS BIGINT) AS u
+      FROM s, n
+    )"""
+    prev = "w0"
+    for t in range(1, DOREMI_ROUNDS + 1):
+        sql += f""",
+    m{t} AS (SELECT SUM(w * loss) // SUM(w) AS wm FROM {prev}),
+    u{t} AS (
+      SELECT p.source, p.n_docs, p.loss, p.u,
+             p.w * (1000 + GREATEST(0, p.loss - m{t}.wm)) AS raw
+      FROM {prev} p, m{t}
+    ),
+    t{t} AS (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM u{t}),
+    w{t} AS (
+      SELECT source, n_docs, loss, u,
+             CAST((9 * ((1000000 * raw) // t{t}.tot) + u) // 10 AS BIGINT) AS w
+      FROM u{t}, t{t}
+    )"""
+        prev = f"w{t}"
+    sql += f"""
+    SELECT source, n_docs, loss AS loss_permille,
+           w AS w_ppm,
+           CAST({DOREMI_BUDGET} * w // (SELECT SUM(w) FROM {prev})
+                AS BIGINT) AS alloc_chars
+    FROM {prev}
+    """
+    return sql
+
+
+@register("mixture_doremi_reweight", oracle=_doremi_oracle())
+def mixture_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-driven training mixture: DOREMI_ROUNDS multiplicative-weight
+    rounds over per-source excess loss (see the constant block above
+    for the lattice-exact linearization of DoReMi's exp update). Emits
+    the per-source disfluency loss, the final mixture weight in ppm,
+    and an integer char-budget allocation — the knob a data pipeline
+    feeds back into mixture_sample's per-source rates.
+
+    Scale shape: ONE corpus scan collapses map-side to per-source
+    (n_docs, loss) — |sources| rows, lazily checkpointed so the
+    unrolled rounds re-read a tiny ExistingRDD, never the corpus. Each
+    round is two singleton aggregates cross-joined back (broadcast by
+    size), so the whole optimization is bounded algebra exactly like
+    mixture_temperature; rounds are unrolled in BOTH engines from the
+    same DOREMI_ROUNDS constant."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    q = F.expr(f"CAST({STOPWORD_PERMILLE_SPARK} AS BIGINT)")
+    s = (
+        docs.select("source", q.alias("q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("CAST(1000 - (SUM(q) div COUNT(*)) AS BIGINT)").alias("loss"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n = s.agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = s.crossJoin(F.broadcast(n)).select(
+        "source",
+        "n_docs",
+        "loss",
+        F.expr("CAST(1000000 div c AS BIGINT)").alias("w"),
+        F.expr("CAST(1000000 div c AS BIGINT)").alias("u"),
+    )
+    for _ in range(DOREMI_ROUNDS):
+        wm = w.agg(F.expr("SUM(w * loss) div SUM(w)").alias("wm"))
+        upd = w.crossJoin(F.broadcast(wm)).select(
+            "source",
+            "n_docs",
+            "loss",
+            "u",
+            F.expr("w * (1000 + GREATEST(0, loss - wm))").alias("raw"),
+        )
+        tot = upd.agg(F.sum("raw").cast("long").alias("tot"))
+        w = upd.crossJoin(F.broadcast(tot)).select(
+            "source",
+            "n_docs",
+            "loss",
+            "u",
+            F.expr(
+                "CAST((9 * ((1000000 * raw) div tot) + u) div 10 AS BIGINT)"
+            ).alias("w"),
+        )
+    fin = w.agg(F.sum("w").cast("long").alias("wsum"))
+    return w.crossJoin(F.broadcast(fin)).select(
+        "source",
+        "n_docs",
+        F.col("loss").alias("loss_permille"),
+        F.col("w").alias("w_ppm"),
+        F.expr(f"CAST({DOREMI_BUDGET} * w div wsum AS BIGINT)").alias(
+            "alloc_chars"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic training-order shuffle: the final step before export —
 # a reproducible pseudo-random global order over the corpus, sharded so
 # no global sequence is ever materialized.
@@ -3271,8 +3403,11 @@ def source_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = (
         docs.groupBy(
             "source",
+            # integer `div`, not float `/`+cast: n_chars is non-negative
+            # so both agree here, but DESIGN.md's no-float-intermediates
+            # rule keeps every lattice step integral (r9 ADVICE)
             F.least(
-                (F.col("n_chars").cast("long") / EMD_BIN_WIDTH).cast("long"),
+                F.expr(f"CAST(n_chars AS BIGINT) div {EMD_BIN_WIDTH}"),
                 F.lit(EMD_MAX_BIN).cast("long"),
             ).alias("bin"),
         )
@@ -3336,11 +3471,22 @@ def source_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reward-model / DPO data prep: contrastive (chosen, rejected) document
 # pairs per source, matched by quality rank — the i-th best doc pairs
 # with the i-th worst, strongest contrast first, no doc reused. The
-# quality signal is the stopword-density permille (the same cheap
-# fluency proxy text_quality_score uses), exact on the integer lattice;
-# mirrored tie-breaks make the top and bottom rankings exact reverses,
-# so the pairing is a rank equi-join, not a quadratic match.
-PREF_STOPWORDS = ("the", "a", "and", "with", "of", "in")
+# quality signal is the stopword-density permille — the ONE shared
+# STOPWORD_PERMILLE expression (same fluency proxy text_quality_score
+# uses; r9 ADVICE: derive it, never copy it). The total order is
+# (q DESC, md5-bucket, md5, doc_id): a single mirrored order whose
+# reverse gives the bottom ranking as rb = n + 1 - rt, so the pairing
+# is a rank equi-join, not a quadratic match.
+#
+# Ranking is the TWO-PHASE BANDED RANK (r9 VERDICT #4 — the
+# sample_balanced_classes posture): q is already a bounded integer
+# (0..1000) and docs sub-bucket by md5 into PREF_BUCKETS, so the rank
+# decomposes into a bounded (source, q, bucket) prefix histogram plus
+# an in-bucket row_number. No window ever spans a whole source — at
+# 100 TB with one dominant crawl source, a per-source window is a
+# straggler task sorting most of the corpus; here the widest window
+# partition is ~|source| / (|distinct q| x PREF_BUCKETS).
+PREF_BUCKETS = 256
 
 
 @register(
@@ -3348,17 +3494,15 @@ PREF_STOPWORDS = ("the", "a", "and", "with", "of", "in")
     oracle=f"""
     WITH s AS (
       SELECT doc_id, source,
-             CAST((1000 * len(list_filter(string_split(text, ' '),
-                       t -> t IN ({", ".join(f"'{w}'" for w in PREF_STOPWORDS)}))))
-                  // len(string_split(text, ' ')) AS BIGINT) AS q
+             CAST({STOPWORD_PERMILLE_SQL} AS BIGINT) AS q,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS fp
       FROM documents
     ),
     r AS (
       SELECT doc_id, source, q,
              ROW_NUMBER() OVER (PARTITION BY source
-                                ORDER BY q DESC, doc_id) AS rt,
-             ROW_NUMBER() OVER (PARTITION BY source
-                                ORDER BY q ASC, doc_id DESC) AS rb,
+                                ORDER BY q DESC, fp % {PREF_BUCKETS}, fp,
+                                         doc_id) AS rt,
              COUNT(*) OVER (PARTITION BY source) AS n
       FROM s
     )
@@ -3367,41 +3511,59 @@ PREF_STOPWORDS = ("the", "a", "and", "with", "of", "in")
            a.q AS chosen_permille, b.q AS rejected_permille,
            CAST(a.q - b.q AS BIGINT) AS margin_permille
     FROM r a
-    JOIN r b ON b.source = a.source AND b.rb = a.rt
+    JOIN r b ON b.source = a.source AND b.rt = a.n + 1 - a.rt
     WHERE a.rt * 2 <= a.n AND a.q > b.q
     """,
 )
 def train_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive preference pairs for reward-model/DPO training: per
-    source, rank docs by stopword-density permille (exact integers,
-    mirrored tie-breaks) and equi-join the i-th best to the i-th worst
+    source, rank docs by stopword-density permille (exact integers, one
+    mirrored total order) and equi-join the i-th best to the i-th worst
     while i <= n/2 and the margin is positive — each doc appears in at
     most one pair, strongest contrasts get the lowest pair_rank, and
     the whole construction is deterministic (no RNG) so both engines
-    emit identical pairs.
+    emit identical pairs. Because the bottom ranking is the exact
+    reverse of the top one, the i-th worst is simply rank n + 1 - i:
+    ONE ranking serves both sides of the join.
 
-    Scale: one doc scan -> per-stratum ranking windows (the kfold /
-    exact-split posture: stratum-bounded total order), then a keyed
-    self-join on (source, rank) — no quadratic matching, no floats."""
+    Scale: one doc scan -> the two-phase banded rank (bounded
+    (source, q, md5-bucket) prefix histogram, broadcast back, in-bucket
+    row_number — no per-source corpus-wide sort; r9 VERDICT #4), then a
+    keyed self-join on (source, rank) — no quadratic matching, no
+    floats."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    q = F.expr(
-        "CAST((1000 * size(filter(split(text, ' '),"
-        f" t -> array_contains(array({', '.join(repr(w) for w in PREF_STOPWORDS)}), t))))"
-        " div size(split(text, ' ')) AS BIGINT)"
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"CAST({STOPWORD_PERMILLE_SPARK} AS BIGINT)").alias("q"),
+        md5_fp(F.col("doc_id").cast("string")).alias("fp"),
+    ).withColumn("bkt", F.col("fp") % PREF_BUCKETS)
+    # phase 1: bounded histogram (<= |sources| x 1001 x PREF_BUCKETS
+    # rows) carries cross-band prefix counts and per-source totals
+    hist = d.groupBy("source", "q", "bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
-    s = docs.select("doc_id", "source", q.alias("q"))
-    wt = Window.partitionBy("source").orderBy(F.col("q").desc(), F.col("doc_id"))
-    wb = Window.partitionBy("source").orderBy(
-        F.col("q").asc(), F.col("doc_id").desc()
+    wpref = (
+        Window.partitionBy("source")
+        .orderBy(F.col("q").desc(), F.col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    wn = Window.partitionBy("source")
-    r = s.select(
+    pref = hist.select(
+        "source",
+        "q",
+        "bkt",
+        F.coalesce(F.sum("c").over(wpref), F.lit(0)).cast("long").alias("before"),
+        F.sum("c").over(Window.partitionBy("source")).cast("long").alias("n"),
+    )
+    # phase 2: in-bucket row_number — windows partition on
+    # (source, q, bkt), never on a whole source
+    win = Window.partitionBy("source", "q", "bkt").orderBy("fp", "doc_id")
+    r = d.join(F.broadcast(pref), ["source", "q", "bkt"]).select(
         "doc_id",
         "source",
         "q",
-        F.row_number().over(wt).alias("rt"),
-        F.row_number().over(wb).alias("rb"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        "n",
+        (F.col("before") + F.row_number().over(win)).cast("long").alias("rt"),
     )
     a = r.alias("a")
     b = r.alias("b")
@@ -3409,7 +3571,7 @@ def train_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("b.source") == F.col("a.source"))
-            & (F.col("b.rb") == F.col("a.rt")),
+            & (F.col("b.rt") == F.col("a.n") + F.lit(1) - F.col("a.rt")),
         )
         .filter((F.col("a.rt") * 2 <= F.col("a.n")) & (F.col("a.q") > F.col("b.q")))
         .select(

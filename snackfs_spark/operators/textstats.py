@@ -4611,6 +4611,22 @@ def text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHI2_MIN_DF = 5       # ignore tokens in fewer than 5 docs (noise floor)
 CHI2_TOP_PER_CLASS = 10
 
+# The chi2 statistic on the exact integer lattice (x 1e6, truncating
+# division). Module-level so the overflow-ladder test exercises the
+# EXACT production expression: the numerator N*(ad-bc)^2*1e6 is O(N^5),
+# within decimal(38,0) up to ~2.5M docs; past that ANSI mode RAISES
+# (loud, never a silent null) — the documented ladder rung is to
+# shrink the x1e6 readout scale or reduce the contingency by a common
+# cell factor, BOTH of which change the published lattice and so must
+# land in the oracle the same round (tests/test_round10_ops.py pins
+# the raise).
+CHI2_MICRO_EXPR = (
+    "CAST((CAST(1000000 AS decimal(38,0)) * n_docs"
+    " * (n11 * n00 - n10 * n01) * (n11 * n00 - n10 * n01))"
+    " div (CAST(n_c AS decimal(38,0)) * (n_docs - n_c)"
+    " * df_all * (n_docs - df_all)) AS BIGINT)"
+)
+
 
 @register(
     "text_chi2_keywords",
@@ -4670,22 +4686,37 @@ def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     POSITIVELY associated with that class by the 2x2 doc-presence
     contingency test — the classic supervised keyword/feature selector
     for corpus routing and classifier vocab pruning. chi2 rides the
-    exact integer lattice (x 1e6, truncating division): numerator
-    N*(ad-bc)^2 is O(N^5), within decimal(38,0)/HUGEINT up to ~2.5M
-    docs; past that, divide the four cell counts by their gcd (rule-7:
-    ANSI raises on overflow, never silently nulls).
+    exact integer lattice (CHI2_MICRO_EXPR: x 1e6, truncating
+    division): numerator N*(ad-bc)^2 is O(N^5), within
+    decimal(38,0)/HUGEINT up to ~2.5M docs; past that ANSI mode RAISES
+    loudly (rule-7: never a silent null — the raise is pinned by
+    tests/test_round10_ops.py on a synthetic >38-digit contingency).
+    The documented next rung — shrink the x1e6 readout scale or reduce
+    the contingency by a common cell factor — changes the published
+    lattice, so it must land in engine AND oracle together, gated on a
+    corpus actually approaching 2.5M docs per class.
 
     Scale: presence collapses to DISTINCT (doc, token) — the same
-    (doc, token)-keyed shuffle every tf aggregate pays; class sizes and
-    per-token df are broadcast-sized; the per-class top-k is a ranking
-    window with WindowGroupLimit, never a global sort."""
+    (doc, token)-keyed shuffle every tf aggregate pays — and is
+    lazily checkpointed so its THREE consumers (df_all, cell,
+    contingency) share one tokenize+distinct pass (r9 VERDICT #5);
+    class sizes and per-token df are broadcast-sized; the per-class
+    top-k is a ranking window with WindowGroupLimit, never a global
+    sort."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    # ONE presence pass (r9 VERDICT #5): pres feeds df_all, the cell
+    # counts AND the contingency — unckeckpointed, the physical plan
+    # re-derived the tokenize+distinct subtree three times (three
+    # Scan+Generate chains in PLANS.md). The lazy checkpoint
+    # materializes it once on first use; tests/test_plans.py pins the
+    # single Generate chain.
     pres = (
         docs.select(
             "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
         )
         .filter(F.col("token") != "")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     cls = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_c"))
@@ -4725,12 +4756,7 @@ def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         F.col("n11").alias("df_in_class"),
         "df_all",
-        F.expr(
-            "CAST((CAST(1000000 AS decimal(38,0)) * n_docs"
-            " * (n11 * n00 - n10 * n01) * (n11 * n00 - n10 * n01))"
-            " div (CAST(n_c AS decimal(38,0)) * (n_docs - n_c)"
-            " * df_all * (n_docs - df_all)) AS BIGINT)"
-        ).alias("chi2_micro"),
+        F.expr(CHI2_MICRO_EXPR).alias("chi2_micro"),
     )
     w = Window.partitionBy("source").orderBy(
         F.col("chi2_micro").desc(), F.col("token")
@@ -4829,8 +4855,11 @@ def eval_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     matched = r1.join(r2, "doc_id").select("ra", "rb")
     depths = spark.range(1, RBO_K + 1).select(F.col("id").cast("long").alias("depth"))
+    # LEFT join (on TRUE) rather than crossJoin: mirrors the oracle's
+    # row-preserving shape — an EMPTY ranking must still emit all
+    # RBO_K depth rows with overlap 0, not zero rows (r9 ADVICE)
     ov = (
-        depths.crossJoin(F.broadcast(matched))
+        depths.join(F.broadcast(matched), F.lit(True), "left")
         .groupBy("depth")
         .agg(
             F.coalesce(

@@ -25,12 +25,31 @@ from snackfs_spark.sources.tables import load_table
 DB = "snackfs_buckets"
 N_BUCKETS = 8
 
+# Fixture guard (r9 ADVICE): the catalog-existence check alone is not
+# enough in a session that touches MORE THAN ONE sf_dir (benches,
+# multi-fixture tests) — a second build call with a different fixture
+# would return early and silently serve the FIRST fixture's data.
+# Record what each bucketed table was built from, keyed by the Spark
+# application id (a new session starts a new in-memory catalog), and
+# rebuild on any mismatch.
+_BUILT: dict[tuple[str, str], tuple[str, int]] = {}
+
+
+def _is_current(
+    spark: SparkSession, table: str, sf_dir: str, buckets: int, have: set[str]
+) -> bool:
+    key = (spark.sparkContext.applicationId, table)
+    if table in have and _BUILT.get(key) == (sf_dir, buckets):
+        return True
+    _BUILT[key] = (sf_dir, buckets)
+    return False
+
 
 def build_bucketed_facts(spark: SparkSession, sf_dir: str, buckets: int = N_BUCKETS) -> None:
     """One-time ingest: write orders and lineitem bucketed + sorted by the
-    order key. Idempotent per session (table existence check); a stale
-    on-disk location from a previous session (the in-memory catalog does
-    not persist table metadata) is cleared first."""
+    order key. Idempotent per (session, sf_dir, buckets) — see _BUILT;
+    a stale on-disk location from a previous session (the in-memory
+    catalog does not persist table metadata) is cleared first."""
     import shutil  # noqa: PLC0415
 
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {DB}")
@@ -40,7 +59,7 @@ def build_bucketed_facts(spark: SparkSession, sf_dir: str, buckets: int = N_BUCK
         ("orders_b", "orders", "o_orderkey"),
         ("lineitem_b", "lineitem", "l_orderkey"),
     ):
-        if table in have:
+        if _is_current(spark, table, sf_dir, buckets, have):
             continue
         shutil.rmtree(f"{warehouse}/{DB}.db/{table}", ignore_errors=True)
         (
@@ -84,7 +103,7 @@ def build_bucketed_baskets(spark: SparkSession, sf_dir: str, buckets: int = N_BU
 
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {DB}")
     have = {t.name for t in spark.catalog.listTables(DB)}
-    if "baskets_b" in have:
+    if _is_current(spark, "baskets_b", sf_dir, buckets, have):
         return
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     shutil.rmtree(f"{warehouse}/{DB}.db/baskets_b", ignore_errors=True)

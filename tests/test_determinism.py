@@ -101,6 +101,10 @@ PROBES = [
     "train_preference_pairs",
     # round-9 batch 5: decimal contribution sums over the bin lattice
     "eval_brier_decomposition",
+    # round 10: unrolled multiplicative-weight rounds — every singleton
+    # aggregate (weighted mean, totals) must be partition-independent
+    # bigint algebra
+    "mixture_doremi_reweight",
 ]
 
 

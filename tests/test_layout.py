@@ -278,3 +278,29 @@ def test_zorder_layout_improves_two_column_skipping(spark, tmp_path):
     assert (
         spark.read.parquet(zord).count() == spark.read.parquet(plain).count()
     )
+
+
+def test_bucketed_baskets_rebuild_on_fixture_change(spark):
+    """r9 ADVICE: a second build call in the SAME session with a
+    DIFFERENT sf_dir must rebuild the bucketed basket table, not
+    silently serve the first fixture's rows (the multi-fixture-session
+    hazard: benches that sweep scale factors)."""
+    from snackfs_spark.sources import bucketed
+    from tests.conftest import SF_SMALL
+
+    bucketed.build_bucketed_baskets(spark, SF_SMALL)
+    n_small = spark.table(f"{bucketed.DB}.baskets_b").count()
+    bucketed.build_bucketed_baskets(spark, SF_ORACLE)
+    n_oracle = spark.table(f"{bucketed.DB}.baskets_b").count()
+    assert n_oracle != n_small, "table silently served the stale fixture"
+    # idempotent for a REPEATED (sf_dir, buckets): no rebuild, same rows
+    bucketed.build_bucketed_baskets(spark, SF_ORACLE)
+    assert spark.table(f"{bucketed.DB}.baskets_b").count() == n_oracle
+    # restore the oracle fixture for any later module in the session
+    expected = (
+        load_table(spark, SF_ORACLE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .count()
+    )
+    assert n_oracle == expected

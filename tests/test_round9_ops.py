@@ -431,12 +431,16 @@ def test_emd_recount_and_metric_properties(spark):
 def test_preference_pairs_properties(spark):
     """DPO-pair invariants: every doc in at most one pair, chosen
     strictly outranks rejected, pair_rank i matches the i-th best vs
-    i-th worst construction replayed in python, and margins are
-    non-increasing in pair_rank within a stratum is NOT required (ties
-    in q break it) — but the exact pair set must match the replay."""
+    i-th worst construction replayed in python (under the banded total
+    order (q DESC, md5-bucket, md5, doc_id) — the bottom ranking is the
+    exact reverse, so the i-th worst is rank n+1-i), and the exact pair
+    set must match the replay."""
+    import hashlib
+
     import pandas as pd
 
-    from snackfs_spark.operators.sampling import PREF_STOPWORDS
+    from snackfs_spark.functions import STOPWORDS
+    from snackfs_spark.operators.sampling import PREF_BUCKETS
     from snackfs_spark.registry import load_all
     from tests.conftest import SF_ORACLE
 
@@ -444,22 +448,33 @@ def test_preference_pairs_properties(spark):
     used = [r["chosen_doc_id"] for r in rows] + [r["rejected_doc_id"] for r in rows]
     assert len(used) == len(set(used)), "a doc appears in two pairs"
     d = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
-    stop = set(PREF_STOPWORDS)
+    stop = set(STOPWORDS)
 
     def q(text: str) -> int:
         toks = text.split(" ")
         return (1000 * sum(t in stop for t in toks)) // len(toks)
 
+    def fp(doc_id) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+
     d["q"] = d.text.map(q)
     want = set()
     for src, grp in d.groupby("source"):
-        top = sorted(grp.itertuples(), key=lambda r: (-r.q, r.doc_id))
-        bot = sorted(grp.itertuples(), key=lambda r: (r.q, -r.doc_id))
+        top = sorted(
+            grp.itertuples(),
+            key=lambda r: (
+                -r.q,
+                fp(r.doc_id) % PREF_BUCKETS,
+                fp(r.doc_id),
+                r.doc_id,
+            ),
+        )
         n = len(top)
         for i in range(n // 2):
-            if top[i].q > bot[i].q:
-                want.add((str(src), i + 1, top[i].doc_id, bot[i].doc_id,
-                          top[i].q, bot[i].q))
+            worst = top[n - 1 - i]  # reverse order: rank n+1-(i+1) from top
+            if top[i].q > worst.q:
+                want.add((str(src), i + 1, top[i].doc_id, worst.doc_id,
+                          top[i].q, worst.q))
     got = {
         (r["source"], r["pair_rank"], r["chosen_doc_id"], r["rejected_doc_id"],
          r["chosen_permille"], r["rejected_permille"])

@@ -312,12 +312,16 @@ QUERIES = [
     # round-9 batch 3: one doc scan -> (source, bin) lattice -> bounded
     # pairwise CDF algebra
     "source_drift_emd",
-    # round-9 batch 4: per-stratum mirrored ranking windows + rank
-    # equi-join (no quadratic matching)
+    # round-9 batch 4 (re-shaped r10): two-phase banded rank — bounded
+    # (source, q, md5-bucket) prefix histogram + in-bucket row_number,
+    # no per-source corpus-wide sort — then the rank equi-join
     "train_preference_pairs",
     # round-9 batch 5: the ece posture — bigram scoring pass, <= 11-bin
     # histogram, bounded decimal algebra
     "eval_brier_decomposition",
+    # round 10: one corpus scan -> checkpointed |sources|-row relation
+    # -> unrolled bounded multiplicative-weight algebra
+    "mixture_doremi_reweight",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
