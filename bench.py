@@ -344,6 +344,15 @@ HEADLINE_R23 = [
 ]
 
 
+HEADLINE_R24 = [
+    # round-10 additions: both are one-corpus-scan -> bounded-algebra
+    # postures (DoReMi multiplicative-weight rounds over the
+    # checkpointed |sources| relation; closed-form dyadic epoch math)
+    "mixture_doremi_reweight",
+    "corpus_epoch_schedule",
+]
+
+
 HEADLINE_R22 = [
     "graph_jaccard_link_prediction",
     "approx_kmv_theta_sketch",
@@ -391,6 +400,7 @@ ROUNDS = [
     HEADLINE_R21,
     HEADLINE_R22,
     HEADLINE_R23,
+    HEADLINE_R24,
 ]
 
 

@@ -105,6 +105,7 @@ PROBES = [
     # aggregate (weighted mean, totals) must be partition-independent
     # bigint algebra
     "mixture_doremi_reweight",
+    "corpus_epoch_schedule",
 ]
 
 

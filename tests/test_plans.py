@@ -1313,13 +1313,26 @@ def test_preference_pairs_rank_equijoin(spark):
     the corpus relation is the skewed-source straggler this operator
     was rewritten to kill. The only per-source windows left run over
     the bounded (source, q, bkt) histogram (prefix sums)."""
+    from snackfs_spark.operators.sampling import _pref_ranked
+
+    # window shapes pinned on the UNcheckpointed ranking builder
+    rplan = formatted_plan(_pref_ranked(spark, SF_ORACLE))
+    rn_lines = [
+        l for l in rplan.splitlines() if "row_number() windowspecdefinition" in l
+    ]
+    assert rn_lines, rplan
+    for l in rn_lines:
+        assert "bkt" in l, f"corpus-wide per-source ranking window: {l}"
+    # the registered query consumes ONE lazily-checkpointed ranking on
+    # both sides of the self-join: same RDD twice, no re-derived
+    # pipeline, no cartesian shapes
     df = REG["train_preference_pairs"].fn(spark, SF_ORACLE)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    rn_lines = [
-        l for l in plan.splitlines() if "row_number() windowspecdefinition" in l
+    rdd_lines = [
+        l for l in plan.splitlines()
+        if "MapPartitionsRDD[" in l and "localCheckpoint" in l
     ]
-    assert rn_lines, plan
-    for l in rn_lines:
-        assert "bkt" in l, f"corpus-wide per-source ranking window: {l}"
+    assert len(rdd_lines) == 2, plan
+    assert len({l.split("MapPartitionsRDD[")[1].split("]")[0] for l in rdd_lines}) == 1, plan

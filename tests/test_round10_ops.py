@@ -147,3 +147,48 @@ def test_doremi_single_corpus_scan(spark):
         if "MapPartitionsRDD[" in l and "localCheckpoint" in l
     }
     assert len(rdd_ids) == 1, plan
+
+
+def test_epoch_schedule_python_replay(spark):
+    """Replay the dyadic-decay closed form in python bigints: for every
+    source, F = min(target div avail, cap), rem = target mod avail (0 in
+    the capped branch), eff = (avail*(2^(F+1)-2) + rem) / 2^F — and the
+    closed form must equal the naive per-epoch sum it claims to be."""
+    import pandas as pd
+
+    from snackfs_spark.operators.sampling import EPOCH_CAP, EPOCH_TARGET_MULT
+    from snackfs_spark.registry import load_all
+
+    rows = load_all()["corpus_epoch_schedule"].fn(spark, SF_ORACLE).collect()
+    d = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    g = d.groupby("source")["n_chars"].sum()
+    total, c = int(g.sum()), len(g)
+    target = EPOCH_TARGET_MULT * total // c
+    want = {}
+    for src, avail in g.items():
+        avail = int(avail)
+        f = min(target // avail, EPOCH_CAP)
+        rem = 0 if target // avail > EPOCH_CAP else target % avail
+        num = avail * (2 ** (f + 1) - 2) + rem
+        den = 2**f
+        # the closed form IS the per-epoch sum, scaled by 2^F
+        # epoch k contributes avail/2^(k-1); scaled by 2^F that is
+        # avail * 2^(F-k+1)
+        naive = sum(avail * 2 ** (f - k + 1) for k in range(1, f + 1)) + rem
+        assert num == naive, (src, num, naive)
+        want[src] = (avail, target, f, rem, num, den, num // den,
+                     1_000_000 * (num // den) // target)
+    got = {
+        r["source"]: (
+            r["avail_chars"], r["target_chars"], r["full_epochs"],
+            r["remainder_chars"], r["eff_num"], r["eff_den"],
+            r["effective_chars"], r["value_retained_ppm"],
+        )
+        for r in rows
+    }
+    assert got == want
+    # the fixture must exercise the REAL branch: epochs >= 1 with
+    # nonzero remainders somewhere (not the cap, not zero-epoch)
+    fs = [v[2] for v in want.values()]
+    assert min(fs) >= 1 and max(fs) < 40
+    assert any(v[3] > 0 for v in want.values())

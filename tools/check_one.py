@@ -31,17 +31,20 @@ def main() -> int:
         i = args.index("--sf")
         sf = args[i + 1]
         args = args[:i] + args[i + 2 :]
+    # a token containing '/' is a fixture directory (verify.py's
+    # convention: e.g. --sf var/sf1 targets the 10x replica)
+    sf_dir = sf if "/" in sf else f"/root/testdata/sf{sf}"
     spark = get_spark("check-one", cpus=8)
     qs, osql = e.queries(), e.oracle_sql()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('/root/testdata/sf{sf}/{t}.parquet')"
+            f"read_parquet('{sf_dir}/{t}.parquet')"
         )
     failed = False
     for name in args:
-        sp = qs[name](spark, f"/root/testdata/sf{sf}").toPandas()
+        sp = qs[name](spark, sf_dir).toPandas()
         if name not in osql:
             print(f"{name}: no oracle; rows={len(sp)}")
             continue

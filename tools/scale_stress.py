@@ -322,6 +322,8 @@ QUERIES = [
     # round 10: one corpus scan -> checkpointed |sources|-row relation
     # -> unrolled bounded multiplicative-weight algebra
     "mixture_doremi_reweight",
+    # round 10b: same posture — one scan, closed-form shift algebra
+    "corpus_epoch_schedule",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
