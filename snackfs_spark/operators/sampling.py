@@ -1201,14 +1201,23 @@ def mixture_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("w * (1000 + GREATEST(0, loss - wm))").alias("raw"),
         )
         tot = upd.agg(F.sum("raw").cast("long").alias("tot"))
-        w = upd.crossJoin(F.broadcast(tot)).select(
-            "source",
-            "n_docs",
-            "loss",
-            "u",
-            F.expr(
-                "CAST((9 * ((1000000 * raw) div tot) + u) div 10 AS BIGINT)"
-            ).alias("w"),
+        # lazily checkpoint each round's |sources|-row weight relation:
+        # the NEXT round references it three times (rows, weighted-mean
+        # agg, total agg), so an unckeckpointed chain duplicates the
+        # upstream subtree exponentially in DOREMI_ROUNDS (measured: a
+        # 2000-line physical plan at 3 rounds; linear after)
+        w = (
+            upd.crossJoin(F.broadcast(tot))
+            .select(
+                "source",
+                "n_docs",
+                "loss",
+                "u",
+                F.expr(
+                    "CAST((9 * ((1000000 * raw) div tot) + u) div 10 AS BIGINT)"
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=False)
         )
     fin = w.agg(F.sum("w").cast("long").alias("wsum"))
     return w.crossJoin(F.broadcast(fin)).select(
