@@ -3622,8 +3622,10 @@ def source_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partition is ~|source| / (|distinct q| x PREF_BUCKETS).
 PREF_BUCKETS = 256
 
-_PREF_ORACLE = f"""
-    WITH s AS (
+# the CTE bodies and the pair SELECT are split so the pair-overlap
+# audit below can reuse the EXACT pairing definition inside its own
+# oracle (one definition, two consumers — the md5_fp rule).
+_PREF_CTES = f"""s AS (
       SELECT doc_id, source,
              CAST({STOPWORD_PERMILLE_SQL} AS BIGINT) AS q,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS fp
@@ -3636,14 +3638,17 @@ _PREF_ORACLE = f"""
                                          doc_id) AS rt,
              COUNT(*) OVER (PARTITION BY source) AS n
       FROM s
-    )
-    SELECT a.source, CAST(a.rt AS BIGINT) AS pair_rank,
+    )"""
+_PREF_SELECT = """SELECT a.source, CAST(a.rt AS BIGINT) AS pair_rank,
            a.doc_id AS chosen_doc_id, b.doc_id AS rejected_doc_id,
            a.q AS chosen_permille, b.q AS rejected_permille,
            CAST(a.q - b.q AS BIGINT) AS margin_permille
     FROM r a
     JOIN r b ON b.source = a.source AND b.rt = a.n + 1 - a.rt
-    WHERE a.rt * 2 <= a.n AND a.q > b.q
+    WHERE a.rt * 2 <= a.n AND a.q > b.q"""
+_PREF_ORACLE = f"""
+    WITH {_PREF_CTES}
+    {_PREF_SELECT}
     """
 
 
@@ -3739,5 +3744,94 @@ def train_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.q").alias("chosen_permille"),
             F.col("b.q").alias("rejected_permille"),
             (F.col("a.q") - F.col("b.q")).cast("long").alias("margin_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair quality audit: for every (chosen, rejected) DPO pair,
+# the distinct-unigram Jaccard between the two texts. Near-identical
+# pairs are LOW-SIGNAL for preference training (the reward margin is
+# attributed to noise, not content); the audit flags them so the pair
+# miner's output can be filtered before training. Jaccard rides the
+# exact permille lattice: |A ∩ B| via array_intersect of DISTINCT token
+# sets, |A ∪ B| = |A| + |B| - |A ∩ B| (the arithmetic identity, so
+# neither engine needs a union primitive), 1000x truncating division.
+PAIR_OVERLAP_FLAG_PERMILLE = 800  # >= 0.8 Jaccard = low-signal pair
+
+
+@register(
+    "train_pair_overlap",
+    oracle=f"""
+    WITH {_PREF_CTES},
+    pairs AS ({_PREF_SELECT}),
+    toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       t -> t <> '')) AS ts
+      FROM documents
+    )
+    SELECT p.source, p.pair_rank, p.chosen_doc_id, p.rejected_doc_id,
+           p.margin_permille,
+           CAST(len(list_intersect(c.ts, r.ts)) AS BIGINT) AS overlap_tokens,
+           CAST(len(c.ts) + len(r.ts) - len(list_intersect(c.ts, r.ts))
+                AS BIGINT) AS union_tokens,
+           CAST((1000 * len(list_intersect(c.ts, r.ts)))
+                // (len(c.ts) + len(r.ts) - len(list_intersect(c.ts, r.ts)))
+                AS BIGINT) AS jaccard_permille,
+           CAST(CASE WHEN (1000 * len(list_intersect(c.ts, r.ts)))
+                          // (len(c.ts) + len(r.ts)
+                              - len(list_intersect(c.ts, r.ts)))
+                          >= {PAIR_OVERLAP_FLAG_PERMILLE}
+                     THEN 1 ELSE 0 END AS BIGINT) AS low_signal
+    FROM pairs p
+    JOIN toks c ON c.doc_id = p.chosen_doc_id
+    JOIN toks r ON r.doc_id = p.rejected_doc_id
+    """,
+)
+def train_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit the mined DPO pairs: distinct-unigram Jaccard (permille)
+    between each pair's chosen and rejected texts, plus the low_signal
+    flag at >= {PAIR_OVERLAP_FLAG_PERMILLE} permille — the filter a
+    training pipeline applies before handing pairs to the trainer.
+
+    Scale shape: the pair relation is <= corpus/2 rows of ids; the two
+    doc_id equi-joins against the token-set projection shuffle on the
+    SAME key the pair miner already produced, and the set algebra
+    (array_intersect of distinct unigrams + the |A|+|B|-|A∩B| union
+    identity) is per-row JVM columnar work — no pairwise blowup, no
+    Python. Exactness: token sets are DISTINCT arrays, so intersection
+    sizes are integers and the permille is one truncating division."""
+    pairs = train_preference_pairs(spark, sf_dir)
+    toks = fan_out(load_table(spark, sf_dir, "documents"), spark).select(
+        "doc_id",
+        F.expr(
+            "array_distinct(filter(split(text, ' '), t -> t <> ''))"
+        ).alias("ts"),
+    )
+    c = toks.alias("c")
+    r = toks.alias("r")
+    ov = "size(array_intersect(c.ts, r.ts))"
+    un = f"size(c.ts) + size(r.ts) - {ov}"
+    return (
+        pairs.alias("p")
+        .join(c, F.col("c.doc_id") == F.col("p.chosen_doc_id"))
+        .join(r, F.col("r.doc_id") == F.col("p.rejected_doc_id"))
+        .select(
+            "p.source",
+            "p.pair_rank",
+            "p.chosen_doc_id",
+            "p.rejected_doc_id",
+            "p.margin_permille",
+            F.expr(f"CAST({ov} AS BIGINT)").alias("overlap_tokens"),
+            F.expr(f"CAST({un} AS BIGINT)").alias("union_tokens"),
+            F.expr(f"CAST((1000 * {ov}) div ({un}) AS BIGINT)").alias(
+                "jaccard_permille"
+            ),
+            F.expr(
+                f"CAST(CASE WHEN (1000 * {ov}) div ({un})"
+                f" >= {PAIR_OVERLAP_FLAG_PERMILLE} THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("low_signal"),
         )
     )

@@ -60,11 +60,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # eval_rank_rbo, text_yule_k, eval_rank_kendall, split_kfold_assignment,
 # source_drift_emd, train_preference_pairs, eval_brier_decomposition).
 # 37 >= the freshness test's 35-slot bound; cumulative driver-green goes
-# 214 -> 251 of 329 if the window lands green (mixture_doremi_reweight
-# is the one round-10 addition), draining the backlog to 78 (on track
-# for ~0 by r12, r9 VERDICT #7). Every evicted r9 name stays registered
-# and hash-checked by the in-repo replica (tests/test_correctness.py)
-# every test run.
+# 214 -> 251 of 331 if the window lands green (the three round-10
+# additions — mixture_doremi_reweight, corpus_epoch_schedule,
+# train_pair_overlap — queue for the r11 window), draining the backlog
+# to 80 (on track for ~0 by r12-r13, r9 VERDICT #7). Every evicted r9
+# name stays registered and hash-checked by the in-repo replica
+# (tests/test_correctness.py) every test run.
 PRIORITY: tuple[str, ...] = (
     # -------- veterans (13): the cadence-due Q-* fs skeleton...
     "fs_stat",  # Q-STAT

@@ -106,6 +106,7 @@ PROBES = [
     # bigint algebra
     "mixture_doremi_reweight",
     "corpus_epoch_schedule",
+    "train_pair_overlap",
 ]
 
 

@@ -192,3 +192,36 @@ def test_epoch_schedule_python_replay(spark):
     fs = [v[2] for v in want.values()]
     assert min(fs) >= 1 and max(fs) < 40
     assert any(v[3] > 0 for v in want.values())
+
+
+def test_pair_overlap_python_replay(spark):
+    """Replay the pair-overlap audit in python sets: for every mined
+    pair, distinct-unigram intersection/union sizes and the permille
+    Jaccard + low_signal flag must match exactly — and the fixture must
+    exercise BOTH flag branches."""
+    import pandas as pd
+
+    from snackfs_spark.operators.sampling import PAIR_OVERLAP_FLAG_PERMILLE
+    from snackfs_spark.registry import load_all
+
+    reg = load_all()
+    pairs = {
+        (r["chosen_doc_id"], r["rejected_doc_id"])
+        for r in reg["train_preference_pairs"].fn(spark, SF_ORACLE).collect()
+    }
+    rows = reg["train_pair_overlap"].fn(spark, SF_ORACLE).collect()
+    assert {(r["chosen_doc_id"], r["rejected_doc_id"]) for r in rows} == pairs
+    d = pd.read_parquet(f"{SF_ORACLE}/documents.parquet").set_index("doc_id")
+    flags = set()
+    for r in rows:
+        a = {t for t in d.loc[r["chosen_doc_id"], "text"].split(" ") if t}
+        b = {t for t in d.loc[r["rejected_doc_id"], "text"].split(" ") if t}
+        ov, un = len(a & b), len(a | b)
+        jac = 1000 * ov // un
+        assert (r["overlap_tokens"], r["union_tokens"], r["jaccard_permille"]) == (
+            ov, un, jac,
+        )
+        want_flag = 1 if jac >= PAIR_OVERLAP_FLAG_PERMILLE else 0
+        assert r["low_signal"] == want_flag
+        flags.add(want_flag)
+    assert flags == {0, 1}, "fixture must exercise both flag branches"

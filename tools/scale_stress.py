@@ -324,6 +324,9 @@ QUERIES = [
     "mixture_doremi_reweight",
     # round 10b: same posture — one scan, closed-form shift algebra
     "corpus_epoch_schedule",
+    # round 10c: pair ids join back to token-set projections on the
+    # pair key; per-row set algebra, no pairwise blowup
+    "train_pair_overlap",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
