@@ -350,6 +350,8 @@ HEADLINE_R24 = [
     # checkpointed |sources| relation; closed-form dyadic epoch math)
     "mixture_doremi_reweight",
     "corpus_epoch_schedule",
+    # pair ids join back to token-set projections; per-row set algebra
+    "train_pair_overlap",
 ]
 
 
