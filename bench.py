@@ -490,6 +490,13 @@ def main() -> None:
     full_path = Path(__file__).resolve().parent / "var" / "bench_last.json"
     full_path.parent.mkdir(exist_ok=True)
     full_path.write_text(json.dumps(payload) + "\n")
+    # Append the full payload to the drift-anchor history (r10 ADVICE:
+    # the compact stdout line carries only the HEADLINE queries, so the
+    # history file is what keeps the whole battery anchoring the
+    # steal-vs-regression median). Appended AFTER the alarm pass, so a
+    # run never anchors against itself.
+    with open(full_path.parent / "bench_history.jsonl", "a") as hist:
+        hist.write(json.dumps(payload) + "\n")
     compact = {
         **{k: v for k, v in payload.items() if k != "queries"},
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
@@ -537,10 +544,21 @@ def main() -> None:
 ALARM_RATIO = 1.1
 HARD_RATIO = 1.5
 DRIFT_CAP = 2.0
+# Per-query drift floors are the MEDIAN of the most recent K recorded
+# times, not the all-time best (r10 ADVICE: a best-ever floor biases
+# drift > 1 on every normal day, weakening the HARD gate by exactly
+# that bias).
+RECENT_FLOOR_K = 5
+
+
+def _median(vals: list[float]) -> float:
+    vals = sorted(vals)
+    mid = len(vals) // 2
+    return vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
 
 
 def _host_drift(timings: dict[str, float], minima: dict[str, float]) -> float:
-    """Median over anchor queries of now/best-recorded, clamped to
+    """Median over anchor queries of now/recent-floor, clamped to
     [1.0, DRIFT_CAP]. Pure function (unit-tested with synthetic data).
     Needs >= 5 anchors to trust the median; fewer -> 1.0 (no excuse)."""
     ratios = sorted(
@@ -556,16 +574,35 @@ def _host_drift(timings: dict[str, float], minima: dict[str, float]) -> float:
 
 
 def _prior_bench_data(
-    sf: str,
+    sf: str, here: str | None = None
 ) -> tuple[dict[str, tuple[str, float]], dict[str, float]]:
-    """Scan recorded BENCH_r*.json at this sf: (latest subtotal per
-    group key, per-query best-ever seconds)."""
+    """Scan every prior record at this sf: (latest subtotal per group
+    key, per-query recent-median floor seconds).
+
+    Anchor breadth (r10 ADVICE): the compact stdout line keeps only the
+    ~19 r01 HEADLINE queries, so BENCH_r*.json alone starves the drift
+    median and can't separate an infra regression from host steal. The
+    full per-query payloads persisted to var/bench_history.jsonl (one
+    line per run, appended by main()) and var/bench_last.json (seed for
+    repos that predate the history file) widen the anchor set to the
+    whole battery. Floors are the median of each query's most recent
+    RECENT_FLOOR_K observations, not the all-time minimum."""
     import glob
     import re
 
     prior: dict[str, tuple[str, float]] = {}
-    minima: dict[str, float] = {}
-    here = os.path.dirname(os.path.abspath(__file__))
+    series: dict[str, list[float]] = {}
+
+    def _note_queries(qmap) -> None:
+        for name, sec in (qmap or {}).items():
+            try:
+                sec = float(sec)
+            except (TypeError, ValueError):
+                continue
+            if sec > 0:
+                series.setdefault(name, []).append(sec)
+
+    here = here or os.path.dirname(os.path.abspath(__file__))
     sf_norm = str(float(sf) if sf.replace(".", "").isdigit() else sf)
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         try:
@@ -592,14 +629,32 @@ def _prior_bench_data(
         for key in rec:
             if key.endswith("_comparable_subtotal"):
                 prior[key] = (os.path.basename(path), float(rec[key]))
-        for name, sec in (rec.get("queries") or {}).items():
-            try:
-                sec = float(sec)
-            except (TypeError, ValueError):
-                continue
-            if sec > 0:
-                minima[name] = min(minima.get(name, sec), sec)
-    return prior, minima
+        _note_queries(rec.get("queries"))
+    # full-payload history (chronological append order = most recent
+    # last); fall back to bench_last.json when no history exists yet
+    hist_lines: list[dict] = []
+    try:
+        with open(os.path.join(here, "var", "bench_history.jsonl")) as f:
+            for line in f:
+                try:
+                    hist_lines.append(json.loads(line))
+                except ValueError:
+                    continue
+    except OSError:
+        pass
+    if not hist_lines:
+        try:
+            with open(os.path.join(here, "var", "bench_last.json")) as f:
+                hist_lines = [json.load(f)]
+        except (OSError, ValueError):
+            pass
+    for rec in hist_lines:
+        if str(rec.get("sf")) == sf_norm:
+            _note_queries(rec.get("queries"))
+    floors = {
+        name: _median(vals[-RECENT_FLOOR_K:]) for name, vals in series.items()
+    }
+    return prior, floors
 
 
 def _alarm_on_subtotal_regressions(

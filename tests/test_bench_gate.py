@@ -129,6 +129,59 @@ def test_uniform_blowup_beyond_cap_still_fails(monkeypatch):
     assert hard is True
 
 
+def test_floor_is_recent_median_and_history_widens_anchors(tmp_path):
+    """r10 ADVICE: anchors must not be limited to the HEADLINE queries
+    recoverable from BENCH_r*.json, and the per-query floor must be the
+    median of the RECENT_FLOOR_K most recent observations, not the
+    all-time best (a best-ever floor biases drift > 1 on normal days).
+    var/bench_history.jsonl (full payloads, appended per run) supplies
+    both: battery-wide anchors and a rolling window."""
+    import json
+
+    (tmp_path / "var").mkdir()
+    # three BENCH records: headline query q1 at 1.0 / 4.0 / 2.0 — the
+    # old minimum-floor would be 1.0; recent median is 2.0
+    for i, sec in enumerate([1.0, 4.0, 2.0], start=1):
+        (tmp_path / f"BENCH_r0{i}.json").write_text(
+            json.dumps({"sf": 0.1, "queries": {"q1": sec}})
+        )
+    # history carries a NON-headline query (full battery) plus more q1
+    hist = [
+        {"sf": 0.1, "queries": {"q1": 2.0, "deep_cut": 7.0}},
+        {"sf": 0.1, "queries": {"q1": 2.0, "deep_cut": 5.0}},
+        {"sf": 0.5, "queries": {"q1": 99.0}},  # other sf: ignored
+    ]
+    (tmp_path / "var" / "bench_history.jsonl").write_text(
+        "".join(json.dumps(h) + "\n" for h in hist)
+    )
+    _prior, floors = bench._prior_bench_data("0.1", here=str(tmp_path))
+    assert floors["q1"] == 2.0  # median of [1,4,2,2,2], not min 1.0
+    assert floors["deep_cut"] == 6.0  # history-only anchor present
+    assert "q1" in floors and len(floors) == 2
+
+
+def test_floor_falls_back_to_bench_last_without_history(tmp_path):
+    import json
+
+    (tmp_path / "var").mkdir()
+    (tmp_path / "var" / "bench_last.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"only_here": 3.0}})
+    )
+    _prior, floors = bench._prior_bench_data("0.1", here=str(tmp_path))
+    assert floors == {"only_here": 3.0}
+
+
+def test_main_appends_history_after_alarm_pass():
+    """Source-order pin: the history append must come AFTER the alarm
+    call in main(), so a run never anchors its drift against itself."""
+    src = (REPO / "bench.py").read_text()
+    main_body = src[src.index("def main()"):]
+    main_body = main_body[: main_body.index("\ndef ")]
+    alarm_at = main_body.index("_alarm_on_subtotal_regressions(")
+    hist_at = main_body.index("bench_history.jsonl")
+    assert alarm_at < hist_at
+
+
 _TS_RE = re.compile(r'"host_drift"')
 
 
