@@ -1241,10 +1241,24 @@ def mixture_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whole readout is exact integers: full epochs F = target div avail,
 # remainder r = target mod avail, and the effective value
 # sum_{k=1..F} avail/2^(k-1) + r/2^F has the closed form
-# (avail*(2^(F+1) - 2) + r) / 2^F — one bigint numerator over a
-# power-of-two denominator. F is capped at EPOCH_CAP (a 2^41 shift
-# would overflow the lattice and a 40-epoch repeat has ~0 marginal
-# value anyway; the cap is part of the published contract). The target
+# (avail*(2^(F+1) - 2) + r) / 2^F — one wide-integer numerator over a
+# power-of-two denominator. The numerator is computed in DECIMAL(38,0)
+# (Spark) / HUGEINT (DuckDB): with F capped at EPOCH_CAP=40 it is at
+# most avail * 2^41 < 2^63 * 2^41 = 2^104 ≈ 2e31 ≪ 1e38, so the wide
+# lattice is exact for EVERY bigint avail — no overflow branch exists
+# (r10 ADVICE: the old bigint numerator overflowed past avail ≈ 4.19M
+# chars in the capped branch). eff_num is therefore exported as a
+# STRING (both engines render wide integers identically; pandas would
+# lossily coerce int128/decimal to float64). effective_chars ≤ 2*avail
+# and value_retained_ppm ≤ 1e6 provably fit BIGINT, so the readouts
+# cast back down — loudly, on both sides, in the impossible case they
+# don't. F is capped at EPOCH_CAP because a 40-epoch repeat has ~0
+# marginal value (2^-39 of the first pass); the cap is part of the
+# published contract, not an overflow dodge. Degenerate sources
+# (avail = 0, or target = 0 when empty sources dominate the mean) RAISE
+# in both engines — Spark via ANSI div-by-zero, the oracle via an
+# explicit error() guard (r10 ADVICE: DuckDB's bare `//` returns NULL
+# silently). The target
 # is uniform per source — EPOCH_TARGET_MULT x the mean source size, so
 # the planner exercises real epoch counts and remainders at EVERY
 # scale factor (a fixed absolute budget degenerates to the cap at
@@ -1274,24 +1288,30 @@ EPOCH_CAP = 40
     ),
     e AS (
       SELECT source, avail, target,
-             CAST(LEAST(target // avail, {EPOCH_CAP}) AS BIGINT) AS full_epochs,
-             CAST(CASE WHEN target // avail > {EPOCH_CAP} THEN 0
+             CAST(LEAST(CASE WHEN avail = 0 OR target = 0
+                             THEN CAST(error('corpus_epoch_schedule: degenerate source (avail=0 or target=0)') AS BIGINT)
+                             ELSE target // avail END,
+                        {EPOCH_CAP}) AS BIGINT) AS full_epochs,
+             CAST(CASE WHEN avail = 0 THEN NULL
+                       WHEN target // avail > {EPOCH_CAP} THEN 0
                        ELSE target % avail END AS BIGINT) AS rem
       FROM t
+    ),
+    w AS (
+      SELECT source, avail, target, full_epochs, rem,
+             CAST(avail AS HUGEINT)
+               * ((CAST(1 AS HUGEINT) << (full_epochs + 1)) - 2) + rem AS num_h,
+             (CAST(1 AS HUGEINT) << full_epochs) AS den_h
+      FROM e
     )
     SELECT source, avail AS avail_chars, target AS target_chars,
            full_epochs, rem AS remainder_chars,
-           CAST(avail * ((CAST(1 AS BIGINT) << (full_epochs + 1)) - 2) + rem
-                AS BIGINT) AS eff_num,
-           CAST((CAST(1 AS BIGINT) << full_epochs) AS BIGINT) AS eff_den,
-           CAST((avail * ((CAST(1 AS BIGINT) << (full_epochs + 1)) - 2) + rem)
-                // (CAST(1 AS BIGINT) << full_epochs) AS BIGINT)
-             AS effective_chars,
-           CAST((1000000 * ((avail * ((CAST(1 AS BIGINT) << (full_epochs + 1))
-                                      - 2) + rem)
-                            // (CAST(1 AS BIGINT) << full_epochs)))
-                // target AS BIGINT) AS value_retained_ppm
-    FROM e
+           CAST(num_h AS VARCHAR) AS eff_num,
+           CAST(den_h AS BIGINT) AS eff_den,
+           CAST(num_h // den_h AS BIGINT) AS effective_chars,
+           CAST((1000000 * (num_h // den_h)) // target AS BIGINT)
+             AS value_retained_ppm
+    FROM w
     """,
 )
 def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1303,11 +1323,14 @@ def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture can shift budget toward unexhausted ones.
 
     Scale shape: ONE corpus scan collapses map-side to per-source char
-    totals (|sources| rows); everything after is closed-form bigint
+    totals (|sources| rows); everything after is closed-form integer
     shift algebra on that bounded relation — the mixture_temperature
-    posture. Exactness: the decay is a power of two, so numerator/
-    denominator are exact bigints and the ppm readout is one
-    truncating division, bit-identical in both engines."""
+    posture. Exactness: the decay is a power of two and the numerator
+    lives in DECIMAL(38,0)/HUGEINT (exact for every bigint avail at
+    the F<=40 cap — at most 2^104 ≪ 10^38), so eff_num (exported as a
+    string: pandas would coerce int128 to float64) and the BIGINT
+    readouts are bit-identical in both engines; degenerate avail=0 /
+    target=0 sources raise loudly on both sides."""
     docs = load_table(spark, sf_dir, "documents")
     s = docs.groupBy("source").agg(F.sum("n_chars").cast("long").alias("avail"))
     n = s.agg(
@@ -1333,9 +1356,15 @@ def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE target % avail END AS BIGINT)"
         ).alias("rem"),
     )
+    # The 2^F power always fits BIGINT (F <= 40); the numerator is
+    # widened to DECIMAL(38,0) BEFORE the multiply so avail * 2^41 is
+    # exact for every bigint avail (<= 2^104, see the constant block).
+    # `div` on decimals returns BIGINT with an ANSI overflow check —
+    # effective_chars <= 2*avail, so the downcast is provably safe.
     eff_num = (
-        "avail * (shiftleft(CAST(1 AS BIGINT), CAST(full_epochs + 1 AS INT))"
-        " - 2) + rem"
+        "CAST(avail AS DECIMAL(38,0))"
+        " * (shiftleft(CAST(1 AS BIGINT), CAST(full_epochs + 1 AS INT)) - 2)"
+        " + rem"
     )
     eff_den = "shiftleft(CAST(1 AS BIGINT), CAST(full_epochs AS INT))"
     return e.select(
@@ -1344,14 +1373,14 @@ def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("target").alias("target_chars"),
         "full_epochs",
         F.col("rem").alias("remainder_chars"),
-        F.expr(f"CAST({eff_num} AS BIGINT)").alias("eff_num"),
+        F.expr(f"CAST({eff_num} AS STRING)").alias("eff_num"),
         F.expr(f"CAST({eff_den} AS BIGINT)").alias("eff_den"),
         F.expr(f"CAST(({eff_num}) div ({eff_den}) AS BIGINT)").alias(
             "effective_chars"
         ),
         F.expr(
-            f"CAST((1000000 * (({eff_num}) div ({eff_den}))) div target"
-            " AS BIGINT)"
+            f"CAST((CAST(1000000 AS DECIMAL(38,0)) * (({eff_num}) div"
+            f" ({eff_den}))) div target AS BIGINT)"
         ).alias("value_retained_ppm"),
     )
 
@@ -3693,9 +3722,14 @@ def _pref_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(Window.partitionBy("source")).cast("long").alias("n"),
     )
     # phase 2: in-bucket row_number — windows partition on
-    # (source, q, bkt), never on a whole source
+    # (source, q, bkt), never on a whole source. The histogram joins
+    # back on its natural key WITHOUT a broadcast hint (r10 ADVICE):
+    # |sources| x 1001 x 256 is bounded but NOT driver-sized at
+    # many-source scale (10^5 sources -> 10^10 rows); AQE picks
+    # broadcast when the measured size allows and a shuffle join on
+    # the already-partitioned key otherwise.
     win = Window.partitionBy("source", "q", "bkt").orderBy("fp", "doc_id")
-    return d.join(F.broadcast(pref), ["source", "q", "bkt"]).select(
+    return d.join(pref, ["source", "q", "bkt"]).select(
         "doc_id",
         "source",
         "q",
@@ -3720,8 +3754,9 @@ def train_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE ranking serves both sides of the join.
 
     Scale: one doc scan -> the two-phase banded rank (bounded
-    (source, q, md5-bucket) prefix histogram, broadcast back, in-bucket
-    row_number — no per-source corpus-wide sort; r9 VERDICT #4), then a
+    (source, q, md5-bucket) prefix histogram joined back on its key —
+    AQE-sized, not force-broadcast — then an in-bucket row_number; no
+    per-source corpus-wide sort; r9 VERDICT #4), then a
     keyed self-join on (source, rank) — no quadratic matching, no
     floats. The ranked relation is lazily checkpointed: the self-join
     consumes it twice, and unchckpointed each side re-ran the tokenize

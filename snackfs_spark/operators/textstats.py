@@ -4612,20 +4612,74 @@ CHI2_MIN_DF = 5       # ignore tokens in fewer than 5 docs (noise floor)
 CHI2_TOP_PER_CLASS = 10
 
 # The chi2 statistic on the exact integer lattice (x 1e6, truncating
-# division). Module-level so the overflow-ladder test exercises the
-# EXACT production expression: the numerator N*(ad-bc)^2*1e6 is O(N^5),
-# within decimal(38,0) up to ~2.5M docs; past that ANSI mode RAISES
-# (loud, never a silent null) — the documented ladder rung is to
-# shrink the x1e6 readout scale or reduce the contingency by a common
-# cell factor, BOTH of which change the published lattice and so must
-# land in the oracle the same round (tests/test_round10_ops.py pins
-# the raise).
-CHI2_MICRO_EXPR = (
-    "CAST((CAST(1000000 AS decimal(38,0)) * n_docs"
-    " * (n11 * n00 - n10 * n01) * (n11 * n00 - n10 * n01))"
-    " div (CAST(n_c AS decimal(38,0)) * (n_docs - n_c)"
-    " * df_all * (n_docs - df_all)) AS BIGINT)"
-)
+# division), evaluated by STAGED DIVMOD (the r10 VERDICT #2 ladder
+# rung): the naive numerator 1e6*N*(ad-bc)^2 is O(N^5) and left the
+# decimal(38,0) lattice past ~2.5M docs, even though the RESULT is
+# bounded by 1e6*N (chi2 <= N for any 2x2 table). Divide as you
+# multiply instead — with D = ad-bc, A = n_c*(N-n_c),
+# B = df_all*(N-df_all), Q = A*B and the exact decompositions
+#     u1 = 1e6*N*D = q1*A + r1
+#     q1*D         = q2*B + r2
+#     r1*D         = q3*Q + r3
+# algebra gives 1e6*N*D^2 = (q2+q3)*Q + (r2*A + r3) with
+# 0 <= r2*A + r3 < 2Q, so
+#     chi2_micro = q2 + q3 + (1 if r2*A + r3 >= Q else 0)
+# and every intermediate is bounded by max(1e6*N*D, P/A, A*D, 2*A*B)
+# <= N^4/8 — inside decimal(38,0)/HUGEINT for any corpus up to
+# N ~ 5e9 docs even at the adversarial worst case (both margins N/2),
+# a ~2000x raise of the old ceiling. Past THAT, ANSI mode still
+# RAISES loudly (never a silent null; pinned by
+# tests/test_round10_ops.py on a synthetic N=8e9 contingency); the
+# next rung, should 5e9-doc single-corpus chi2 ever be real, is
+# per-class count sharding or a base-2^62 long division. Floor
+# divisions ride (x - x % y) / y: the subtraction makes the quotient
+# an exact integer, so the decimal(38,6) division result is exact and
+# the quotients (<= ~1e27) fit its 32 integral digits.
+CHI2_SCALE = 1_000_000
+
+
+def with_chi2_micro(df: DataFrame) -> DataFrame:
+    """Append the exact ``chi2_micro`` readout to a frame carrying the
+    2x2 contingency columns (n11, n10, n01, n00, n_c, df_all, n_docs).
+    Module-level so the overflow-ladder tests exercise the EXACT
+    production arithmetic. Rows must satisfy D > 0 (the operator
+    filters on positive association first)."""
+    dec = "DECIMAL(38,0)"
+    return (
+        df.withColumns(
+            {
+                "_d": F.expr(
+                    f"CAST(n11 AS {dec}) * n00 - CAST(n10 AS {dec}) * n01"
+                ),
+                "_a": F.expr(f"CAST(n_c AS {dec}) * (n_docs - n_c)"),
+                "_b": F.expr(f"CAST(df_all AS {dec}) * (n_docs - df_all)"),
+            }
+        )
+        .withColumn("_u1", F.expr(f"CAST({CHI2_SCALE} AS {dec}) * n_docs * _d"))
+        .withColumns(
+            {
+                "_q1": F.expr(f"CAST((_u1 - _u1 % _a) / _a AS {dec})"),
+                "_r1": F.expr("_u1 % _a"),
+                "_qq": F.expr("_a * _b"),
+            }
+        )
+        .withColumns({"_t1": F.expr("_q1 * _d"), "_t2": F.expr("_r1 * _d")})
+        .withColumns(
+            {
+                "_q2": F.expr(f"CAST((_t1 - _t1 % _b) / _b AS {dec})"),
+                "_r2": F.expr("_t1 % _b"),
+                "_q3": F.expr(f"CAST((_t2 - _t2 % _qq) / _qq AS {dec})"),
+                "_r3": F.expr("_t2 % _qq"),
+            }
+        )
+        .withColumn(
+            "chi2_micro",
+            F.expr(
+                "CAST(_q2 + _q3 + (CASE WHEN _r2 * _a + _r3 >= _qq"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ),
+        )
+    )
 
 
 @register(
@@ -4663,14 +4717,31 @@ CHI2_MICRO_EXPR = (
       CROSS JOIN n
       WHERE f.df_all < n.n_docs
     ),
+    base AS (
+      -- staged divmod (same derivation as with_chi2_micro): the naive
+      -- 1e6*N*D^2 numerator is O(N^5); dividing as we multiply keeps
+      -- every intermediate <= ~N^4/8, inside HUGEINT to N ~ 5e9 docs
+      SELECT source, token, n11, df_all,
+             CAST(n11 AS HUGEINT) * n00 - CAST(n10 AS HUGEINT) * n01 AS d,
+             CAST(n_c AS HUGEINT) * (n_docs - n_c) AS a,
+             CAST(df_all AS HUGEINT) * (n_docs - df_all) AS b,
+             CAST(1000000 AS HUGEINT) * n_docs
+               * (CAST(n11 AS HUGEINT) * n00 - CAST(n10 AS HUGEINT) * n01)
+               AS u1
+      FROM contingency
+      WHERE CAST(n11 AS HUGEINT) * n00 > CAST(n10 AS HUGEINT) * n01
+    ),
+    stage1 AS (
+      SELECT source, token, n11, df_all, a, b, a * b AS qq,
+             (u1 // a) * d AS t1, (u1 % a) * d AS t2
+      FROM base
+    ),
     scored AS (
       SELECT source, token, n11, df_all,
-             CAST((CAST(1000000 AS HUGEINT) * n_docs
-                   * (n11 * n00 - n10 * n01) * (n11 * n00 - n10 * n01))
-                  // (CAST(n_c AS HUGEINT) * (n_docs - n_c)
-                      * df_all * (n_docs - df_all)) AS BIGINT) AS chi2_micro
-      FROM contingency
-      WHERE n11 * n00 > n10 * n01
+             CAST((t1 // b) + (t2 // qq)
+                  + (CASE WHEN (t1 % b) * a + (t2 % qq) >= qq
+                          THEN 1 ELSE 0 END) AS BIGINT) AS chi2_micro
+      FROM stage1
     )
     SELECT source, token, n11 AS df_in_class, df_all, chi2_micro,
            CAST(rn AS BIGINT) AS rn
@@ -4686,15 +4757,13 @@ def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     POSITIVELY associated with that class by the 2x2 doc-presence
     contingency test — the classic supervised keyword/feature selector
     for corpus routing and classifier vocab pruning. chi2 rides the
-    exact integer lattice (CHI2_MICRO_EXPR: x 1e6, truncating
-    division): numerator N*(ad-bc)^2 is O(N^5), within
-    decimal(38,0)/HUGEINT up to ~2.5M docs; past that ANSI mode RAISES
-    loudly (rule-7: never a silent null — the raise is pinned by
-    tests/test_round10_ops.py on a synthetic >38-digit contingency).
-    The documented next rung — shrink the x1e6 readout scale or reduce
-    the contingency by a common cell factor — changes the published
-    lattice, so it must land in engine AND oracle together, gated on a
-    corpus actually approaching 2.5M docs per class.
+    exact integer lattice (x 1e6, truncating division) via the STAGED
+    DIVMOD in with_chi2_micro (r10 VERDICT #2): the naive O(N^5)
+    numerator left decimal(38,0) past ~2.5M docs, while dividing as we
+    multiply bounds every intermediate by ~N^4/8 — exact to N ~ 5e9
+    docs in BOTH engines (the old >38-digit fixture now PASSES with
+    matching values; tests/test_round10_ops.py), with a loud ANSI
+    raise past the new ceiling (rule-7: never a silent null).
 
     Scale: presence collapses to DISTINCT (doc, token) — the same
     (doc, token)-keyed shuffle every tf aggregate pays — and is
@@ -4749,14 +4818,14 @@ def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n00"),
         )
     )
-    scored = cont.filter(
-        F.col("n11") * F.col("n00") > F.col("n10") * F.col("n01")
-    ).select(
+    # positive-association filter on the wide D (bigint n11*n00 would
+    # itself overflow first at ~6e9 docs), then the staged readout
+    scored = with_chi2_micro(cont).filter(F.expr("_d > 0")).select(
         "source",
         "token",
         F.col("n11").alias("df_in_class"),
         "df_all",
-        F.expr(CHI2_MICRO_EXPR).alias("chi2_micro"),
+        "chi2_micro",
     )
     w = Window.partitionBy("source").orderBy(
         F.col("chi2_micro").desc(), F.col("token")

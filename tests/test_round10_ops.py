@@ -34,56 +34,126 @@ def test_chi2_single_presence_pass(spark):
     assert len(rdd_ids) == 1, f"presence checkpoint not shared: {rdd_lines}"
 
 
-def test_chi2_overflow_raises_loudly():
-    """The documented ladder (CHI2_MICRO_EXPR): the O(N^5) numerator
-    exceeds decimal(38,0) past ~2.5M docs, and ANSI mode must RAISE —
-    never silently null — on the exact production expression. The
-    synthetic contingency is a perfectly-separating token over a
-    5M-doc corpus: numerator = 1e6 * 5e6 * (2.5e6 * 2.5e6)^2 ~ 2e38."""
-    from snackfs_spark.operators.textstats import CHI2_MICRO_EXPR
-    from snackfs_spark.session import get_spark
-
-    spark = get_spark("test_round10_ops")
-    m = 2_500_000
-    df = spark.createDataFrame(
-        [(m, 0, 0, m, m, 2 * m, m)],
-        "n11 long, n10 long, n01 long, n00 long, n_c long, n_docs long, df_all long",
-    )
-    with pytest.raises(Exception) as exc:
-        df.select(F.expr(CHI2_MICRO_EXPR).alias("chi2_micro")).collect()
-    assert "NUMERIC_VALUE_OUT_OF_RANGE" in str(exc.value), exc.value
-
-
-def test_chi2_expr_exact_below_threshold():
-    """Just below the ladder: a 2M-doc synthetic contingency stays on
-    the lattice and matches the python-int recount bit-for-bit."""
-    from snackfs_spark.operators.textstats import CHI2_MICRO_EXPR
-    from snackfs_spark.session import get_spark
-
-    spark = get_spark("test_round10_ops")
-    cases = [
-        # (n11, n10, n01, n00) with n_c = n11+n10, df_all = n11+n01
-        (900_000, 100_000, 200_000, 800_000),
-        (1, 999_999, 999_999, 1),
-        (500_000, 500_000, 500_000, 500_000),  # zero association
+def _chi2_frame(spark, cases):
+    """(n11, n10, n01, n00) quadruples -> contingency frame with the
+    derived margins, ready for with_chi2_micro."""
+    rows = [
+        (n11, n10, n01, n00, n11 + n10, n11 + n10 + n01 + n00, n11 + n01)
+        for n11, n10, n01, n00 in cases
     ]
-    rows = []
-    for n11, n10, n01, n00 in cases:
-        n_docs = n11 + n10 + n01 + n00
-        rows.append((n11, n10, n01, n00, n11 + n10, n_docs, n11 + n01))
-    df = spark.createDataFrame(
+    return rows, spark.createDataFrame(
         rows,
         "n11 long, n10 long, n01 long, n00 long, n_c long, n_docs long, df_all long",
     )
-    got = [
-        r["chi2_micro"]
-        for r in df.select(F.expr(CHI2_MICRO_EXPR).alias("chi2_micro")).collect()
-    ]
+
+
+def _chi2_python(rows):
     want = []
     for n11, n10, n01, n00, n_c, n_docs, df_all in rows:
         num = 1_000_000 * n_docs * (n11 * n00 - n10 * n01) ** 2
         den = n_c * (n_docs - n_c) * df_all * (n_docs - df_all)
         want.append(num // den)
+    return want
+
+
+def test_chi2_staged_divmod_holds_past_old_ceiling():
+    """r10 VERDICT #2 (the ladder rung, delivered): the synthetic
+    contingency whose NAIVE numerator is >38 digits — a perfectly-
+    separating token over a 5M-doc corpus, 1e6*5e6*(2.5e6*2.5e6)^2
+    ~ 2e38, which used to pin an ANSI RAISE — must now COMPUTE on the
+    staged-divmod lattice and match the python-bigint recount
+    bit-for-bit. Plus messier shapes with nonzero remainders at every
+    stage, up to corpus sizes ~1000x the old ceiling."""
+    from snackfs_spark.operators.textstats import with_chi2_micro
+    from snackfs_spark.session import get_spark
+
+    spark = get_spark("test_round10_ops")
+    m = 2_500_000
+    cases = [
+        (m, 0, 0, m),  # the old raise fixture: naive numerator ~2e38
+        (m, 3, 1, m),  # same scale, nonzero remainders in every stage
+        (123_456_789, 11_111, 222_222, 987_654_321),  # ~1.1e9 docs
+        (900_000, 100_000, 200_000, 800_000),
+        (1, 999_999, 999_999, 1),
+    ]
+    rows, df = _chi2_frame(spark, cases)
+    want = _chi2_python(rows)
+    assert any(
+        1_000_000 * r[5] * (r[0] * r[3] - r[1] * r[2]) ** 2 >= 10**38
+        for r in rows
+    ), "fixture must cover the old overflow zone"
+    got = [r["chi2_micro"] for r in with_chi2_micro(df).collect()]
+    assert got == want
+    # chi2 <= N sanity on the exact lattice
+    for val, r in zip(got, rows):
+        assert 0 <= val <= 1_000_000 * r[5]
+
+
+def test_chi2_zero_association_is_zero():
+    from snackfs_spark.operators.textstats import with_chi2_micro
+    from snackfs_spark.session import get_spark
+
+    spark = get_spark("test_round10_ops")
+    rows, df = _chi2_frame(spark, [(500_000, 500_000, 500_000, 500_000)])
+    assert [r["chi2_micro"] for r in with_chi2_micro(df).collect()] == [0]
+
+
+def test_chi2_overflow_raises_loudly_at_new_ceiling():
+    """The ladder still ends somewhere: past N ~ 5e9 docs at the
+    adversarial worst case (both margins N/2, messy remainders), an
+    intermediate leaves decimal(38,0) and ANSI must RAISE — never a
+    silent null. (The next rung, per the constant block: per-class
+    count sharding or base-2^62 long division.)"""
+    from snackfs_spark.operators.textstats import with_chi2_micro
+    from snackfs_spark.session import get_spark
+
+    spark = get_spark("test_round10_ops")
+    m = 4_000_000_000  # N = 8e9: A*B ~ (1.6e19)^2 ~ 2.6e38 > 1e38 - 1
+    rows, df = _chi2_frame(spark, [(m, 3, 1, m)])
+    with pytest.raises(Exception) as exc:
+        with_chi2_micro(df).collect()
+    assert "NUMERIC_VALUE_OUT_OF_RANGE" in str(exc.value), exc.value
+
+
+def test_chi2_oracle_staged_divmod_matches_python():
+    """The DuckDB oracle's staged HUGEINT form must agree with the
+    python-bigint recount on the same old-overflow-zone contingencies
+    (engine parity for the fixture that used to raise)."""
+    import duckdb
+
+    m = 2_500_000
+    cases = [(m, 0, 0, m), (m, 3, 1, m), (123_456_789, 11_111, 222_222, 987_654_321)]
+    rows = [
+        (n11, n10, n01, n00, n11 + n10, n11 + n10 + n01 + n00, n11 + n01)
+        for n11, n10, n01, n00 in cases
+    ]
+    want = _chi2_python(rows)
+    con = duckdb.connect()
+    got = []
+    for n11, n10, n01, n00, n_c, n_docs, df_all in rows:
+        (val,) = con.execute(
+            f"""
+            WITH base AS (
+              SELECT CAST({n11} AS HUGEINT) * {n00}
+                       - CAST({n10} AS HUGEINT) * {n01} AS d,
+                     CAST({n_c} AS HUGEINT) * ({n_docs} - {n_c}) AS a,
+                     CAST({df_all} AS HUGEINT) * ({n_docs} - {df_all}) AS b,
+                     CAST(1000000 AS HUGEINT) * {n_docs}
+                       * (CAST({n11} AS HUGEINT) * {n00}
+                          - CAST({n10} AS HUGEINT) * {n01}) AS u1
+            ),
+            stage1 AS (
+              SELECT a, b, a * b AS qq,
+                     (u1 // a) * d AS t1, (u1 % a) * d AS t2
+              FROM base
+            )
+            SELECT CAST((t1 // b) + (t2 // qq)
+                        + (CASE WHEN (t1 % b) * a + (t2 % qq) >= qq
+                                THEN 1 ELSE 0 END) AS BIGINT)
+            FROM stage1
+            """
+        ).fetchone()
+        got.append(val)
     assert got == want
 
 
@@ -176,7 +246,9 @@ def test_epoch_schedule_python_replay(spark):
         # avail * 2^(F-k+1)
         naive = sum(avail * 2 ** (f - k + 1) for k in range(1, f + 1)) + rem
         assert num == naive, (src, num, naive)
-        want[src] = (avail, target, f, rem, num, den, num // den,
+        # eff_num is exported as a STRING: the wide numerator lives in
+        # DECIMAL(38,0)/HUGEINT and pandas would coerce it to float64
+        want[src] = (avail, target, f, rem, str(num), den, num // den,
                      1_000_000 * (num // den) // target)
     got = {
         r["source"]: (
@@ -192,6 +264,100 @@ def test_epoch_schedule_python_replay(spark):
     fs = [v[2] for v in want.values()]
     assert min(fs) >= 1 and max(fs) < 40
     assert any(v[3] > 0 for v in want.values())
+
+
+def test_epoch_schedule_capped_branch_wide_lattice(spark, tmp_path):
+    """r10 ADVICE (medium): in the capped branch, any source with
+    avail > ~4.19M chars made the old BIGINT numerator overflow
+    (avail * (2^41 - 2) > 2^63 - 1) — a realistic corpus shape (one
+    10 MB source among much larger ones) that the sf fixtures never
+    reach. The numerator now lives in DECIMAL(38,0)/HUGEINT, so a
+    synthetic corpus pinned in that exact zone must COMPUTE, with
+    engine == oracle == python-bigint replay — not raise, not wrap."""
+    import duckdb
+    import pandas as pd
+
+    from snackfs_spark.operators.sampling import EPOCH_CAP, EPOCH_TARGET_MULT
+    from tests.oracle_harness import compare
+
+    # "deep" lands in the capped branch with avail = 1e7 > 4.19e6 (the
+    # old overflow zone: 1e7 * (2^41 - 2) ~ 2.2e19 > bigint max);
+    # "big" dominates the mean so deep's target/avail ratio >> cap;
+    # "mid" exercises a large-F uncapped branch with a remainder.
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "source": ["deep", "big", "mid", "mid"],
+            "n_chars": [10_000_000, 10**13, 5 * 10**11, 5 * 10**11],
+        }
+    )
+    fixture = tmp_path / "corpus"
+    fixture.mkdir()
+    docs.to_parquet(fixture / "documents.parquet")
+
+    q = load_all()["corpus_epoch_schedule"]
+    sdf = q.fn(spark, str(fixture)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{fixture}/documents.parquet')"
+    )
+    odf = con.execute(q.oracle).fetchdf()
+    assert compare(sdf, odf) == []
+
+    # python-bigint ground truth, and pins that the fixture really
+    # exercises the capped branch PAST the old bigint ceiling
+    g = docs.groupby("source")["n_chars"].sum()
+    target = EPOCH_TARGET_MULT * int(g.sum()) // len(g)
+    got = {r["source"]: r for _, r in sdf.iterrows()}
+    deep_num = 10_000_000 * (2 ** (EPOCH_CAP + 1) - 2)
+    assert deep_num > 2**63 - 1  # the zone the old lattice could not hold
+    assert int(got["deep"]["full_epochs"]) == EPOCH_CAP
+    assert got["deep"]["eff_num"] == str(deep_num)
+    assert int(got["deep"]["effective_chars"]) == deep_num // 2**EPOCH_CAP
+    for src, avail in g.items():
+        avail = int(avail)
+        f = min(target // avail, EPOCH_CAP)
+        rem = 0 if target // avail > EPOCH_CAP else target % avail
+        num = avail * (2 ** (f + 1) - 2) + rem
+        assert got[src]["eff_num"] == str(num), src
+        assert int(got[src]["effective_chars"]) == num // 2**f, src
+        assert (
+            int(got[src]["value_retained_ppm"])
+            == 1_000_000 * (num // 2**f) // target
+        ), src
+
+
+def test_epoch_schedule_degenerate_source_raises(spark, tmp_path):
+    """r10 ADVICE: DuckDB's bare `//` returns NULL on divide-by-zero
+    while Spark ANSI raises — the oracle now carries an explicit
+    error() guard so BOTH engines fail loudly on an avail=0 source."""
+    import duckdb
+    import pandas as pd
+
+    from tests.oracle_harness import compare  # noqa: F401
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "source": ["empty", "real"],
+            "n_chars": [0, 1000],
+        }
+    )
+    fixture = tmp_path / "corpus0"
+    fixture.mkdir()
+    docs.to_parquet(fixture / "documents.parquet")
+
+    q = load_all()["corpus_epoch_schedule"]
+    with pytest.raises(Exception, match="(?i)divide|division|by zero"):
+        q.fn(spark, str(fixture)).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{fixture}/documents.parquet')"
+    )
+    with pytest.raises(Exception, match="degenerate source"):
+        con.execute(q.oracle).fetchall()
 
 
 def test_pair_overlap_python_replay(spark):
