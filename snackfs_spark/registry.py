@@ -51,111 +51,103 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # in-repo oracle replica, tests/test_correctness.py, which hash-checks
 # ALL registered queries at sf0.01 every test run).
 #
-# ROUND-10 ROTATION (r9 VERDICT #1, executing the pre-staged plan): the
-# eleven r7-green Q-* fs veterans reach the trailing-3-rounds cadence
-# boundary and rotate back in, alongside the two permanent anchors
-# (q1 flagship + connector) = 13 veterans. The remaining 37 slots go to
-# the never-driver-checked backlog (114 after r9 landed 50/50 green),
-# REQUIRED to include all 8 round-9 additions (text_chi2_keywords,
-# eval_rank_rbo, text_yule_k, eval_rank_kendall, split_kfold_assignment,
-# source_drift_emd, train_preference_pairs, eval_brier_decomposition).
-# 37 >= the freshness test's 35-slot bound; cumulative driver-green goes
-# 214 -> 251 of 331 if the window lands green (the three round-10
-# additions — mixture_doremi_reweight, corpus_epoch_schedule,
-# train_pair_overlap — queue for the r11 window), draining the backlog
-# to 80 (on track for ~0 by r12-r13, r9 VERDICT #7). Every evicted r9
-# name stays registered and hash-checked by the in-repo replica
+# ROUND-11 ROTATION (r10 VERDICT #1, executing the pre-staged plan):
+# the six r8-green Q-* fs veterans (fs_lsr fs_dus fs_suboff_prefix_sum
+# fs_lock_arbitration fs_range_read fs_tail) reached the trailing-3
+# cadence boundary after r10 and rotate back in, alongside the two
+# permanent anchors (q1 flagship + connector) = 8 veterans. The
+# remaining 42 slots all go to the never-driver-checked backlog (80
+# after r10 landed 50/50 green) — the first 42 in registration order,
+# which includes ALL THREE round-10 additions (mixture_doremi_reweight,
+# corpus_epoch_schedule, train_pair_overlap) as r10 VERDICT #1
+# requires. 42 >= the freshness test's 35-slot bound; cumulative
+# driver-green goes 251 -> 293 of 331 if the window lands green,
+# draining the backlog to 38 — which fits entirely inside the ROUND-12
+# window (r10 VERDICT #3; see the pre-staged plan below). Every evicted
+# r10 name stays registered and hash-checked by the in-repo replica
 # (tests/test_correctness.py) every test run.
 PRIORITY: tuple[str, ...] = (
-    # -------- veterans (13): the cadence-due Q-* fs skeleton...
-    "fs_stat",  # Q-STAT
-    "fs_ls",  # Q-LS
-    "fs_du",  # Q-DU
-    "fs_count",  # Q-COUNT
-    "fs_len_from_blocks",  # Q-LEN nested Array(Struct) fold
-    "fs_block_locations",  # Q-BLOCKLOC wraparound interval match
-    "fs_content",  # Q-CONTENT two-level reassembly
-    "fs_getmerge",  # Q-MERGE
-    "fs_rename",  # Q-RENAME anchored-prefix rewrite
-    "fs_delete",  # Q-DELETE subtree + orphan cascade
-    "fs_mkdirs",  # Q-MKDIR ancestor closure
+    # -------- veterans (8): the cadence-due Q-* fs rows...
+    "fs_lsr",  # Q-LSR recursive listing
+    "fs_dus",  # Q-DUS subtree rollup
+    "fs_suboff_prefix_sum",  # Q-SUBOFF running-sum window
+    "fs_lock_arbitration",  # Q-LOCK row_number ranking
+    "fs_range_read",  # Q-RANGE block-range slice
+    "fs_tail",  # Q-TAIL tail reassembly
     # ...plus the permanent anchors: TPC-H flagship (sf1-verified
     # decimal lattice) and the 7-M6 Python Data Source connector
     "q1_pricing_summary",
     "fs_connector_roundtrip",
-    # -------- first-time driver rows (37), never in any prior window.
-    # the 8 round-9 additions (r9 VERDICT #1 requires all of them):
-    "text_chi2_keywords",  # supervised keyword selection (this round:
-    # single presence pass + pinned overflow ladder, r9 VERDICT #5)
-    "eval_rank_rbo",  # rank-biased overlap on the dyadic lattice
-    "text_yule_k",  # vocabulary-richness constant
-    "eval_rank_kendall",  # Kendall tau ranking agreement
-    "split_kfold_assignment",  # k-fold CV protocol
-    "source_drift_emd",  # pairwise EMD drift (this round: div-idiom fix)
-    "train_preference_pairs",  # DPO pairs (this round: banded-rank
-    # de-skew, r9 VERDICT #4 -- first driver row exercises the new plan)
-    "eval_brier_decomposition",  # Murphy decomposition
-    # fs analytics: maintenance planners never driver-checked
-    "fs_repair_plan",
-    "fs_heat_tiering",
-    "fs_erasure_layout",
-    # TPC-H shapes: two-flag distribution (q12), supplier variety with
-    # NOT-IN complaint filter (q16)
-    "q12_priority_by_returnflag",
-    "q16_part_supplier_variety",
-    # relational profiling: whole-table profile + join-key skew profile
-    "table_profile",
-    "skew_key_profile",
-    # graph battery over the LSH candidate graph: degree spectrum,
-    # clustering coefficient, modularity of the LPA communities
-    "graph_degree_distribution",
-    "graph_clustering_coefficient",
-    "graph_modularity_score",
-    # dedup: fuzzy prefix-blocked verify + cross-source overlap matrix
-    "dedup_fuzzy_prefix",
-    "dedup_source_matrix",
-    # multimodal: image diversity (Simpson index over pixel classes)
-    "multimodal_image_simpson",
-    # privacy: per-user contribution bounding (DP prep)
-    "privacy_contribution_bounds",
-    # sampling: systematic PPS, Neyman allocation, balanced classes
-    # (the banded-rank pattern train_preference_pairs now shares),
-    # temperature-scaled mixture weights
-    "sample_systematic_pps",
-    "sample_neyman_allocation",
-    "sample_balanced_classes",
-    "mixture_temperature",
-    # embeddings: hard-negative triplet mining + per-label centroids
-    "emb_triplet_mining",
-    "embedding_label_centroids",
-    # text: exact token accounting, rolling-hash fingerprint,
-    # readability battery
-    "text_token_count",
-    "text_fingerprint",
-    "text_readability",
-    # eval: PR-AUC (exact trapezoid lattice) + Cohen's kappa
-    "eval_pr_auc",
-    "eval_kappa_agreement",
-    # event-time: hourly EWMA (exact rational) + bot detection
-    "events_ewma_hourly",
-    "events_bot_detection",
-    # streaming: stream-static enrichment join
-    "streaming_enrichment_join",
-    # FP&A: Benford first-digit audit
-    "orders_benford_audit",
+    # -------- first-time driver rows (42), never in any prior window;
+    # the first 42 backlog names in registration order.
+    # clustering / embedding-space diagnostics:
+    "eval_cluster_agreement",  # ARI on the exact pair lattice
+    "emb_centroid_drift",  # per-label centroid drift across splits
+    "emb_anisotropy_score",  # embedding-space anisotropy readout
+    # corpus dedup economics:
+    "corpus_dedup_rate_curve",  # marginal dup rate vs corpus growth
+    "corpus_dedup_impact",  # token savings by dedup tier
+    # graph battery over the LSH candidate graph:
+    "graph_harmonic_centrality",
+    "graph_degree_assortativity",
+    "graph_jaccard_link_prediction",
+    # fs + layout planners:
+    "fs_hotspot_rebalance_plan",
+    "layout_range_partition_plan",
+    # event analytics:
+    "events_sequential_pairs",  # co-occurring event-type pairs
+    "distinct_users_per_type_twophase",  # two-phase distinct agg
+    "timeseries_correlation",  # exact-lattice hourly correlation
+    "events_value_outliers",  # robust MAD outlier fence
+    "events_value_histogram",  # log2-bucket value histogram
+    "events_winsorized_stats",  # winsorized/trimmed means
+    "join_size_estimate_cm",  # count-min join-size estimate
+    "events_drift_tv",  # total-variation drift between weeks
+    "rel_join_order_advisor",  # FK-graph join-order advisor
+    "approx_hll_daily_union",  # sliding distinct via HLL merge
+    # privacy / FP&A:
+    "privacy_generalization_ladder",  # k-anon generalization search
+    "orders_duplicate_payments",  # near-dup payment detection
+    "lineitem_pvm_decomposition",  # price-volume-mix bridge
+    "orders_revenue_gini",  # revenue concentration (exact Gini)
+    "orders_rfm_migration",  # RFM segment migration matrix
+    "approx_kmv_theta_sketch",  # KMV theta-sketch set algebra
+    # training-mixture / curriculum (incl. ALL THREE r10 additions):
+    "curriculum_token_budget",  # pacing-function token schedule
+    "mixture_doremi_reweight",  # r10 addition (REQUIRED this window)
+    "corpus_epoch_schedule",  # r10 addition (REQUIRED; this round:
+    # DECIMAL(38,0)/HUGEINT numerator + degenerate-source guard)
+    "training_order_shuffle",  # deterministic sharded shuffle
+    # corpus lifecycle:
+    "corpus_snapshot_diff",  # version diff (add/mod/del/same)
+    "corpus_incremental_stats",  # mergeable per-batch stats
+    "corpus_funnel_report",  # pipeline-stage funnel
+    "sample_srm_check",  # sample-ratio-mismatch chi2 gate
+    "split_distribution_check",  # per-split distribution parity
+    "corpus_budget_apportionment",  # largest-remainder apportionment
+    "sample_ab_power_grid",  # A/B power analysis grid
+    "train_pair_overlap",  # r10 addition (REQUIRED): DPO pair audit
+    "emb_negative_sampling",  # frequency-smoothed negative tables
+    # BPE / text pipeline:
+    "bpe_pair_counts",  # adjacent-pair counts (BPE step)
+    "text_redact",  # PII pattern redaction
+    "text_repetition",  # max n-gram repetition score
 )
 
-# ROUND-11 ROTATION PLAN (pre-staged; execute next round): keep the two
-# permanent anchors (q1 + connector); the r8-green six Q-* veterans
-# (fs_lsr fs_dus fs_suboff_prefix_sum fs_lock_arbitration fs_range_read
-# fs_tail) reach the trailing-3 boundary after r10 and are DUE; that
-# leaves ~42 slots for the backlog (77 after this window lands),
-# prioritizing the oldest never-checked names (the r5-r6-era text/eval
-# battery additions) and any round-10 additions. Keep the freshness
-# test's >=35 bound satisfied and update FS_IN_WINDOW -> FS_DUE_R11 in
-# tests/test_registry_window.py.
+# ROUND-12 ROTATION PLAN (pre-staged; execute next round, r10 VERDICT
+# #3): keep the two permanent anchors (q1 + connector). No fs veteran
+# is cadence-due: the r11 six rotate out with fresh green rows, and the
+# eleven r10-green Q-* rows hit the trailing-3 boundary only AFTER r12
+# lands (due in the r13 window). That leaves 48 slots for the
+# remaining 38-name backlog (text_diversity .. streaming_dedup_bounded,
+# in registration order): the ENTIRE backlog fits, taking cumulative
+# driver-green to 331/331, plus ~10 spare slots for any round-11/12
+# additions (new queries register -> put them in the r12 window).
+# The freshness bound (>=35) holds with 38+ first-timers. Update
+# FS_DUE_R11 -> trailing-green in tests/test_registry_window.py when
+# executing.
 #
-# Prior windows (r1-r9): see git history for each round's slot-by-slot
+# Prior windows (r1-r10): see git history for each round's slot-by-slot
 # changelog -- CORRECTNESS_r{N}.json records what each window proved.
 # (The full tuples were kept here as dead data through r9; r9 ADVICE:
 # git history IS the changelog.)

@@ -1,10 +1,11 @@
 """The driver's correctness gate checks the FIRST 50 registered queries.
-These tests pin the ROUND-10 rotated window (r9 VERDICT #1, executing
-the plan pre-staged in r9): 13 veterans — the eleven r7-green Q-* fs
-targets that reached the trailing-3-rounds cadence boundary, plus the
-q1 flagship and the connector as permanent anchors — and 37 queries
-that have never produced a driver-side green row, REQUIRED to include
-all 8 round-9 additions. The window still spans SURVEY.md §2: every
+These tests pin the ROUND-11 rotated window (r10 VERDICT #1, executing
+the plan pre-staged in r10): 8 veterans — the six r8-green Q-* fs
+targets that reached the trailing-3-rounds cadence boundary after r10,
+plus the q1 flagship and the connector as permanent anchors — and 42
+queries that have never produced a driver-side green row (the first 42
+of the 80-name backlog in registration order), REQUIRED to include all
+3 round-10 additions. The window still spans SURVEY.md §2: every
 declared operator family and §2.C class has an in-window rep or a
 documented evicted veteran with a green driver row in the trailing
 rounds that stays hash-checked in the in-repo replica
@@ -29,8 +30,9 @@ WINDOW = 50
 # span policy leans on. Exclude SEMANTICALLY instead: an artifact is
 # "this window's own run" iff most of its keys are the current
 # PRIORITY names — prior-round artifacts of a rotated window overlap
-# only on the few kept veterans (this round: the 13 veterans = 26% of
-# the r7 artifact's keys, safely under the 0.5 bar).
+# only on the few kept veterans (this round: the r10 artifact shares
+# just the 2 anchors = 4%, the r8 artifact the 6 fs veterans + anchors
+# = 16%, both safely under the 0.5 bar).
 _REPO = Path(__file__).resolve().parent.parent
 _ARTIFACTS = sorted(
     _REPO.glob("CORRECTNESS_r*.json"),
@@ -46,11 +48,19 @@ for _p in _ARTIFACTS:
         continue  # the current window's own artifact
     DRIVER_CHECKED.update(_keys)
 
-# Q-* → query name (SURVEY §2.B, 17 targets). The eleven r7-green rows
-# reached the trailing-3 cadence boundary after r9 and are IN the r10
-# window (r9 VERDICT #1); the six r8-green rows reach the boundary
-# after r10 and are DUE in the ROUND-11 window.
+# Q-* → query name (SURVEY §2.B, 17 targets). The six r8-green rows
+# reached the trailing-3 cadence boundary after r10 and are IN the r11
+# window (r10 VERDICT #1); the eleven r10-green rows carry fresh
+# trailing driver rows and come due again in the r13 window.
 FS_IN_WINDOW = {
+    "Q-LSR": "fs_lsr",
+    "Q-DUS": "fs_dus",
+    "Q-SUBOFF": "fs_suboff_prefix_sum",
+    "Q-LOCK": "fs_lock_arbitration",
+    "Q-RANGE": "fs_range_read",
+    "Q-TAIL": "fs_tail",
+}
+FS_TRAILING_R10 = {
     "Q-STAT": "fs_stat",
     "Q-LS": "fs_ls",
     "Q-DU": "fs_du",
@@ -63,35 +73,25 @@ FS_IN_WINDOW = {
     "Q-DELETE": "fs_delete",
     "Q-MKDIR": "fs_mkdirs",
 }
-FS_DUE_R11 = {
-    "Q-LSR": "fs_lsr",
-    "Q-DUS": "fs_dus",
-    "Q-SUBOFF": "fs_suboff_prefix_sum",
-    "Q-LOCK": "fs_lock_arbitration",
-    "Q-RANGE": "fs_range_read",
-    "Q-TAIL": "fs_tail",
-}
 
-# family → representative query INSIDE the r10 window.
+# family → representative query INSIDE the r11 window.
 FAMILIES = {
     # q1 stays as the filter+agg anchor (sf1-verified decimal lattice)
     "filter/projection + group agg": "q1_pricing_summary",
-    # lineitem ⋈ orders two-flag distribution; q8/q9/q15 are r8/r9-green
-    "equi-join + agg": "q12_priority_by_returnflag",
-    # NOT-IN complaint-supplier exclusion (anti-join shape)
-    "multi-join exists/not-exists": "q16_part_supplier_variety",
-    # wraparound interval match is back in the window via Q-BLOCKLOC
-    "non-equi join (band/interval)": "fs_block_locations",
-    # the banded two-phase ranking (this round's de-skewed form)
-    "window ranking": "train_preference_pairs",
-    "sort+limit / top-k": "text_chi2_keywords",
-    "function battery": "text_readability",
+    # the Q-SUBOFF running-sum window is back in the window
+    "running sum window": "fs_suboff_prefix_sum",
+    # the Q-LOCK row_number arbitration is back in the window
+    "window ranking": "fs_lock_arbitration",
 }
-# family → evicted veteran with a TRAILING driver-green row (r7-r9),
+# family → evicted veteran with a TRAILING driver-green row,
 # still hash-checked by the in-repo replica every test run.
 FAMILIES_TRAILING = {
+    "equi-join + agg": "q12_priority_by_returnflag",  # r10
+    "multi-join exists/not-exists": "q16_part_supplier_variety",  # r10
+    "non-equi join (band/interval)": "fs_block_locations",  # r10
+    "sort+limit / top-k": "text_chi2_keywords",  # r10
+    "function battery": "text_readability",  # r10
     "broadcast dims": "q8_market_share",  # r9
-    "running sum window": "orders_max_drawdown",  # r9
     "correlated scalar subquery": "rel_min_per_group_subquery",  # r9
     "correlated threshold subquery": "q20_bulk_suppliers",  # r9
     "as-of / point-in-time join": "events_conversion_lag",  # r9
@@ -102,8 +102,56 @@ FAMILIES_TRAILING = {
     "skewed join salting": "rel_salted_skew_join",  # r7
 }
 
-# §2.C class → representative inside the r10 window
+# §2.C class → representative inside the r11 window (the 42 backlog
+# first-timers, grouped by what they exercise)
 CLASSES = {
+    "clustering eval (adjusted Rand)": "eval_cluster_agreement",
+    "embeddings (centroid drift)": "emb_centroid_drift",
+    "embeddings (anisotropy)": "emb_anisotropy_score",
+    "embeddings (negative sampling)": "emb_negative_sampling",
+    "dedup economics (rate curve)": "corpus_dedup_rate_curve",
+    "dedup economics (token impact)": "corpus_dedup_impact",
+    "graph (harmonic centrality)": "graph_harmonic_centrality",
+    "graph (assortativity)": "graph_degree_assortativity",
+    "graph (link prediction)": "graph_jaccard_link_prediction",
+    "fs analytics (hotspot rebalance)": "fs_hotspot_rebalance_plan",
+    "layout (range partition plan)": "layout_range_partition_plan",
+    "events (sequential pairs)": "events_sequential_pairs",
+    "events (two-phase distinct)": "distinct_users_per_type_twophase",
+    "events (timeseries correlation)": "timeseries_correlation",
+    "events (MAD outlier fence)": "events_value_outliers",
+    "events (value histogram)": "events_value_histogram",
+    "events (winsorized stats)": "events_winsorized_stats",
+    "events (TV drift)": "events_drift_tv",
+    "sketches (count-min join size)": "join_size_estimate_cm",
+    "sketches (HLL daily union)": "approx_hll_daily_union",
+    "sketches (KMV theta algebra)": "approx_kmv_theta_sketch",
+    "planner (join-order advisor)": "rel_join_order_advisor",
+    "privacy (generalization ladder)": "privacy_generalization_ladder",
+    "FP&A (duplicate payments)": "orders_duplicate_payments",
+    "FP&A (price-volume-mix)": "lineitem_pvm_decomposition",
+    "FP&A (revenue Gini)": "orders_revenue_gini",
+    "FP&A (RFM migration)": "orders_rfm_migration",
+    "curriculum (token budget)": "curriculum_token_budget",
+    "mixture (DoReMi reweight)": "mixture_doremi_reweight",
+    "mixture (epoch schedule)": "corpus_epoch_schedule",
+    "mixture (budget apportionment)": "corpus_budget_apportionment",
+    "ordering (sharded shuffle)": "training_order_shuffle",
+    "lifecycle (snapshot diff)": "corpus_snapshot_diff",
+    "lifecycle (incremental stats)": "corpus_incremental_stats",
+    "lifecycle (funnel report)": "corpus_funnel_report",
+    "splits (SRM check)": "sample_srm_check",
+    "splits (distribution parity)": "split_distribution_check",
+    "splits (A/B power grid)": "sample_ab_power_grid",
+    "preference pairs (overlap audit)": "train_pair_overlap",
+    "BPE (pair counts)": "bpe_pair_counts",
+    "text (PII redaction)": "text_redact",
+    "text (repetition score)": "text_repetition",
+    "connector": "fs_connector_roundtrip",
+}
+# §2.C class → trailing driver-green veteran
+CLASSES_TRAILING = {
+    # r10 window first-timers, green in CORRECTNESS_r10
     "dedup (fuzzy prefix-blocked verify)": "dedup_fuzzy_prefix",
     "dedup (cross-source overlap matrix)": "dedup_source_matrix",
     "similarity (triplet mining)": "emb_triplet_mining",
@@ -138,10 +186,7 @@ CLASSES = {
     "events (bot detection)": "events_bot_detection",
     "streaming (enrichment join)": "streaming_enrichment_join",
     "FP&A (Benford audit)": "orders_benford_audit",
-    "connector": "fs_connector_roundtrip",
-}
-# §2.C class → trailing driver-green veteran (r7-r9)
-CLASSES_TRAILING = {
+    # r7-r9 veterans
     "dedup (signature banding)": "dedup_tf_cosine",  # r9
     "dedup (chunk exact)": "dedup_chunk_exact",  # r9
     "dedup (golden record)": "dedup_golden_record",  # r9
@@ -183,12 +228,61 @@ CLASSES_TRAILING = {
 }
 
 # Evicted veterans that must STAY registered + oracled (repo replica
-# keeps hash-checking them every test run). The r9 window's 50 names
-# all carry trailing-1 driver-green rows; r8-era and earlier veterans
-# carry older green rows.
+# keeps hash-checking them every test run). The r10 window's 48
+# non-anchor names all carry trailing-1 driver-green rows; r9-era and
+# earlier veterans carry older green rows.
 EVICTED_STAY_ORACLED = [
-    # r9 window, all green in CORRECTNESS_r09 (anchors excluded: they
-    # stay in the r10 window)
+    # r10 window, all green in CORRECTNESS_r10 (anchors excluded: they
+    # stay in the r11 window)
+    "fs_stat",
+    "fs_ls",
+    "fs_du",
+    "fs_count",
+    "fs_len_from_blocks",
+    "fs_block_locations",
+    "fs_content",
+    "fs_getmerge",
+    "fs_rename",
+    "fs_delete",
+    "fs_mkdirs",
+    "text_chi2_keywords",
+    "eval_rank_rbo",
+    "text_yule_k",
+    "eval_rank_kendall",
+    "split_kfold_assignment",
+    "source_drift_emd",
+    "train_preference_pairs",
+    "eval_brier_decomposition",
+    "fs_repair_plan",
+    "fs_heat_tiering",
+    "fs_erasure_layout",
+    "q12_priority_by_returnflag",
+    "q16_part_supplier_variety",
+    "table_profile",
+    "skew_key_profile",
+    "graph_degree_distribution",
+    "graph_clustering_coefficient",
+    "graph_modularity_score",
+    "dedup_fuzzy_prefix",
+    "dedup_source_matrix",
+    "multimodal_image_simpson",
+    "privacy_contribution_bounds",
+    "sample_systematic_pps",
+    "sample_neyman_allocation",
+    "sample_balanced_classes",
+    "mixture_temperature",
+    "emb_triplet_mining",
+    "embedding_label_centroids",
+    "text_token_count",
+    "text_fingerprint",
+    "text_readability",
+    "eval_pr_auc",
+    "eval_kappa_agreement",
+    "events_ewma_hourly",
+    "events_bot_detection",
+    "streaming_enrichment_join",
+    "orders_benford_audit",
+    # r9 window veterans (green in CORRECTNESS_r09)
     "approx_aggregates",
     "fs_text_decode",
     "fs_scd2_history",
@@ -237,13 +331,7 @@ EVICTED_STAY_ORACLED = [
     "streaming_tail_follow",
     "split_summary_tokens",
     "dq_check_battery",
-    # r8 window veterans (green in CORRECTNESS_r08)
-    "fs_lsr",
-    "fs_dus",
-    "fs_suboff_prefix_sum",
-    "fs_lock_arbitration",
-    "fs_range_read",
-    "fs_tail",
+    # r8 window veterans (green in CORRECTNESS_r08) not back in-window
     "fs_count_quota",
     "fs_permission_audit",
     "fs_namespace_profile",
@@ -356,17 +444,12 @@ EVICTED_STAY_ORACLED = [
     "streaming_hourly_rollup",
 ]
 
-# The 8 round-9 additions the r10 window is REQUIRED to carry
-# (r9 VERDICT #1).
-R9_ADDITIONS_IN_WINDOW = [
-    "text_chi2_keywords",
-    "eval_rank_rbo",
-    "text_yule_k",
-    "eval_rank_kendall",
-    "split_kfold_assignment",
-    "source_drift_emd",
-    "train_preference_pairs",
-    "eval_brier_decomposition",
+# The 3 round-10 additions the r11 window is REQUIRED to carry
+# (r10 VERDICT #1).
+R10_ADDITIONS_IN_WINDOW = [
+    "mixture_doremi_reweight",
+    "corpus_epoch_schedule",
+    "train_pair_overlap",
 ]
 
 
@@ -385,10 +468,10 @@ def test_window_order_and_span():
         assert q in window, f"{target} ({q}) fell outside the driver's window"
 
 
-def test_r9_additions_all_in_window():
+def test_r10_additions_all_in_window():
     window = set(PRIORITY)
-    for q in R9_ADDITIONS_IN_WINDOW:
-        assert q in window, f"round-9 addition {q} missing from the r10 window"
+    for q in R10_ADDITIONS_IN_WINDOW:
+        assert q in window, f"round-10 addition {q} missing from the r11 window"
 
 
 def test_trailing_reps_are_driver_green():
@@ -403,13 +486,13 @@ def test_trailing_reps_are_driver_green():
 
 
 def test_fs_skeleton_cadence():
-    """Every §2.B Q-* target is either IN the r10 window (the eleven
-    cadence-due r7 veterans, r9 VERDICT #1) or driver-green in the
-    trailing rounds (the six r8-green rows, DUE in the r11 window)."""
+    """Every §2.B Q-* target is either IN the r11 window (the six
+    cadence-due r8 veterans, r10 VERDICT #1) or driver-green in the
+    trailing rounds (the eleven r10-green rows, due again in r13)."""
     window = set(PRIORITY)
     for target, q in FS_IN_WINDOW.items():
         assert q in window, f"{target} ({q}) missed its cadence-due window"
-    for target, q in FS_DUE_R11.items():
+    for target, q in FS_TRAILING_R10.items():
         assert q in DRIVER_CHECKED, (
             f"{target} ({q}) rotated out without a prior driver-green row"
         )
@@ -426,11 +509,26 @@ def test_rotation_freshness():
     )
 
 
+def test_backlog_drains_in_r12():
+    """r10 VERDICT #3: after this window lands green, the remaining
+    never-driver-checked backlog must fit inside ONE more 50-slot
+    window (50 - 2 anchors = 48 slots; no fs veteran is cadence-due in
+    r12), so cumulative driver-green reaches 331/331 by end of r12."""
+    reg = load_all()
+    backlog_after_r11 = [
+        n for n in reg if n not in DRIVER_CHECKED and n not in PRIORITY
+    ]
+    assert len(backlog_after_r11) <= 48, (
+        f"{len(backlog_after_r11)} backlog names left; the r12 window"
+        " cannot finish the drain"
+    )
+
+
 def test_evicted_veterans_stay_oracled():
     reg = load_all()
     veterans = (
         EVICTED_STAY_ORACLED
-        + list(FS_DUE_R11.values())
+        + list(FS_TRAILING_R10.values())
         + list(FAMILIES_TRAILING.values())
         + list(CLASSES_TRAILING.values())
     )
