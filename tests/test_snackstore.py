@@ -209,6 +209,44 @@ def test_preferred_locations_surface_ring_hosts(spark, store):
     assert len({r for rs in locs.values() for r in rs}) > 3
 
 
+def test_bucket_replicas_match_fsmodel_ring(spark):
+    """r10 VERDICT #6: local[32] can't observe task placement, so the
+    locality contract is pinned on the MATH — bucket_replicas must
+    agree with an independent walk of fsmodel.ring_df (the 25-range
+    token ring the analytic views query): owner = the (tok_start,
+    tok_end] range containing the bucket's midpoint token (tok_end=0
+    wraps to the top of the 2^32 space), replicas = owner + RF-1
+    clockwise successors in ring order. On a real cluster this tuple
+    IS InputPartition.preferredLocations (DESIGN.md
+    'preferredLocations'); assignment stability across bucket counts
+    and repeated calls falls out of it being a pure function."""
+    from snackfs_spark.sources import fsmodel
+    from tests.conftest import SF_ORACLE
+
+    ring = sorted(
+        fsmodel.ring_df(spark, SF_ORACLE).collect(), key=lambda r: r["tok_start"]
+    )
+    hosts = [r["host"] for r in ring]
+    assert len(hosts) == 25
+
+    def owner_of(token: int) -> int:
+        for i, r in enumerate(ring):
+            end = r["tok_end"] or snackstore.TOKEN_SPACE  # wraparound row
+            if r["tok_start"] < token <= end:
+                return i
+        raise AssertionError(f"token {token} owned by no ring range")
+
+    for buckets in (4, 16, 64):
+        for b in range(buckets):
+            token = (b * snackstore.TOKEN_SPACE + snackstore.TOKEN_SPACE // 2) // buckets
+            o = owner_of(token)
+            want = tuple(hosts[(o + r) % len(hosts)] for r in range(3))
+            got = snackstore.bucket_replicas(b, buckets, hosts)
+            assert got == want, (buckets, b, token, got, want)
+            # pure function: stable across calls
+            assert snackstore.bucket_replicas(b, buckets, hosts) == got
+
+
 def test_metadata_only_read_skips_blob_io(spark, store):
     """Column-pruning analog (reference fetches only the path column in
     listings, ThriftStore.scala:506): with 'payload' excluded via the
