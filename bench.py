@@ -355,6 +355,15 @@ HEADLINE_R24 = [
 ]
 
 
+HEADLINE_R25 = [
+    # round-11 additions: pass@k (one task-keyed aggregate -> unrolled
+    # falling-factorial codegen) and GRPO advantage (group aggregate +
+    # co-keyed join back, exact isqrt per group)
+    "eval_pass_at_k",
+    "train_grpo_advantage",
+]
+
+
 HEADLINE_R22 = [
     "graph_jaccard_link_prediction",
     "approx_kmv_theta_sketch",
@@ -403,6 +412,7 @@ ROUNDS = [
     HEADLINE_R22,
     HEADLINE_R23,
     HEADLINE_R24,
+    HEADLINE_R25,
 ]
 
 

@@ -3870,3 +3870,235 @@ def train_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("low_signal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pass@k (Chen et al. 2021, arXiv:2107.03374 §2.1): the standard
+# code/eval readout for "given n samples per task of which c passed,
+# what is the probability at least one of a random k-subset passes" —
+# the UNBIASED estimator 1 - C(n-c,k)/C(n,k). On the integer lattice
+# the binomial ratio is a ratio of falling factorials,
+#     C(n-c,k)/C(n,k) = prod_{i=0..k-1} (n-c-i) / prod_{i=0..k-1} (n-i),
+# and with k fixed the products unroll to k-term expressions — exact
+# in DECIMAL(38,0)/HUGEINT for n up to ~2.5M samples/task at k=5
+# (1e6 * n^k <= 1e38), far past any real sampling budget; past that
+# ANSI/HUGEINT raise loudly. When n-c < k the numerator product
+# contains the literal factor 0 (i = n-c), so pass@k = 1 exactly with
+# no branch. The readout floors 1e6*(fden-fnum)/fden — the floor of
+# the true probability in ppm.
+#
+# Fixture stand-in: a real pipeline feeds an eval table of
+# (task, sample, passed); here tasks are users in `events`, a sample
+# is an event, and "passed" is the purchase event type — the estimator
+# algebra, grouping shape and lattice are the operator.
+PASS_AT_K = 5
+
+
+def _falling_product(expr: str, k: int) -> str:
+    """(expr)*(expr-1)*...*(expr-k+1), the k-term falling factorial."""
+    return " * ".join(f"({expr} - {i})" for i in range(k))
+
+
+@register(
+    "eval_pass_at_k",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id AS task_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM events GROUP BY user_id
+      HAVING COUNT(*) >= {PASS_AT_K}
+    ),
+    f AS (
+      SELECT task_id, n, c,
+             {_falling_product('CAST(n - c AS HUGEINT)', PASS_AT_K)} AS fnum,
+             {_falling_product('CAST(n AS HUGEINT)', PASS_AT_K)} AS fden
+      FROM t
+    )
+    SELECT task_id, n AS n_samples, c AS n_correct,
+           CAST((1000000 * c) // n AS BIGINT) AS pass1_ppm,
+           CAST((1000000 * (fden - fnum)) // fden AS BIGINT) AS pass_at_k_ppm
+    FROM f
+    """,
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-task pass@1 and pass@k={PASS_AT_K} in exact ppm: the
+    unbiased estimator 1 - C(n-c,k)/C(n,k) as a ratio of unrolled
+    falling factorials on the DECIMAL(38,0) lattice (see the constant
+    block above for the exactness window and the n-c < k zero-factor
+    property).
+
+    Scale shape: ONE events scan collapses map-side to per-task
+    (n, c) — the only shuffle is the task-keyed partial aggregate, and
+    everything after is per-row O(k) codegen algebra. No window, no
+    join, no Python."""
+    dec = "DECIMAL(38,0)"
+    ev = load_table(spark, sf_dir, "events")
+    t = (
+        ev.groupBy(F.col("user_id").alias("task_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        .filter(F.col("n") >= PASS_AT_K)
+    )
+    fnum = _falling_product(f"CAST(n - c AS {dec})", PASS_AT_K)
+    fden = _falling_product(f"CAST(n AS {dec})", PASS_AT_K)
+    return t.select(
+        "task_id",
+        F.col("n").alias("n_samples"),
+        F.col("c").alias("n_correct"),
+        F.expr("CAST((1000000 * c) div n AS BIGINT)").alias("pass1_ppm"),
+        F.expr(
+            f"CAST((CAST(1000000 AS {dec}) * (({fden}) - ({fnum})))"
+            f" div ({fden}) AS BIGINT)"
+        ).alias("pass_at_k_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GRPO group-relative advantage (Shao et al. 2024, arXiv:2402.03300
+# §4.1): per prompt group, A_i = (r_i - mean(r)) / std_pop(r) — the
+# whitened reward GRPO feeds back in place of a learned value
+# baseline. On the integer lattice (rewards in centi units):
+#     adv_num = n*r_i - sum(r)           (n x the mean-deviation)
+#     var_num = n*sum(r^2) - sum(r)^2    (n^2 x the population var)
+# and A_i = adv_num / sqrt(var_num) exactly. The integer sqrt rides
+# floor(sqrt(double)) with a +-1 correction, then a LOUD exactness
+# check (s^2 <= var_num < (s+1)^2) — if the double seed were ever off
+# by 2 (var_num >> 2^60, beyond any real group), both engines RAISE
+# rather than emit a silently-wrong floor (rule-7). The milli readout
+# divides on sign-split magnitudes so Spark's truncate-toward-zero and
+# DuckDB's floor division agree on negative advantages; zero-variance
+# groups emit 0 (the GRPO convention for degenerate groups).
+#
+# Fixture stand-in: groups are users in `events`, the reward is the
+# event value on the exact centi lattice (CAST(ROUND(value*100)), the
+# events_trend_regression precedent); a real pipeline feeds
+# (prompt_id, sample_id, reward) rollout tables.
+GRPO_MIN_GROUP = 2
+
+
+@register(
+    "train_grpo_advantage",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                      * CAST(ROUND(value * 100) AS BIGINT)) AS HUGEINT) AS s2
+      FROM events GROUP BY user_id
+      HAVING COUNT(*) >= {GRPO_MIN_GROUP}
+    ),
+    v AS (
+      SELECT user_id, n, s1,
+             n * s2 - CAST(s1 AS HUGEINT) * s1 AS var_num
+      FROM g
+    ),
+    s AS (
+      SELECT user_id, n, s1, var_num,
+             CAST(FLOOR(SQRT(CAST(var_num AS DOUBLE))) AS HUGEINT) AS s0
+      FROM v
+    ),
+    sd AS (
+      SELECT user_id, n, s1, var_num,
+             s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= var_num THEN 1 ELSE 0 END)
+                - (CASE WHEN s0 * s0 > var_num THEN 1 ELSE 0 END) AS sq
+      FROM s
+    ),
+    ok AS (
+      SELECT user_id, n, s1, var_num,
+             CASE WHEN sq * sq > var_num OR (sq + 1) * (sq + 1) <= var_num
+                  THEN CAST(error('train_grpo_advantage: isqrt seed off by >1') AS HUGEINT)
+                  ELSE sq END AS sq
+      FROM sd
+    )
+    SELECT e.event_id, e.user_id AS group_id,
+           CAST(ROUND(e.value * 100) AS BIGINT) AS reward_centi,
+           CAST(ok.n * CAST(ROUND(e.value * 100) AS BIGINT) - ok.s1
+                AS BIGINT) AS adv_num_centi,
+           CAST(ok.sq AS BIGINT) AS group_sd_floor_centi,
+           CAST(CASE WHEN ok.var_num = 0 THEN 0
+                     ELSE (CASE WHEN ok.n * CAST(ROUND(e.value * 100) AS BIGINT)
+                                     - ok.s1 < 0 THEN -1 ELSE 1 END)
+                          * ((1000 * ABS(ok.n * CAST(ROUND(e.value * 100) AS BIGINT)
+                                         - ok.s1)) // ok.sq)
+                END AS BIGINT) AS adv_milli
+    FROM events e JOIN ok ON e.user_id = ok.user_id
+    """,
+)
+def train_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sample GRPO advantage on the exact centi lattice: group
+    mean-deviation numerator, n^2-scaled population variance, exact
+    integer sqrt (float seed + correction + loud exactness check), and
+    the sign-split milli readout (see the constant block for the
+    derivation and both-engine division semantics).
+
+    Scale shape: the group-keyed (n, sum, sum-of-squares) partial
+    aggregate collapses map-side to |groups| rows, then the sample
+    relation equi-joins back on the SAME group key the aggregate
+    already shuffled on — at 100 TB the join co-partitions with the
+    aggregate output and AQE broadcasts the group relation when it
+    fits (the columnar re-scan of the 3 pruned reward columns is
+    cheaper than checkpointing the corpus-sized sample relation). The
+    per-sample algebra is pure codegen; no window, no Python."""
+    dec = "DECIMAL(38,0)"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("r"),
+    )
+    g = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("r").cast("long").alias("s1"),
+            F.expr(f"SUM(CAST(r AS {dec}) * r)").alias("s2"),
+        )
+        .filter(F.col("n") >= GRPO_MIN_GROUP)
+        .withColumn("var_num", F.expr(f"n * s2 - CAST(s1 AS {dec}) * s1"))
+        .withColumn(
+            "s0",
+            F.expr(f"CAST(FLOOR(SQRT(CAST(var_num AS DOUBLE))) AS {dec})"),
+        )
+        .withColumn(
+            "sq",
+            F.expr(
+                "s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= var_num THEN 1 ELSE 0 END)"
+                " - (CASE WHEN s0 * s0 > var_num THEN 1 ELSE 0 END)"
+            ),
+        )
+        .withColumn(
+            "sq",
+            F.expr(
+                "CASE WHEN sq * sq > var_num OR (sq + 1) * (sq + 1) <= var_num"
+                " THEN raise_error('train_grpo_advantage: isqrt seed off by >1')"
+                " ELSE sq END"
+            ),
+        )
+    )
+    adv = "n * r - s1"
+    # shuffle_hash with g as build side: both sides hash-partition on
+    # user_id (g's agg exchange is reused) and each task builds only
+    # its slice of the group relation. Unhinted, the static planner
+    # broadcast the pruned CORPUS side whenever its file estimate sat
+    # under the 64MB threshold (measured at the sf10 sweep: a 10M-row
+    # broadcast build; at 100 TB an OOM) — the 100x-sweep lesson.
+    return ev.join(g.hint("shuffle_hash"), "user_id").select(
+        "event_id",
+        F.col("user_id").alias("group_id"),
+        F.col("r").alias("reward_centi"),
+        F.expr(f"CAST({adv} AS BIGINT)").alias("adv_num_centi"),
+        F.expr("CAST(sq AS BIGINT)").alias("group_sd_floor_centi"),
+        F.expr(
+            f"CAST(CASE WHEN var_num = 0 THEN 0"
+            f" ELSE (CASE WHEN {adv} < 0 THEN -1 ELSE 1 END)"
+            f" * ((1000 * ABS({adv})) div sq) END AS BIGINT)"
+        ).alias("adv_milli"),
+    )

@@ -327,6 +327,11 @@ QUERIES = [
     # round 10c: pair ids join back to token-set projections on the
     # pair key; per-row set algebra, no pairwise blowup
     "train_pair_overlap",
+    # round 11: one task-keyed aggregate -> unrolled falling-factorial
+    # codegen (pass@k); group aggregate + co-keyed join back with an
+    # exact per-group isqrt (GRPO advantage)
+    "eval_pass_at_k",
+    "train_grpo_advantage",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
