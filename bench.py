@@ -361,6 +361,11 @@ HEADLINE_R25 = [
     # co-keyed join back, exact isqrt per group)
     "eval_pass_at_k",
     "train_grpo_advantage",
+    # batch 2: best-of-n yield curve (per-task ranking window + one
+    # aggregate with binomial codegen) and the source-quality
+    # tournament (one corpus scan -> bounded q-lattice algebra)
+    "eval_best_of_n_curve",
+    "source_quality_tournament",
 ]
 
 

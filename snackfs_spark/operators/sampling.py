@@ -4102,3 +4102,246 @@ def train_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * ((1000 * ABS({adv})) div sq) END AS BIGINT)"
         ).alias("adv_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Best-of-n yield curve (the sampling-budget readout behind
+# rejection-sampling / BoN RLHF pipelines, cf. Nakano et al. 2021
+# arXiv:2112.09332 App. B): given n scored samples per task, what is
+# the EXPECTED MAXIMUM score of a uniformly-random k-subset — i.e. how
+# much does each extra sample buy? Exact combinatorics: with scores
+# sorted ascending, the number of k-subsets whose maximum is the i-th
+# smallest sample is C(i-1, k-1), so
+#     E[max of k] = sum_i s_i * C(i-1, k-1) / C(n, k).
+# Binomials ride the falling-factorial lattice (a product of k-1
+# consecutive integers is divisible by (k-1)!, so the division is
+# EXACT — computed in DECIMAL(38,0)/HUGEINT, within the lattice to
+# n ~ 2e5 samples/task at k=8, loud raise past it). Tasks with n < k
+# emit NULL for that k (the readout is undefined, and NULL here is a
+# documented contract value, not an error swallow — both engines agree
+# deterministically). best_of_1 is the mean — the sanity anchor; the
+# curve is non-decreasing in k (pinned in tests).
+#
+# Fixture stand-in: tasks are users in `events`, the sample score is
+# the event value on the centi lattice; a real pipeline feeds
+# (task, sample, reward) rollout tables — same shape.
+BEST_OF_KS = (1, 2, 4, 8)
+
+
+def _comb_dec(iexpr: str, r: int, cast: str, div: str = "/") -> str:
+    """C(iexpr, r) exactly: falling-factorial product of r consecutive
+    terms over r! (the division is exact — r consecutive integers are
+    divisible by r!). r = 0 -> 1; the product contains a literal 0
+    factor whenever iexpr < r, so out-of-range binomials are 0 with no
+    branch. div: Spark decimal '/' is exact on an exactly-divisible
+    integer quotient (scale-6 repr of an integer); DuckDB must use '//'
+    because its '/' on HUGEINT is FLOAT division (measured off-by-one
+    in the sums at sf0.01)."""
+    import math as _math
+
+    if r == 0:
+        return f"CAST(1 AS {cast})"
+    prod = " * ".join(f"(CAST({iexpr} AS {cast}) - {j})" for j in range(r))
+    return f"(({prod}) {div} {_math.factorial(r)})"
+
+
+def _best_of_oracle() -> str:
+    cols = []
+    for k in BEST_OF_KS:
+        num = f"SUM(s * {_comb_dec('rn - 1', k - 1, 'HUGEINT', '//')})"
+        den = _comb_dec("MAX(n)", k, "HUGEINT", "//")
+        cols.append(
+            f"CAST(CASE WHEN MAX(n) >= {k} THEN CAST({num} AS HUGEINT) // {den}"
+            f" ELSE NULL END AS BIGINT) AS best_of_{k}_centi"
+        )
+    return f"""
+    WITH r AS (
+      SELECT user_id AS task_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS s,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ROUND(value * 100) AS BIGINT),
+                                         event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT task_id, CAST(MAX(n) AS BIGINT) AS n_samples, {", ".join(cols)}
+    FROM r GROUP BY task_id
+    """
+
+
+@register("eval_best_of_n_curve", oracle=_best_of_oracle())
+def eval_best_of_n_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-task expected-maximum score of a random k-subset for
+    k = {1, 2, 4, 8}, exactly (see the constant block: subset-maximum
+    counting via C(i-1, k-1), falling-factorial binomials, NULL
+    contract for n < k).
+
+    Scale shape: one events scan -> per-task ranking window (the same
+    task-keyed partition the aggregate shuffles on — no corpus-wide
+    sort) -> one task-keyed aggregate with k-term codegen products per
+    row. Bounded output: |tasks| rows x len(BEST_OF_KS) columns."""
+    dec = "DECIMAL(38,0)"
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("task_id"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("s"),
+        "event_id",
+    )
+    w = Window.partitionBy("task_id").orderBy("s", "event_id")
+    wn = Window.partitionBy("task_id")
+    r = ev.select(
+        "task_id",
+        "s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n_samples")]
+    for k in BEST_OF_KS:
+        num = f"SUM(s * {_comb_dec('rn - 1', k - 1, dec)})"
+        den = _comb_dec("MAX(n)", k, dec)
+        aggs.append(
+            F.expr(
+                f"CAST(CASE WHEN MAX(n) >= {k} THEN CAST({num} AS {dec})"
+                f" div {den} ELSE NULL END AS BIGINT)"
+            ).alias(f"best_of_{k}_centi")
+        )
+    return r.groupBy("task_id").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Source-quality tournament: rank corpus sources by PAIRWISE STOCHASTIC
+# DOMINANCE of their per-doc quality scores — "if I draw one doc from
+# source A and one from B, how often does A's score win?" — then the
+# Copeland score (majority wins minus losses over all opponents), the
+# classic tournament ranking that needs no iterative fitting. Because
+# the quality score is the bounded stopword permille (0..1000), the
+# |A| x |B| comparisons collapse onto the q-lattice:
+#     wins(A,B)  = sum_q histA(q) * cdfB(q-1)        (strict wins)
+#     ties(A,B)  = sum_q histA(q) * histB(q)
+#     win2       = 2*wins + ties      (doubled lattice, exact halves)
+# so the whole tournament is |sources|^2 x 1001 bounded algebra after
+# ONE corpus scan — no doc-pair join exists at any scale. The dense
+# per-source lattice (grid join) guarantees every histogram row finds
+# its opponent's cumulative row.
+SQT_Q_MAX = 1000  # stopword permille lattice bound
+
+
+def _sqt_oracle() -> str:
+    return f"""
+    WITH h AS (
+      SELECT source, CAST({STOPWORD_PERMILLE_SQL} AS BIGINT) AS q,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT s.source, g.q, COALESCE(h.c, 0) AS c
+      FROM (SELECT DISTINCT source FROM h) s
+      CROSS JOIN (SELECT UNNEST(generate_series(0, {SQT_Q_MAX})) AS q) g
+      LEFT JOIN h ON h.source = s.source AND h.q = g.q
+    ),
+    cdf AS (
+      SELECT source, q, c,
+             COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY q
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cdf_lt,
+             SUM(c) OVER (PARTITION BY source) AS n
+      FROM grid
+    ),
+    pair AS (
+      SELECT a.source AS challenger, b.source AS opponent,
+             CAST(MAX(a.n) AS HUGEINT) * MAX(b.n) AS comparisons,
+             SUM(CAST(a.c AS HUGEINT) * (2 * b.cdf_lt + b.c)) AS win2
+      FROM (SELECT h.source, h.q, h.c, cdf.n
+            FROM h JOIN cdf ON cdf.source = h.source AND cdf.q = h.q) a
+      JOIN cdf b ON b.q = a.q AND b.source <> a.source
+      GROUP BY 1, 2
+    )
+    SELECT challenger, opponent,
+           CAST(comparisons AS BIGINT) AS comparisons,
+           CAST(win2 AS BIGINT) AS win2,
+           CAST((1000 * win2) // (2 * comparisons) AS BIGINT) AS win_permille,
+           CAST(SUM(CASE WHEN win2 > comparisons THEN 1
+                         WHEN win2 < comparisons THEN -1 ELSE 0 END)
+                OVER (PARTITION BY challenger) AS BIGINT) AS copeland
+    FROM pair
+    """
+
+
+@register("source_quality_tournament", oracle=_sqt_oracle())
+def source_quality_tournament(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise stochastic-dominance win rates between sources on the
+    bounded quality lattice, with the Copeland tournament score (see
+    the constant block for the histogram-CDF collapse that replaces
+    any doc-pair join).
+
+    Scale shape: ONE corpus scan -> (source, q) histogram (map-side
+    combined, <= |sources| x 1001 rows); the dense grid, CDF windows,
+    pair join and Copeland window all run on that bounded lattice.
+    Exactness: the doubled win count keeps tie-halves integral; the
+    permille readout is one truncating division on nonneg values."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    dec = "DECIMAL(38,0)"
+    h = (
+        docs.select(
+            "source",
+            F.expr(f"CAST({STOPWORD_PERMILLE_SPARK} AS BIGINT)").alias("q"),
+        )
+        .groupBy("source", "q")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    grid = (
+        h.select("source")
+        .distinct()
+        .crossJoin(
+            spark.range(SQT_Q_MAX + 1).select(F.col("id").cast("long").alias("q"))
+        )
+        .join(h, ["source", "q"], "left")
+        .select("source", "q", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    wq = (
+        Window.partitionBy("source")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cdf = grid.select(
+        "source",
+        "q",
+        "c",
+        F.coalesce(F.sum("c").over(wq), F.lit(0)).cast("long").alias("cdf_lt"),
+        F.sum("c").over(Window.partitionBy("source")).cast("long").alias("n"),
+    )
+    a = h.join(
+        cdf.select("source", "q", F.col("n").alias("n_a")), ["source", "q"]
+    ).alias("a")
+    b = cdf.alias("b")
+    pair = (
+        a.join(b, (F.expr("a.q = b.q")) & (F.expr("a.source <> b.source")))
+        .groupBy(
+            F.col("a.source").alias("challenger"),
+            F.col("b.source").alias("opponent"),
+        )
+        .agg(
+            F.expr(f"CAST(MAX(a.n_a) AS {dec}) * MAX(b.n)").alias("comparisons"),
+            F.expr(
+                f"SUM(CAST(a.c AS {dec}) * (2 * b.cdf_lt + b.c))"
+            ).alias("win2"),
+        )
+    )
+    wc = Window.partitionBy("challenger")
+    return pair.select(
+        "challenger",
+        "opponent",
+        F.expr("CAST(comparisons AS BIGINT)").alias("comparisons"),
+        F.expr("CAST(win2 AS BIGINT)").alias("win2"),
+        F.expr("CAST((1000 * win2) div (2 * comparisons) AS BIGINT)").alias(
+            "win_permille"
+        ),
+        F.sum(
+            F.when(F.col("win2") > F.col("comparisons"), 1)
+            .when(F.col("win2") < F.col("comparisons"), -1)
+            .otherwise(0)
+        )
+        .over(wc)
+        .cast("long")
+        .alias("copeland"),
+    )

@@ -195,6 +195,124 @@ def test_new_ops_registered_after_window():
     from snackfs_spark.registry import PRIORITY
 
     reg = list(load_all())
-    for name in ("eval_pass_at_k", "train_grpo_advantage"):
+    for name in (
+        "eval_pass_at_k",
+        "train_grpo_advantage",
+        "eval_best_of_n_curve",
+        "source_quality_tournament",
+    ):
         assert name in reg and name not in PRIORITY
         assert reg.index(name) >= 50
+
+
+def test_best_of_n_python_replay(spark):
+    """Per task: E[max of random k-subset] recomputed with math.comb on
+    python rationals (exact floor at centi scale) from the raw parquet;
+    the curve must be non-decreasing in k and best_of_n == max score
+    when k == n."""
+    from snackfs_spark.operators.sampling import BEST_OF_KS
+
+    rows = load_all()["eval_best_of_n_curve"].fn(spark, SF_ORACLE).collect()
+    ev = pd.read_parquet(f"{SF_ORACLE}/events.parquet")
+    ev["s"] = (ev["value"] * 100).round().astype(int)
+    want = {}
+    for uid, grp in ev.groupby("user_id"):
+        ss = sorted(int(x) for x in grp["s"])
+        n = len(ss)
+        vals = [n]
+        for k in BEST_OF_KS:
+            if n < k:
+                vals.append(None)
+                continue
+            num = sum(s * math.comb(i, k - 1) for i, s in enumerate(ss))
+            vals.append(num // math.comb(n, k))
+        want[uid] = tuple(vals)
+    got = {
+        r["task_id"]: (
+            r["n_samples"],
+            *(r[f"best_of_{k}_centi"] for k in BEST_OF_KS),
+        )
+        for r in rows
+    }
+    assert got == want
+    for uid, (n, *curve) in want.items():
+        present = [c for c in curve if c is not None]
+        assert present == sorted(present), (uid, curve)  # non-decreasing
+        # best_of_1 is the floor-mean
+        ss = sorted(int(x) for x in ev[ev.user_id == uid]["s"])
+        assert curve[0] == sum(ss) // len(ss)
+
+
+def test_best_of_n_no_corpus_sort_plan(spark):
+    """The ranking window partitions per task (never a global sort) and
+    the aggregate shuffles once on the same key."""
+    df = load_all()["eval_best_of_n_curve"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Location: InMemoryFileIndex" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    for l in plan.splitlines():
+        if "windowspecdefinition" in l:
+            assert "task_id" in l, l
+    assert "Join" not in plan, plan
+
+
+def test_source_tournament_python_replay(spark):
+    """Pairwise win2 counts and Copeland scores recomputed from the raw
+    parquet by brute-force doc-pair comparison (the quadratic oracle
+    the lattice collapse replaces) — exact equality, plus the
+    antisymmetry identity win2(a,b) + win2(b,a) == 2*|a|*|b|."""
+    from snackfs_spark.functions import STOPWORD_PERMILLE_SQL
+    import duckdb
+
+    rows = load_all()["source_quality_tournament"].fn(spark, SF_ORACLE).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    qs = con.execute(
+        f"SELECT source, CAST({STOPWORD_PERMILLE_SQL} AS BIGINT) FROM documents"
+    ).fetchall()
+    by_src: dict[str, list[int]] = {}
+    for src, q in qs:
+        by_src.setdefault(src, []).append(int(q))
+    want = {}
+    for a, qa in by_src.items():
+        for b, qb in by_src.items():
+            if a == b:
+                continue
+            win2 = sum(
+                2 if x > y else (1 if x == y else 0) for x in qa for y in qb
+            )
+            comp = len(qa) * len(qb)
+            want[(a, b)] = (comp, win2, 1000 * win2 // (2 * comp))
+    cope = {}
+    for (a, b), (comp, win2, _) in want.items():
+        cope[a] = cope.get(a, 0) + (1 if win2 > comp else -1 if win2 < comp else 0)
+    got = {
+        (r["challenger"], r["opponent"]): (
+            r["comparisons"], r["win2"], r["win_permille"], r["copeland"],
+        )
+        for r in rows
+    }
+    assert got == {k: (*v, cope[k[0]]) for k, v in want.items()}
+    for (a, b), (comp, win2, _) in want.items():
+        assert win2 + want[(b, a)][1] == 2 * comp
+
+
+def test_source_tournament_bounded_lattice_plan(spark):
+    """No doc-pair shape anywhere: ONE corpus scan feeds the
+    checkpointed (source, q) histogram; the grid, CDF windows and pair
+    join run on the bounded lattice (the range(1001) generator is the
+    only other leaf)."""
+    df = load_all()["source_quality_tournament"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert plan.count("Location: InMemoryFileIndex") == 0, plan  # checkpointed
+    assert "CartesianProduct" not in plan, plan
+    rdd_lines = [
+        l for l in plan.splitlines()
+        if "MapPartitionsRDD[" in l and "localCheckpoint" in l
+    ]
+    # histogram checkpoint read by grid-left-join side, the a-side and
+    # the distinct-sources builder: all the SAME rdd
+    assert len({l.split("MapPartitionsRDD[")[1].split("]")[0] for l in rdd_lines}) == 1, plan

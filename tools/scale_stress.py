@@ -332,6 +332,11 @@ QUERIES = [
     # exact per-group isqrt (GRPO advantage)
     "eval_pass_at_k",
     "train_grpo_advantage",
+    # round 11 batch 2: per-task ranking window + binomial-weighted
+    # aggregate (best-of-n); (source, q) histogram -> dense lattice ->
+    # CDF windows -> bounded pair join (tournament)
+    "eval_best_of_n_curve",
+    "source_quality_tournament",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
