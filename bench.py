@@ -366,6 +366,9 @@ HEADLINE_R25 = [
     # tournament (one corpus scan -> bounded q-lattice algebra)
     "eval_best_of_n_curve",
     "source_quality_tournament",
+    # batch 3: matryoshka truncation recall (broadcast query set, one
+    # corpus pass computing every prefix cosine, shared ranking windows)
+    "emb_matryoshka_recall",
 ]
 
 

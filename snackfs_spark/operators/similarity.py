@@ -1278,3 +1278,152 @@ def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("violates_margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation eval (Kusupati et al. 2022, arXiv:2205.13147):
+# how much retrieval quality survives when embeddings are truncated to
+# a dim prefix — THE sizing readout for tiered retrieval (cheap
+# prefix-dim first pass, full-dim rerank). For each prefix length P,
+# rank the corpus per query by prefix-cosine and report recall@k
+# against the full-dim top-k. Both rankings use the deterministic
+# (cosine DESC, vec_id) total order and the engines' bit-identical
+# left-fold double dot products, so the recall counts are exact
+# integers; recall at P = full dim is 1000 permille by construction
+# (pinned in tests).
+MATRYOSHKA_DIMS = (8, 16, 32, 64)  # 64 = the fixture's full width
+
+
+def _prefix_dot_spark(a: str, b: str, p: int) -> str:
+    return (
+        f"aggregate(zip_with(CAST(slice({a}, 1, {p}) AS ARRAY<DOUBLE>), "
+        f"CAST(slice({b}, 1, {p}) AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+        "0D, (acc, v) -> acc + v)"
+    )
+
+
+def _prefix_dot_duck(a: str, b: str, p: int) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {p + 1}), i -> "
+        f"CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+
+
+def _matryoshka_oracle() -> str:
+    full = MATRYOSHKA_DIMS[-1]
+    cos_cols = ", ".join(
+        f"({_prefix_dot_duck('a', 'b', p)}) / "
+        f"(sqrt({_prefix_dot_duck('a', 'a', p)}) * "
+        f"sqrt({_prefix_dot_duck('b', 'b', p)})) AS cos_{p}"
+        for p in MATRYOSHKA_DIMS
+    )
+    rn_cols = ", ".join(
+        f"ROW_NUMBER() OVER (PARTITION BY query_id"
+        f" ORDER BY cos_{p} DESC, vec_id) AS rn_{p}"
+        for p in MATRYOSHKA_DIMS
+    )
+    hit_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN rn_{p} <= {TOP_K} AND rn_{full} <= {TOP_K}"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS hits_{p}"
+        for p in MATRYOSHKA_DIMS
+    )
+    arms = "\n      UNION ALL ".join(
+        f"SELECT query_id, CAST({p} AS BIGINT) AS prefix_dims,"
+        f" hits_{p} AS hits_at_k,"
+        f" CAST((1000 * hits_{p}) // {TOP_K} AS BIGINT) AS recall_permille"
+        f" FROM h"
+        for p in MATRYOSHKA_DIMS
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id, {cos_cols}
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    ranked AS (SELECT query_id, vec_id, {rn_cols} FROM pairs),
+    h AS (SELECT query_id, {hit_cols} FROM ranked GROUP BY query_id)
+    {arms}
+    """
+
+
+@register("emb_matryoshka_recall", oracle=_matryoshka_oracle())
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{TOP_K} of prefix-dim cosine rankings vs the full-dim
+    ranking, per query and prefix length (see the constant block).
+
+    Scale shape: the ann_bruteforce_topk posture — the tiny query set
+    broadcasts against ONE corpus scan; all prefix cosines are computed
+    in that single pass (per-row JVM array folds), the per-(query,
+    prefix) rankings share one query-keyed partitioning (top-k via
+    ranking windows, WindowGroupLimit-eligible), and the readout
+    aggregate collapses to |queries| x |prefixes| rows."""
+    full = MATRYOSHKA_DIMS[-1]
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    c = emb.alias("b")
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.expr("a.vec_id <> b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("vec_id"),
+            *[
+                (
+                    F.expr(_prefix_dot_spark("a.embedding", "b.embedding", p))
+                    / (
+                        F.sqrt(
+                            F.expr(_prefix_dot_spark("a.embedding", "a.embedding", p))
+                        )
+                        * F.sqrt(
+                            F.expr(_prefix_dot_spark("b.embedding", "b.embedding", p))
+                        )
+                    )
+                ).alias(f"cos_{p}")
+                for p in MATRYOSHKA_DIMS
+            ],
+        )
+    )
+    ranked = pairs.select(
+        "query_id",
+        "vec_id",
+        *[
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col(f"cos_{p}").desc(), F.col("vec_id")
+                )
+            )
+            .alias(f"rn_{p}")
+            for p in MATRYOSHKA_DIMS
+        ],
+    )
+    h = ranked.groupBy("query_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col(f"rn_{p}") <= TOP_K) & (F.col(f"rn_{full}") <= TOP_K), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"hits_{p}")
+            for p in MATRYOSHKA_DIMS
+        ]
+    )
+    stack = ", ".join(
+        f"CAST({p} AS BIGINT), hits_{p}" for p in MATRYOSHKA_DIMS
+    )
+    return h.select(
+        "query_id",
+        F.expr(
+            f"stack({len(MATRYOSHKA_DIMS)}, {stack}) AS (prefix_dims, hits_at_k)"
+        ),
+    ).select(
+        "query_id",
+        "prefix_dims",
+        "hits_at_k",
+        F.expr(f"CAST((1000 * hits_at_k) div {TOP_K} AS BIGINT)").alias(
+            "recall_permille"
+        ),
+    )

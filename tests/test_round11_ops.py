@@ -200,6 +200,7 @@ def test_new_ops_registered_after_window():
         "train_grpo_advantage",
         "eval_best_of_n_curve",
         "source_quality_tournament",
+        "emb_matryoshka_recall",
     ):
         assert name in reg and name not in PRIORITY
         assert reg.index(name) >= 50
@@ -316,3 +317,64 @@ def test_source_tournament_bounded_lattice_plan(spark):
     # histogram checkpoint read by grid-left-join side, the a-side and
     # the distinct-sources builder: all the SAME rdd
     assert len({l.split("MapPartitionsRDD[")[1].split("]")[0] for l in rdd_lines}) == 1, plan
+
+
+def test_matryoshka_recall_python_replay(spark):
+    """numpy replay: per query and prefix length, rank by prefix-cosine
+    (ties to smallest vec_id) and count overlap with the full-dim
+    top-k; full-dim recall must be exactly 1000 permille and recall
+    must be sane (0..1000) with at least one prefix below full."""
+    import numpy as np
+
+    from snackfs_spark.operators.similarity import (
+        MATRYOSHKA_DIMS,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    rows = load_all()["emb_matryoshka_recall"].fn(spark, SF_ORACLE).collect()
+    emb = pd.read_parquet(f"{SF_ORACLE}/embeddings.parquet")
+    vecs = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64)
+            for _, r in emb.iterrows()}
+    want = {}
+    full = MATRYOSHKA_DIMS[-1]
+    for qid in range(N_QUERIES):
+        tops = {}
+        for p in MATRYOSHKA_DIMS:
+            scored = []
+            a = vecs[qid][:p]
+            na = math.sqrt(float((a * a).sum()))
+            for vid, v in vecs.items():
+                if vid == qid:
+                    continue
+                b = v[:p]
+                nb = math.sqrt(float((b * b).sum()))
+                scored.append((-float(a @ b) / (na * nb), vid))
+            scored.sort()
+            tops[p] = {vid for _, vid in scored[:TOP_K]}
+        for p in MATRYOSHKA_DIMS:
+            hits = len(tops[p] & tops[full])
+            want[(qid, p)] = (hits, 1000 * hits // TOP_K)
+    got = {
+        (r["query_id"], r["prefix_dims"]): (r["hits_at_k"], r["recall_permille"])
+        for r in rows
+    }
+    assert got == want
+    for qid in range(N_QUERIES):
+        assert got[(qid, full)] == (TOP_K, 1000)
+    assert any(v[1] < 1000 for v in got.values())
+
+
+def test_matryoshka_single_corpus_pass_plan(spark):
+    """One broadcast of the query set, ONE corpus scan computing every
+    prefix cosine, rankings sharing one query-keyed partitioning — no
+    per-prefix re-scan, no cartesian beyond the deliberate broadcast."""
+    df = load_all()["emb_matryoshka_recall"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert plan.count("Location: InMemoryFileIndex") == 2, plan  # query + corpus
+    # the deliberate broadcast-nested-loop of the tiny query set is the
+    # ONLY join (appears twice in formatted output: tree + detail)
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+    # all four prefix rankings share ONE query-keyed exchange
+    assert plan.count("+- Exchange") == 1, plan

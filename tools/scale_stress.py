@@ -337,6 +337,9 @@ QUERIES = [
     # CDF windows -> bounded pair join (tournament)
     "eval_best_of_n_curve",
     "source_quality_tournament",
+    # round 11 batch 3: broadcast queries x one corpus pass, all prefix
+    # cosines in the same scan, shared query-keyed ranking windows
+    "emb_matryoshka_recall",
 ]
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": str(_REPO / "var/sf1")}
