@@ -12,6 +12,8 @@ contract (incremental execution of the same Catalyst plan).
 
 from __future__ import annotations
 
+import math
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,6 +21,45 @@ from pyspark.sql import functions as F
 
 from snackfs_spark.functions import ts_str
 from snackfs_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# State-store shard policy (optimization r11; guide §2 "make partitioning
+# scale-adaptive"). A stateful streaming operator creates one state store
+# per shuffle partition, and EVERY shard pays a per-micro-batch commit
+# (delta file + checksum + rename fsyncs) whether or not it holds rows.
+# Measured at sf0.1: the chained windowed_peak agg spent 4.1 s at 32
+# shards vs 1.4 s at 4 — the state itself is a few hundred rows. Policy:
+#   - BOUNDED-state ops (watermark-bounded windows × event types, fed by
+#     map-side partial aggregation): state cardinality is O(open windows
+#     × types) at ANY corpus scale and the shuffle moves only partial
+#     aggregates, so a small fixed shard count is right everywhere.
+#     Clusters with wide key spaces can raise it via env.
+#   - KEYED-state ops (per-key CDC rows, dedup hash sets, stream-stream
+#     join buffers): state grows with the input, so shards derive from
+#     the source size (~32 MB of source per shard) — 2 at sf0.1,
+#     thousands at 100 TB — instead of inheriting the batch session's
+#     shuffle width.
+# ---------------------------------------------------------------------------
+BOUNDED_STATE_SHARDS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+)
+_KEYED_STATE_BYTES_PER_SHARD = 32 * 1024 * 1024
+
+
+def keyed_state_partitions(sf_dir: str, *table_files: str) -> int:
+    """Shard count for key-proportional streaming state: one shard per
+    ~32 MB of source data, clamped to [2, 10k]. Honors the same env
+    override as the bounded policy when set explicitly."""
+    override = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if override:
+        return int(override)
+    total = 0
+    for t in table_files or ("events.parquet",):
+        try:
+            total += os.path.getsize(os.path.join(sf_dir, t))
+        except OSError:
+            total += _KEYED_STATE_BYTES_PER_SHARD
+    return max(2, min(10_000, math.ceil(total / _KEYED_STATE_BYTES_PER_SHARD)))
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,20 +123,49 @@ def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_stream_to_df(spark: SparkSession, streaming_df: DataFrame, mode: str = "complete") -> DataFrame:
+def run_stream_to_df(
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Drain a streaming plan synchronously through a memory sink and
-    return the materialized result as a batch DataFrame."""
+    return the materialized result as a batch DataFrame.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    lifetime of the stream (the value is captured into the checkpoint at
+    start and fixes the state-store shard count); the session value is
+    restored afterwards so batch plans are untouched. Shard count never
+    changes WHAT a stateful op computes — aggregation is exact and
+    keyed state is partition-local — only how many per-batch store
+    commits are paid."""
     name = f"snackstream_{uuid.uuid4().hex[:12]}"
-    q = (
-        streaming_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    _CK = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    prev_ck = spark.conf.get(_CK, "true")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # This drain runs on an ephemeral temp checkpoint that is discarded
+    # the moment the stream stops; per-file checksums exist to catch
+    # storage corruption in long-lived checkpoints and are pure fsync
+    # overhead here (~20% of windowed_peak's wall time at sf0.1).
+    # Durable streams (stream_ingest_documents) keep the default.
+    spark.conf.set(_CK, "false")
     try:
-        q.processAllAvailable()
+        q = (
+            streaming_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set(_CK, prev_ck)
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
@@ -112,7 +182,11 @@ def run_stream_to_df(spark: SparkSession, streaming_df: DataFrame, mode: str = "
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The windowed streaming aggregation, drained to completion — output
     must equal the batch rollup (and hash-match the same oracle)."""
-    out = run_stream_to_df(spark, hourly_rollup_stream(spark, sf_dir))
+    out = run_stream_to_df(
+        spark,
+        hourly_rollup_stream(spark, sf_dir),
+        state_partitions=BOUNDED_STATE_SHARDS,
+    )
     return out.withColumn("hour_start", ts_str("hour_start"))
 
 
@@ -151,7 +225,11 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous session's end does NOT merge). The oracle is the batch
     lag/running-sum sessionization under that same >= convention —
     which also pins the half-open boundary semantics themselves."""
-    out = run_stream_to_df(spark, session_window_stream(spark, sf_dir))
+    out = run_stream_to_df(
+        spark,
+        session_window_stream(spark, sf_dir),
+        state_partitions=keyed_state_partitions(sf_dir, "events.parquet"),
+    )
     return out.withColumn("session_start", ts_str("session_start"))
 
 
@@ -209,7 +287,10 @@ def streaming_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame
     """The stream-stream join, drained to completion in append mode —
     must equal the equivalent batch interval join (the oracle)."""
     out = run_stream_to_df(
-        spark, purchase_error_join_stream(spark, sf_dir), mode="append"
+        spark,
+        purchase_error_join_stream(spark, sf_dir),
+        mode="append",
+        state_partitions=keyed_state_partitions(sf_dir, "events.parquet"),
     )
     return out.withColumn("p_ts", ts_str("p_ts")).withColumn("e_ts", ts_str("e_ts"))
 
@@ -247,7 +328,12 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = docs.select(F.md5("text").alias("content_hash")).dropDuplicates(
         ["content_hash"]
     )
-    return run_stream_to_df(spark, hashes, mode="append")
+    return run_stream_to_df(
+        spark,
+        hashes,
+        mode="append",
+        state_partitions=keyed_state_partitions(sf_dir, "documents.parquet"),
+    )
 
 
 def stream_ingest_documents(
@@ -310,7 +396,10 @@ def streaming_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["content_hash"]
     )
     return run_stream_to_df(
-        spark, deduped.select("content_hash"), mode="append"
+        spark,
+        deduped.select("content_hash"),
+        mode="append",
+        state_partitions=keyed_state_partitions(sf_dir, "documents.parquet"),
     )
 
 
@@ -400,7 +489,11 @@ def enrichment_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stream-static enrichment join drained to completion — must
     equal the equivalent batch join+rollup (the oracle)."""
-    out = run_stream_to_df(spark, enrichment_join_stream(spark, sf_dir))
+    out = run_stream_to_df(
+        spark,
+        enrichment_join_stream(spark, sf_dir),
+        state_partitions=BOUNDED_STATE_SHARDS,
+    )
     return out.withColumn("day_start", ts_str("day_start"))
 
 
@@ -465,7 +558,12 @@ def streaming_windowed_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     which pins both the chained-agg semantics AND the append-mode
     finalization rule. State at scale: open 10-min windows x types +
     open hours x types, both watermark-bounded."""
-    out = run_stream_to_df(spark, windowed_peak_stream(spark, sf_dir), mode="append")
+    out = run_stream_to_df(
+        spark,
+        windowed_peak_stream(spark, sf_dir),
+        mode="append",
+        state_partitions=BOUNDED_STATE_SHARDS,
+    )
     return out.withColumn("hour_start", ts_str("hour_start"))
 
 
@@ -529,7 +627,11 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     The complete-mode memory sink is the test harness; a production
     sink is foreachBatch MERGE into the serving table (the
     stream_ingest_documents pattern)."""
-    out = run_stream_to_df(spark, cdc_upsert_stream(spark, sf_dir))
+    out = run_stream_to_df(
+        spark,
+        cdc_upsert_stream(spark, sf_dir),
+        state_partitions=keyed_state_partitions(sf_dir, "events.parquet"),
+    )
     return out.withColumn("last_ts", ts_str("last_ts")).withColumn(
         "n_changes", F.col("n_changes").cast("long")
     )

@@ -506,3 +506,39 @@ def test_windowed_peak_chained_stateful(spark):
         .filter(F.col("wh.end") <= F.lit(mx) - F.expr("interval 2 hours"))
     )
     assert out.count() == twin.count() > 0
+
+
+def test_state_partition_policy(spark, monkeypatch):
+    """Optimization r11: stateful drains pin the state-store shard count
+    (bounded-state ops: small constant; keyed-state ops: derived from
+    source bytes) and restore the session's shuffle partitions + the
+    checkpoint-checksum conf afterwards, so batch plans are untouched."""
+    import os
+
+    from snackfs_spark.streaming.ingest import (
+        BOUNDED_STATE_SHARDS,
+        hourly_rollup_stream,
+        keyed_state_partitions,
+    )
+
+    # keyed policy: ceil(bytes / 32 MiB), floor 2, env override wins
+    sz = os.path.getsize(os.path.join(SF_SMALL, "events.parquet"))
+    expect = max(2, -(-sz // (32 * 1024 * 1024)))
+    assert keyed_state_partitions(SF_SMALL, "events.parquet") == expect
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "64")
+    assert keyed_state_partitions(SF_SMALL, "events.parquet") == 64
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+
+    # the drain pins shuffle partitions for the stream, then restores
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    ck = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    prev_ck = spark.conf.get(ck, "true")
+    got = run_stream_to_df(
+        spark,
+        hourly_rollup_stream(spark, SF_SMALL),
+        state_partitions=3,
+    )
+    assert got.count() > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    assert spark.conf.get(ck, "true") == prev_ck
+    assert BOUNDED_STATE_SHARDS >= 1
