@@ -237,32 +237,41 @@ def text_payloads_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def compress(batches):
-        import gzip
-        import io
-        import zipfile
-
-        def as_zip(t: str) -> bytes:
-            # deterministic archive: fixed entry name/date, STORED (no
-            # compressor-version drift in the bytes)
-            buf = io.BytesIO()
-            with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
-                info = zipfile.ZipInfo("doc.txt", date_time=(1980, 1, 1, 0, 0, 0))
-                zf.writestr(info, t)
-            return buf.getvalue()
-
-        for pdf in batches:
-            payloads = [
-                gzip.compress(t.encode(), mtime=0)
-                if d % 2 == 1
-                else (as_zip(t) if d % 4 == 2 else t.encode())
-                for d, t in zip(pdf["doc_id"], pdf["text"])
-            ]
-            yield pd.DataFrame({"path": pdf["path"], "payload": payloads})
-
     from snackfs_spark.sources.tables import fan_out
 
-    return fan_out(docs, spark).mapInPandas(compress, schema=schema)
+    return fan_out(docs, spark).mapInPandas(_compress_text, schema=schema)
+
+
+def _compress_text(batches):
+    """(doc_id, text, path) batches -> (path, payload) batches: odd
+    doc_ids gzip (mtime=0; level 1 — the decode contract pins the
+    DECODED bytes and the magic sniff, both level-independent, and the
+    registered query projects stored_bytes out precisely because
+    container bytes may vary), doc_id % 4 == 2 deterministic STORED
+    ZIP, rest raw utf-8."""
+    import gzip
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    def as_zip(t: str) -> bytes:
+        # deterministic archive: fixed entry name/date, STORED (no
+        # compressor-version drift in the bytes)
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+            info = zipfile.ZipInfo("doc.txt", date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(info, t)
+        return buf.getvalue()
+
+    for pdf in batches:
+        payloads = [
+            gzip.compress(t.encode(), compresslevel=1, mtime=0)
+            if d % 2 == 1
+            else (as_zip(t) if d % 4 == 2 else t.encode())
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        yield pd.DataFrame({"path": pdf["path"], "payload": payloads})
 
 
 def _decode_text(batches):
@@ -330,8 +339,18 @@ def fs_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 equals the source md5 only if the round-trip is exact).
     stored_bytes is projected out of the registered query because
     gzip output size is zlib-version-dependent — the decode contract
-    (codec choice, decoded length, decoded bytes) is what's pinned."""
+    (codec choice, decoded length, decoded bytes) is what's pinned.
+
+    Optimization r11 (guide §4): the storage fixture (_compress_text)
+    and the decoder (_decode_text) run FUSED in one mapInPandas — the
+    payload bytes previously crossed the JVM<->Python Arrow boundary
+    twice (compress out, decode in) for no plan benefit; the two
+    generators stay separate, unit-tested functions, and the decode
+    still sniffs real container bytes."""
     from pyspark.sql import types as T
+
+    from snackfs_spark.sources.fsmodel import _doc_path
+    from snackfs_spark.sources.tables import fan_out, load_table
 
     schema = T.StructType(
         [
@@ -342,7 +361,14 @@ def fs_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("text_md5", T.StringType()),
         ]
     )
-    out = text_payloads_df(spark, sf_dir).mapInPandas(_decode_text, schema=schema)
+    docs = load_table(spark, sf_dir, "documents").select(
+        _doc_path().alias("path"), "doc_id", "text"
+    )
+
+    def fused(batches):
+        yield from _decode_text(_compress_text(batches))
+
+    out = fan_out(docs, spark).mapInPandas(fused, schema=schema)
     return out.select("path", "codec", "text_bytes", "text_md5")
 
 

@@ -264,6 +264,90 @@ def candidate_edges_df(
     return _CAND_EDGES_MEMO.get_or_build(key, build)
 
 
+_DISTINCT_SHINGLES_MEMO = SessionMemo(maxsize=4)
+
+
+def distinct_shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTINCT (doc_id, shingle) relation behind a shared lazy
+    localCheckpoint (optimization r11): dedup_prefix_filter,
+    split_contamination_check, text_boilerplate and the common-shingle
+    scorer each built a PRIVATE checkpoint (or none) of this identical
+    expression — four corpus scans + explode + distinct shuffles per
+    battery where one suffices. Corpus-proportional like the prefix
+    memo; a real cluster persists the shingle table once per corpus
+    (computed by the first pipeline stage, read by dedup /
+    decontamination / boilerplate alike — which is exactly the reuse
+    this memo models locally)."""
+
+    def build() -> DataFrame:
+        return shingles_df(spark, sf_dir, distinct=True).localCheckpoint(
+            eager=False
+        )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _DISTINCT_SHINGLES_MEMO.get_or_build(key, build)
+
+
+_CLUSTER_LABELS_MEMO = SessionMemo(maxsize=4)
+
+
+def cluster_labels_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged min-label connected components over the shared MinHash
+    candidate graph — the (doc_id, label) relation dedup_cluster_canonical
+    and its three composing queries (golden_record, corpus_dedup_impact,
+    split_cluster_safe) all derive from. Memoized per (session, sf_dir)
+    like candidate_edges_df (optimization r11): each consumer previously
+    re-ran the full minhash pipeline AND the whole propagation loop.
+    Unlike the lazy memos, the build runs jobs (the convergence test is
+    an action per round) — it happens once per session under the memo
+    lock; the returned relation is an eager localCheckpoint, so consumers
+    see a materialized, lineage-free table. Semantics identical: the
+    expression is exactly the loop dedup_cluster_canonical inlined."""
+
+    def build() -> DataFrame:
+        # The shared candidate relation — already (lazily) checkpointed;
+        # every propagation round joins against it.
+        pairs, _ = candidate_edges_df(spark, sf_dir)
+        edges = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        # Iterate ONLY over nodes that touch an edge: singletons (the
+        # vast majority of any corpus) can never change label, so the
+        # loop runs on the candidate graph (≈ #near-dup docs), not the
+        # corpus.
+        labels = (
+            edges.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .select("doc_id", F.col("doc_id").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(12):  # >> any real near-dup component diameter
+            prop = edges.join(labels, edges["src"] == labels["doc_id"]).select(
+                F.col("dst").alias("doc_id"), "label"
+            )
+            new_labels = (
+                labels.unionAll(prop)
+                .groupBy("doc_id")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") < F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _CLUSTER_LABELS_MEMO.get_or_build(key, build)
+
+
 def verify_jaccard_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -350,14 +434,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, so the shingle pass is semi-joined down to candidate docs
     before any per-pair work; the all-pairs shingle join never happens at
     any scale."""
-    # Materialize the (tiny) candidate set once: it feeds BOTH the
-    # semi-join that prunes the shingle pass and the final pair join, and
-    # without the checkpoint each consumer re-runs the whole minhash
-    # band-join DAG (~30% of query time at sf0.1). eager=False: building
-    # the DataFrame runs no jobs (schema enumeration stays free); the
-    # checkpoint lands on the first action. Non-reliable on executor
-    # loss — a real pipeline persists the candidate table to storage.
-    cand = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=False)
+    # The memoized candidate relation (candidate_edges_df) feeds BOTH
+    # the semi-join that prunes the shingle pass and the final pair
+    # join; without a checkpoint each consumer re-runs the whole
+    # minhash band-join DAG (~30% of query time at sf0.1). It is the
+    # same checkpointed relation the graph family and the clustering
+    # consumers read (optimization r11 — previously this query built
+    # its own private checkpoint of the identical expression).
+    cand, _ = candidate_edges_df(spark, sf_dir)
     return verify_jaccard_pairs(spark, sf_dir, cand, threshold=0.2)
 
 
@@ -504,42 +588,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds in practice; `localCheckpoint` truncates lineage each round
     (a reliable checkpoint dir on a real cluster). Deterministic: min is
     order-insensitive, so the result is partitioning-independent."""
-    # Materialize the candidate edges once — every propagation round
-    # joins against them, and without the checkpoint each round would
-    # re-run the whole minhash pipeline.
-    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    # Iterate ONLY over nodes that touch an edge: singletons (the vast
-    # majority of any corpus) can never change label, so the loop runs
-    # on the candidate graph (≈ #near-dup docs), not the corpus.
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(12):  # >> any real near-dup component diameter
-        prop = (
-            edges.join(labels, edges["src"] == labels["doc_id"])
-            .select(F.col("dst").alias("doc_id"), "label")
-        )
-        new_labels = (
-            labels.unionAll(prop)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = cluster_labels_df(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     # labels is bounded by edge-incident docs — corpus-proportional in
     # the worst case, so no forced broadcast; AQE broadcasts iff small.
@@ -979,7 +1028,7 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_prefix_filter_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles_df(spark, sf_dir, distinct=True).localCheckpoint(eager=False)
+    sh = distinct_shingles_df(spark, sf_dir)
     from pyspark.sql import Window
 
     # shuffle_hash, never broadcast: df_counts is shingle-cardinality —
@@ -1575,19 +1624,9 @@ def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free, so partitioning can't flap the hash. The threshold
     gate is exact rational arithmetic (25·num² vs 9·na·nb in
     decimal), no float boundary anywhere."""
-    bands = minhash_bands_df(spark, sf_dir)
-    a_ = bands.alias("a")
-    b_ = bands.alias("b").hint("shuffle_hash")
-    cand = (
-        a_.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    # Shared memoized candidate relation (optimization r11 — was an
+    # inline rebuild of the identical band self-join expression).
+    cand, _ = candidate_edges_df(spark, sf_dir)
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
@@ -1725,19 +1764,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction fan-out is at most x2 of qualifying pairs. The gate is
     exact integer arithmetic; the permille is truncating division,
     identical in both engines."""
-    bands = minhash_bands_df(spark, sf_dir)
-    a_ = bands.alias("a")
-    b_ = bands.alias("b").hint("shuffle_hash")
-    cand = (
-        a_.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    # Shared memoized candidate relation (optimization r11 — was an
+    # inline rebuild of the identical band self-join expression).
+    cand, _ = candidate_edges_df(spark, sf_dir)
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
@@ -2065,7 +2094,9 @@ def corpus_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast); every threshold then costs one conditional row over
     the candidate-pair relation (5-row broadcast threshold table), and
     both rollups collapse onto <= |thresholds| keys."""
-    cand = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    # Shared memoized candidate relation (optimization r11 — was a
+    # private eager checkpoint of the identical minhash expression).
+    cand, _ = candidate_edges_df(spark, sf_dir)
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionAll(cand.select(F.col("doc_b").alias("doc_id")))

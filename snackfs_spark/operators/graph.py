@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from snackfs_spark.functions import md5_fp
+from snackfs_spark.memo import SessionMemo
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import fan_out, load_table
 
@@ -44,11 +45,26 @@ PR_TOP = 50        # rows returned (full tie-break => deterministic)
 TRI_TOP = 50
 
 
+_TOKEN_GRAPH_MEMO = SessionMemo(maxsize=4)
+
+
 def _token_graph(spark: SparkSession, sf_dir: str):
     """(vocab, edges, out_deg) for the token bigram graph. One corpus
     scan builds the distinct-pair relation; everything returned is
     O(|V|²)-bounded and localCheckpointed so the PageRank loop's three
-    consumers don't re-run the scan."""
+    consumers don't re-run the scan. Memoized per (session, sf_dir) —
+    optimization r11: EIGHT registered graph queries (pagerank,
+    triangles, degree distribution, BFS, k-truss, harmonic centrality,
+    jaccard link prediction, …) each rebuilt the graph, re-running the
+    corpus scan + vocab top-k + distinct-edge shuffle; now the battery
+    extracts the graph once."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _TOKEN_GRAPH_MEMO.get_or_build(
+        key, lambda: _token_graph_build(spark, sf_dir)
+    )
+
+
+def _token_graph_build(spark: SparkSession, sf_dir: str):
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     words = F.split(F.col("text"), " ")
     toks = docs.select(F.explode(words).alias("w")).filter(F.col("w") != "")

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from snackfs_spark.memo import SessionMemo
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import load_table
 
@@ -32,6 +33,33 @@ from snackfs_spark.sources.tables import load_table
 # ~constant in sf because the part catalog scales with the fact table),
 # so the knob is absolute, as in the classic A-priori formulation.
 BASKET_MINSUP = 3
+
+
+_BASKET_ITEMS_MEMO = SessionMemo(maxsize=4)
+
+
+def basket_items_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (l_orderkey, l_partkey) — the basket relation every
+    mining query starts from. Memoized per (session, sf_dir) behind a
+    lazy localCheckpoint (optimization r11, the candidate_edges_df
+    pattern): each of the three basket queries referenced this
+    expression 3-4 times in its own DAG (support pass, basket-size
+    pass, both pair passes), re-running the lineitem scan + distinct
+    shuffle each time, and the battery ran it again per query. The
+    checkpoint is lineitem-proportional — the same discipline as the
+    prefix-filter shingle memo (a real cluster persists it bucketed by
+    l_orderkey; localCheckpoint is the single-host analog)."""
+
+    def build() -> DataFrame:
+        return (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _BASKET_ITEMS_MEMO.get_or_build(key, build)
 
 
 @register(
@@ -75,11 +103,7 @@ def basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket-proportional, never catalog². Support joins at the end run
     key-hashed (the frequent-item relation is catalog-proportional, so
     it is never broadcast — the 100x-sweep OOM lesson)."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    li = basket_items_df(spark, sf_dir)
     n = li.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
     item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("support"))
     freq = item.filter(F.col("support") >= BASKET_MINSUP)
@@ -315,11 +339,7 @@ def basket_pairs_pcy(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation its gate shuffle) and falls back to shuffle-hash when it
     is not — the runtime-decided middle between the 100x-sweep
     broadcast-OOM lesson and paying a full pair shuffle for the gate."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    li = basket_items_df(spark, sf_dir)
     ms = li.agg(
         F.greatest(
             F.lit(3).cast("long"),
@@ -444,9 +464,7 @@ def mining_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out bounded by basket size), plus two broadcast joins of the
     minsup-bounded item relation and one ppm filter. Rules are <= 2x
     frequent pairs."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
+    li = basket_items_df(spark, sf_dir)
     n = li.agg(F.count_distinct("l_orderkey").cast("long").alias("n_baskets"))
     item = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("support")

@@ -20,7 +20,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snackfs_spark.functions import STOPWORD_PERMILLE_SPARK, STOPWORD_PERMILLE_SQL, md5_fp
-from snackfs_spark.operators.dedup import SHINGLES_CTE, shingles_df
+from snackfs_spark.operators.dedup import (
+    SHINGLES_CTE,
+    distinct_shingles_df,
+    shingles_df,
+)
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import fan_out, load_table
 
@@ -387,7 +391,9 @@ def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment writes the shingle table to storage instead (the
     persisted-table pattern above), so the local shortcut is
     bench-plumbing, not the 100 TB design."""
-    sh = shingles_df(spark, sf_dir, distinct=True).localCheckpoint(eager=False)
+    # shared memoized shingle table (optimization r11 — was a private
+    # checkpoint of the identical expression)
+    sh = distinct_shingles_df(spark, sf_dir)
     b = _bucket(F.col("doc_id"))
     ev = sh.filter(b >= TRAIN_PCT)
     # Bloom pre-filter (r4 VERDICT #3): the train shingle set is
@@ -1692,8 +1698,9 @@ def corpus_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length("token")).cast("long").alias("n_bytes"),
     )
     # shingle table: distinct 3-gram rows for takedown docs (semi-join
-    # into the same derivation the dedup stack uses)
-    sh = shingles_df(spark, sf_dir).join(
+    # into the same derivation the dedup stack uses — the shared
+    # memoized table, optimization r11)
+    sh = distinct_shingles_df(spark, sf_dir).join(
         F.broadcast(target.select("doc_id")), "doc_id", "left_semi"
     )
     shingle_row = sh.agg(

@@ -1497,64 +1497,69 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     four intent-to-treat cells (group-size denominators) plus the exact
     rational DiD estimate (did_num/did_den) and its one-division double.
 
-    Scale: the event scan collapses map-side onto (user, type, period)
-    cardinality; the treated set is a user-keyed shuffle-hash join (a
-    semi-join-shaped flag, never broadcast by size assumption — the
-    user dimension grows with the data); every relation after the two
-    user-keyed aggregates is <= 4 rows, so the cell lattice and DiD
-    algebra are bounded-relation crossJoins by construction."""
+    Scale: ONE user-keyed exchange carries everything (optimization r11,
+    guide §2.4 "two operations keyed the same way share one exchange"):
+    the event scan collapses map-side onto per-user partial counts of
+    (pre purchases, pre clicks, post clicks) — the prior shape shuffled
+    the user dimension four times (pre-purchase aggregate, DISTINCT
+    universe, treated-flag join, click-cell join); all four are columns
+    of the same per-user aggregate. Every relation after that single
+    aggregate is <= 4 rows, so the cell lattice and DiD algebra are
+    bounded-relation crossJoins by construction."""
     ev = fan_out(load_table(spark, sf_dir, "events"), spark).select(
         "user_id", "event_type", F.unix_micros("ts").alias("t_us")
     )
     b = ev.agg(
         (F.min("t_us") + F.expr("(MAX(t_us) - MIN(t_us)) div 2")).cast("long").alias("cut")
     )
-    tagged = ev.crossJoin(F.broadcast(b)).select(
-        "user_id",
-        "event_type",
-        F.when(F.col("t_us") >= F.col("cut"), F.lit("post")).otherwise(F.lit("pre")).alias("period"),
-    )
-    pre_purch = (
-        tagged.filter((F.col("event_type") == "purchase") & (F.col("period") == "pre"))
+    is_post = F.col("t_us") >= F.col("cut")
+    per_user = (
+        ev.crossJoin(F.broadcast(b))
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.sum(
+                ((F.col("event_type") == "purchase") & ~is_post).cast("long")
+            ).alias("c"),
+            F.sum(
+                ((F.col("event_type") == "click") & ~is_post).cast("long")
+            ).alias("clicks_pre"),
+            F.sum(
+                ((F.col("event_type") == "click") & is_post).cast("long")
+            ).alias("clicks_post"),
+        )
+        .localCheckpoint(eager=False)  # feeds mstats AND the cell rollup
     )
-    universe = ev.select("user_id").distinct()
-    mstats = universe.agg(F.count(F.lit(1)).cast("long").alias("n_all")).crossJoin(
-        pre_purch.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("total_pre"))
+    mstats = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("total_pre"),
     )
-    users = (
-        universe.join(pre_purch.hint("shuffle_hash"), "user_id", "left")
-        .crossJoin(F.broadcast(mstats))
+    grouped = (
+        per_user.crossJoin(F.broadcast(mstats))
         .select(
-            "user_id",
-            F.when(
-                F.coalesce("c", F.lit(0)) * F.col("n_all") > F.col("total_pre"), F.lit(1)
-            )
+            F.when(F.col("c") * F.col("n_all") > F.col("total_pre"), F.lit(1))
             .otherwise(F.lit(0))
             .alias("treated"),
+            "clicks_pre",
+            "clicks_post",
         )
-    )
-    sizes = users.groupBy("treated").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-    clicks = (
-        tagged.filter(F.col("event_type") == "click")
-        .join(users.hint("shuffle_hash"), "user_id")
-        .groupBy("treated", "period")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_clicks"))
+        .groupBy("treated")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("clicks_pre").cast("long").alias("pre_clicks"),
+            F.sum("clicks_post").cast("long").alias("post_clicks"),
+        )
     )
     periods = spark.range(1).select(
         F.explode(F.array(F.lit("pre"), F.lit("post"))).alias("period")
     )
-    cells = (
-        sizes.crossJoin(F.broadcast(periods))
-        # clicks is bounded at 2x2 rows by construction — broadcast it
-        .join(F.broadcast(clicks), ["treated", "period"], "left")
-        .select(
-            "treated",
-            "period",
-            "n_users",
-            F.coalesce("n_clicks", F.lit(0)).cast("long").alias("n_clicks"),
-        )
+    cells = grouped.crossJoin(F.broadcast(periods)).select(
+        "treated",
+        "period",
+        "n_users",
+        F.when(F.col("period") == "post", F.col("post_clicks"))
+        .otherwise(F.col("pre_clicks"))
+        .cast("long")
+        .alias("n_clicks"),
     )
     did = cells.agg(
         (

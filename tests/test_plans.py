@@ -854,15 +854,23 @@ def test_zipf_octaves_no_global_vocab_window(spark):
     assert "row_number" in plan, plan
 
 
-def test_diff_in_diff_user_joins_shuffle_hash(spark):
-    """The user-keyed joins (treatment flag, click attribution) are
-    user-dimension-proportional: hinted shuffle-hash, never sort-merge
-    and never a forced broadcast of the user relation."""
+def test_diff_in_diff_single_user_exchange(spark):
+    """r11 rewrite: ONE user-keyed aggregate (behind the lazy local
+    checkpoint) carries the whole user dimension — pre purchases and
+    pre/post clicks are columns of the same groupBy. The visible plan
+    after it must contain NO user-keyed join at all (the old shape
+    shuffled the user dimension four times: pre-purchase agg, DISTINCT
+    universe, treated-flag join, click-cell join) and every remaining
+    hash exchange must key only the bounded `treated` axis (<= 2 rows)."""
+    import re
+
     df = REG["events_diff_in_diff"].fn(spark, SF_ORACLE)
     assert_no_cartesian(df)
     plan = formatted_plan(df)
-    assert "ShuffledHashJoin" in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    keys = re.findall(r"hashpartitioning\((\w+)#", plan)
+    assert keys and set(keys) <= {"treated"}, keys
 
 
 def test_quality_perceptron_single_feature_scan(spark):

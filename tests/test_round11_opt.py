@@ -1,0 +1,83 @@
+"""Round-11 optimization pins: the shared-pipeline memos added this
+round (converged cluster labels, the bigram-LM score relation) and the
+single-candidate-build discipline across the dedup family.
+
+Correctness of every affected query stays pinned by the oracle gate
+(tests/test_correctness.py); these tests pin the REUSE property the
+optimization bought — one build per (session, sf_dir), every consumer
+reading the same relation — so a refactor can't silently reintroduce
+the N× rebuild."""
+
+from __future__ import annotations
+
+from snackfs_spark.memo import SessionMemo
+from snackfs_spark.operators import dedup, textstats
+from tests.conftest import SF_ORACLE
+
+
+def test_new_memos_are_session_memos():
+    from snackfs_spark.operators import graph, mining
+
+    assert isinstance(dedup._CLUSTER_LABELS_MEMO, SessionMemo)
+    assert isinstance(dedup._DISTINCT_SHINGLES_MEMO, SessionMemo)
+    assert isinstance(textstats._BIGRAM_SCORE_MEMO, SessionMemo)
+    assert isinstance(textstats._BPE_CHAIN_MEMO, SessionMemo)
+    assert isinstance(graph._TOKEN_GRAPH_MEMO, SessionMemo)
+    assert isinstance(mining._BASKET_ITEMS_MEMO, SessionMemo)
+
+
+def test_token_graph_and_bpe_chain_built_once_per_session(spark):
+    """The eight graph queries share ONE extracted token graph; the
+    three BPE queries share ONE merge chain — repeated calls return the
+    identical relations (previously each consumer re-ran the corpus
+    scan + distinct-edge shuffle / the K-round fold chain)."""
+    from snackfs_spark.operators import graph
+
+    g1 = graph._token_graph(spark, SF_ORACLE)
+    g2 = graph._token_graph(spark, SF_ORACLE)
+    assert all(a is b for a, b in zip(g1, g2))
+    c1 = textstats._bpe_chain(spark, SF_ORACLE)
+    c2 = textstats._bpe_chain(spark, SF_ORACLE)
+    assert c1[1] is c2[1] and c1[0][0] is c2[0][0]
+
+
+def test_distinct_shingles_shared(spark):
+    a = dedup.distinct_shingles_df(spark, SF_ORACLE)
+    b = dedup.distinct_shingles_df(spark, SF_ORACLE)
+    assert a is b
+    assert set(a.columns) == {"doc_id", "shingle"}
+
+
+def test_cluster_labels_built_once_per_session(spark):
+    """Repeated calls (the golden_record / dedup_impact /
+    split_cluster_safe composition pattern) must return the SAME
+    converged relation — previously each consumer re-ran the minhash
+    pipeline and the whole propagation loop."""
+    a = dedup.cluster_labels_df(spark, SF_ORACLE)
+    b = dedup.cluster_labels_df(spark, SF_ORACLE)
+    assert a is b
+    assert set(a.columns) == {"doc_id", "label"}
+
+
+def test_bigram_scores_built_once_per_session(spark):
+    """text_bigram_prob (8 consumers) returns the memoized checkpointed
+    relation: same object on every call within a session, schema
+    unchanged from the pre-memo shape."""
+    a = textstats.text_bigram_prob(spark, SF_ORACLE)
+    b = textstats.text_bigram_prob(spark, SF_ORACLE)
+    assert a is b
+    assert a.columns == ["doc_id", "n_bigrams", "prob_lattice_sum"]
+
+
+def test_dedup_family_shares_candidate_relation(spark):
+    """tf_cosine / containment / rate_curve / ngram_jaccard no longer
+    build private copies of the band self-join: after touching them the
+    candidate memo holds exactly one entry for this (session, sf_dir)."""
+    dedup._CAND_EDGES_MEMO.clear()
+    dedup.candidate_edges_df(spark, SF_ORACLE)
+    n_after_first = len(dedup._CAND_EDGES_MEMO)
+    # building the consumers' DataFrames must not create new entries
+    dedup.dedup_tf_cosine(spark, SF_ORACLE)
+    dedup.dedup_containment(spark, SF_ORACLE)
+    dedup.dedup_ngram_jaccard(spark, SF_ORACLE)
+    assert len(dedup._CAND_EDGES_MEMO) == n_after_first == 1

@@ -65,8 +65,10 @@ def test_operator_memos_are_session_memos():
 
     assert isinstance(dedup._CAND_EDGES_MEMO, SessionMemo)
     assert isinstance(dedup._PREFIX_FILTER_MEMO, SessionMemo)
+    assert isinstance(dedup._CLUSTER_LABELS_MEMO, SessionMemo)
     assert isinstance(textstats._RANK_REL_MEMO, SessionMemo)
     assert isinstance(textstats._HYBRID_RANKED_MEMO, SessionMemo)
+    assert isinstance(textstats._BIGRAM_SCORE_MEMO, SessionMemo)
 
 
 # ------------------------------------------------------------ ANSI ----
