@@ -34,10 +34,17 @@ T = TypeVar("T")
 class SessionMemo:
     """get_or_build cache keyed by (applicationId, sf_dir)."""
 
+    # every instance registers here so tests that probe a property the
+    # memo would short-circuit (e.g. bit-identity across partition
+    # counts, which needs the pipeline REBUILT per config) can drop all
+    # cached pipelines at once via clear_all_memos().
+    _instances: list["SessionMemo"] = []
+
     def __init__(self, maxsize: int = 4) -> None:
         self._maxsize = maxsize
         self._lock = threading.Lock()
         self._entries: OrderedDict[tuple[str, str], object] = OrderedDict()
+        SessionMemo._instances.append(self)
 
     def get_or_build(self, key: tuple[str, str], build: Callable[[], T]) -> T:
         with self._lock:
@@ -57,3 +64,10 @@ class SessionMemo:
     def clear(self) -> None:
         with self._lock:
             self._entries.clear()
+
+
+def clear_all_memos() -> None:
+    """Drop every SessionMemo's cached pipelines (test hook — see the
+    determinism suite; production/bench sessions never call this)."""
+    for m in SessionMemo._instances:
+        m.clear()

@@ -112,12 +112,21 @@ PROBES = [
 
 @pytest.mark.parametrize("name", PROBES)
 def test_bit_identical_across_partition_counts(name, spark):
+    from snackfs_spark.memo import clear_all_memos
+
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        # drop the session memos before EACH build: a memoized pipeline
+        # (bigram scores, BPE chain, candidate graph, ...) would hand
+        # the second config the first config's checkpointed relation
+        # and the probe would pass vacuously (r11 optimization round)
+        clear_all_memos()
         spark.conf.set("spark.sql.shuffle.partitions", "32")
         a = sorted(map(tuple, REG[name].fn(spark, SF_SMALL).collect()))
+        clear_all_memos()
         spark.conf.set("spark.sql.shuffle.partitions", "7")
         b = sorted(map(tuple, REG[name].fn(spark, SF_SMALL).collect()))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        clear_all_memos()
     assert a == b, f"{name}: results differ between 32 and 7 shuffle partitions"
