@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from snackfs_spark.memo import SessionMemo
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import load_table
 
@@ -34,18 +35,34 @@ _L2_DUCK = (
 _DOT_DUCK = "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
 
 
+# argmin over the in-row centroid array: lexicographic struct ordering
+# (dist ASC, cid ASC) = nearest centroid with ties to the lowest cid —
+# exactly the row_number(ORDER BY dist, cid) rule, evaluated per vector
+# with ZERO shuffle (the r11 optimization rewrite: the window form
+# exchanged + sorted one corpus-sized relation per assignment pass).
+_NEAREST = (
+    "array_min(transform(cs, c -> struct("
+    "aggregate(zip_with(ev, c.cv, (x, y) -> (x - y) * (x - y)), 0D, "
+    "(s, v) -> s + v) AS dist, c.cid AS cid)))"
+)
+
+
 def _assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
     """One Lloyd's assignment pass: nearest centroid by squared L2,
-    ties broken by centroid id. Centroids broadcast; the corpus is
-    mapped, never shuffled."""
-    d = F.expr(_L2.format(a="ev", b="cv"))
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cid"))
+    ties broken by centroid id. The O(k*dim) centroid relation folds to
+    a ONE-row array and broadcasts; assignment is a per-row array-min
+    expression — the corpus is mapped, never shuffled, never windowed
+    (min over the array compares the same doubles the window sort
+    compared, so results are bit-identical)."""
+    cs = cents.agg(F.collect_list(F.struct("cid", "cv")).alias("cs"))
     return (
-        vectors.crossJoin(F.broadcast(cents))
-        .withColumn("dist", d)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "ev", "cid", "dist")
+        vectors.crossJoin(F.broadcast(cs))
+        .withColumn("m", F.expr(_NEAREST))
+        .select(
+            *vectors.columns,
+            F.col("m.cid").alias("cid"),
+            F.col("m.dist").alias("dist"),
+        )
     )
 
 
@@ -133,21 +150,47 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(spark, sf_dir, iters=KMEANS_ITERS)
 
 
+def _kmeans_vectors(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        *extra,
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev"),
+    )
+
+
+_KMEANS_CENTS_MEMO = SessionMemo(maxsize=4)
+
+
+def kmeans_cents(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
+    """The FINAL centroid relation of the deterministic Lloyd's loop
+    (seed = first K vectors, iters-1 recenter rounds) — O(k*dim) rows.
+    Memoized per (session, sf_dir) at the registered round count so the
+    assignment query and the label-agreement eval share one centroid
+    chain instead of re-running the recenter aggregates per consumer
+    (the candidate_edges_df pattern); deeper test runs build fresh."""
+
+    def build() -> DataFrame:
+        v = _kmeans_vectors(spark, sf_dir)
+        cents = v.filter(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").alias("cid"), F.col("ev").alias("cv")
+        )
+        for _ in range(iters - 1):
+            cents = _recenter(_assign(v, cents))
+        return cents.localCheckpoint(eager=False)
+
+    if iters == KMEANS_ITERS:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        return _KMEANS_CENTS_MEMO.get_or_build(key, build)
+    return build()
+
+
 def kmeans_assign(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
     """Parameterized Lloyd's loop behind emb_kmeans_assign; tests run it
     deeper than the registered round count against the same generated
     oracle (`_kmeans_oracle(iters)`)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev")
-    )
-    cents = v.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cid"), F.col("ev").alias("cv")
-    )
-    assigned = _assign(v, cents)
-    for _ in range(iters - 1):
-        cents = _recenter(assigned)
-        assigned = _assign(v, cents)
+    v = _kmeans_vectors(spark, sf_dir)
+    assigned = _assign(v, kmeans_cents(spark, sf_dir, iters))
     return assigned.select(
         "vec_id", F.col("cid").alias("cluster"), F.col("dist").alias("sq_dist")
     )
@@ -546,17 +589,17 @@ def eval_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant on every row — pair counting done on the bounded
     contingency margins in decimal(38,0), never over vector pairs.
 
-    Scale: the cost is emb_kmeans_assign's broadcast-assignment rounds;
-    the eval itself is one map-side-collapsing aggregate onto k x
+    Scale: the cost is the shared kmeans_cents centroid chain; the
+    assignment itself is a per-row array-min over the broadcast
+    centroids on a label-carrying scan — no vec-keyed join back to the
+    corpus — and the eval is one map-side-collapsing aggregate onto k x
     |labels| cells plus 1-row margin algebra. No vector-pair join, no
     sort, at any corpus size."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    assign = emb_kmeans_assign(spark, sf_dir).select("vec_id", "cluster")
-    cont = (
-        assign.join(emb, "vec_id")
-        .groupBy("cluster", "label")
-        .agg(F.count(F.lit(1)).alias("n_ij"))
+    v = _kmeans_vectors(spark, sf_dir, "label")
+    assign = _assign(v, kmeans_cents(spark, sf_dir, KMEANS_ITERS)).select(
+        F.col("cid").alias("cluster"), "label"
     )
+    cont = assign.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n_ij"))
     # the k-means rounds are the dominant cost and four margin branches
     # consume the table — pin it (reliable checkpoint dir on a cluster).
     cont = cont.localCheckpoint(eager=False)
@@ -818,27 +861,20 @@ def emb_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"),
         F.col("ev").alias("cv"),
     ).filter(F.col("cid") < F.col("k"))
-    d = F.expr(_L2.format(a="ev", b="cv"))
-
     def assign_tagged(cdf: DataFrame) -> DataFrame:
-        # argmin as a map-side-combining MIN over struct(dist, cid) —
-        # lexicographic struct ordering = nearest centroid, ties to the
-        # lowest cid, exactly the row_number(ORDER BY dist, cid) rule —
-        # so the shuffle carries ONE partial row per (k, vector) per
-        # partition instead of the full corpus x 30 scored relation a
-        # window would move.
-        scored = v.crossJoin(F.broadcast(cdf)).select(
-            "k",
-            "vec_id",
-            "ev",
-            F.struct(d.alias("dist"), F.col("cid").alias("cid")).alias("dc"),
+        # argmin as a per-row array-min over the k-tagged centroid
+        # arrays (len(ELBOW_KS) rows, always broadcastable) — the same
+        # lexicographic struct(dist, cid) ordering as the per-group MIN
+        # this replaces (= nearest centroid, ties to the lowest cid,
+        # exactly the row_number(ORDER BY dist, cid) rule), but with
+        # ZERO exchange: the old shape still shuffled one partial row
+        # per (k, vector); this one never leaves the map side.
+        cs = cdf.groupBy("k").agg(
+            F.collect_list(F.struct("cid", "cv")).alias("cs")
         )
-        # ev rides as any_value (every row of a (k, vec_id) group carries
-        # the same vector), keeping the 512-byte array OUT of the
-        # grouping key so the hash aggregate stays cheap.
         return (
-            scored.groupBy("k", "vec_id")
-            .agg(F.min("dc").alias("m"), F.any_value("ev").alias("ev"))
+            v.crossJoin(F.broadcast(cs))
+            .withColumn("m", F.expr(_NEAREST))
             .select(
                 "k",
                 "vec_id",
@@ -986,15 +1022,50 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the iterate is 64 integers broadcast per round; per-round
     cost is two scans of the checkpointed quantized corpus with
     map-side decimal accumulation — the k-means/pagerank iterative
-    posture, nothing corpus-sized ever sorts or windows."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    xq = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.bround(x.cast("double") * 1000).cast("long"),
-        ).alias("q"),
-    ).localCheckpoint(eager=False)
+    posture, nothing corpus-sized ever sorts or windows. The quantized
+    corpus and the converged iterate are memoized per (session, sf_dir)
+    — the anisotropy eval consumes the SAME chain instead of re-running
+    the rounds (the kmeans_cents pattern)."""
+    v = _pca_iterate_df(spark, sf_dir)
+    return v.select(
+        F.posexplode("v").alias("k0", "loading")
+    ).select((F.col("k0") + 1).cast("long").alias("pos"), F.col("loading").cast("long"))
+
+
+_PCA_XQ_MEMO = SessionMemo(maxsize=4)
+_PCA_V_MEMO = SessionMemo(maxsize=4)
+
+
+def _pca_xq_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The integer-milli quantized corpus (q column only), checkpointed
+    once per (session, sf_dir) and shared by the PCA rounds and the
+    anisotropy Gram folds."""
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return emb.select(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.bround(x.cast("double") * 1000).cast("long"),
+            ).alias("q")
+        ).localCheckpoint(eager=False)
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _PCA_XQ_MEMO.get_or_build(key, build)
+
+
+def _pca_iterate_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1-row (v: array<bigint>) relation after PCA_ROUNDS power
+    iterations — the exact chain the PCA and anisotropy oracles share."""
+
+    def build() -> DataFrame:
+        return _pca_rounds(spark, _pca_xq_df(spark, sf_dir))
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _PCA_V_MEMO.get_or_build(key, build)
+
+
+def _pca_rounds(spark: SparkSession, xq: DataFrame) -> DataFrame:
     d38 = "decimal(38,0)"
     v = spark.range(1).select(F.expr("array_repeat(1L, 64)").alias("v"))
     for _ in range(PCA_ROUNDS):
@@ -1035,9 +1106,7 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    return v.select(
-        F.posexplode("v").alias("k0", "loading")
-    ).select((F.col("k0") + 1).cast("long").alias("pos"), F.col("loading").cast("long"))
+    return v
 
 
 # ---------------------------------------------------- anisotropy score ----
@@ -1096,26 +1165,13 @@ def emb_anisotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     space-collapse drift alarm read before trusting similarity search;
     1/64 is isotropic, 1.0 is a collapsed space.
 
-    Scale: reuses the PCA iterate (64 integers) and adds ONE more scan
-    of the quantized corpus for the two Gram folds — map-side decimal
-    sums, zero shuffle beyond the 1-row aggregates."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    xq = emb.select(
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.bround(x.cast("double") * 1000).cast("long"),
-        ).alias("q")
-    ).localCheckpoint(eager=False)
-    v = (
-        emb_pca_power_iteration(spark, sf_dir)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "loading"))),
-                lambda st: st["loading"],
-            ).alias("v")
-        )
-        .localCheckpoint(eager=False)
-    )
+    Scale: reuses the MEMOIZED PCA iterate (64 integers) and quantized
+    corpus — in-session it adds ONE more scan of the shared checkpoint
+    for the two Gram folds (it previously re-ran the whole PCA chain on
+    a private quantization) — map-side decimal sums, zero shuffle
+    beyond the 1-row aggregates."""
+    xq = _pca_xq_df(spark, sf_dir)
+    v = _pca_iterate_df(spark, sf_dir)
     d38 = "decimal(38,0)"
     sv = xq.crossJoin(F.broadcast(v)).select(
         "q",
@@ -1222,19 +1278,26 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     certificate; Gonzalez's bound says the optimal k-center radius is
     >= radius_K / 4 in squared distance).
 
-    Scale: K-1 corpus passes, each a crossJoin against the <= K-row
-    broadcast chosen set with a map-side-combining MIN per vector and a
-    one-row global argmax (max(struct(dmin, -vec_id)) — ties to the
-    smallest id); per-pass shuffle is ONE partial row per vector per
-    partition, the emb_kmeans_elbow posture. No per-vector state is
-    materialized between rounds — the min is recomputed against the
-    tiny chosen set, which is the cheap side at any corpus size."""
+    Scale: K-1 corpus passes, each a per-row array-min of the squared
+    L2 against the <= K-row broadcast chosen set (folded to ONE array
+    row — min over the array compares the same doubles the per-group
+    MIN compared, bit-identically) feeding a one-row global argmax
+    (max(struct(dmin, -vec_id)) — ties to the smallest id); per-pass
+    shuffle is ONE partial row per partition — the old shape still
+    exchanged one row per vector to group the crossJoin. No per-vector
+    state is materialized between rounds — the min is recomputed
+    against the tiny chosen set, which is the cheap side at any corpus
+    size."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev"),
     ).localCheckpoint(eager=False)
-    d = F.expr(_L2.format(a="ev", b="cv"))
+    dmin_arr = F.expr(
+        "array_min(transform(cvs, c -> "
+        "aggregate(zip_with(ev, c, (x, y) -> (x - y) * (x - y)), 0D, "
+        "(s, v) -> s + v)))"
+    )
     chosen = v.filter(F.col("vec_id") == 0).select(
         F.lit(1).cast("long").alias("round"),
         "vec_id",
@@ -1243,10 +1306,8 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for r in range(2, KCENTER_K + 1):
         dmin = (
-            v.crossJoin(F.broadcast(chosen.select("cv")))
-            .select("vec_id", "ev", d.alias("dist"))
-            .groupBy("vec_id")
-            .agg(F.min("dist").alias("dmin"), F.any_value("ev").alias("ev"))
+            v.crossJoin(F.broadcast(chosen.agg(F.collect_list("cv").alias("cvs"))))
+            .select("vec_id", "ev", dmin_arr.alias("dmin"))
         )
         pick = (
             dmin.agg(

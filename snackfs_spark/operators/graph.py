@@ -529,29 +529,25 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the corpus pays only the shared shingle -> signature -> band
     pipeline (the dedup_minhash_lsh posture: equi-join candidates,
-    never O(n²)); the peeling loop is per-round two shuffle-hash joins
-    of the edge relation against the alive set plus one degree
-    aggregate, localCheckpointed so lineage stays flat. Every relation
-    in the loop is candidate-sized, not corpus-sized, after round 1."""
+    never O(n²)); the peeling loop is per-round ONE degree join plus
+    one edge-filter pair of shuffle-hash joins whose output is BOTH the
+    round's surviving-edge count AND the next round's edge relation
+    (e_{r+1} = e_r ⋈ alive ⋈ alive = und ⋈ alive ⋈ alive because
+    alive ⊆ every earlier alive set — the r11 rewrite; the old loop
+    re-derived e_{r+1} from the full graph, paying the same two joins
+    twice per round). Round 1's edge relation IS the undirected
+    candidate graph (alive₀ = all documents). localCheckpointed so
+    lineage stays flat; every relation in the loop is candidate-sized,
+    not corpus-sized, after round 1."""
     from snackfs_spark.operators.dedup import candidate_edges_df
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     _, und = candidate_edges_df(spark, sf_dir)
     alive = docs.select("doc_id")
+    er = und  # e_1: every candidate endpoint is a document, so the
+    # alive₀ filter is an identity — no join needed
     rounds = []
     for r in range(1, KCORE_ROUNDS + 1):
-        er = (
-            und.join(
-                alive.withColumnRenamed("doc_id", "doc_a").hint("shuffle_hash"),
-                "doc_a",
-            )
-            .join(
-                alive.withColumnRenamed("doc_id", "doc_b").hint("shuffle_hash"),
-                "doc_b",
-            )
-            .select("doc_a", "doc_b")
-            .localCheckpoint(eager=False)
-        )
         deg = alive.join(
             er.groupBy("doc_a")
             .agg(F.count(F.lit(1)).alias("c"))
@@ -574,7 +570,7 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_removed"),
         )
-        core_edges = (
+        er_next = (
             er.join(
                 new_alive.withColumnRenamed("doc_id", "doc_a").hint("shuffle_hash"),
                 "doc_a",
@@ -583,7 +579,11 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 new_alive.withColumnRenamed("doc_id", "doc_b").hint("shuffle_hash"),
                 "doc_b",
             )
-            .agg((F.count(F.lit(1)) / 2).cast("long").alias("n_core_edges"))
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=False)
+        )
+        core_edges = er_next.agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_core_edges")
         )
         rounds.append(
             stats.crossJoin(core_edges).select(
@@ -594,7 +594,7 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_core_edges",
             )
         )
-        alive = new_alive
+        alive, er = new_alive, er_next
     out = rounds[0]
     for part in rounds[1:]:
         out = out.unionByName(part)
@@ -947,6 +947,51 @@ def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
     )
 
 
+_LPA_LABELS_MEMO = SessionMemo(maxsize=4)
+
+
+def lpa_labels_df(spark: SparkSession, sf_dir: str, rounds: int) -> DataFrame:
+    """The converged (doc_id, lbl) relation after `rounds` synchronous
+    LPA rounds — memoized per (session, sf_dir) at the registered round
+    count so the LPA query and the modularity audit share ONE
+    propagation loop (the cluster_labels_df pattern); deeper test runs
+    build fresh."""
+    from snackfs_spark.operators.dedup import candidate_edges_df
+
+    def build() -> DataFrame:
+        _, und = candidate_edges_df(spark, sf_dir)
+        labels = und.select(F.col("doc_a").alias("doc_id")).distinct().select(
+            "doc_id", F.col("doc_id").alias("lbl")
+        )
+        for _ in range(rounds):
+            cnt = (
+                und.join(
+                    labels.select(F.col("doc_id").alias("doc_b"), "lbl").hint(
+                        "shuffle_hash"
+                    ),
+                    "doc_b",
+                )
+                .groupBy(F.col("doc_a").alias("doc_id"), "lbl")
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            )
+            labels = (
+                cnt.groupBy("doc_id")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("c")).alias("nc"), F.col("lbl"))
+                    ).alias("m")
+                )
+                .select("doc_id", F.col("m.lbl").alias("lbl"))
+                .localCheckpoint(eager=False)
+            )
+        return labels
+
+    if rounds == LPA_ROUNDS:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        return _LPA_LABELS_MEMO.get_or_build(key, build)
+    return build()
+
+
 @register("graph_label_propagation", oracle=_lpa_oracle())
 def graph_label_propagation(
     spark: SparkSession, sf_dir: str, rounds: int = LPA_ROUNDS
@@ -962,31 +1007,11 @@ def graph_label_propagation(
     O(n^2)); every round is one edge⋈label shuffle-hash join + a
     (node, label) count collapsing map-side + a per-node argmax as
     min(struct(-count, label)) — all candidate-sized relations,
-    localCheckpointed so lineage stays flat. Every node has an edge by
+    localCheckpointed so lineage stays flat (memoized via lpa_labels_df
+    so the modularity audit scores the SAME materialized labeling
+    instead of re-running the loop). Every node has an edge by
     construction, so no keep-own-label leg is needed."""
-    from snackfs_spark.operators.dedup import candidate_edges_df
-
-    _, und = candidate_edges_df(spark, sf_dir)
-    labels = und.select(F.col("doc_a").alias("doc_id")).distinct().select(
-        "doc_id", F.col("doc_id").alias("lbl")
-    )
-    for _ in range(rounds):
-        cnt = (
-            und.join(
-                labels.select(F.col("doc_id").alias("doc_b"), "lbl").hint(
-                    "shuffle_hash"
-                ),
-                "doc_b",
-            )
-            .groupBy(F.col("doc_a").alias("doc_id"), "lbl")
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        )
-        labels = (
-            cnt.groupBy("doc_id")
-            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lbl"))).alias("m"))
-            .select("doc_id", F.col("m.lbl").alias("lbl"))
-            .localCheckpoint(eager=False)
-        )
+    labels = lpa_labels_df(spark, sf_dir, rounds)
     sizes = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).cast("long").alias("community_size")
     )
@@ -1171,10 +1196,8 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree aggregate, and community-sized algebra. The 4m² denominator
     rides decimal(38,0) because it passes int64 at ~10^9 edges — the
     100 TB regime, not a test-scale hypothetical."""
-    labels = (
-        graph_label_propagation(spark, sf_dir)
-        .select("doc_id", "community")
-        .localCheckpoint(eager=False)
+    labels = lpa_labels_df(spark, sf_dir, LPA_ROUNDS).select(
+        "doc_id", F.col("lbl").alias("community")
     )
     from snackfs_spark.operators.dedup import candidate_edges_df
 

@@ -25,6 +25,7 @@ from snackfs_spark.operators.dedup import (
     distinct_shingles_df,
     shingles_df,
 )
+from snackfs_spark.memo import SessionMemo
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import fan_out, load_table
 
@@ -3688,6 +3689,9 @@ _PREF_ORACLE = f"""
     """
 
 
+_PREF_RANKED_MEMO = SessionMemo(maxsize=4)
+
+
 def _pref_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The banded two-phase ranking relation (doc_id, source, q, n, rt)
     behind train_preference_pairs, UNcheckpointed so tests/test_plans.py
@@ -3767,8 +3771,13 @@ def train_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed self-join on (source, rank) — no quadratic matching, no
     floats. The ranked relation is lazily checkpointed: the self-join
     consumes it twice, and unchckpointed each side re-ran the tokenize
-    + rank pipeline (measured 1.9x the whole query at 100x)."""
-    r = _pref_ranked(spark, sf_dir).localCheckpoint(eager=False)
+    + rank pipeline (measured 1.9x the whole query at 100x). The
+    checkpoint is memoized per (session, sf_dir) so the pair-overlap
+    audit rides the SAME ranking instead of re-running it (r11)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    r = _PREF_RANKED_MEMO.get_or_build(
+        key, lambda: _pref_ranked(spark, sf_dir).localCheckpoint(eager=False)
+    )
     a = r.alias("a")
     b = r.alias("b")
     return (

@@ -1668,10 +1668,15 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = fan_out(load_table(spark, sf_dir, "events"), spark).select(
         "user_id", "event_type", F.unix_micros("ts").alias("t_us")
     )
+    # the signup anchor feeds THREE consumers (purchase join, lag join,
+    # funnel count): checkpoint it once instead of re-running the scan +
+    # user-keyed aggregate per consumer (r11; user-proportional rows,
+    # the lags-relation trade already accepted below)
     su = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("t_us").alias("s_us"))
+        .localCheckpoint(eager=False)
     )
     pu = (
         ev.filter(F.col("event_type") == "purchase")

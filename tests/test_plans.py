@@ -196,16 +196,22 @@ def test_boilerplate_probe_has_no_forced_broadcast(spark):
 
 
 def test_kmeans_broadcasts_centroids_and_partial_topk(spark):
-    """Each Lloyd's round must broadcast the O(k*dim) centroid relation
-    against a single corpus scan (never shuffle the corpus) and take the
-    per-vector nearest centroid via a partial WindowGroupLimit."""
+    """The assignment pass must broadcast the ONE-row centroid-array
+    relation against a single corpus scan and take the per-vector
+    nearest centroid as a map-side array-min expression: no window, no
+    exchange, no sort anywhere in the returned plan (the recenter
+    aggregates live behind the shared kmeans_cents checkpoint)."""
+    from snackfs_spark.memo import clear_all_memos
+
+    clear_all_memos()  # pin the LIVE assignment plan, not a stale memo
     df = REG["emb_kmeans_assign"].fn(spark, SF_ORACLE)
     plan = formatted_plan(df)
     assert "BroadcastExchange" in plan, plan
-    assert "WindowGroupLimit" in plan, plan
-    # the corpus relation itself is never exchanged: every Exchange in
-    # the plan belongs to the k*dim recenter aggregate or the per-vector
-    # window, both keyed, never a corpus-wide repartition
+    assert "array_min" in plan, plan
+    # the corpus relation is never exchanged, windowed or sorted: the
+    # whole assignment is one codegen map over the scan
+    assert "Window" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 

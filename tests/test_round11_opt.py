@@ -81,3 +81,50 @@ def test_dedup_family_shares_candidate_relation(spark):
     dedup.dedup_containment(spark, SF_ORACLE)
     dedup.dedup_ngram_jaccard(spark, SF_ORACLE)
     assert len(dedup._CAND_EDGES_MEMO) == n_after_first == 1
+
+
+def test_kmeans_cents_and_pca_iterate_shared(spark):
+    """emb_kmeans_assign and eval_cluster_agreement ride ONE memoized
+    centroid chain; the PCA query and the anisotropy eval ride ONE
+    memoized quantized corpus + iterate (previously the agreement eval
+    re-ran the Lloyd's rounds and anisotropy re-ran the whole power
+    iteration on a private quantization). Deeper test runs (iters !=
+    the registered count) must NOT populate the memo."""
+    from snackfs_spark.operators import clustering as cl
+
+    cl._KMEANS_CENTS_MEMO.clear()
+    c1 = cl.kmeans_cents(spark, SF_ORACLE, cl.KMEANS_ITERS)
+    c2 = cl.kmeans_cents(spark, SF_ORACLE, cl.KMEANS_ITERS)
+    assert c1 is c2
+    assert len(cl._KMEANS_CENTS_MEMO) == 1
+    deep = cl.kmeans_cents(spark, SF_ORACLE, cl.KMEANS_ITERS + 2)
+    assert deep is not c1
+    assert len(cl._KMEANS_CENTS_MEMO) == 1
+    x1 = cl._pca_xq_df(spark, SF_ORACLE)
+    x2 = cl._pca_xq_df(spark, SF_ORACLE)
+    v1 = cl._pca_iterate_df(spark, SF_ORACLE)
+    v2 = cl._pca_iterate_df(spark, SF_ORACLE)
+    assert x1 is x2 and v1 is v2
+    assert isinstance(cl._KMEANS_CENTS_MEMO, type(cl._PCA_XQ_MEMO))
+
+
+def test_lpa_labels_and_pref_ranking_shared(spark):
+    """graph_label_propagation and graph_modularity_score ride ONE
+    memoized LPA labeling; train_preference_pairs and train_pair_overlap
+    ride ONE memoized banded ranking (previously each consumer re-ran
+    the propagation loop / the tokenize + rank pipeline). Deeper LPA
+    test runs must NOT populate the memo."""
+    from snackfs_spark.operators import graph, sampling
+
+    graph._LPA_LABELS_MEMO.clear()
+    l1 = graph.lpa_labels_df(spark, SF_ORACLE, graph.LPA_ROUNDS)
+    l2 = graph.lpa_labels_df(spark, SF_ORACLE, graph.LPA_ROUNDS)
+    assert l1 is l2
+    assert len(graph._LPA_LABELS_MEMO) == 1
+    deep = graph.lpa_labels_df(spark, SF_ORACLE, graph.LPA_ROUNDS + 1)
+    assert deep is not l1
+    assert len(graph._LPA_LABELS_MEMO) == 1
+    sampling._PREF_RANKED_MEMO.clear()
+    sampling.train_preference_pairs(spark, SF_ORACLE)
+    sampling.train_pair_overlap(spark, SF_ORACLE)
+    assert len(sampling._PREF_RANKED_MEMO) == 1
