@@ -903,7 +903,14 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    c = chunks.groupBy("h", "source").agg(F.count(F.lit(1)).alias("n"))
+    # (h, source, n) feeds the within-source combinatorics AND both
+    # sides of the hash self-join — unchckpointed, the tokenize + chunk
+    # + md5 + collapse pipeline ran three times (r11 opt: 3 scans -> 1)
+    c = (
+        chunks.groupBy("h", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     within = c.filter(F.col("n") >= 2).select(
         F.col("source").alias("source_a"),
         F.col("source").alias("source_b"),

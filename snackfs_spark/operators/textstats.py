@@ -1284,10 +1284,15 @@ def text_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial top-k, no single-partition global window; the determinism
     the QUALIFY oracle needs comes from the full tie-break ordering)."""
     docs = load_table(spark, sf_dir, "documents")
+    # the distinct (doc, token) relation feeds the vocab cut AND both
+    # self-join sides; unchckpointed, the tokenize + DISTINCT shuffle
+    # ran three times (0 ReusedExchange in the measured plan) — the
+    # distinct-shingles-table trade (r11 opt)
     tok = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     vocab = (
         tok.groupBy("token")
@@ -2403,7 +2408,14 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     words = F.split(F.col("text"), " ")
     toks = docs.select(F.explode(words).alias("w")).filter(F.col("w") != "")
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # vocab-sized; feeds the token total AND both join sides —
+    # unchckpointed the tokenize + unigram collapse ran four times
+    # (r11 opt: 4 scans -> 2, one per explode shape)
+    uni = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     n_uni = uni.agg(F.sum("c").cast("long").alias("n_uni"))
     pairs = docs.select(
         F.explode(
@@ -3089,6 +3101,11 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket_of = lambda col: F.when(F.col(col) == 0, F.lit(0)).otherwise(  # noqa: E731
         F.length(F.conv(F.col(col).cast("string"), 10, 2))
     ).cast("int")
+    # deliberately TWO tokenize passes (r11 opt A/B): collapsing once
+    # onto checkpointed (word, doc) counts replaced a cheap re-scan with
+    # a corpus-proportional shuffle + checkpoint and measured 17% SLOWER
+    # (0.92 -> 1.08 s best-of-3); both existing shuffles already
+    # map-side-combine (word partial-min / 64 bucket keys)
     firsts = dw.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
     new_types = (
         firsts.groupBy(bucket_of("first_doc").alias("bucket"))
@@ -3176,37 +3193,64 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the diminishing-returns report behind "do we ingest more of this
     source?".
 
-    Scale: one gram scan feeds BOTH the first-occurrence min (ONE
-    vocab-keyed map-side-combinable shuffle) and the occurrence side of
-    the gram-keyed join (the same shuffle class every shingle verify
-    pays); the decile rollup collapses map-side onto 10 keys. The
-    1-row doc count broadcasts."""
+    Scale: decile occurrence totals roll up map-side onto 10 keys
+    straight off the gram scan (no vocab shuffle at all); the novelty
+    side reduces occurrences to (gram, doc) counts, takes each gram's
+    first doc + its in-first-doc occurrence count with min/min_by (the
+    occurrence-joining-back-to-firsts shuffle_hash join AND the
+    count_distinct Expand leg of the old plan are gone), and collapses
+    onto 10 decile rows joined back broadcast. The 1-row doc count
+    broadcasts."""
     from snackfs_spark.operators.dedup import shingles_df
 
     grams = shingles_df(spark, sf_dir, distinct=False).withColumnRenamed(
         "shingle", "g"
     )
-    grams = grams.localCheckpoint(eager=False)  # feeds firsts AND the join
+    grams = grams.localCheckpoint(eager=False)  # feeds totals AND novelty
     n = load_table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
-    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    occ = (
-        grams.join(firsts.hint("shuffle_hash"), "g")
+    totals = (
+        grams.crossJoin(F.broadcast(n))
+        .groupBy(F.expr("(10 * doc_id) div n_docs").cast("long").alias("decile"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    )
+    # per gram: first doc + how many occurrences it contributed there
+    # (every occurrence inside the first doc is novel, by definition)
+    novel = (
+        grams.groupBy("g", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("g")
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            F.min_by("c", "doc_id").alias("novel_c"),
+        )
         .crossJoin(F.broadcast(n))
-        .select(
-            F.expr("(10 * doc_id) div n_docs").cast("long").alias("decile"),
-            (F.col("doc_id") == F.col("first_doc")).cast("int").alias("novel"),
-            F.when(F.col("doc_id") == F.col("first_doc"), F.col("g")).alias("novel_g"),
+        .groupBy(
+            F.expr("(10 * first_doc) div n_docs").cast("long").alias("decile")
+        )
+        .agg(
+            F.sum("novel_c").cast("long").alias("novel_grams"),
+            F.count(F.lit(1)).cast("long").alias("new_types"),
         )
     )
-    return occ.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams"),
-        F.sum("novel").cast("long").alias("novel_grams"),
-        F.count_distinct("novel_g").cast("long").alias("new_types"),
-        F.expr("(1000 * sum(novel)) div count(1)").cast("long").alias(
-            "novelty_permille"
-        ),
+    return (
+        totals.join(F.broadcast(novel), "decile", "left")
+        .select(
+            "decile",
+            "n_grams",
+            F.coalesce(F.col("novel_grams"), F.lit(0))
+            .cast("long")
+            .alias("novel_grams"),
+            F.coalesce(F.col("new_types"), F.lit(0))
+            .cast("long")
+            .alias("new_types"),
+            F.expr(
+                "(1000 * coalesce(novel_grams, 0L)) div n_grams"
+            )
+            .cast("long")
+            .alias("novelty_permille"),
+        )
     )
 
 
@@ -3364,11 +3408,15 @@ def text_zipf_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
     the score-group decomposition of DESIGN.md, so no global window
     touches the vocab. The final profile is <= 64 rows."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    # vocab-sized; feeds the frequency groups, the rank join AND the
+    # token total — unchckpointed the tokenize + vocab collapse ran
+    # three times (r11 opt: 3 scans -> 1)
     wf = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     groups = wf.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("n_words"))
     wpref = Window.partitionBy(F.lit(1)).orderBy(F.col("c").desc()).rowsBetween(
@@ -3498,28 +3546,38 @@ def text_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring the learned weights — the engine's supervised-trainer verb
     next to k-means (unsupervised) and BPE (tokenizer).
 
-    Scale: the corpus is scanned ONCE into the integer feature relation
-    (then localCheckpointed); each round is one aggregate over the
-    misclassified subset producing a 1-row weight relation broadcast
-    into the next round's margin — the bpe_learn_merges posture: zero
-    driver collects, per-round state is PERC_NFEAT integers, R corpus
-    passes over checkpointed features, no sort or window anywhere."""
+    Scale: the corpus is scanned ONCE and collapsed onto the DISTINCT
+    integer feature vectors with multiplicities (groupBy (y, x1, x2) →
+    cnt, map-side combined; x0 is a constant) — the sufficient statistic
+    for every round, since each round only needs Σ cnt and Σ cnt·y·xj
+    over the misclassified subset (exact integer algebra, identical
+    totals). Each round is then one aggregate over the BOUNDED
+    checkpointed feature-histogram relation producing a 1-row weight
+    relation broadcast into the next round's margin — the
+    bpe_learn_merges posture with the R corpus re-passes gone: zero
+    driver collects, per-round state is PERC_NFEAT integers, ONE corpus
+    pass total, no sort or window anywhere."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     js = range(PERC_NFEAT)
     n_tokens = F.size(F.split("text", " ")).cast("long")
-    feats = docs.select(
-        F.when(
-            F.col("n_chars").between(100, 500) & (n_tokens >= 20), F.lit(1)
+    feats = (
+        docs.select(
+            F.when(
+                F.col("n_chars").between(100, 500) & (n_tokens >= 20), F.lit(1)
+            )
+            .otherwise(F.lit(-1))
+            .alias("y"),
+            F.lit(100).cast("long").alias("x0"),
+            F.expr(
+                f"CAST((n_chars - {PERC_CENTER}) * (n_chars - {PERC_CENTER})"
+                f" div {PERC_QSCALE} AS BIGINT)"
+            ).alias("x1"),
+            n_tokens.alias("x2"),
         )
-        .otherwise(F.lit(-1))
-        .alias("y"),
-        F.lit(100).cast("long").alias("x0"),
-        F.expr(
-            f"CAST((n_chars - {PERC_CENTER}) * (n_chars - {PERC_CENTER})"
-            f" div {PERC_QSCALE} AS BIGINT)"
-        ).alias("x1"),
-        n_tokens.alias("x2"),
-    ).localCheckpoint(eager=False)
+        .groupBy("y", "x0", "x1", "x2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     w = spark.range(1).select(*[F.lit(0).cast("long").alias(f"w{j}") for j in js])
 
     def margin():
@@ -3531,9 +3589,14 @@ def text_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
             feats.crossJoin(F.broadcast(w))
             .filter(margin() <= 0)
             .agg(
-                F.count(F.lit(1)).cast("long").alias("n_errors"),
+                F.coalesce(F.sum("cnt"), F.lit(0))
+                .cast("long")
+                .alias("n_errors"),
                 *[
-                    F.coalesce(F.sum(F.col("y") * F.col(f"x{j}")), F.lit(0))
+                    F.coalesce(
+                        F.sum(F.col("cnt") * F.col("y") * F.col(f"x{j}")),
+                        F.lit(0),
+                    )
                     .cast("long")
                     .alias(f"g{j}")
                     for j in js
@@ -3564,7 +3627,9 @@ def text_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = (
         feats.crossJoin(F.broadcast(w))
         .filter(margin() <= 0)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_errors"))
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_errors")
+        )
     )
     rounds.append(
         w.crossJoin(F.broadcast(final)).select(
@@ -3652,16 +3717,25 @@ def eval_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix sum over <= 1001 rows and coverage is a bounded hist-join —
     nothing downstream of the two histograms is data-proportional."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    scored = docs.select(
-        F.expr(STOPWORD_PERMILLE_SPARK).cast("long").alias("score"),
-        md5_bucket(F.col("doc_id").cast("string"), 2).alias("half"),
+    # ONE corpus pass onto the bounded (score, half) histogram (<= 2002
+    # rows, checkpointed): the half counts, the calibration prefix and
+    # the eval coverage all derive from it — previously each of the four
+    # consumers re-ran the tokenize scan (r11 opt: 4 scans -> 1)
+    hist2 = (
+        docs.select(
+            F.expr(STOPWORD_PERMILLE_SPARK).cast("long").alias("score"),
+            md5_bucket(F.col("doc_id").cast("string"), 2).alias("half"),
+        )
+        .groupBy("score", "half")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    calib = scored.filter(F.col("half") == 0)
-    ev = scored.filter(F.col("half") == 1)
-    nh = calib.agg(F.count(F.lit(1)).cast("long").alias("n_calib")).crossJoin(
-        ev.agg(F.count(F.lit(1)).cast("long").alias("n_eval"))
+    calib = hist2.filter(F.col("half") == 0)
+    ev = hist2.filter(F.col("half") == 1)
+    nh = calib.agg(F.sum("c").cast("long").alias("n_calib")).crossJoin(
+        ev.agg(F.sum("c").cast("long").alias("n_eval"))
     )
-    hist = calib.groupBy("score").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    hist = calib.select("score", "c")
     wcum = Window.partitionBy(F.lit(1)).orderBy("score").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -3683,7 +3757,7 @@ def eval_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("alpha_ppm", "k", "n_calib", "n_eval")
         .agg(F.min("score").cast("long").alias("threshold_score"))
     )
-    ehist = ev.groupBy("score").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ehist = ev.select("score", "c")
     return (
         F.broadcast(thr)
         .crossJoin(ehist)
@@ -3814,43 +3888,53 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 1000000
         ).alias("u"),
     )
+    # ONE linear pipeline (r11 opt: previously the replicate relation
+    # was consumed three times — ranked means, CI and a separate
+    # point-estimate scan — re-running the x32-exploded tokenize per
+    # consumer). The unweighted (sum, count) legs ride the same
+    # aggregate (every b-group sees each doc exactly once), the 32-row
+    # relation folds to one sorted array, and rank-2/rank-31 selection,
+    # the point estimate and the final explode are bounded HOF algebra:
+    # array_sort on struct (m, b) IS the old row_number(ORDER BY mean,
+    # b) order.
     reps = expl.groupBy("b").agg(
         F.sum(F.expr(_BOOT_W_CASE)).cast("long").alias("sum_w"),
         F.sum(F.expr(f"({_BOOT_W_CASE}) * score")).cast("long").alias("score_wsum"),
+        F.sum("score").cast("long").alias("score_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
-    wrk = Window.partitionBy(F.lit(1)).orderBy(
-        F.expr("(1000 * score_wsum) div sum_w"), F.col("b")
+    arr = reps.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.expr("(1000 * score_wsum) div sum_w")
+                    .cast("long")
+                    .alias("m"),
+                    F.col("b").cast("long").alias("b"),
+                    F.col("sum_w").alias("sum_w"),
+                    F.col("score_wsum").alias("score_wsum"),
+                    F.col("score_sum").alias("score_sum"),
+                    F.col("n_docs").alias("n_docs"),
+                )
+            )
+        ).alias("arr")
     )
-    means = reps.select(
-        F.col("b").cast("long").alias("b"),
-        "sum_w",
-        "score_wsum",
-        F.expr("(1000 * score_wsum) div sum_w").cast("long").alias("mean_x1000"),
-        F.row_number().over(wrk).alias("rnk"),
-    )
-    ci = means.agg(
-        F.min(F.when(F.col("rnk") == 2, F.col("mean_x1000")))
+    pt0 = "filter(arr, x -> x.b = 0)[0]"
+    return arr.select(
+        F.explode("arr").alias("e"),
+        F.expr("arr[1].m").cast("long").alias("ci_lo"),
+        F.expr(f"arr[{BOOT_B - 2}].m").cast("long").alias("ci_hi"),
+        F.expr(f"(1000 * {pt0}.score_sum) div {pt0}.n_docs")
         .cast("long")
-        .alias("ci_lo_x1000"),
-        F.min(F.when(F.col("rnk") == BOOT_B - 1, F.col("mean_x1000")))
-        .cast("long")
-        .alias("ci_hi_x1000"),
-    )
-    pt = scored.agg(
-        F.expr("(1000 * sum(score)) div count(1)").cast("long").alias("point_x1000")
-    )
-    return (
-        means.crossJoin(F.broadcast(ci))
-        .crossJoin(F.broadcast(pt))
-        .select(
-            "b",
-            "sum_w",
-            "score_wsum",
-            "mean_x1000",
-            "point_x1000",
-            "ci_lo_x1000",
-            "ci_hi_x1000",
-        )
+        .alias("pt"),
+    ).select(
+        F.col("e.b").alias("b"),
+        F.col("e.sum_w").alias("sum_w"),
+        F.col("e.score_wsum").alias("score_wsum"),
+        F.col("e.m").alias("mean_x1000"),
+        F.col("pt").alias("point_x1000"),
+        F.col("ci_lo").alias("ci_lo_x1000"),
+        F.col("ci_hi").alias("ci_hi_x1000"),
     )
 
 
@@ -3929,38 +4013,48 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrase scores as member sums, top-K phrases with occurrence counts
     — the query-free keyword surfacer a corpus-exploration UI runs.
 
-    Scale: tokenization explodes once; phrase assembly is a window
-    PARTITIONED by doc (bounded per-doc state, the VAD-islands class);
-    word stats collapse onto the vocab relation; the phrase-score join
-    is word-keyed shuffle work, and the final cut is a TakeOrdered
-    heap — no global sort of the phrase relation."""
+    Scale: phrase assembly is a PER-ROW higher-order fold over the
+    token array (maximal stopword-free runs — the doc-keyed
+    window-over-running-stop-count it replaces cost a corpus-wide
+    Exchange + sort per consumer, paid twice because the token lineage
+    deliberately isn't cached); word stats collapse onto the vocab
+    relation; the phrase-score join is word-keyed shuffle work, and the
+    final cut is a TakeOrdered heap — no global sort of the phrase
+    relation."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    stops_sql = ", ".join(f"'{w}'" for w in RAKE_STOPS)
+    # maximal runs of consecutive non-stop, non-empty tokens — exactly
+    # the rows the old running-stop-count window kept, grouped the same
+    islands = (
+        "aggregate(split(text, ' '),"
+        " named_struct('phr', CAST(array() AS ARRAY<ARRAY<STRING>>),"
+        "              'cur', CAST(array() AS ARRAY<STRING>)),"
+        f" (st, t) -> IF(t = '' OR t IN ({stops_sql}),"
+        "   named_struct('phr', IF(size(st.cur) > 0,"
+        "                          array_append(st.phr, st.cur), st.phr),"
+        "                'cur', CAST(array() AS ARRAY<STRING>)),"
+        "   named_struct('phr', st.phr, 'cur', array_append(st.cur, t))),"
+        " st -> IF(size(st.cur) > 0, array_append(st.phr, st.cur), st.phr))"
+    )
+    # phrase INSTANCES: one row per stopword-free run, in doc order.
+    # Recomputed per consumer (map-side only — no shuffle in the
+    # lineage): materializing corpus-proportional token/phrase rows for
+    # reuse blew the executor heap on the sf10 sweep.
+    phrases = docs.select(
+        "doc_id", F.posexplode(F.expr(islands)).alias("island", "toks")
     ).select(
         "doc_id",
-        "pos",
-        "w",
-        F.when(F.col("w").isin(*RAKE_STOPS) | (F.col("w") == ""), 1)
-        .otherwise(0)
-        .alias("is_stop"),
+        "island",
+        F.array_join("toks", " ").alias("phrase"),
+        F.size("toks").cast("long").alias("plen"),
     )
-    wdoc = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, 0
+    members = phrases.select(
+        "doc_id",
+        "island",
+        "phrase",
+        "plen",
+        F.explode(F.split("phrase", " ")).alias("w"),
     )
-    marked = (
-        toks.withColumn("island", F.sum("is_stop").over(wdoc))
-        .filter(F.col("is_stop") == 0)
-        .select("doc_id", "pos", "w", "island")
-    )
-    wphr = Window.partitionBy("doc_id", "island")
-    members = marked.withColumn(
-        "plen", F.count(F.lit(1)).over(wphr).cast("long")
-    )
-    # checkpoint ONLY the vocab-sized word scores: caching the full
-    # token relation for its two consumers blew the executor heap on
-    # the sf10 sweep (27M struct rows pinned in memory) — recomputing
-    # the tokenize lineage twice is the memory-safe trade here.
     wscore = (
         members.groupBy("w")
         .agg(
@@ -3974,13 +4068,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         members.join(wscore.hint("shuffle_hash"), "w")
         .groupBy("doc_id", "island")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                    lambda x: x["w"],
-                ),
-                " ",
-            ).alias("phrase"),
+            F.first("phrase").alias("phrase"),
             F.max("plen").cast("long").alias("n_words"),
             F.sum("ws").cast("long").alias("score_x1000"),
         )

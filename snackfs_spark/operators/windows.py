@@ -766,6 +766,10 @@ def win_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
         )
         .distinct()
+        # feeds the island merge AND the observed-day axis —
+        # unchckpointed each re-ran the event scan + dedup shuffle
+        # (r11 opt)
+        .localCheckpoint(eager=False)
     )
     return sliding_distinct_counts(pd_, SLIDING_DISTINCT_DAYS)
 
@@ -789,7 +793,11 @@ def sliding_distinct_counts(pd_: DataFrame, w: int) -> DataFrame:
         .groupBy("event_type", "user_id", "grp")
         .agg(F.min("day").alias("s"), F.max("day").alias("t"))
     )
-    observed = pd_.select("event_type", "day").distinct()
+    # |types| x |days| rows; feeds the zero-delta axis AND the final
+    # report join (r11 opt: checkpointed so neither re-runs the dedup)
+    observed = (
+        pd_.select("event_type", "day").distinct().localCheckpoint(eager=False)
+    )
     # The prefix-sum axis must contain EVERY day the output reports, not
     # just island boundaries: an observed day in the middle of a long
     # island has no ±1 delta of its own, and a boundary-only axis would
@@ -2152,7 +2160,16 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cm"),
         )
     )
-    bounds = o.agg(
+    # collapse onto the bounded (open month, close month) grid FIRST —
+    # <= |months|^2 rows, checkpointed: the axis bounds and both delta
+    # aggregates derive from it (r11 opt: previously each of the three
+    # consumers re-ran the lineitem scan + order join)
+    og = (
+        o.groupBy("om", "cm")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = og.agg(
         F.min("om").alias("lo"), F.add_months(F.max("cm"), 1).alias("hi")
     )
     axis = bounds.select(
@@ -2160,11 +2177,11 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sequence(lo, cast(hi as timestamp), interval 1 month)")
         ).alias("m")
     )
-    opened = o.groupBy(F.col("om").alias("m")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_op")
+    opened = og.groupBy(F.col("om").alias("m")).agg(
+        F.sum("c").cast("long").alias("n_op")
     )
-    completed = o.groupBy(F.col("cm").alias("m")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_cp")
+    completed = og.groupBy(F.col("cm").alias("m")).agg(
+        F.sum("c").cast("long").alias("n_cp")
     )
     w_cur = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
     w_prev = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
@@ -2602,9 +2619,12 @@ def orders_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|excess| < tot, cum < n*tot; 9.2e18 headroom holds past $900 T
     total revenue); the ppm numerator alone needs decimal(38,0)."""
     o = fan_out(load_table(spark, sf_dir, "orders"), spark)
+    # <= |months| rows; checkpointed because BOTH the series totals and
+    # the excess curve consume it — unchckpointed each re-ran the order
+    # scan + month aggregate (r11 opt)
     m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mo")).agg(
         F.sum((money("o_totalprice") * 100).cast("long")).cast("long").alias("yc")
-    )
+    ).localCheckpoint(eager=False)
     s = m.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("yc").cast("long").alias("tot"),

@@ -215,6 +215,22 @@ def test_kmeans_broadcasts_centroids_and_partial_topk(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_mmr_single_pipeline_no_round_jobs(spark):
+    """MMR (r11 opt): the pool folds to ONE array row straight off the
+    TakeOrderedAndProject cut and the whole greedy selection is a
+    higher-order-function loop — one job, no per-round checkpoints, no
+    window, no corpus-keyed exchange. The plan must be the live
+    single-pipeline shape (a checkpoint-opaque ExistingRDD scan would
+    mean the round chain came back)."""
+    df = REG["retrieval_mmr_topk"].fn(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Generate" in plan, plan  # the final posexplode of picks
+    assert "ExistingRDD" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
 def test_semdedup_pair_join_not_force_broadcast(spark):
     """The within-cluster pair self-join must NOT hint broadcast (both
     sides are corpus-sized); only the ids-only drop set is hinted."""
@@ -747,15 +763,19 @@ def test_rate_limit_user_partitioned_range_window_no_join(spark):
         assert "user_id" in spec, spec
 
 
-def test_novelty_curve_no_forced_broadcast_shuffle_hash_firsts(spark):
-    """The gram-keyed first-occurrence join is corpus-proportional on
-    both sides: shuffle-hashed, never a forced broadcast (only the
-    1-row doc count broadcasts)."""
+def test_novelty_curve_no_corpus_join(spark):
+    """The occurrence-to-firsts join is GONE (r11 opt): novelty comes
+    from (gram, doc) counts + min/min_by per gram, totals from a 10-key
+    map-side rollup; the only join is the bounded 10-row decile
+    broadcast. No corpus-proportional join of any kind, no distinct
+    Expand leg."""
     df = REG["corpus_novelty_curve"].fn(spark, SF_ORACLE)
     assert_no_cartesian(df)
     plan = formatted_plan(df)
-    assert "ShuffledHashJoin" in plan, plan
-    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Expand" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # the 10-row decile join
 
 
 def test_centroid_drift_bounded_lattice_no_vector_join(spark):
@@ -1009,15 +1029,20 @@ def test_audio_resample_zero_shuffle(spark):
     assert "MapInPandas" in plan, plan
 
 
-def test_rake_phrase_windows_doc_partitioned(spark):
-    """Phrase assembly windows are PARTITIONED by doc (bounded per-doc
-    state); the word-score join is shuffle-hash; the final cut is the
-    bounded top-K (single window over the deduped phrase relation)."""
+def test_rake_phrase_assembly_is_map_side(spark):
+    """Phrase assembly is a per-row fold over the token array (r11 opt:
+    the doc-keyed running-stop-count windows and their corpus Exchanges
+    are gone); the word-score join is shuffle-hash; the final cut is
+    the bounded top-K."""
     df = REG["text_rake_keywords"].fn(spark, SF_ORACLE)
     plan = formatted_plan(df)
     assert "ShuffledHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # no doc-keyed phrase window remains: the only Window node is the
+    # bounded top-K cut (one "+- Window" in the tree; its detail block
+    # repeats the word once)
+    assert plan.count("- Window") == 1, plan
 
 
 def test_duplicate_payments_single_aggregate(spark):

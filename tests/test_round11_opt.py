@@ -128,3 +128,18 @@ def test_lpa_labels_and_pref_ranking_shared(spark):
     sampling.train_preference_pairs(spark, SF_ORACLE)
     sampling.train_pair_overlap(spark, SF_ORACLE)
     assert len(sampling._PREF_RANKED_MEMO) == 1
+
+
+def test_two_sample_tests_share_metric_groups(spark):
+    """sample_mann_whitney_u and sample_ks_two_sample ride ONE memoized
+    (metric, c0, c1) tie-group relation (previously each re-ran the
+    events scan + user-keyed metric shuffle)."""
+    from snackfs_spark.operators import sampling
+
+    sampling._ARM_METRIC_MEMO.clear()
+    g1 = sampling.arm_metric_groups_df(spark, SF_ORACLE)
+    sampling.sample_mann_whitney_u(spark, SF_ORACLE)
+    sampling.sample_ks_two_sample(spark, SF_ORACLE)
+    g2 = sampling.arm_metric_groups_df(spark, SF_ORACLE)
+    assert g1 is g2
+    assert len(sampling._ARM_METRIC_MEMO) == 1
