@@ -283,7 +283,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "nrm",
         F.sqrt(F.expr("aggregate(zip_with(ev, ev, (x, y) -> x * y), 0D, (s, z) -> s + z)")),
-    )
+        # both pair-join sides and the survivor flag read this —
+        # unchckpointed each re-ran the scan + cast + norm fold
+        # (r11 opt: 3 scans -> 1)
+    ).localCheckpoint(eager=False)
     dot = "aggregate(zip_with(a.ev, b.ev, (x, y) -> x * y), 0D, (s, z) -> s + z)"
     # Pair-blocking: the O(c²)·dim pair compute is CPU-bound, but AQE
     # sizes shuffle partitions by bytes and would coalesce the join onto
@@ -390,7 +393,10 @@ def semantic_scaled_dropped(spark: SparkSession, sf_dir: str):
     ).withColumn(
         "nrm",
         F.sqrt(F.expr("aggregate(zip_with(ev, ev, (x, y) -> x * y), 0D, (s, z) -> s + z)")),
-    )
+        # both pair-join sides and the survivor flag read this —
+        # unchckpointed each re-ran the scan + cast + norm fold
+        # (r11 opt: 3 scans -> 1)
+    ).localCheckpoint(eager=False)
     if bits:
         bucket = sum(
             (

@@ -4866,12 +4866,27 @@ def orders_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
     )
-    tot = matrix.agg(F.sum("n_customers").cast("long").alias("n"))
-    return matrix.crossJoin(F.broadcast(tot)).select(
+    # the share total is a window over the <= 36-cell matrix (bounded
+    # axis) instead of a separate aggregate + crossJoin back — r11 opt:
+    # the old two-consumer shape re-ran both filtered aggregates + the
+    # full-outer join just to count the total (4 order scans -> 2, the
+    # intrinsic per-period pair)
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return matrix.select(
         "seg_from",
         "seg_to",
         "n_customers",
-        F.expr("(1000000 * n_customers) div n").cast("long").alias("share_ppm"),
+        F.expr("1000000 * n_customers")
+        .cast("long")
+        .alias("_num"),
+        F.sum("n_customers").over(w_all).cast("long").alias("_n"),
+    ).select(
+        "seg_from",
+        "seg_to",
+        "n_customers",
+        F.expr("_num div _n").cast("long").alias("share_ppm"),
         F.when(F.col("seg_from") == F.col("seg_to"), 1)
         .otherwise(0)
         .cast("long")

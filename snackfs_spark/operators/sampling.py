@@ -752,6 +752,9 @@ def curriculum_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     Equal to the single-window oracle because (score DESC, doc_id) is a
     total order and cum(doc) = offset(score) + within-group cum."""
     docs = load_table(spark, sf_dir, "documents")
+    # 3 longs per doc, checkpointed: the budget scalar, the per-score
+    # totals AND the final join all read it — unchckpointed each re-ran
+    # the tokenize + array_distinct scan (r11 opt: 3 scans -> 1)
     d = docs.select(
         "doc_id",
         F.size(
@@ -762,7 +765,7 @@ def curriculum_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("score"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=False)
     budget = d.agg(
         (
             F.sum("n_tokens") * CURR_BUDGET_NUM / F.lit(CURR_BUDGET_DEN)

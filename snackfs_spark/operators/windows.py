@@ -1676,16 +1676,22 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = fan_out(load_table(spark, sf_dir, "events"), spark).select(
         "user_id", "event_type", F.unix_micros("ts").alias("t_us")
     )
-    # the signup anchor feeds THREE consumers (purchase join, lag join,
-    # funnel count): checkpoint it once instead of re-running the scan +
-    # user-keyed aggregate per consumer (r11; user-proportional rows,
-    # the lags-relation trade already accepted below)
-    su = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("t_us").alias("s_us"))
+    # ONE user-keyed aggregate over ALL users anchors everything (r11
+    # session 3): n_users = its row count, the signup anchor = its
+    # non-null s_us rows, n_signup = the non-null count — previously the
+    # anchor, the distinct-user funnel total and the purchase join each
+    # re-scanned events (3 scans + a count_distinct shuffle -> 2 scans,
+    # the second being the purchase-side filter that MUST join back).
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("t_us"))
+            ).alias("s_us")
+        )
         .localCheckpoint(eager=False)
     )
+    su = base.filter(F.col("s_us").isNotNull())
     pu = (
         ev.filter(F.col("event_type") == "purchase")
         .join(su.hint("shuffle_hash"), "user_id")
@@ -1699,8 +1705,10 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     tot = (
-        ev.agg(F.count_distinct("user_id").cast("long").alias("n_users"))
-        .crossJoin(su.agg(F.count(F.lit(1)).cast("long").alias("n_signup")))
+        base.agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.count("s_us").cast("long").alias("n_signup"),
+        )
         .crossJoin(lags.agg(F.count(F.lit(1)).cast("long").alias("n_converted")))
     )
     hist = lags.groupBy(F.expr(f"lag_s div {LAG_BIN_S}").alias("bin")).agg(
