@@ -1414,10 +1414,14 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three parquet scans, zero reuse — same fix as dedup_prefix_filter's
     # shingle checkpoint)
     pos = _gram_positions(spark, sf_dir).localCheckpoint(eager=False)
+    # ">= 2 distinct docs" is exactly "min(doc_id) <> max(doc_id)": a
+    # fully map-side-combinable pair of aggregates, where the old
+    # count_distinct planned as a two-phase distinct (an extra exchange
+    # of the (g, doc_id) pair relation before the per-g count).
     dup = (
         pos.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d_min"), F.max("doc_id").alias("d_max"))
+        .filter(F.col("d_min") != F.col("d_max"))
         .select("g")
     )
     dp = pos.join(dup, "g", "left_semi").select("doc_id", "i")

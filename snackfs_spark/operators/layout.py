@@ -137,29 +137,52 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"((l_orderkey - a_min) * {_SPAN}) div greatest(a_max - a_min, 1) AS sa",
         f"((l_partkey - b_min) * {_SPAN}) div greatest(b_max - b_min, 1) AS sb",
     )
-    keyed = scaled.withColumn("z", zorder_key("sa", "sb"))
-    lin_bucket = F.shiftrightunsigned(F.col("sa"), Z_BITS - LAYOUT_BUCKET_BITS)
-    z_bucket = F.shiftrightunsigned(F.col("z"), 2 * Z_BITS - LAYOUT_BUCKET_BITS)
-    both = keyed.select(
-        F.explode(
-            F.array(
-                F.struct(F.lit("linear").alias("layout"), lin_bucket.alias("bucket")),
-                F.struct(F.lit("zorder").alias("layout"), z_bucket.alias("bucket")),
-            )
-        ).alias("lb"),
-        "sa",
-        "sb",
-    ).select("lb.layout", "lb.bucket", "sa", "sb")
-    bstats = both.groupBy("layout", "bucket").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min("sa").alias("min_a"),
-        F.max("sa").alias("max_a"),
-        F.min("sb").alias("min_b"),
-        F.max("sb").alias("max_b"),
+    # Bucket ids directly from the scaled keys: the z bucket is the TOP
+    # 8 morton bits, which are exactly the 4-bit interleave of each
+    # dimension's top 4 bits — the full 32-term interleave never
+    # materializes. And instead of exploding every row 2x (one struct
+    # per layout) through the partial aggregate, ONE pass collapses
+    # map-side onto the <= 4096 (linear-bucket, z-bucket) PAIRS; each
+    # layout's 256-bucket stats are a re-aggregate of that bounded
+    # relation (grouping twice preserves count/min/max exactly).
+    half = LAYOUT_BUCKET_BITS // 2
+    pstats = (
+        scaled.select(
+            F.shiftrightunsigned(F.col("sa"), Z_BITS - LAYOUT_BUCKET_BITS).alias(
+                "lb"
+            ),
+            zorder_key(
+                F.shiftrightunsigned(F.col("sa"), Z_BITS - half),
+                F.shiftrightunsigned(F.col("sb"), Z_BITS - half),
+                bits=half,
+            ).alias("zb"),
+            "sa",
+            "sb",
+        )
+        .groupBy("lb", "zb")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("sa").alias("min_a"),
+            F.max("sa").alias("max_a"),
+            F.min("sb").alias("min_b"),
+            F.max("sb").alias("max_b"),
+        )
+        # <= 4096 pair rows: everything below is driver-free tiny-table
+        # algebra, so pin the one corpus aggregate instead of
+        # recomputing the scan per leg.
+        .localCheckpoint(eager=False)
     )
-    # 512 bucket-stat rows: everything below is driver-free tiny-table
-    # algebra, so pin it once instead of recomputing the scan per leg.
-    bstats = bstats.localCheckpoint(eager=False)
+
+    def _layer(layout: str, bucket_col: str) -> DataFrame:
+        return pstats.groupBy(F.col(bucket_col).alias("bucket")).agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.min("min_a").alias("min_a"),
+            F.max("max_a").alias("max_a"),
+            F.min("min_b").alias("min_b"),
+            F.max("max_b").alias("max_b"),
+        ).select(F.lit(layout).alias("layout"), "bucket", "n_rows", "min_a", "max_a", "min_b", "max_b")
+
+    bstats = _layer("linear", "lb").unionByName(_layer("zorder", "zb"))
     totals = bstats.groupBy("layout").agg(
         F.count(F.lit(1)).alias("n_buckets_total")
     )

@@ -2571,6 +2571,14 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver hash-checks a FLOAT estimate across engines — the property
     approx_count_distinct's private sketch can never offer."""
     ev = fan_out(load_table(spark, sf_dir, "events"), spark)
+    # ONE events scan: the distinct (event_type, user_id) relation feeds
+    # BOTH the register build (duplicate events cannot move a register
+    # MAX, so md5 is computed once per distinct user, not per event) and
+    # the exact reference (a plain COUNT over distinct pairs — the old
+    # shape re-scanned events for a two-phase count_distinct).
+    pairs = (
+        ev.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
+    )
     v = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
@@ -2578,7 +2586,7 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = F.when(w > 0, F.lit(HLL_WBITS + 1) - F.length(F.bin(w))).otherwise(
         F.lit(HLL_WBITS + 1)
     )
-    ranks = ev.select(
+    ranks = pairs.select(
         "event_type", v.alias("v")
     ).select(
         "event_type",
@@ -2600,8 +2608,8 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.lit(HLL_M) - F.col("n_used")) * F.lit(1 << (HLL_WBITS + 1))
         ).alias("s"),
     )
-    ex = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    ex = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
     )
     est = F.expr(
         f"({_HLL_ALPHA} * {HLL_M * HLL_M}e0)"
@@ -2664,6 +2672,13 @@ def approx_distinct_hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch's lattice sum is hash-checked against an independent
     derivation, alongside the global exact count."""
     ev = fan_out(load_table(spark, sf_dir, "events"), spark)
+    # ONE events scan (the approx_distinct_hll shape): distinct
+    # (event_type, user_id) pairs feed both the per-group registers and
+    # the global exact count — the distinct-user reduction runs over the
+    # already-deduplicated pair relation, never the raw fact twice.
+    pairs = (
+        ev.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
+    )
     v = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
@@ -2671,7 +2686,7 @@ def approx_distinct_hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = F.when(w > 0, F.lit(HLL_WBITS + 1) - F.length(F.bin(w))).otherwise(
         F.lit(HLL_WBITS + 1)
     )
-    ranks = ev.select("event_type", v.alias("v")).select(
+    ranks = pairs.select("event_type", v.alias("v")).select(
         "event_type",
         F.shiftright(F.col("v"), HLL_WBITS).alias("bucket"),
         r.alias("r"),
@@ -2684,7 +2699,9 @@ def approx_distinct_hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
             "used_lattice"
         ),
     )
-    exact = ev.agg(F.count_distinct("user_id").cast("long").alias("exact_distinct"))
+    exact = pairs.agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
     return s.crossJoin(exact).select(
         (F.lit(HLL_M) - F.col("n_used")).cast("long").alias("n_empty"),
         (

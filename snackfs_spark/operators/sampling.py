@@ -1182,10 +1182,11 @@ def mixture_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     size), so the whole optimization is bounded algebra exactly like
     mixture_temperature; rounds are unrolled in BOTH engines from the
     same DOREMI_ROUNDS constant."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    q = F.expr(f"CAST({STOPWORD_PERMILLE_SPARK} AS BIGINT)")
+    from snackfs_spark.operators.textstats import doc_quality_df
+
     s = (
-        docs.select("source", q.alias("q"))
+        doc_quality_df(spark, sf_dir)
+        .select("source", "q")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1837,10 +1838,11 @@ def corpus_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells: one map-side per-cell aggregate, one single-partition window
     over the bounded histogram, one broadcast join back. The fact pass
     is one projected scan."""
-    docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
+    from snackfs_spark.operators.textstats import doc_quality_df
+
+    d = doc_quality_df(spark, sf_dir).select(
         "doc_id",
-        F.expr(STOPWORD_PERMILLE_SPARK).alias("score_cell"),
+        F.col("q").alias("score_cell"),
         "n_chars",
     )
     cellmax = d.groupBy("score_cell").agg(F.max("n_chars").alias("cmax"))
@@ -4336,13 +4338,12 @@ def source_quality_tournament(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join and Copeland window all run on that bounded lattice.
     Exactness: the doubled win count keeps tie-halves integral; the
     permille readout is one truncating division on nonneg values."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    from snackfs_spark.operators.textstats import doc_quality_df
+
     dec = "DECIMAL(38,0)"
     h = (
-        docs.select(
-            "source",
-            F.expr(f"CAST({STOPWORD_PERMILLE_SPARK} AS BIGINT)").alias("q"),
-        )
+        doc_quality_df(spark, sf_dir)
+        .select("source", "q")
         .groupBy("source", "q")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint(eager=False)

@@ -1256,14 +1256,6 @@ def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 MATRYOSHKA_DIMS = (8, 16, 32, 64)  # 64 = the fixture's full width
 
 
-def _prefix_dot_spark(a: str, b: str, p: int) -> str:
-    return (
-        f"aggregate(zip_with(CAST(slice({a}, 1, {p}) AS ARRAY<DOUBLE>), "
-        f"CAST(slice({b}, 1, {p}) AS ARRAY<DOUBLE>), (x, y) -> x * y), "
-        "0D, (acc, v) -> acc + v)"
-    )
-
-
 def _prefix_dot_duck(a: str, b: str, p: int) -> str:
     return (
         f"list_reduce(list_transform(range(1, {p + 1}), i -> "
@@ -1322,26 +1314,42 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate collapses to |queries| x |prefixes| rows."""
     full = MATRYOSHKA_DIMS[-1]
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).alias("a")
-    c = emb.alias("b")
+    # Per-side prep computed ONCE PER ROW, not once per pair (r11 opt):
+    # the double-cast embedding and every prefix norm from one shared
+    # self-product array. The old shape evaluated all three prefix
+    # folds (a·b, a·a, b·b) inside the PAIR projection, so each corpus
+    # row re-paid its own norm folds for every query (and each query
+    # per corpus row). slice∘zip_with == zip_with∘slice element-for-
+    # element and the fold order is unchanged, so every cosine is
+    # bit-identical to the previous expression.
+    norm_of = (
+        lambda p: f"sqrt(aggregate(slice(sq, 1, {p}), 0D, (acc, v) -> acc + v))"
+    )
+    prep = (
+        emb.select("vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("e"))
+        .withColumn("sq", F.expr("zip_with(e, e, (x, y) -> x * y)"))
+        .select(
+            "vec_id",
+            "e",
+            *[F.expr(norm_of(p)).alias(f"nrm_{p}") for p in MATRYOSHKA_DIMS],
+        )
+    )
+    q = prep.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    c = prep.alias("b")
     pairs = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.expr("a.vec_id <> b.vec_id"))
+        .withColumn("prod", F.expr("zip_with(a.e, b.e, (x, y) -> x * y)"))
         .select(
             F.col("a.vec_id").alias("query_id"),
             F.col("b.vec_id").alias("vec_id"),
             *[
                 (
-                    F.expr(_prefix_dot_spark("a.embedding", "b.embedding", p))
-                    / (
-                        F.sqrt(
-                            F.expr(_prefix_dot_spark("a.embedding", "a.embedding", p))
-                        )
-                        * F.sqrt(
-                            F.expr(_prefix_dot_spark("b.embedding", "b.embedding", p))
-                        )
+                    F.expr(
+                        f"aggregate(slice(prod, 1, {p}), 0D, (acc, v) -> acc + v)"
                     )
+                    / (F.col(f"a.nrm_{p}") * F.col(f"b.nrm_{p}"))
                 ).alias(f"cos_{p}")
                 for p in MATRYOSHKA_DIMS
             ],

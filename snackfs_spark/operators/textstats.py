@@ -986,6 +986,53 @@ def _cell_cum_before(celled: DataFrame) -> DataFrame:
     )
 
 
+_DOC_QUALITY_MEMO = SessionMemo(maxsize=4)
+
+
+def doc_quality_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, source, n_chars, q) relation of THE shared
+    stopword-permille quality score (functions.STOPWORD_PERMILLE_SPARK,
+    a LONG in 0..1000) — optimization r11, the text_bigram_prob /
+    candidate_edges_df pattern. Eight registered queries re-tokenized
+    the corpus per call to compute this identical per-doc score (the
+    AUC/kappa/conformal/bootstrap evals, the reliability bins behind
+    ECE/Brier/isotonic, the Pareto front, DoReMi reweighting, the
+    source tournament); they now share one scan behind a lazy
+    localCheckpoint. n_chars rides along (a stored column, no extra
+    compute) so the skyline consumer needs no second corpus pass."""
+
+    def build() -> DataFrame:
+        docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+        return docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.expr(STOPWORD_PERMILLE_SPARK).cast("long").alias("q"),
+        ).localCheckpoint(eager=False)
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _DOC_QUALITY_MEMO.get_or_build(key, build)
+
+
+_FLUENCY_CELLED_MEMO = SessionMemo(maxsize=4)
+
+
+def _fluency_celled_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized doc_quality_df ⋈ bigram-fluency cell join
+    (doc_id, source, n_chars, q, avg_q, cell): the shared input of the
+    tertile-label family (perplexity buckets, AUC, kappa, reliability
+    bins). Each consumer previously re-ran the corpus scan AND the
+    doc-keyed fluency join behind a private checkpoint per call."""
+
+    def build() -> DataFrame:
+        return _with_fluency_cell(
+            doc_quality_df(spark, sf_dir), text_bigram_prob(spark, sf_dir)
+        ).localCheckpoint(eager=False)
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _FLUENCY_CELLED_MEMO.get_or_build(key, build)
+
+
 @register("text_perplexity_buckets", oracle=_ppl_buckets_oracle())
 def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail corpus partitioning by bigram-LM
@@ -1000,16 +1047,11 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, the cumulative split runs over that tiny relation, and
     the cell -> bucket map broadcasts back — the CCNet global
     perplexity sort replaced by two fixed-size aggregates."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    scored = _with_fluency_cell(
-        docs.select("doc_id", "source", "n_chars"),
-        text_bigram_prob(spark, sf_dir),
-    )
     # the LM scoring pass is the dominant cost and BOTH the histogram
-    # branch and the final bucket join consume `scored` — pin it so the
-    # token-proportional pipeline runs once (reliable checkpoint dir on
-    # a real cluster).
-    scored = scored.localCheckpoint(eager=False)
+    # branch and the final bucket join consume `scored` — the shared
+    # memoized checkpoint runs the scan + fluency join once per session
+    # (reliable checkpoint dir on a real cluster).
+    scored = _fluency_celled_df(spark, sf_dir)
     # <= 1002 rows: the single-partition window is over the histogram,
     # never the corpus.
     cell_bucket = _cell_cum_before(scored).select(
@@ -1867,16 +1909,12 @@ def eval_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     confusion counts, and the tertile boundaries all run on bounded
     relations with broadcast map-backs. No global sort at any corpus
     size; the classic per-doc rank assignment never happens."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    labeled = _with_fluency_cell(
-        docs.select(
-            "doc_id", F.expr(STOPWORD_PERMILLE_SPARK).alias("score_cell")
-        ),
-        text_bigram_prob(spark, sf_dir),
-    ).select("doc_id", "score_cell", "cell")
     # The bigram pass is the dominant cost and feeds BOTH the tertile
-    # histogram and the score/label join — pin it so it runs once.
-    labeled = labeled.localCheckpoint(eager=False)
+    # histogram and the score/label join — the shared memoized
+    # checkpoint runs it once per session.
+    labeled = _fluency_celled_df(spark, sf_dir).select(
+        "doc_id", F.col("q").alias("score_cell"), "cell"
+    )
     cell_label = _cell_cum_before(labeled).select(
         "cell",
         F.when(3 * F.col("cum_before") < F.col("n"), F.lit(1))
@@ -2640,41 +2678,50 @@ def _ece_oracle() -> str:
     """
 
 
+_RELIABILITY_BINS_MEMO = SessionMemo(maxsize=4)
+
+
 def _reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reliability histogram (bin, n, pos, sum_score) both
     calibration evals read — Spark mirror of ``_reliability_bins_ctes``.
     The bigram scoring pass is the only corpus-proportional work; the
-    histogram collapses map-side onto <= 11 bins."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    labeled = _with_fluency_cell(
-        docs.select("doc_id", F.expr(STOPWORD_PERMILLE_SPARK).alias("score_cell")),
-        text_bigram_prob(spark, sf_dir),
-    ).select("doc_id", "score_cell", "cell")
-    labeled = labeled.localCheckpoint(eager=False)
-    cell_label = _cell_cum_before(labeled).select(
-        "cell",
-        F.when(3 * F.col("cum_before") < F.col("n"), F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("label"),
-    )
-    return (
-        labeled.join(F.broadcast(cell_label), "cell")
-        .groupBy((F.col("score_cell") / ECE_BIN).cast("long").alias("bin"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("label").cast("long").alias("pos"),
-            F.sum("score_cell").cast("long").alias("sum_score"),
-            # the two extra moments the Brier decomposition needs; ECE
-            # and isotonic select their columns explicitly, so these
-            # ride along for free
-            F.sum(F.col("score_cell") * F.col("score_cell"))
-            .cast("long")
-            .alias("sum_score2"),
-            F.sum(F.col("score_cell") * F.col("label"))
-            .cast("long")
-            .alias("sum_score_label"),
+    histogram collapses map-side onto <= 11 bins. Memoized behind a
+    lazy localCheckpoint: THREE registered queries (ECE, Brier,
+    isotonic) consume this identical <= 11-row relation and each
+    previously re-ran the celled-corpus scan + label join per call."""
+
+    def build() -> DataFrame:
+        labeled = _fluency_celled_df(spark, sf_dir).select(
+            "doc_id", F.col("q").alias("score_cell"), "cell"
         )
-    )
+        cell_label = _cell_cum_before(labeled).select(
+            "cell",
+            F.when(3 * F.col("cum_before") < F.col("n"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("label"),
+        )
+        return (
+            labeled.join(F.broadcast(cell_label), "cell")
+            .groupBy((F.col("score_cell") / ECE_BIN).cast("long").alias("bin"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("label").cast("long").alias("pos"),
+                F.sum("score_cell").cast("long").alias("sum_score"),
+                # the two extra moments the Brier decomposition needs; ECE
+                # and isotonic select their columns explicitly, so these
+                # ride along for free
+                F.sum(F.col("score_cell") * F.col("score_cell"))
+                .cast("long")
+                .alias("sum_score2"),
+                F.sum(F.col("score_cell") * F.col("label"))
+                .cast("long")
+                .alias("sum_score_label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _RELIABILITY_BINS_MEMO.get_or_build(key, build)
 
 
 @register("eval_calibration_ece", oracle=_ece_oracle())
@@ -2901,19 +2948,13 @@ def eval_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side collapse to one row and the kappa algebra runs on that row
     in decimal(38,0) — N*(counts) products wrap int64 past ~3e9 docs,
     the same reason the AUC numerator is decimal."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    labeled = _with_fluency_cell(
-        docs.select(
-            "doc_id",
-            F.when(
-                F.expr(STOPWORD_PERMILLE_SPARK) >= KAPPA_SCORE_T, F.lit(1)
-            )
-            .otherwise(F.lit(0))
-            .alias("label_a"),
-        ),
-        text_bigram_prob(spark, sf_dir),
-    ).select("doc_id", "label_a", "cell")
-    labeled = labeled.localCheckpoint(eager=False)
+    labeled = _fluency_celled_df(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("q") >= KAPPA_SCORE_T, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label_a"),
+        "cell",
+    )
     cell_label = _cell_cum_before(labeled).select(
         "cell",
         F.when(3 * F.col("cum_before") < F.col("n"), F.lit(1))
@@ -3716,14 +3757,15 @@ def eval_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded 0..1000 score histogram, so the order statistic is a
     prefix sum over <= 1001 rows and coverage is a bounded hist-join —
     nothing downstream of the two histograms is data-proportional."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    # ONE corpus pass onto the bounded (score, half) histogram (<= 2002
-    # rows, checkpointed): the half counts, the calibration prefix and
-    # the eval coverage all derive from it — previously each of the four
-    # consumers re-ran the tokenize scan (r11 opt: 4 scans -> 1)
+    # ONE pass over the shared quality memo onto the bounded (score,
+    # half) histogram (<= 2002 rows, checkpointed): the half counts, the
+    # calibration prefix and the eval coverage all derive from it —
+    # previously each of the four consumers re-ran the tokenize scan
+    # (r11 opt: 4 scans -> 1, then the scan itself onto doc_quality_df)
     hist2 = (
-        docs.select(
-            F.expr(STOPWORD_PERMILLE_SPARK).cast("long").alias("score"),
+        doc_quality_df(spark, sf_dir)
+        .select(
+            F.col("q").alias("score"),
             md5_bucket(F.col("doc_id").cast("string"), 2).alias("half"),
         )
         .groupBy("score", "half")
@@ -3858,9 +3900,8 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition; ranking and the CI run on the bounded 32-row replicate
     relation. Weights are md5-derived in codegen — no RNG state, so the
     result is partition-count independent."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    scored = docs.select(
-        "doc_id", F.expr(STOPWORD_PERMILLE_SPARK).cast("long").alias("score")
+    scored = doc_quality_df(spark, sf_dir).select(
+        "doc_id", F.col("q").alias("score")
     )
     expl = scored.select(
         "score",

@@ -1924,19 +1924,29 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = fan_out(load_table(spark, sf_dir, "events"), spark).select(
         "user_id", "event_type", F.to_date("ts").alias("d")
     )
-    pu = ev.groupBy("user_id").agg(
-        F.min("d").alias("first_d"), F.max("d").alias("last_d")
-    )
-    fp = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("d").alias("purch_d"))
-    )
-    u = pu.join(fp, "user_id", "left").select(
-        F.coalesce(
-            F.datediff("purch_d", "first_d"), F.datediff("last_d", "first_d")
-        ).alias("dur"),
-        F.when(F.col("purch_d").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("cen"),
+    # ONE user-keyed aggregate carries all three anchors (first event,
+    # last event, first purchase as a conditional min) — the old
+    # pu ⋈ fp shape scanned events twice and shuffled the user dimension
+    # twice just to left-join the purchase min back (r11 opt, the
+    # events_conversion_lag fold; null-free users have purch_d = NULL
+    # exactly as the left join produced).
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("d").alias("first_d"),
+            F.max("d").alias("last_d"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("d"))
+            ).alias("purch_d"),
+        )
+        .select(
+            F.coalesce(
+                F.datediff("purch_d", "first_d"), F.datediff("last_d", "first_d")
+            ).alias("dur"),
+            F.when(F.col("purch_d").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("cen"),
+        )
     )
     grid = u.groupBy("dur").agg(
         F.sum(F.lit(1) - F.col("cen")).cast("long").alias("deaths"),
