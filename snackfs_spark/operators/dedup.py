@@ -2334,8 +2334,13 @@ def dedup_entity_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sk"),
         )
     )
-    # two-phase banded global rank: band = 2-char sort-key prefix
-    banded = regs.withColumn("band", F.expr("substring(sk, 1, 2)"))
+    # two-phase banded global rank: band = 2-char sort-key prefix.
+    # Checkpointed: the in-band rank AND the band counts both consume
+    # it, and each rebuild re-ran the 3-way union of customer scans
+    # (r11 opt: 2 builds -> 1).
+    banded = regs.withColumn(
+        "band", F.expr("substring(sk, 1, 2)")
+    ).localCheckpoint(eager=False)
     w_in = Window.partitionBy("band").orderBy("sk", "reg_id")
     ranked = banded.withColumn("r_in", F.row_number().over(w_in))
     counts = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n"))

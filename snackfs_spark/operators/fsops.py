@@ -695,15 +695,17 @@ def fs_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the chunk fingerprints feed both digests and the drill-down
     ch = ch.localCheckpoint(eager=False)
     dec = lambda c: c.cast("decimal(28,0)")  # noqa: E731
-    da = ch.groupBy("bucket").agg(
-        F.sum(dec(F.col("f"))).alias("digest_a"),
-        F.count(F.lit(1)).cast("long").alias("n_chunks"),
-    )
-    db = ch.filter(~F.col("lost")).groupBy("bucket").agg(
-        F.sum(dec(F.col("f"))).alias("digest_b")
-    )
+    # BOTH replica digests in ONE bucket aggregate: replica B's digest
+    # is a conditional sum, and a bucket whose chunks are all lost sums
+    # to NULL — exactly the left-join miss the old two-aggregate + join
+    # shape produced (r11 opt: 2 passes over ch + a join -> 1 pass).
     mismatched = (
-        da.join(db, "bucket", "left")
+        ch.groupBy("bucket")
+        .agg(
+            F.sum(dec(F.col("f"))).alias("digest_a"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(~F.col("lost"), dec(F.col("f")))).alias("digest_b"),
+        )
         .filter(
             F.col("digest_b").isNull()
             | (F.col("digest_a") != F.col("digest_b"))

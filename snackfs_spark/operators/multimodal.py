@@ -827,8 +827,15 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the decode pass feeds the band join (twice) and both verify sides
     wide = wide.localCheckpoint(eager=False)
+    # Each band row CARRIES its side's four band hashes through the
+    # candidate join, so the Hamming verify is a projection on the
+    # matched pair — the old shape joined the (asset_a, asset_b) pairs
+    # back to `wide` twice (two more asset-keyed shuffles of both the
+    # candidate and hash relations). (asset_a, asset_b) determines the
+    # carried hashes, so the pair-dedup DISTINCT is unchanged.
     bands = wide.select(
         "asset_id",
+        *[F.col(f"b{k}") for k in range(4)],
         F.explode(
             F.array(
                 *[
@@ -839,24 +846,16 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("asset_id", "band.band_id", "band.val")
+    ).select("asset_id", "band.band_id", "band.val", *[f"b{k}" for k in range(4)])
     x = bands.select(
-        "band_id", "val", F.col("asset_id").alias("asset_a")
-    )
-    y = bands.select(
-        "band_id", "val", F.col("asset_id").alias("asset_b")
-    )
-    cand = (
-        x.join(y.hint("shuffle_hash"), ["band_id", "val"])
-        .filter(F.col("asset_a") < F.col("asset_b"))
-        .select("asset_a", "asset_b")
-        .distinct()
-    )
-    ha = wide.select(
+        "band_id",
+        "val",
         F.col("asset_id").alias("asset_a"),
         *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
     )
-    hb = wide.select(
+    y = bands.select(
+        "band_id",
+        "val",
         F.col("asset_id").alias("asset_b"),
         *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)],
     )
@@ -864,8 +863,15 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}"))) for k in range(4)
     )
     return (
-        cand.join(ha.hint("shuffle_hash"), "asset_a")
-        .join(hb.hint("shuffle_hash"), "asset_b")
+        x.join(y.hint("shuffle_hash"), ["band_id", "val"])
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .select(
+            "asset_a",
+            "asset_b",
+            *[f"a{k}" for k in range(4)],
+            *[f"bb{k}" for k in range(4)],
+        )
+        .distinct()
         .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
         .select("asset_a", "asset_b", "hamming")

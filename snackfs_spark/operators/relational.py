@@ -2457,6 +2457,12 @@ def q21_straggler_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate input) and the max-ship join probes supplier-level rows,
     # not raw lines — the sweep measured this the steepest new path
     # (0.58 exp/decade) in its count_distinct form.
+    # per_supp feeds BOTH the order-level rollup and the max-ship probe
+    # side; a checkpoint here measured SLOWER (r11 A/B best-of-6:
+    # 1.17 -> 1.50 s) — the (order, supplier) relation is the query's
+    # biggest intermediate and materializing it costs more than the
+    # cheap, fully-parallel scan+partial-agg rebuild (the
+    # text_vocab_growth lesson). Left as the two-build recompute.
     per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("s_max")
     )
@@ -3841,35 +3847,43 @@ def rel_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
         .select("l_orderkey")
     )
-    co = o.join(c, o["o_custkey"] == c["c_custkey"], "left_semi").select("o_orderkey")
-    co = co.localCheckpoint(eager=False)  # feeds inter_a AND fin
+    # ONE filtered-orders pass carries the customer gate as a FLAG
+    # (c_custkey is the customer PK, so the broadcast left join cannot
+    # duplicate orders and gate=true is exactly the old semi-join), and
+    # ONE lcnt join computes both line-weighted sums — the old shape
+    # scanned orders twice (semi join + inter_b probe) and joined lcnt
+    # twice (inter_b and fin).
+    og = (
+        o.join(
+            F.broadcast(c.withColumn("hit", F.lit(1))),
+            o["o_custkey"] == c["c_custkey"],
+            "left",
+        )
+        .select("o_orderkey", F.col("hit").isNotNull().alias("gate"))
+        .localCheckpoint(eager=False)  # feeds inter_a AND the lcnt join
+    )
     lcnt = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("long").alias("lc"))
-    lcnt = lcnt.localCheckpoint(eager=False)  # feeds inter_b AND fin
-    inter_a = co.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    inter_b = (
-        o.join(lcnt, o["o_orderkey"] == lcnt["l_orderkey"])
-        .agg(F.coalesce(F.sum("lc"), F.lit(0)).cast("long").alias("n"))
-    )
-    fin = (
-        co.join(lcnt, co["o_orderkey"] == lcnt["l_orderkey"])
-        .agg(F.coalesce(F.sum("lc"), F.lit(0)).cast("long").alias("n"))
-    )
-    plans = (
-        inter_a.crossJoin(fin.select(F.col("n").alias("fn")))
-        .select(
-            F.lit("customer_orders_first").alias("join_order"),
-            F.col("n").alias("intermediate_rows"),
-            F.col("fn").alias("final_rows"),
-            (F.col("n") + F.col("fn")).alias("total_cost"),
+    inter_a = og.filter("gate").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bf = (
+        og.join(lcnt, og["o_orderkey"] == lcnt["l_orderkey"])
+        .agg(
+            F.coalesce(F.sum("lc"), F.lit(0)).cast("long").alias("bn"),
+            F.coalesce(F.sum(F.when(F.col("gate"), F.col("lc"))), F.lit(0))
+            .cast("long")
+            .alias("fn"),
         )
-        .unionAll(
-            inter_b.crossJoin(fin.select(F.col("n").alias("fn"))).select(
-                F.lit("orders_lineitem_first").alias("join_order"),
-                F.col("n").alias("intermediate_rows"),
-                F.col("fn").alias("final_rows"),
-                (F.col("n") + F.col("fn")).alias("total_cost"),
-            )
-        )
+    )
+    plans = inter_a.crossJoin(F.broadcast(bf)).select(
+        F.expr(
+            "stack(2, 'customer_orders_first', n, 'orders_lineitem_first', bn)"
+            " AS (join_order, intermediate_rows)"
+        ),
+        F.col("fn").alias("final_rows"),
+    ).select(
+        "join_order",
+        "intermediate_rows",
+        "final_rows",
+        (F.col("intermediate_rows") + F.col("final_rows")).alias("total_cost"),
     )
     from pyspark.sql import Window
 

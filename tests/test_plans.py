@@ -679,13 +679,15 @@ def test_join_advisor_pushes_filters_counts_keys_only(spark):
     lineitem arrives pre-collapsed to per-orderkey counts)."""
     df = REG["rel_join_order_advisor"].fn(spark, SF_ORACLE)
     assert_no_cartesian(df)
-    # l_shipdate's pushdown sits behind the lcnt localCheckpoint
-    # boundary, which the formatted dump does not traverse; q6 pins the
-    # same lineitem date pushdown on an uncheckpointed plan
-    assert_pushed_filter(df, "o_orderdate")
-    # the semi-join gate and lcnt collapse sit behind localCheckpoint
-    # boundaries the dump does not traverse; what remains visible must
-    # be the collapsed-relation joins — never a fact-fact sort-merge
+    # o_orderdate's pushdown sits behind the gated-orders
+    # localCheckpoint boundary, which the formatted dump does not
+    # traverse; the lineitem leg is live in this plan, so its date
+    # pushdown is the visible evidence (q3 pins the orders-side date
+    # pushdown on an uncheckpointed plan)
+    assert_pushed_filter(df, "l_shipdate")
+    # the gated-orders relation sits behind a localCheckpoint boundary
+    # the dump does not traverse; what remains visible must be the
+    # collapsed-relation joins — never a fact-fact sort-merge
     plan = formatted_plan(df)
     assert "SortMergeJoin" not in plan, plan
 

@@ -143,3 +143,35 @@ def test_two_sample_tests_share_metric_groups(spark):
     g2 = sampling.arm_metric_groups_df(spark, SF_ORACLE)
     assert g1 is g2
     assert len(sampling._ARM_METRIC_MEMO) == 1
+
+
+def test_quality_score_family_shares_doc_quality_relation(spark):
+    """Eleven quality-score consumers ride the memoized stopword-
+    permille relation (doc_id, source, n_chars, q) and, for the
+    tertile-label evals, the fluency-celled join and the <= 11-row
+    reliability bins on top — previously each call re-tokenized the
+    corpus (and the calibration evals re-ran the doc-keyed fluency
+    join per call)."""
+    from snackfs_spark.operators import sampling, textstats
+
+    textstats._DOC_QUALITY_MEMO.clear()
+    textstats._FLUENCY_CELLED_MEMO.clear()
+    textstats._RELIABILITY_BINS_MEMO.clear()
+    assert isinstance(textstats._DOC_QUALITY_MEMO, SessionMemo)
+    q1 = textstats.doc_quality_df(spark, SF_ORACLE)
+    textstats.eval_quality_auc(spark, SF_ORACLE)
+    textstats.eval_kappa_agreement(spark, SF_ORACLE)
+    textstats.eval_calibration_ece(spark, SF_ORACLE)
+    textstats.eval_brier_decomposition(spark, SF_ORACLE)
+    textstats.eval_isotonic_calibration(spark, SF_ORACLE)
+    textstats.eval_conformal_threshold(spark, SF_ORACLE)
+    textstats.eval_bootstrap_ci(spark, SF_ORACLE)
+    textstats.text_perplexity_buckets(spark, SF_ORACLE)
+    sampling.corpus_pareto_front(spark, SF_ORACLE)
+    sampling.mixture_doremi_reweight(spark, SF_ORACLE)
+    sampling.source_quality_tournament(spark, SF_ORACLE)
+    q2 = textstats.doc_quality_df(spark, SF_ORACLE)
+    assert q1 is q2
+    assert len(textstats._DOC_QUALITY_MEMO) == 1
+    assert len(textstats._FLUENCY_CELLED_MEMO) == 1
+    assert len(textstats._RELIABILITY_BINS_MEMO) == 1

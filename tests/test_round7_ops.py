@@ -367,7 +367,28 @@ def test_bench_regression_gate_levels():
     # queries) blow past HARD_RATIO.
     names = sorted(last, key=last.get, reverse=True)
     slow = set(names[: int(len(names) * 0.4)])
-    inflated = {n: (t * 2.0 if n in slow else t) for n, t in last.items()}
+    # Mid-optimization-round the latest recorded run can be far FASTER
+    # than the last driver BENCH_r*.json subtotal baselines the gate
+    # compares against, so a fixed 2x of bench_last need not regress
+    # those baselines at all (observed once round 11's 0.7x bench line
+    # landed: 2x of the fast run read as only ~1.25x of BENCH_r10).
+    # Scale the slow set so every comparable group's inflated subtotal
+    # is >= DRIFT_CAP*HARD_RATIO of its recorded baseline — a true
+    # minority-of-queries regression that must trip HARD no matter how
+    # much faster the engine has since become, and beyond what drift
+    # (clamped to DRIFT_CAP) could ever excuse.
+    prior, _ = bench._prior_bench_data("0.1")
+    m = 2.0
+    for key, qnames in bench._round_groups().items():
+        if key not in prior:
+            continue
+        old = prior[key][1]
+        t_slow = sum(last[n] for n in qnames if n in last and n in slow)
+        t_fast = sum(last[n] for n in qnames if n in last and n not in slow)
+        if t_slow > 0 and old > 0:
+            need = 1.05 * bench.DRIFT_CAP * bench.HARD_RATIO * old - t_fast
+            m = max(m, need / t_slow)
+    inflated = {n: (t * m if n in slow else t) for n, t in last.items()}
     hard, drift = bench._alarm_on_subtotal_regressions(inflated, "0.1")
     # The floors are medians of REAL recent observations, so the 203
     # per-query ratios are not all exactly 1.0 on a replay; pushing 40%
