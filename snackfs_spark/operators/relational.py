@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from snackfs_spark.functions import dsum, dsum_lattice, money, rate
 from snackfs_spark.functions import ts_str
+from snackfs_spark.memo import SessionMemo
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import fan_out, load_table
 
@@ -2518,6 +2519,66 @@ _HLL_ALPHA = "(0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0))"  # alpha_256 in forced-
                                                   # different scale rules)
 
 
+_TYPE_USER_PAIRS_MEMO = SessionMemo(maxsize=4)
+
+
+def type_user_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized distinct (event_type, user_id) relation (optimization
+    r11, the candidate_edges_df pattern): FOUR sketch queries
+    (approx_distinct_hll, approx_distinct_hll_merged, approx_overlap_hll,
+    approx_kmv_theta_sketch) each re-scanned events and re-ran the same
+    distinct-pair shuffle; they now share one build behind a lazy
+    localCheckpoint. Value-identical input for all of them: duplicate
+    events cannot move a register MAX, a KMV order statistic, or a
+    distinct count."""
+
+    def build() -> DataFrame:
+        ev = fan_out(load_table(spark, sf_dir, "events"), spark)
+        return (
+            ev.select("event_type", "user_id")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _TYPE_USER_PAIRS_MEMO.get_or_build(key, build)
+
+
+_HLL_REGS_MEMO = SessionMemo(maxsize=4)
+
+
+def hll_type_regs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized per-(event_type, bucket) HLL register relation (MAX
+    rank per register, <= |types| x m rows) built from
+    type_user_pairs_df — the identical expression approx_distinct_hll,
+    approx_distinct_hll_merged and approx_overlap_hll each re-derived
+    per call."""
+
+    def build() -> DataFrame:
+        pairs = type_user_pairs_df(spark, sf_dir)
+        v = F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        w = F.col("v").bitwiseAND(F.lit((1 << HLL_WBITS) - 1))
+        r = F.when(w > 0, F.lit(HLL_WBITS + 1) - F.length(F.bin(w))).otherwise(
+            F.lit(HLL_WBITS + 1)
+        )
+        return (
+            pairs.select("event_type", v.alias("v"))
+            .select(
+                "event_type",
+                F.shiftright(F.col("v"), HLL_WBITS).alias("bucket"),
+                r.alias("r"),
+            )
+            .groupBy("event_type", "bucket")
+            .agg(F.max("r").alias("reg"))
+            .localCheckpoint(eager=False)
+        )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _HLL_REGS_MEMO.get_or_build(key, build)
+
+
 @register(
     "approx_distinct_hll",
     oracle=f"""
@@ -2576,30 +2637,14 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     is integer arithmetic until one final float expression, so the
     driver hash-checks a FLOAT estimate across engines — the property
     approx_count_distinct's private sketch can never offer."""
-    ev = fan_out(load_table(spark, sf_dir, "events"), spark)
-    # ONE events scan: the distinct (event_type, user_id) relation feeds
-    # BOTH the register build (duplicate events cannot move a register
-    # MAX, so md5 is computed once per distinct user, not per event) and
-    # the exact reference (a plain COUNT over distinct pairs — the old
-    # shape re-scanned events for a two-phase count_distinct).
-    pairs = (
-        ev.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
-    )
-    v = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
-    w = F.col("v").bitwiseAND(F.lit((1 << HLL_WBITS) - 1))
-    r = F.when(w > 0, F.lit(HLL_WBITS + 1) - F.length(F.bin(w))).otherwise(
-        F.lit(HLL_WBITS + 1)
-    )
-    ranks = pairs.select(
-        "event_type", v.alias("v")
-    ).select(
-        "event_type",
-        F.shiftright(F.col("v"), HLL_WBITS).alias("bucket"),
-        r.alias("r"),
-    )
-    regs = ranks.groupBy("event_type", "bucket").agg(F.max("r").alias("reg"))
+    # ONE shared events scan (the type_user_pairs_df / hll_type_regs_df
+    # memos): the register build reads the memoized (type, bucket, reg)
+    # relation (duplicate events cannot move a register MAX, so md5 is
+    # computed once per distinct user, not per event) and the exact
+    # reference is a plain COUNT over the shared distinct pairs — the
+    # old shape re-scanned events for a two-phase count_distinct.
+    pairs = type_user_pairs_df(spark, sf_dir)
+    regs = hll_type_regs_df(spark, sf_dir)
     sk = regs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_used"),
         F.sum(F.expr(f"shiftleft(1L, CAST({HLL_WBITS + 1} - reg AS INT))")).alias(
@@ -2677,27 +2722,12 @@ def approx_distinct_hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global count is a MAX-merge away, no rescan). The merged
     sketch's lattice sum is hash-checked against an independent
     derivation, alongside the global exact count."""
-    ev = fan_out(load_table(spark, sf_dir, "events"), spark)
-    # ONE events scan (the approx_distinct_hll shape): distinct
-    # (event_type, user_id) pairs feed both the per-group registers and
-    # the global exact count — the distinct-user reduction runs over the
+    # ONE shared events scan (the approx_distinct_hll memos): the
+    # per-group registers and the global exact count both derive from
+    # the shared relations — the distinct-user reduction runs over the
     # already-deduplicated pair relation, never the raw fact twice.
-    pairs = (
-        ev.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
-    )
-    v = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
-    w = F.col("v").bitwiseAND(F.lit((1 << HLL_WBITS) - 1))
-    r = F.when(w > 0, F.lit(HLL_WBITS + 1) - F.length(F.bin(w))).otherwise(
-        F.lit(HLL_WBITS + 1)
-    )
-    ranks = pairs.select("event_type", v.alias("v")).select(
-        "event_type",
-        F.shiftright(F.col("v"), HLL_WBITS).alias("bucket"),
-        r.alias("r"),
-    )
-    per_group = ranks.groupBy("event_type", "bucket").agg(F.max("r").alias("reg"))
+    pairs = type_user_pairs_df(spark, sf_dir)
+    per_group = hll_type_regs_df(spark, sf_dir)
     merged = per_group.groupBy("bucket").agg(F.max("reg").alias("reg"))
     s = merged.agg(
         F.count(F.lit(1)).alias("n_used"),
@@ -3351,26 +3381,8 @@ def approx_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared checkpoint the registers, the type list and the exact
     overlap all derive from (duplicate events can't move a register
     max, so dedup-first is value-identical)."""
-    ev = fan_out(load_table(spark, sf_dir, "events"), spark)
-    users = ev.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
-    v = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
-    w = F.col("v").bitwiseAND(F.lit((1 << HLL_WBITS) - 1))
-    r = F.when(w > 0, F.lit(HLL_WBITS + 1) - F.length(F.bin(w))).otherwise(
-        F.lit(HLL_WBITS + 1)
-    )
-    regs = (
-        users.select("event_type", v.alias("v"))
-        .select(
-            "event_type",
-            F.shiftright(F.col("v"), HLL_WBITS).alias("bucket"),
-            r.alias("r"),
-        )
-        .groupBy("event_type", "bucket")
-        .agg(F.max("r").alias("reg"))
-        .localCheckpoint(eager=False)
-    )
+    users = type_user_pairs_df(spark, sf_dir)
+    regs = hll_type_regs_df(spark, sf_dir)
     types = users.select("event_type").distinct()
     pairs = (
         types.select(F.col("event_type").alias("ta"))
@@ -5007,10 +5019,13 @@ def approx_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending per group — partial per partition, never a global sort);
     everything after operates on <= K rows per group (the mergeable
     sketch property: ship K values per group, not the audience)."""
-    ev = fan_out(load_table(spark, sf_dir, "events"), spark)
     from snackfs_spark.functions import md5_fp
 
-    h = ev.select(
+    # the shared distinct-pair memo replaces a private events scan +
+    # distinct; hashing after the dedup yields the identical value set
+    # (md5_fp is a function of user_id), and the (type, v) distinct
+    # below now deduplicates an already-collapsed relation
+    h = type_user_pairs_df(spark, sf_dir).select(
         "event_type", md5_fp(F.col("user_id").cast("string")).alias("v")
     ).distinct()
     w = Window.partitionBy("event_type").orderBy("v")

@@ -175,3 +175,24 @@ def test_quality_score_family_shares_doc_quality_relation(spark):
     assert len(textstats._DOC_QUALITY_MEMO) == 1
     assert len(textstats._FLUENCY_CELLED_MEMO) == 1
     assert len(textstats._RELIABILITY_BINS_MEMO) == 1
+
+
+def test_sketch_family_shares_type_user_pairs(spark):
+    """The four audience-sketch queries ride ONE memoized distinct
+    (event_type, user_id) relation, and the three HLL consumers
+    additionally share the (type, bucket, reg) register relation —
+    previously each re-scanned events and re-ran the distinct-pair
+    shuffle (the HLL pair also each re-derived the registers)."""
+    from snackfs_spark.operators import relational
+
+    relational._TYPE_USER_PAIRS_MEMO.clear()
+    relational._HLL_REGS_MEMO.clear()
+    p1 = relational.type_user_pairs_df(spark, SF_ORACLE)
+    relational.approx_distinct_hll(spark, SF_ORACLE)
+    relational.approx_distinct_hll_merged(spark, SF_ORACLE)
+    relational.approx_overlap_hll(spark, SF_ORACLE)
+    relational.approx_kmv_theta_sketch(spark, SF_ORACLE)
+    p2 = relational.type_user_pairs_df(spark, SF_ORACLE)
+    assert p1 is p2
+    assert len(relational._TYPE_USER_PAIRS_MEMO) == 1
+    assert len(relational._HLL_REGS_MEMO) == 1
