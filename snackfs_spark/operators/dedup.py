@@ -2335,12 +2335,14 @@ def dedup_entity_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # two-phase banded global rank: band = 2-char sort-key prefix.
-    # Checkpointed: the in-band rank AND the band counts both consume
-    # it, and each rebuild re-ran the 3-way union of customer scans
-    # (r11 opt: 2 builds -> 1).
-    banded = regs.withColumn(
-        "band", F.expr("substring(sk, 1, 2)")
-    ).localCheckpoint(eager=False)
+    # A checkpoint here (the in-band rank and the band counts both
+    # consume this relation) measured SLOWER in both the isolated A/B
+    # (1.22 -> 1.28 s best-of-6) and the full battery (0.90 -> 1.07 s
+    # min-of-3): the name-carrying relation is wide and materializing
+    # it costs more than the cheap re-run of three pushdown-pruned
+    # customer scans (the q21/text_vocab_growth lesson). Left as the
+    # two-build recompute.
+    banded = regs.withColumn("band", F.expr("substring(sk, 1, 2)"))
     w_in = Window.partitionBy("band").orderBy("sk", "reg_id")
     ranked = banded.withColumn("r_in", F.row_number().over(w_in))
     counts = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
