@@ -465,24 +465,52 @@ def main() -> None:
     fsmodel.content_df(spark, sf_dir).count()
     fsmodel.locks_df(spark, sf_dir).count()
 
+    from snackfs_spark import memo
+
     timings: dict[str, float] = {}
+    # One-time SessionMemo build cost billed to each memo family's FIRST
+    # toucher (r11 VERDICT #1: best-of-3 discarded every shared build, so
+    # e.g. text_bigram_prob recorded 0.018 s against a ~1.1 s memo build).
+    # Detection: the memo build counter advances during rep 1 iff this
+    # query constructed >= 1 shared pipeline; the bill is (rep1 - best),
+    # which also includes the query's own codegen compile — a deliberate
+    # over- rather than under-statement of the shared cost.
+    builds: dict[str, float] = {}
     for name in (n for grp in rounds for n in grp):
         # best of 3: the first run pays one-time codegen/plan compilation
         # for the query's unique expressions; later runs are steady state
         # (three samples because host timing variance on shared boxes is
         # large — factor-3 swings observed run-to-run on identical plans).
         best = float("inf")
-        for _ in range(3):
+        first = 0.0
+        pre_builds = memo.build_count()
+        for rep in range(3):
             start = time.perf_counter()
             df = registry[name].fn(spark, sf_dir)
             # noop sink: full distributed execution of the plan, no
             # driver-side result transfer billed to the operator.
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - start)
+            elapsed = time.perf_counter() - start
+            if rep == 0:
+                first = elapsed
+                first_touches = memo.build_count() - pre_builds
+            best = min(best, elapsed)
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        if first_touches > 0 and first > best:
+            builds[name] = round(first - best, 3)
+        print(
+            f"# {name}: {timings[name]}s"
+            + (f" (+{builds[name]}s memo build)" if name in builds else ""),
+            file=sys.stderr,
+        )
 
-    total = round(sum(timings.values()), 3)
+    # Headline total is BUILD-INCLUSIVE (r11 VERDICT #1): steady-state
+    # best-of-3 per query PLUS every shared memo family's one-time build,
+    # billed once to its first toucher. value_best_of_3 keeps the pre-r12
+    # methodology for like-for-like comparison with BENCH_r01..r11.
+    best_total = round(sum(timings.values()), 3)
+    build_overhead = round(sum(builds.values()), 3)
+    total = round(best_total + build_overhead, 3)
     # Alarms run (and print to stderr) BEFORE the stdout JSON line: the
     # driver records a merged stdout+stderr 2000-char TAIL, so the JSON
     # must be the LAST thing emitted — r9's 22 ALARM lines landed after
@@ -493,8 +521,11 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "value_best_of_3": best_total,
+        "build_overhead": build_overhead,
         "host_drift": drift,
         "queries": timings,
+        "queries_build": builds,
         **_subtotals(timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -516,7 +547,7 @@ def main() -> None:
     with open(full_path.parent / "bench_history.jsonl", "a") as hist:
         hist.write(json.dumps(payload) + "\n")
     compact = {
-        **{k: v for k, v in payload.items() if k != "queries"},
+        **{k: v for k, v in payload.items() if k not in ("queries", "queries_build")},
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         "n_queries": len(timings),
         "queries_full": "var/bench_last.json",

@@ -23,12 +23,54 @@ assembly, materialization happens lazily on first action.
 
 from __future__ import annotations
 
+import os
 import threading
 from collections import OrderedDict
 from collections.abc import Callable
 from typing import TypeVar
 
 T = TypeVar("T")
+
+
+def materialize_shared(df, spark):
+    """Materialization policy for CORPUS-PROPORTIONAL shared relations
+    (the distinct-shingle table, the basket relation, the distinct
+    type-user pairs — relations that grow with the corpus, unlike the
+    bounded-size memos which stay on plain localCheckpoint).
+
+    r11 VERDICT #3: localCheckpoint puts severed-lineage blocks in
+    non-replicated executor storage — tolerant in local mode, but on a
+    real cluster an executor loss fails the job instead of recomputing,
+    and at 100 TB the relation may not fit executor storage at all. The
+    strategy is therefore configurable via SNACKFS_MEMO_MATERIALIZE:
+
+      - "local"    (default): lazy localCheckpoint — single-host / bench
+                   posture, zero extra I/O, plan truncation for free.
+      - "reliable": lazy reliable checkpoint into SNACKFS_CHECKPOINT_DIR
+                   (HDFS/object-store path on a cluster) — survives
+                   executor loss, bounded only by durable storage.
+      - "none"     : no materialization — full lineage kept, every
+                   consumer recomputes; the safe fallback when the
+                   relation exceeds what either checkpoint store holds.
+
+    All three modes return value-identical DataFrames; only fault
+    tolerance and storage placement differ.
+    """
+    mode = os.environ.get("SNACKFS_MEMO_MATERIALIZE", "local")
+    if mode == "local":
+        return df.localCheckpoint(eager=False)
+    if mode == "reliable":
+        ckdir = os.environ.get("SNACKFS_CHECKPOINT_DIR")
+        if ckdir:
+            sc = spark.sparkContext
+            if sc._jsc.sc().getCheckpointDir().isEmpty():
+                sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=False)
+    if mode == "none":
+        return df
+    raise ValueError(
+        f"SNACKFS_MEMO_MATERIALIZE={mode!r}: expected local|reliable|none"
+    )
 
 
 class SessionMemo:
@@ -39,6 +81,12 @@ class SessionMemo:
     # counts, which needs the pipeline REBUILT per config) can drop all
     # cached pipelines at once via clear_all_memos().
     _instances: list["SessionMemo"] = []
+    # Monotone count of cache MISSES (pipeline builds) across every
+    # instance since process start. bench.py snapshots it around each
+    # query's first rep to bill shared-memo build cost to the first
+    # toucher (r11 VERDICT #1: best-of-3 timing silently excluded every
+    # one-time build from the recorded total).
+    _build_events: int = 0
 
     def __init__(self, maxsize: int = 4) -> None:
         self._maxsize = maxsize
@@ -52,6 +100,7 @@ class SessionMemo:
                 self._entries.move_to_end(key)
                 return self._entries[key]  # type: ignore[return-value]
             value = build()
+            SessionMemo._build_events += 1
             self._entries[key] = value
             while len(self._entries) > self._maxsize:
                 self._entries.popitem(last=False)
@@ -64,6 +113,15 @@ class SessionMemo:
     def clear(self) -> None:
         with self._lock:
             self._entries.clear()
+
+
+def build_count() -> int:
+    """Total SessionMemo pipeline builds (cache misses) so far in this
+    process. A pure monotone counter: bench.py diffs it around a query's
+    first rep to detect that the query was the FIRST TOUCHER of one or
+    more shared memoized relations, whose one-time build cost best-of-N
+    timing would otherwise discard."""
+    return SessionMemo._build_events
 
 
 def clear_all_memos() -> None:

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snackfs_spark.functions import md5_bucket
-from snackfs_spark.memo import SessionMemo
+from snackfs_spark.memo import SessionMemo, materialize_shared
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import fan_out, load_table
 
@@ -277,11 +277,14 @@ def distinct_shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo; a real cluster persists the shingle table once per corpus
     (computed by the first pipeline stage, read by dedup /
     decontamination / boilerplate alike — which is exactly the reuse
-    this memo models locally)."""
+    this memo models locally). Materialization strategy is the
+    SNACKFS_MEMO_MATERIALIZE policy (r11 VERDICT #3: localCheckpoint is
+    the local-mode default; a cluster sets "reliable" + a durable
+    checkpoint dir, or "none" when the shingle table exceeds it)."""
 
     def build() -> DataFrame:
-        return shingles_df(spark, sf_dir, distinct=True).localCheckpoint(
-            eager=False
+        return materialize_shared(
+            shingles_df(spark, sf_dir, distinct=True), spark
         )
 
     key = (spark.sparkContext.applicationId, sf_dir)

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from snackfs_spark.memo import SessionMemo
+from snackfs_spark.memo import SessionMemo, materialize_shared
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import load_table
 
@@ -48,14 +48,16 @@ def basket_items_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle each time, and the battery ran it again per query. The
     checkpoint is lineitem-proportional — the same discipline as the
     prefix-filter shingle memo (a real cluster persists it bucketed by
-    l_orderkey; localCheckpoint is the single-host analog)."""
+    l_orderkey; localCheckpoint is the single-host analog).
+    Materialization strategy: SNACKFS_MEMO_MATERIALIZE (r11 VERDICT #3 —
+    "local" default here, "reliable"/"none" on a cluster)."""
 
     def build() -> DataFrame:
-        return (
+        return materialize_shared(
             load_table(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_partkey")
-            .distinct()
-            .localCheckpoint(eager=False)
+            .distinct(),
+            spark,
         )
 
     key = (spark.sparkContext.applicationId, sf_dir)

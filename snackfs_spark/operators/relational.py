@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from snackfs_spark.functions import dsum, dsum_lattice, money, rate
 from snackfs_spark.functions import ts_str
-from snackfs_spark.memo import SessionMemo
+from snackfs_spark.memo import SessionMemo, materialize_shared
 from snackfs_spark.registry import register
 from snackfs_spark.sources.tables import fan_out, load_table
 
@@ -2530,14 +2530,14 @@ def type_user_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-pair shuffle; they now share one build behind a lazy
     localCheckpoint. Value-identical input for all of them: duplicate
     events cannot move a register MAX, a KMV order statistic, or a
-    distinct count."""
+    distinct count. Materialization strategy: SNACKFS_MEMO_MATERIALIZE
+    (r11 VERDICT #3 — "local" default, "reliable"/"none" on a cluster
+    where user-proportional state must survive executor loss)."""
 
     def build() -> DataFrame:
         ev = fan_out(load_table(spark, sf_dir, "events"), spark)
-        return (
-            ev.select("event_type", "user_id")
-            .distinct()
-            .localCheckpoint(eager=False)
+        return materialize_shared(
+            ev.select("event_type", "user_id").distinct(), spark
         )
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -2659,8 +2659,12 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.lit(HLL_M) - F.col("n_used")) * F.lit(1 << (HLL_WBITS + 1))
         ).alias("s"),
     )
+    # count("user_id") not count(*): the oracle's COUNT(DISTINCT user_id)
+    # skips NULLs, and the distinct-pairs relation would carry a
+    # (type, NULL) row if the fixture ever grew one (r11 ADVICE —
+    # null-safe equivalence, fixtures currently NULL-free either way).
     ex = pairs.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+        F.count("user_id").cast("long").alias("exact_distinct")
     )
     est = F.expr(
         f"({_HLL_ALPHA} * {HLL_M * HLL_M}e0)"
@@ -3860,14 +3864,18 @@ def rel_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     # ONE filtered-orders pass carries the customer gate as a FLAG
-    # (c_custkey is the customer PK, so the broadcast left join cannot
-    # duplicate orders and gate=true is exactly the old semi-join), and
-    # ONE lcnt join computes both line-weighted sums — the old shape
-    # scanned orders twice (semi join + inter_b probe) and joined lcnt
-    # twice (inter_b and fin).
+    # (c_custkey is the customer PK, so the left join cannot duplicate
+    # orders and gate=true is exactly the old semi-join), and ONE lcnt
+    # join computes both line-weighted sums — the old shape scanned
+    # orders twice (semi join + inter_b probe) and joined lcnt twice
+    # (inter_b and fin). No broadcast hint (r11 ADVICE): the filtered
+    # customer side is fact-scale at large SF, so the planner/AQE picks
+    # the strategy from its size estimate (auto-broadcast at bench SF,
+    # shuffled join above the threshold) instead of being forced into a
+    # driver-OOM-risk broadcast.
     og = (
         o.join(
-            F.broadcast(c.withColumn("hit", F.lit(1))),
+            c.withColumn("hit", F.lit(1)),
             o["o_custkey"] == c["c_custkey"],
             "left",
         )
