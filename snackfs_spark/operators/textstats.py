@@ -2446,14 +2446,14 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     words = F.split(F.col("text"), " ")
     toks = docs.select(F.explode(words).alias("w")).filter(F.col("w") != "")
-    # vocab-sized; feeds the token total AND both join sides —
-    # unchckpointed the tokenize + unigram collapse ran four times
-    # (r11 opt: 4 scans -> 2, one per explode shape)
-    uni = (
-        toks.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
-    )
+    # NO checkpoint on the unigram relation: the r11 checkpoint (4 scans
+    # -> 2) was re-A/B'd in r12 (VERDICT #3) — 4 interleaved sessions,
+    # best-of-5 each: checkpointed 1.05/1.19/1.05/1.10 s vs regenerated
+    # 0.94/1.08/0.76/1.00 s at sf0.1 — consistently 10-25% WORSE. The
+    # vocab collapse is map-side-cheap and the checkpoint's RDD
+    # round-trip costs more than the re-scan it saves; REVERTED (the
+    # q21/vocab_growth standard).
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     n_uni = uni.agg(F.sum("c").cast("long").alias("n_uni"))
     pairs = docs.select(
         F.explode(

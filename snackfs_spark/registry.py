@@ -51,103 +51,85 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # in-repo oracle replica, tests/test_correctness.py, which hash-checks
 # ALL registered queries at sf0.01 every test run).
 #
-# ROUND-11 ROTATION (r10 VERDICT #1, executing the pre-staged plan):
-# the six r8-green Q-* fs veterans (fs_lsr fs_dus fs_suboff_prefix_sum
-# fs_lock_arbitration fs_range_read fs_tail) reached the trailing-3
-# cadence boundary after r10 and rotate back in, alongside the two
-# permanent anchors (q1 flagship + connector) = 8 veterans. The
-# remaining 42 slots all go to the never-driver-checked backlog (80
-# after r10 landed 50/50 green) — the first 42 in registration order,
-# which includes ALL THREE round-10 additions (mixture_doremi_reweight,
-# corpus_epoch_schedule, train_pair_overlap) as r10 VERDICT #1
-# requires. 42 >= the freshness test's 35-slot bound; cumulative
-# driver-green goes 251 -> 293 of 331 if the window lands green,
-# draining the backlog to 38 — which fits entirely inside the ROUND-12
-# window (r10 VERDICT #3; see the pre-staged plan below). Every evicted
-# r10 name stays registered and hash-checked by the in-repo replica
+# ROUND-12 ROTATION (r11 VERDICT #8, executing the plan pre-staged in
+# r10/r11): keep the two permanent anchors (q1 flagship + connector).
+# No fs veteran is cadence-due (the r11 six carry fresh green rows; the
+# eleven r10-green Q-* rows come due in the r13 window). All 43
+# never-driver-checked names go in — the 38-name backlog that remained
+# after r11 PLUS the five round-11 build additions (eval_pass_at_k,
+# train_grpo_advantage, eval_best_of_n_curve, source_quality_tournament,
+# emb_matryoshka_recall) — draining the backlog COMPLETELY: cumulative
+# driver-green reaches 336/336 when this window lands. The remaining 5
+# slots re-check queries whose INTERNALS this optimization round
+# changed (approx_distinct_hll's null-safe exact count, the join-order
+# advisor's un-forced broadcast, and the round's pcy/profile/streaming
+# targets), so the driver re-validates exactly what moved. 43 >= the
+# freshness test's 35-slot bound. Every evicted r11 name stays
+# registered and hash-checked by the in-repo replica
 # (tests/test_correctness.py) every test run.
 PRIORITY: tuple[str, ...] = (
-    # -------- veterans (8): the cadence-due Q-* fs rows...
-    "fs_lsr",  # Q-LSR recursive listing
-    "fs_dus",  # Q-DUS subtree rollup
-    "fs_suboff_prefix_sum",  # Q-SUBOFF running-sum window
-    "fs_lock_arbitration",  # Q-LOCK row_number ranking
-    "fs_range_read",  # Q-RANGE block-range slice
-    "fs_tail",  # Q-TAIL tail reassembly
-    # ...plus the permanent anchors: TPC-H flagship (sf1-verified
-    # decimal lattice) and the 7-M6 Python Data Source connector
+    # -------- permanent anchors (2)
     "q1_pricing_summary",
     "fs_connector_roundtrip",
-    # -------- first-time driver rows (42), never in any prior window;
-    # the first 42 backlog names in registration order.
-    # clustering / embedding-space diagnostics:
-    "eval_cluster_agreement",  # ARI on the exact pair lattice
-    "emb_centroid_drift",  # per-label centroid drift across splits
-    "emb_anisotropy_score",  # embedding-space anisotropy readout
-    # corpus dedup economics:
-    "corpus_dedup_rate_curve",  # marginal dup rate vs corpus growth
-    "corpus_dedup_impact",  # token savings by dedup tier
-    # graph battery over the LSH candidate graph:
-    "graph_harmonic_centrality",
-    "graph_degree_assortativity",
-    "graph_jaccard_link_prediction",
-    # fs + layout planners:
-    "fs_hotspot_rebalance_plan",
-    "layout_range_partition_plan",
-    # event analytics:
-    "events_sequential_pairs",  # co-occurring event-type pairs
-    "distinct_users_per_type_twophase",  # two-phase distinct agg
-    "timeseries_correlation",  # exact-lattice hourly correlation
-    "events_value_outliers",  # robust MAD outlier fence
-    "events_value_histogram",  # log2-bucket value histogram
-    "events_winsorized_stats",  # winsorized/trimmed means
-    "join_size_estimate_cm",  # count-min join-size estimate
-    "events_drift_tv",  # total-variation drift between weeks
-    "rel_join_order_advisor",  # FK-graph join-order advisor
-    "approx_hll_daily_union",  # sliding distinct via HLL merge
-    # privacy / FP&A:
-    "privacy_generalization_ladder",  # k-anon generalization search
-    "orders_duplicate_payments",  # near-dup payment detection
-    "lineitem_pvm_decomposition",  # price-volume-mix bridge
-    "orders_revenue_gini",  # revenue concentration (exact Gini)
-    "orders_rfm_migration",  # RFM segment migration matrix
-    "approx_kmv_theta_sketch",  # KMV theta-sketch set algebra
-    # training-mixture / curriculum (incl. ALL THREE r10 additions):
-    "curriculum_token_budget",  # pacing-function token schedule
-    "mixture_doremi_reweight",  # r10 addition (REQUIRED this window)
-    "corpus_epoch_schedule",  # r10 addition (REQUIRED; this round:
-    # DECIMAL(38,0)/HUGEINT numerator + degenerate-source guard)
-    "training_order_shuffle",  # deterministic sharded shuffle
-    # corpus lifecycle:
-    "corpus_snapshot_diff",  # version diff (add/mod/del/same)
-    "corpus_incremental_stats",  # mergeable per-batch stats
-    "corpus_funnel_report",  # pipeline-stage funnel
-    "sample_srm_check",  # sample-ratio-mismatch chi2 gate
-    "split_distribution_check",  # per-split distribution parity
-    "corpus_budget_apportionment",  # largest-remainder apportionment
-    "sample_ab_power_grid",  # A/B power analysis grid
-    "train_pair_overlap",  # r10 addition (REQUIRED): DPO pair audit
-    "emb_negative_sampling",  # frequency-smoothed negative tables
-    # BPE / text pipeline:
-    "bpe_pair_counts",  # adjacent-pair counts (BPE step)
-    "text_redact",  # PII pattern redaction
-    "text_repetition",  # max n-gram repetition score
+    # -------- first-time driver rows (43) = the ENTIRE remaining
+    # backlog in registration order, starting with the five r11 build
+    # additions (REQUIRED this window, r11 VERDICT #8):
+    "eval_pass_at_k",  # r11 addition: pass@k falling-factorial
+    "train_grpo_advantage",  # r11 addition: GRPO group advantage
+    "eval_best_of_n_curve",  # r11 addition: best-of-n yield curve
+    "source_quality_tournament",  # r11 addition: q-lattice tournament
+    "emb_matryoshka_recall",  # r11 addition: truncation recall
+    # text pipeline:
+    "text_diversity",  # type-token diversity profile
+    "text_fingerprint_pandas",  # Arrow-UDF rolling fingerprint
+    "user_event_gaps_grouped",  # applyInPandas gap stats
+    "text_common_ngrams",  # cross-doc common n-grams
+    "text_boilerplate",  # boilerplate shingle detection
+    "text_rarity_score",  # IDF-weighted rarity
+    "text_bigram_prob",  # bigram-LM doc scoring
+    "text_cooccurrence_topk",  # bounded-vocab co-occurrence
+    "bpe_segment_corpus",  # BPE corpus segmentation
+    "source_vocab_similarity",  # per-source vocab cosine
+    "doc_chunk_sliding",  # sliding-window chunker
+    "events_pii_scan",  # PII pattern scan
+    "eval_retrieval_ranks",  # shared-ranking retrieval eval
+    "text_collocation_lift",  # exact-integer collocation lift
+    "bpe_fertility_by_source",  # tokens-per-word fertility
+    "text_vocab_growth",  # Heaps-law vocab growth
+    "corpus_novelty_curve",  # first-occurrence novelty curve
+    "text_burstiness",  # Fano-factor burstiness
+    "text_zipf_octaves",  # Zipf octave profile
+    "text_quality_perceptron",  # in-engine perceptron trainer
+    "eval_bootstrap_ci",  # Poisson-bootstrap CI
+    "text_rake_keywords",  # RAKE keyword extraction
+    "text_stop_list_induction",  # induced stop list
+    "eval_mcnemar_paired",  # McNemar paired test
+    "eval_lang_confusion",  # language-ID confusion matrix
+    "text_blocklist_scan",  # blocklist hit scan
+    "text_distinct_ngrams",  # distinct n-gram counts
+    # windows / events / FP&A:
+    "win_analytics_battery",  # window-function battery
+    "events_debounce",  # debounced event stream
+    "events_seasonal_profile",  # hour-of-week seasonal profile
+    "events_new_vs_returning",  # new-vs-returning split
+    "events_watermark_audit",  # late-arrival watermark audit
+    "events_rate_limit_audit",  # token-bucket rate-limit audit
+    "orders_open_backlog",  # open-order backlog series
+    "orders_ar_aging",  # AR aging buckets
+    "events_conformance_audit",  # event-schema conformance
+    # streaming:
+    "streaming_purchase_error_join",  # stream-stream interval join
+    "streaming_dedup_bounded",  # watermark-bounded dedup state
+    # -------- re-checks (5): internals changed in THIS optimization
+    # round; all carry prior driver-green rows
+    "approx_distinct_hll",  # exact ref now null-safe count over pairs
+    "rel_join_order_advisor",  # forced broadcast dropped (AQE picks)
+    "basket_pairs_pcy",  # r12 pair-pass re-measure target
+    "table_profile",  # r12 multi-distinct shape target
+    "streaming_windowed_peak",  # r12 micro-batch machinery target
 )
 
-# ROUND-12 ROTATION PLAN (pre-staged; execute next round, r10 VERDICT
-# #3): keep the two permanent anchors (q1 + connector). No fs veteran
-# is cadence-due: the r11 six rotate out with fresh green rows, and the
-# eleven r10-green Q-* rows hit the trailing-3 boundary only AFTER r12
-# lands (due in the r13 window). That leaves 48 slots for the
-# remaining 38-name backlog (text_diversity .. streaming_dedup_bounded,
-# in registration order): the ENTIRE backlog fits, taking cumulative
-# driver-green to 331/331, plus ~10 spare slots for any round-11/12
-# additions (new queries register -> put them in the r12 window).
-# The freshness bound (>=35) holds with 38+ first-timers. Update
-# FS_DUE_R11 -> trailing-green in tests/test_registry_window.py when
-# executing.
-#
-# Prior windows (r1-r10): see git history for each round's slot-by-slot
+# Prior windows (r1-r11): see git history for each round's slot-by-slot
 # changelog -- CORRECTNESS_r{N}.json records what each window proved.
 # (The full tuples were kept here as dead data through r9; r9 ADVICE:
 # git history IS the changelog.)

@@ -1,15 +1,16 @@
 """The driver's correctness gate checks the FIRST 50 registered queries.
-These tests pin the ROUND-11 rotated window (r10 VERDICT #1, executing
-the plan pre-staged in r10): 8 veterans — the six r8-green Q-* fs
-targets that reached the trailing-3-rounds cadence boundary after r10,
-plus the q1 flagship and the connector as permanent anchors — and 42
-queries that have never produced a driver-side green row (the first 42
-of the 80-name backlog in registration order), REQUIRED to include all
-3 round-10 additions. The window still spans SURVEY.md §2: every
-declared operator family and §2.C class has an in-window rep or a
-documented evicted veteran with a green driver row in the trailing
-rounds that stays hash-checked in the in-repo replica
-(tests/test_correctness.py) every test run."""
+These tests pin the ROUND-12 rotated window (r11 VERDICT #8, executing
+the plan pre-staged in r10/r11): the 2 permanent anchors (q1 flagship +
+connector), ALL 43 never-driver-checked names — the 38-name backlog
+remaining after r11 plus the five round-11 build additions — and 5
+re-check slots for queries whose internals the r12 optimization round
+changed. This drains the backlog completely: cumulative driver-green
+reaches 336/336 when the window lands. No fs veteran is cadence-due
+(the r11 six carry fresh green rows; the r10 eleven come due in r13).
+The window still spans SURVEY.md §2: every declared operator family and
+§2.C class has an in-window rep or a documented evicted veteran with a
+green driver row in the trailing rounds that stays hash-checked in the
+in-repo replica (tests/test_correctness.py) every test run."""
 
 from __future__ import annotations
 
@@ -48,19 +49,19 @@ for _p in _ARTIFACTS:
         continue  # the current window's own artifact
     DRIVER_CHECKED.update(_keys)
 
-# Q-* → query name (SURVEY §2.B, 17 targets). The six r8-green rows
-# reached the trailing-3 cadence boundary after r10 and are IN the r11
-# window (r10 VERDICT #1); the eleven r10-green rows carry fresh
-# trailing driver rows and come due again in the r13 window.
-FS_IN_WINDOW = {
+# Q-* → query name (SURVEY §2.B, 17 targets). NONE is cadence-due in
+# the r12 window: the six r11-green rows (fs_lsr .. fs_tail) carry
+# fresh trailing rows, the eleven r10-green rows come due in r13.
+FS_IN_WINDOW: dict[str, str] = {}
+FS_TRAILING = {
+    # green in CORRECTNESS_r11
     "Q-LSR": "fs_lsr",
     "Q-DUS": "fs_dus",
     "Q-SUBOFF": "fs_suboff_prefix_sum",
     "Q-LOCK": "fs_lock_arbitration",
     "Q-RANGE": "fs_range_read",
     "Q-TAIL": "fs_tail",
-}
-FS_TRAILING_R10 = {
+    # green in CORRECTNESS_r10
     "Q-STAT": "fs_stat",
     "Q-LS": "fs_ls",
     "Q-DU": "fs_du",
@@ -74,18 +75,18 @@ FS_TRAILING_R10 = {
     "Q-MKDIR": "fs_mkdirs",
 }
 
-# family → representative query INSIDE the r11 window.
+# family → representative query INSIDE the r12 window.
 FAMILIES = {
     # q1 stays as the filter+agg anchor (sf1-verified decimal lattice)
     "filter/projection + group agg": "q1_pricing_summary",
-    # the Q-SUBOFF running-sum window is back in the window
-    "running sum window": "fs_suboff_prefix_sum",
-    # the Q-LOCK row_number arbitration is back in the window
-    "window ranking": "fs_lock_arbitration",
+    # ranking/running/lag windows all exercise inside the battery
+    "window functions (battery)": "win_analytics_battery",
 }
 # family → evicted veteran with a TRAILING driver-green row,
 # still hash-checked by the in-repo replica every test run.
 FAMILIES_TRAILING = {
+    "running sum window": "fs_suboff_prefix_sum",  # r11
+    "window ranking": "fs_lock_arbitration",  # r11
     "equi-join + agg": "q12_priority_by_returnflag",  # r10
     "multi-join exists/not-exists": "q16_part_supplier_variety",  # r10
     "non-equi join (band/interval)": "fs_block_locations",  # r10
@@ -102,9 +103,67 @@ FAMILIES_TRAILING = {
     "skewed join salting": "rel_salted_skew_join",  # r7
 }
 
-# §2.C class → representative inside the r11 window (the 42 backlog
-# first-timers, grouped by what they exercise)
+# §2.C class → representative inside the r12 window (the 43 backlog
+# first-timers + 5 re-checks, grouped by what they exercise)
 CLASSES = {
+    # r11 build additions (REQUIRED this window, r11 VERDICT #8)
+    "eval (pass@k)": "eval_pass_at_k",
+    "train (GRPO advantage)": "train_grpo_advantage",
+    "eval (best-of-n yield)": "eval_best_of_n_curve",
+    "mixture (quality tournament)": "source_quality_tournament",
+    "embeddings (matryoshka recall)": "emb_matryoshka_recall",
+    # text pipeline
+    "text (type-token diversity)": "text_diversity",
+    "text (Arrow-UDF fingerprint)": "text_fingerprint_pandas",
+    "events (applyInPandas gaps)": "user_event_gaps_grouped",
+    "text (common n-grams)": "text_common_ngrams",
+    "text (boilerplate shingles)": "text_boilerplate",
+    "text (rarity score)": "text_rarity_score",
+    "text (bigram LM)": "text_bigram_prob",
+    "text (co-occurrence)": "text_cooccurrence_topk",
+    "BPE (corpus segmentation)": "bpe_segment_corpus",
+    "text (source vocab cosine)": "source_vocab_similarity",
+    "chunking (doc sliding)": "doc_chunk_sliding",
+    "privacy (PII scan)": "events_pii_scan",
+    "retrieval eval (shared ranks)": "eval_retrieval_ranks",
+    "text (collocation lift)": "text_collocation_lift",
+    "BPE (fertility by source)": "bpe_fertility_by_source",
+    "text (vocab growth)": "text_vocab_growth",
+    "lifecycle (novelty curve)": "corpus_novelty_curve",
+    "text (burstiness)": "text_burstiness",
+    "text (Zipf octaves)": "text_zipf_octaves",
+    "train (perceptron)": "text_quality_perceptron",
+    "eval (bootstrap CI)": "eval_bootstrap_ci",
+    "text (RAKE keywords)": "text_rake_keywords",
+    "text (stop-list induction)": "text_stop_list_induction",
+    "eval (McNemar paired)": "eval_mcnemar_paired",
+    "eval (lang confusion)": "eval_lang_confusion",
+    "text (blocklist scan)": "text_blocklist_scan",
+    "text (distinct n-grams)": "text_distinct_ngrams",
+    # windows / events / FP&A
+    "windows (battery)": "win_analytics_battery",
+    "events (debounce)": "events_debounce",
+    "events (seasonal profile)": "events_seasonal_profile",
+    "events (new vs returning)": "events_new_vs_returning",
+    "events (watermark audit)": "events_watermark_audit",
+    "events (rate-limit audit)": "events_rate_limit_audit",
+    "FP&A (open backlog)": "orders_open_backlog",
+    "FP&A (AR aging)": "orders_ar_aging",
+    "events (conformance audit)": "events_conformance_audit",
+    # streaming
+    "streaming (stream-stream join)": "streaming_purchase_error_join",
+    "streaming (bounded dedup)": "streaming_dedup_bounded",
+    # r12 re-checks (internals changed this optimization round)
+    "sketches (HLL + exact ref)": "approx_distinct_hll",
+    "planner (join-order advisor)": "rel_join_order_advisor",
+    "mining (PCY pairs)": "basket_pairs_pcy",
+    "profiling (whole table)": "table_profile",
+    "streaming (chained stateful)": "streaming_windowed_peak",
+    "connector": "fs_connector_roundtrip",
+}
+# §2.C class → trailing driver-green veteran
+CLASSES_TRAILING = {
+    # r11 window first-timers, green in CORRECTNESS_r11
     "clustering eval (adjusted Rand)": "eval_cluster_agreement",
     "embeddings (centroid drift)": "emb_centroid_drift",
     "embeddings (anisotropy)": "emb_anisotropy_score",
@@ -126,7 +185,6 @@ CLASSES = {
     "sketches (count-min join size)": "join_size_estimate_cm",
     "sketches (HLL daily union)": "approx_hll_daily_union",
     "sketches (KMV theta algebra)": "approx_kmv_theta_sketch",
-    "planner (join-order advisor)": "rel_join_order_advisor",
     "privacy (generalization ladder)": "privacy_generalization_ladder",
     "FP&A (duplicate payments)": "orders_duplicate_payments",
     "FP&A (price-volume-mix)": "lineitem_pvm_decomposition",
@@ -147,10 +205,6 @@ CLASSES = {
     "BPE (pair counts)": "bpe_pair_counts",
     "text (PII redaction)": "text_redact",
     "text (repetition score)": "text_repetition",
-    "connector": "fs_connector_roundtrip",
-}
-# §2.C class → trailing driver-green veteran
-CLASSES_TRAILING = {
     # r10 window first-timers, green in CORRECTNESS_r10
     "dedup (fuzzy prefix-blocked verify)": "dedup_fuzzy_prefix",
     "dedup (cross-source overlap matrix)": "dedup_source_matrix",
@@ -232,8 +286,58 @@ CLASSES_TRAILING = {
 # non-anchor names all carry trailing-1 driver-green rows; r9-era and
 # earlier veterans carry older green rows.
 EVICTED_STAY_ORACLED = [
-    # r10 window, all green in CORRECTNESS_r10 (anchors excluded: they
-    # stay in the r11 window)
+    # r11 window, all green in CORRECTNESS_r11 (anchors excluded: they
+    # stay in the r12 window; rel_join_order_advisor is back in-window
+    # as a re-check but listed here too — it must stay oracled forever)
+    "fs_lsr",
+    "fs_dus",
+    "fs_suboff_prefix_sum",
+    "fs_lock_arbitration",
+    "fs_range_read",
+    "fs_tail",
+    "eval_cluster_agreement",
+    "emb_centroid_drift",
+    "emb_anisotropy_score",
+    "corpus_dedup_rate_curve",
+    "corpus_dedup_impact",
+    "graph_harmonic_centrality",
+    "graph_degree_assortativity",
+    "graph_jaccard_link_prediction",
+    "fs_hotspot_rebalance_plan",
+    "layout_range_partition_plan",
+    "events_sequential_pairs",
+    "distinct_users_per_type_twophase",
+    "timeseries_correlation",
+    "events_value_outliers",
+    "events_value_histogram",
+    "events_winsorized_stats",
+    "join_size_estimate_cm",
+    "events_drift_tv",
+    "rel_join_order_advisor",
+    "approx_hll_daily_union",
+    "privacy_generalization_ladder",
+    "orders_duplicate_payments",
+    "lineitem_pvm_decomposition",
+    "orders_revenue_gini",
+    "orders_rfm_migration",
+    "approx_kmv_theta_sketch",
+    "curriculum_token_budget",
+    "mixture_doremi_reweight",
+    "corpus_epoch_schedule",
+    "training_order_shuffle",
+    "corpus_snapshot_diff",
+    "corpus_incremental_stats",
+    "corpus_funnel_report",
+    "sample_srm_check",
+    "split_distribution_check",
+    "corpus_budget_apportionment",
+    "sample_ab_power_grid",
+    "train_pair_overlap",
+    "emb_negative_sampling",
+    "bpe_pair_counts",
+    "text_redact",
+    "text_repetition",
+    # r10 window, all green in CORRECTNESS_r10
     "fs_stat",
     "fs_ls",
     "fs_du",
@@ -444,12 +548,14 @@ EVICTED_STAY_ORACLED = [
     "streaming_hourly_rollup",
 ]
 
-# The 3 round-10 additions the r11 window is REQUIRED to carry
-# (r10 VERDICT #1).
-R10_ADDITIONS_IN_WINDOW = [
-    "mixture_doremi_reweight",
-    "corpus_epoch_schedule",
-    "train_pair_overlap",
+# The 5 round-11 build additions the r12 window is REQUIRED to carry
+# (r11 VERDICT #8).
+R11_ADDITIONS_IN_WINDOW = [
+    "eval_pass_at_k",
+    "train_grpo_advantage",
+    "eval_best_of_n_curve",
+    "source_quality_tournament",
+    "emb_matryoshka_recall",
 ]
 
 
@@ -468,10 +574,10 @@ def test_window_order_and_span():
         assert q in window, f"{target} ({q}) fell outside the driver's window"
 
 
-def test_r10_additions_all_in_window():
+def test_r11_additions_all_in_window():
     window = set(PRIORITY)
-    for q in R10_ADDITIONS_IN_WINDOW:
-        assert q in window, f"round-10 addition {q} missing from the r11 window"
+    for q in R11_ADDITIONS_IN_WINDOW:
+        assert q in window, f"round-11 addition {q} missing from the r12 window"
 
 
 def test_trailing_reps_are_driver_green():
@@ -486,13 +592,13 @@ def test_trailing_reps_are_driver_green():
 
 
 def test_fs_skeleton_cadence():
-    """Every §2.B Q-* target is either IN the r11 window (the six
-    cadence-due r8 veterans, r10 VERDICT #1) or driver-green in the
-    trailing rounds (the eleven r10-green rows, due again in r13)."""
+    """Every §2.B Q-* target is either IN the r12 window (none is
+    cadence-due this round) or driver-green in the trailing rounds
+    (the r11 six + the r10 eleven, due again starting r13)."""
     window = set(PRIORITY)
     for target, q in FS_IN_WINDOW.items():
         assert q in window, f"{target} ({q}) missed its cadence-due window"
-    for target, q in FS_TRAILING_R10.items():
+    for target, q in FS_TRAILING.items():
         assert q in DRIVER_CHECKED, (
             f"{target} ({q}) rotated out without a prior driver-green row"
         )
@@ -509,18 +615,19 @@ def test_rotation_freshness():
     )
 
 
-def test_backlog_drains_in_r12():
-    """r10 VERDICT #3: after this window lands green, the remaining
-    never-driver-checked backlog must fit inside ONE more 50-slot
-    window (50 - 2 anchors = 48 slots; no fs veteran is cadence-due in
-    r12), so cumulative driver-green reaches 331/331 by end of r12."""
+def test_backlog_fully_drained_by_r12_window():
+    """r11 VERDICT #8: the r12 window carries the ENTIRE remaining
+    backlog — after it lands green, every registered query has a
+    driver-side green row (cumulative 336/336). Pinned as: no
+    registered name is both never-driver-checked AND outside the
+    window."""
     reg = load_all()
-    backlog_after_r11 = [
+    backlog_after_r12 = [
         n for n in reg if n not in DRIVER_CHECKED and n not in PRIORITY
     ]
-    assert len(backlog_after_r11) <= 48, (
-        f"{len(backlog_after_r11)} backlog names left; the r12 window"
-        " cannot finish the drain"
+    assert backlog_after_r12 == [], (
+        f"{len(backlog_after_r12)} names would stay never-driver-checked"
+        f" after the r12 window: {backlog_after_r12}"
     )
 
 
@@ -528,7 +635,7 @@ def test_evicted_veterans_stay_oracled():
     reg = load_all()
     veterans = (
         EVICTED_STAY_ORACLED
-        + list(FS_TRAILING_R10.values())
+        + list(FS_TRAILING.values())
         + list(FAMILIES_TRAILING.values())
         + list(CLASSES_TRAILING.values())
     )
