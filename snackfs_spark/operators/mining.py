@@ -333,14 +333,24 @@ def basket_pairs_pcy(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pair hashes to md5_bucket(pair, n_buckets) with
     n_buckets = 8*total_pairs/minsup (load = minsup/8) derived in-plan
     from the per-basket sizes, and bucket counts collapse ~8:1
-    map-side onto narrow int keys; (3) pair pass — pairs re-generate
-    (cheaper than checkpointing the pair relation) and semi-join the
-    hot-bucket set on the bucket key with NO forced strategy: the hot
-    set is ~(frequent pairs + Chernoff tail) rows at a sane minsup, so
-    AQE broadcasts it when it is actually small (sparing the pair
-    relation its gate shuffle) and falls back to shuffle-hash when it
-    is not — the runtime-decided middle between the 100x-sweep
-    broadcast-OOM lesson and paying a full pair shuffle for the gate."""
+    map-side onto narrow int keys; (3) pair pass — the PAIR relation is
+    materialized once (materialize_shared policy) and read by BOTH the
+    bucket pass and the final count, then semi-joins the hot-bucket set
+    on the bucket key with NO forced strategy: the hot set is
+    ~(frequent pairs + Chernoff tail) rows at a sane minsup, so AQE
+    broadcasts it when it is actually small and falls back to
+    shuffle-hash when it is not.
+
+    Shape history: r6 measured "regenerate beats checkpointing the pair
+    relation" — that predates the memoized basket relation. r12
+    re-measured per VERDICT #6 (tools/ab_r12.py, 2 interleaved rounds x
+    best-of-4 at sf0.1): regenerate 2.31/2.22 s vs checkpointed pairs
+    1.75/1.72 s — the checkpoint now wins ~25% because the basket join
+    feeding pair generation no longer amortizes a lineitem scan. The
+    pair relation is the engine's largest intermediate, so the
+    materialization rides SNACKFS_MEMO_MATERIALIZE: "none" on clusters
+    where it exceeds checkpoint storage restores the regenerate shape
+    verbatim."""
     li = basket_items_df(spark, sf_dir)
     ms = li.agg(
         F.greatest(
@@ -378,25 +388,22 @@ def basket_pairs_pcy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_key = F.concat_ws(
         "|", F.col("part_a").cast("string"), F.col("part_b").cast("string")
     )
-
-    def pairs_with_bucket():
-        return (
-            x.join(y, "k")
-            .filter(F.col("part_a") < F.col("part_b"))
-            .crossJoin(F.broadcast(nb))
-            .withColumn("bucket", md5_fp(pair_key) % F.col("nbuckets"))
-        )
-
+    pairs = materialize_shared(
+        x.join(y, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .crossJoin(F.broadcast(nb))
+        .withColumn("bucket", md5_fp(pair_key) % F.col("nbuckets"))
+        .select("part_a", "part_b", "bucket", "minsup"),
+        spark,
+    )
     hot_buckets = (
-        pairs_with_bucket()
-        .groupBy("bucket", "minsup")
+        pairs.groupBy("bucket", "minsup")
         .agg(F.count(F.lit(1)).alias("bc"))
         .filter(F.col("bc") >= F.col("minsup"))
         .select("bucket")
     )
     return (
-        pairs_with_bucket()
-        .join(hot_buckets, "bucket", "left_semi")
+        pairs.join(hot_buckets, "bucket", "left_semi")
         .groupBy("part_a", "part_b", "minsup")
         .agg(F.count(F.lit(1)).alias("pair_support"))
         .filter(F.col("pair_support") >= F.col("minsup"))

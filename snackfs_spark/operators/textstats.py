@@ -2262,36 +2262,52 @@ def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking score MRR/recall@k flatten away.
 
     Scale: the shared ``_retrieval_rank_rel`` pipeline does all data
-    work; the metric itself is |queries| x {NDCG_K} arithmetic over a
-    broadcast literal weight table."""
+    work; the metric itself is |queries| x {NDCG_K} arithmetic. The
+    weights enter as LITERAL arrays instead of a joined table (r12
+    optimization): dcg reads element_at(W, rn) per relevant hit and
+    idcg is a prefix-sum lookup at min(n_rel, K) — the same integers
+    the old weight-table joins summed, with the two weight joins, the
+    idcg crossJoin and two of the broadcast exchanges gone (warm cost
+    was ~1.0 s of chained broadcast jobs over <=3-row relations)."""
     qsize, topk, rel, nrel = _retrieval_rank_rel(spark, sf_dir)
-    w = spark.createDataFrame(list(_NDCG_W.items()), "rn int, wgt long")
+    w_arr = f"array({', '.join(f'{_NDCG_W[i]}L' for i in range(1, NDCG_K + 1))})"
+    prefix = [0]
+    for i in range(1, NDCG_K + 1):
+        prefix.append(prefix[-1] + _NDCG_W[i])
+    p_arr = f"array({', '.join(f'{p}L' for p in prefix)})"
     dcg = (
         topk.filter(F.col("rn") <= NDCG_K)
         .join(rel, ["query_id", "doc_id"])
-        .join(F.broadcast(w), "rn")
         .groupBy("query_id")
-        .agg(F.sum("wgt").cast("long").alias("dcg_micro"))
-    )
-    idcg = (
-        nrel.crossJoin(F.broadcast(w))
-        .filter(F.col("rn") <= F.least(F.col("n_rel"), F.lit(NDCG_K)))
-        .groupBy("query_id")
-        .agg(F.sum("wgt").cast("long").alias("idcg_micro"))
+        .agg(
+            F.sum(F.expr(f"element_at({w_arr}, CAST(rn AS INT))"))
+            .cast("long")
+            .alias("dcg_micro")
+        )
     )
     return (
         qsize.select("query_id")
         .join(F.broadcast(nrel), "query_id", "left")
         .join(F.broadcast(dcg), "query_id", "left")
-        .join(F.broadcast(idcg), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
             F.coalesce("dcg_micro", F.lit(0)).cast("long").alias("dcg_micro"),
-            F.coalesce("idcg_micro", F.lit(0)).cast("long").alias("idcg_micro"),
+            F.expr(
+                f"element_at({p_arr}, "
+                f"CAST(least(coalesce(n_rel, 0), {NDCG_K}) AS INT) + 1)"
+            )
+            .cast("long")
+            .alias("idcg_micro"),
+        )
+        .select(
+            "query_id",
+            "n_rel",
+            "dcg_micro",
+            "idcg_micro",
             F.when(
-                F.coalesce("idcg_micro", F.lit(0)) > 0,
-                F.expr("(1000000 * coalesce(dcg_micro, 0)) div idcg_micro"),
+                F.col("idcg_micro") > 0,
+                F.expr("(1000000 * dcg_micro) div idcg_micro"),
             )
             .otherwise(0)
             .cast("long")
@@ -4652,11 +4668,16 @@ def text_blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("phrase"),
     ).filter(~F.col("phrase").startswith(" ") & ~F.col("phrase").endswith(" "))
-    wb = Window.orderBy(F.count(F.lit(1)).desc(), F.col("phrase"))
+    # top-k via orderBy+limit (TakeOrderedAndProject), NOT row_number
+    # over an unpartitioned Window — the old shape moved EVERY distinct
+    # phrase count to one partition to rank it (r12 optimization; same
+    # rows: row_number <= k under (count desc, phrase) == the k first
+    # rows of that exact total order, ties broken by phrase)
     blocklist = (
         grams.groupBy("phrase")
-        .agg(F.row_number().over(wb).alias("rnk"))
-        .filter(F.col("rnk") <= BLOCK_TOP)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "phrase")
+        .limit(BLOCK_TOP)
         .select("phrase")
     )
     return (
@@ -4717,11 +4738,14 @@ def text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition/boilerplate flags intra-document patterns, but at the
     SOURCE level.
 
-    Scale: ONE tokenize pass feeds both gram relations (the bigram is
-    the zip_with projection); totals collapse map-side onto |sources|
-    keys, distincts are (source, gram)-keyed partial-distinct
-    aggregates (Spark plans Expand + two-phase distinct — the same
-    shuffle class as TF-IDF); the final join is |sources| rows."""
+    Scale: one tokenize pass per gram shape; totals collapse map-side
+    onto |sources| keys, distincts are (source, gram)-keyed
+    partial-distinct aggregates (two-phase); the final join is
+    |sources| rows. A single-scan variant (both gram shapes tagged and
+    exploded together, one (source, n, gram) distinct + bounded pivot)
+    was A/B'd in r12 and REVERTED: 1.11/1.14 s vs 0.80/0.81 s for this
+    shape at sf0.1 — the struct-tagged combined explode and the wider
+    distinct cost more than the saved scan."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     uni = docs.select(

@@ -107,7 +107,11 @@ def profile_twophase(spark, sf_dir):
     from snackfs_spark.operators.relational import PROFILE_COLS
     from snackfs_spark.sources.tables import load_table
 
-    li = load_table(spark, sf_dir, "lineitem").localCheckpoint(eager=False)
+    import os as _os
+
+    li = load_table(spark, sf_dir, "lineitem")
+    if _os.environ.get("AB_PROFILE_CKPT", "0") == "1":
+        li = li.localCheckpoint(eager=False)
     base = li.agg(
         *[a for c in PROFILE_COLS for a in (
             F.count(F.lit(1)).alias(f"{c}__rows"),

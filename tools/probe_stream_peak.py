@@ -44,7 +44,7 @@ def drain_with_progress(spark, shards: int) -> tuple[float, list[dict]]:
     finally:
         q.stop()
     dt = time.perf_counter() - t0
-    prog = [json.loads(p.json()) for p in q.recentProgress]
+    prog = [p if isinstance(p, dict) else json.loads(p) for p in q.recentProgress]
     spark.conf.set("spark.sql.shuffle.partitions", prev)
     return dt, prog
 
